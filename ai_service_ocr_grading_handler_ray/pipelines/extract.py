@@ -1,0 +1,74 @@
+"""Flagship pipeline: pages → payload-kind classify → extract → digest.
+
+Engine equivalent of the reference's /generate dataflow (SURVEY.md §3.1):
+
+    read_parquet(pages)
+      → map_batches(classify_payload_kind)        # stateless, vectorized sniff
+      → map_batches(ExtractActor, concurrency=…)  # actor pool, warm parser state
+      → write_parquet / downstream scoring
+
+The whole thing is lazy and streams with backpressure; nothing
+materializes the full input.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data as rd
+
+from ..stages.classify import classify_payload_kind
+from ..stages.extract import ExtractActor
+from ..synth import docs_to_pages
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster (never call
+    ray.init here — the session belongs to the driver)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    # leave ≥2 CPUs free for the read/write task operators — a pool that
+    # reserves every CPU starves them and the pipeline stalls
+    return (1, max(1, cpus - 2))
+
+
+def build_pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None) -> rd.Dataset:
+    """documents.parquet → synthetic pages table, synthesized inside Ray
+    tasks (distributed, streaming — the driver never holds the pages)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks,
+    )
+    return ds.map_batches(docs_to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_pages(
+    pages: rd.Dataset,
+    *,
+    min_len: int = 25,
+    max_link_pct: int = 33,
+    batch_size: int = 256,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """classify → extract.  Returns the EXTRACTED_SCHEMA dataset (lazy)."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    classified = pages.map_batches(
+        classify_payload_kind, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return classified.map_batches(
+        ExtractActor,
+        fn_constructor_kwargs={"min_len": min_len, "max_link_pct": max_link_pct},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def flagship(sf_dir: str, **kwargs) -> rd.Dataset:
+    """End-to-end flagship over one sf dir (used by ``__ray_entry__.entry``)."""
+    return extract_pages(build_pages_dataset(sf_dir), **kwargs)

@@ -1,0 +1,176 @@
+"""Main-content extraction from HTML: jusText/Readability-style block
+classification by text density + link density.
+
+This is the engine's analogue of the reference's Stage-A extraction
+("transcribe ... exactly as it is written, without any modifications",
+``gen_ai_calling.py:205``; vision-OCR call at
+``ocr_llm_calling_modules.py:49-79``) — re-expressed as a deterministic
+local DOM heuristic instead of a remote vision LLM (SURVEY.md T5).
+
+Design for byte-identical output (SURVEY.md §7.4):
+- stdlib ``html.parser`` (no lxml in the container; version-stable),
+- integer-arithmetic density thresholds (no float ties),
+- whitespace normalization = ``" ".join(text.split())`` per block,
+- block order = document order; output = kept blocks joined by "\\n\\n".
+
+Classification rules (applied per flat block, in order):
+1. blocks inside <nav>/<header>/<footer>/<aside> or an element whose
+   id/class matches a boilerplate pattern are dropped (context rule);
+2. blocks shorter than ``min_len`` normalized chars are dropped;
+3. blocks whose link-char share exceeds ``max_link_pct`` percent are
+   dropped (link farms, menus);
+4. everything else is kept.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# tags that delimit text blocks
+_BLOCK_TAGS = frozenset(
+    """p div section article main li h1 h2 h3 h4 h5 h6 td th blockquote pre
+    ul ol table tr figure figcaption dd dt form fieldset body html
+    header footer nav aside""".split()
+)
+# subtrees whose text never reaches output
+_SKIP_TAGS = frozenset("script style noscript template svg head iframe".split())
+# subtrees that mark boilerplate context (rule 1)
+_BOILER_TAGS = frozenset("nav header footer aside".split())
+_VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+_BOILER_ATTR = re.compile(
+    r"(?:^|[\s_-])(nav|menu|footer|header|sidebar|banner|breadcrumb|comment|"
+    r"share|social|related|promo|ad|ads|advert|cookie|popup|widget)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class Block:
+    """One flat text block with link accounting."""
+
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    boiler_ctx: bool = False
+
+    def text(self) -> str:
+        return " ".join("".join(self.parts).split())
+
+
+class _BlockCollector(HTMLParser):
+    """Single-pass SAX-style collector producing flat blocks in doc order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._cur = Block()
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._attr_boiler_stack: list[str] = []  # tags opened with boiler id/class
+        self._link_depth = 0
+        self.title_parts: list[str] = []
+        self._in_title = False
+
+    # -- helpers -------------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur.parts and self._cur.text():
+            self.blocks.append(self._cur)
+        self._cur = Block(boiler_ctx=self._boiler_depth > 0 or bool(self._attr_boiler_stack))
+
+    # -- parser callbacks ---------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _VOID_TAGS:
+            if tag == "br" and not self._skip_depth:
+                self._cur.parts.append(" ")
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        attr_boiler = any(
+            k in ("id", "class", "role") and v and _BOILER_ATTR.search(v) for k, v in attrs
+        )
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_TAGS:
+                self._boiler_depth += 1
+            if attr_boiler:
+                self._attr_boiler_stack.append(tag)
+            self._cur.boiler_ctx = self._boiler_depth > 0 or bool(self._attr_boiler_stack)
+        elif attr_boiler:
+            # inline element flagged boilerplate: mark current block
+            self._cur.boiler_ctx = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_TAGS:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+            if self._attr_boiler_stack and self._attr_boiler_stack[-1] == tag:
+                self._attr_boiler_stack.pop()
+            self._cur.boiler_ctx = self._boiler_depth > 0 or bool(self._attr_boiler_stack)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if not data:
+            return
+        self._cur.parts.append(data)
+        if self._link_depth:
+            self._cur.link_chars += len(" ".join(data.split()))
+
+
+def extract_html(
+    payload: bytes | str,
+    min_len: int = 25,
+    max_link_pct: int = 33,
+) -> tuple[str, int]:
+    """Strip boilerplate; return ``(extracted_text, n_kept_blocks)``.
+
+    Deterministic: integer thresholds, document-order blocks, no float
+    comparisons.  Never raises on malformed HTML (html.parser is lenient);
+    decoding uses UTF-8 with replacement so garbage can't throw.
+    """
+    if isinstance(payload, bytes):
+        doc = payload.decode("utf-8", errors="replace")
+    else:
+        doc = payload
+    coll = _BlockCollector()
+    coll.feed(doc)
+    coll.close()
+    coll._flush()
+
+    kept: list[str] = []
+    for blk in coll.blocks:
+        if blk.boiler_ctx:
+            continue
+        text = blk.text()
+        n = len(text)
+        if n < min_len:
+            continue
+        # integer-arithmetic link density: link_chars/n > max_link_pct/100
+        if blk.link_chars * 100 > n * max_link_pct:
+            continue
+        kept.append(text)
+    return "\n\n".join(kept), len(kept)

@@ -1,0 +1,122 @@
+"""Per-partition checkpoint manifests → exact resume (SURVEY.md §4).
+
+The reference has no resume; idempotence is delegated to the sink filter
+key ``(studentId, scanId, queId)`` + ``status:'processed'`` marker
+(``utils.py:121-123``).  At 100 TB a job-level retry must not redo
+finished work, so this engine partitions the *input* into fixed file
+groups and commits a manifest row per finished partition:
+
+    out_dir/
+      part=0000/ *.parquet            (atomic: written to .tmp, renamed)
+      manifest/part-0000.json         {partition_id, input_files, row_count,
+                                       n_ok, digest}   (written last)
+
+``digest`` is the sha256 of the sorted per-row ``content_sha256`` values —
+an order-insensitive content fingerprint, so two runs producing the same
+rows in any order commit identical manifests.  On restart, partitions with
+a committed manifest are skipped (an anti-join of input partitions against
+the manifest set); a crash between data rename and manifest write is safe
+because the rerun overwrites the partition directory before re-renaming.
+
+Each partition is one lazy Ray Data pipeline (read → classify → extract →
+write); partitions run sequentially on the driver but every stage inside a
+partition is fully parallel, so with partition_size × file_size ≫ cluster
+throughput quantum the sequential loop costs nothing at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..pipelines.extract import extract_pages
+
+
+def _partitions(input_files: list[str], partition_size: int) -> list[list[str]]:
+    files = sorted(input_files)
+    return [files[i : i + partition_size] for i in range(0, len(files), partition_size)]
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            done.add(int(name[5:-5]))
+    return done
+
+
+def _rollup(part_dir: str) -> tuple[int, int, str]:
+    """(row_count, n_ok, order-insensitive digest) from written parquet —
+    reads only the two small metadata columns back."""
+    tbl = pads.dataset(part_dir, format="parquet").to_table(
+        columns=["content_sha256", "status"]
+    )
+    hashes = sorted(tbl["content_sha256"].to_pylist())
+    n_ok = tbl.filter(pc.equal(tbl["status"], "ok")).num_rows
+    digest = hashlib.sha256("".join(hashes).encode()).hexdigest()
+    return tbl.num_rows, n_ok, digest
+
+
+def run_partition(pid: int, files: list[str], out_dir: str, **extract_kwargs) -> dict:
+    """Process one input partition end-to-end, atomically."""
+    part_dir = os.path.join(out_dir, f"part={pid:04d}")
+    tmp_dir = part_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    if os.path.isdir(part_dir):  # crashed after rename, before manifest
+        shutil.rmtree(part_dir)
+
+    pages = rd.read_parquet(files)
+    result = extract_pages(pages, **extract_kwargs)
+    result.write_parquet(tmp_dir)
+    os.replace(tmp_dir, part_dir)
+
+    rows, n_ok, digest = _rollup(part_dir)
+    manifest = {
+        "partition_id": pid,
+        "input_files": files,
+        "row_count": rows,
+        "n_ok": n_ok,
+        "digest": digest,
+    }
+    mdir = os.path.join(out_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    mtmp = os.path.join(mdir, f"part-{pid:04d}.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, os.path.join(mdir, f"part-{pid:04d}.json"))
+    return manifest
+
+
+def resumable_extract(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    partition_size: int = 4,
+    max_partitions: int | None = None,
+    **extract_kwargs,
+) -> list[dict]:
+    """Run (or resume) the flagship over ``input_files``; returns the
+    manifests of partitions processed *this* call.  ``max_partitions``
+    exists for the kill/restart test."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    out: list[dict] = []
+    for pid, files in enumerate(_partitions(input_files, partition_size)):
+        if pid in done:
+            continue
+        out.append(run_partition(pid, files, out_dir, **extract_kwargs))
+        if max_partitions is not None and len(out) >= max_partitions:
+            break
+    return out

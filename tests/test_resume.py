@@ -1,0 +1,74 @@
+"""Kill/restart resume test (SURVEY.md §5 item 4): run K partitions, stop,
+restart, assert byte-identical final output and no reprocessed partitions."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ai_service_ocr_grading_handler_ray.state.manifest import (
+    completed_partitions,
+    resumable_extract,
+)
+from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
+
+
+def _make_input(tmp_path, sf_dir, n_files=4):
+    """Split the synthetic pages into several parquet files."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = docs_to_pages(docs)
+    files = []
+    step = pages.num_rows // n_files
+    d = tmp_path / "pages"
+    d.mkdir()
+    for i in range(n_files):
+        path = str(d / f"pages-{i}.parquet")
+        pq.write_table(pages.slice(i * step, step), path)
+        files.append(path)
+    return files
+
+
+def _digests(out_dir):
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    t = pads.dataset(files, format="parquet").to_table(columns=["url", "content_sha256"])
+    return sorted(zip(t["url"].to_pylist(), t["content_sha256"].to_pylist()))
+
+
+def test_resume_exact(tmp_path, sf_dir):
+    files = _make_input(tmp_path, sf_dir)
+
+    # full run in one go → reference result
+    ref_dir = str(tmp_path / "ref")
+    resumable_extract(files, ref_dir, partition_size=1, concurrency=(1, 2))
+    ref = _digests(ref_dir)
+
+    # interrupted run: only 2 of 4 partitions, then "crash"
+    out_dir = str(tmp_path / "out")
+    first = resumable_extract(
+        files, out_dir, partition_size=1, max_partitions=2, concurrency=(1, 2)
+    )
+    assert len(first) == 2
+    assert completed_partitions(out_dir) == {0, 1}
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out_dir, "manifest", p))
+        for p in os.listdir(os.path.join(out_dir, "manifest"))
+    }
+
+    # restart: must process exactly the remaining 2 partitions
+    second = resumable_extract(files, out_dir, partition_size=1, concurrency=(1, 2))
+    assert [m["partition_id"] for m in second] == [2, 3]
+    # finished partitions untouched (no reprocessing)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, "manifest", p)) == t
+
+    # byte-identical final output vs the uninterrupted run
+    assert _digests(out_dir) == ref
+
+    # manifests carry lineage + metrics
+    with open(os.path.join(out_dir, "manifest", "part-0000.json")) as f:
+        m = json.load(f)
+    assert set(m) == {"partition_id", "input_files", "row_count", "n_ok", "digest"}
+    assert m["row_count"] == 125
