@@ -139,3 +139,101 @@ def docs_to_pages(batch: pa.Table) -> pa.Table:
             "lang": pa.array(langs, type=pa.string()),
         }
     )
+
+
+# --- grading-request synthesis (FIXTURES.md §2) -----------------------------
+
+_GRADING_PROMPTS = [
+    "default", "ocr", "gpt-ocr", "claude-ocr", "expository-essay-ocr",
+    "whole-page-ocr", "omr", "gemini-number",
+]
+_SUBJECT_BY_LANG = {"en": "english", "de": "science", "fr": "mathematics",
+                    "es": "english", "zh": "science"}
+
+
+def _answer_text(text: str, d: int) -> str:
+    """Lossy student answer: deterministically drop every k-th word so
+    rubric overlap (and thus scores) vary across records."""
+    words = text.split()
+    k = 2 + d % 4
+    return " ".join(w for i, w in enumerate(words) if (i + d) % k != 0)
+
+
+def docs_to_grading_requests(batch: pa.Table) -> pa.Table:
+    """``map_batches`` fn: documents → grading_requests (reference reqobj
+    shape, testCase.txt:350-459).  Deterministic per doc_id."""
+    from .schema import RUBRIC_TYPE
+
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+
+    rows: dict[str, list] = {k: [] for k in (
+        "model_name", "grading_prompt", "subject", "scan_id", "student_id",
+        "que_id", "question", "student_answer", "student_answer_payload",
+        "max_score", "rubrics", "correct_answer")}
+    for d, text, lang in zip(doc_ids, texts, langs):
+        text = text or ""
+        words = text.split()
+        gp = _GRADING_PROMPTS[d % len(_GRADING_PROMPTS)]
+        rows["grading_prompt"].append(gp)
+        rows["model_name"].append("synthetic")
+        rows["subject"].append(_SUBJECT_BY_LANG.get(lang, "english"))
+        rows["scan_id"].append(f"scan-{d // 10}")
+        rows["student_id"].append(f"stu-{d % 97}")
+        rows["que_id"].append(f"q-{d}")
+        rows["question"].append(" ".join(words[:8]))
+        # ~30% of rows carry the answer inline (text-only classes,
+        # gen_ai_calling.py:174-182); the rest carry a binary payload
+        ans = _answer_text(text, d)
+        if d % 10 < 3:
+            rows["student_answer"].append(ans)
+            rows["student_answer_payload"].append(b"")
+        elif d % 10 == 3:  # blank-page rows (M19 short-circuit fixture)
+            rows["student_answer"].append("")
+            rows["student_answer_payload"].append(b"")
+        else:
+            rows["student_answer"].append("")
+            kind = d % 3
+            if kind == 0:
+                rows["student_answer_payload"].append(
+                    render_html_page(f"https://crops/{d}", ans, lang or "en", f"Answer {d}")
+                )
+            elif kind == 1:
+                rows["student_answer_payload"].append(
+                    encode_pdf_glyphs(layout_text_as_glyphs(ans))
+                )
+            else:
+                rows["student_answer_payload"].append(encode_image_text(ans))
+        n_rub = 2 + d % 2
+        seg = max(1, len(words) // max(1, n_rub))
+        rubrics = []
+        for i in range(n_rub):
+            crit_words = words[i * seg : (i + 1) * seg][:10]
+            rubrics.append(
+                {
+                    "rubric_id": f"r-{d}-{i}",
+                    "score": float(1 + (d + i) % 3),
+                    "criteria": " ".join(crit_words) or "content present",
+                }
+            )
+        rows["rubrics"].append(rubrics)
+        rows["max_score"].append(sum(r["score"] for r in rubrics))
+        rows["correct_answer"].append(str(d % 10) if gp == "gemini-number" else None)
+
+    return pa.table(
+        {
+            "model_name": pa.array(rows["model_name"], type=pa.string()),
+            "grading_prompt": pa.array(rows["grading_prompt"], type=pa.string()),
+            "subject": pa.array(rows["subject"], type=pa.string()),
+            "scan_id": pa.array(rows["scan_id"], type=pa.string()),
+            "student_id": pa.array(rows["student_id"], type=pa.string()),
+            "que_id": pa.array(rows["que_id"], type=pa.string()),
+            "question": pa.array(rows["question"], type=pa.string()),
+            "student_answer": pa.array(rows["student_answer"], type=pa.string()),
+            "student_answer_payload": pa.array(rows["student_answer_payload"], type=pa.binary()),
+            "max_score": pa.array(rows["max_score"], type=pa.float64()),
+            "rubrics": pa.array(rows["rubrics"], type=RUBRIC_TYPE),
+            "correct_answer": pa.array(rows["correct_answer"], type=pa.string()),
+        }
+    )
