@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths (SURVEY.md / task brief "similarity search"):
+
+- brute-force cosine top-k: the exact baseline.  The query matrix is
+  broadcast once (``ray.put``); each ``map_batches`` task computes a numpy
+  matmul against its batch and emits only its local top-k rows per query
+  (partial top-k combiner), so the shuffle/merge step sees k × n_batches
+  rows instead of the full table.
+- LSH-bucketed (hyperplane signs): the approximate scale path — probe only
+  buckets within ``probe_hamming`` of the query's code.
+
+Determinism: ties on score broken by ascending id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .dedup import _hyperplanes
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool/`map_batches` stage: local cosine top-k per query.
+
+    The query matrix arrives as an object-store ref — fetched once per
+    actor in ``__init__``, not re-shipped per batch."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch[self.vec_col]))  # (n, d)
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        sims = self.q @ vecs.T  # (nq, n)
+        out_q: list[int] = []
+        out_id: list = []
+        out_score: list[float] = []
+        k = min(self.k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # deterministic partial top-k: sort by (-score, id)
+            order = np.lexsort((ids, -row))[:k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_score.extend(row[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int32()),
+                self.id_col: pa.array(out_id),
+                "score": pa.array(out_score, type=pa.float64()),
+            }
+        )
+
+
+def knn_brute_force(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k for each query row → (query_id, id, score).
+
+    Partial top-k inside map_batches; the global merge handles only
+    nq × k × n_blocks candidate rows on the driver (tiny)."""
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    cand = pa.concat_tables(ray.get(partial.to_arrow_refs()))
+    # global merge: per query, exact top-k with (-score, id) order
+    import pandas as pd
+
+    df = cand.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lsh_code(vectors: np.ndarray, n_planes: int = 12) -> np.ndarray:
+    unit = _normalize(np.asarray(vectors, dtype=np.float64))
+    planes = _hyperplanes(unit.shape[1], n_planes)
+    signs = (unit @ planes.T) > 0
+    return (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+
+
+def knn_lsh(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> pa.Table:
+    """Approximate top-k: probe only LSH buckets whose hyperplane code is
+    within ``probe_hamming`` bits of the query's code.  Same output shape
+    as knn_brute_force; recall measured in tests."""
+    queries = np.asarray(queries, dtype=np.float64)
+    q_codes = lsh_code(queries, n_planes)
+    probe_sets: list[set[int]] = []
+    for code in q_codes:
+        codes = {int(code)}
+        if probe_hamming >= 1:
+            codes |= {int(code) ^ (1 << b) for b in range(n_planes)}
+        if probe_hamming >= 2:
+            codes |= {
+                int(code) ^ (1 << b1) ^ (1 << b2)
+                for b1 in range(n_planes)
+                for b2 in range(b1 + 1, n_planes)
+            }
+        probe_sets.append(codes)
+    all_probe = set().union(*probe_sets) if probe_sets else set()
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        vecs = _as_matrix(batch[vec_col])
+        codes = lsh_code(vecs, n_planes)
+        mask = np.isin(codes, list(all_probe))
+        tbl = batch.filter(pa.array(mask))
+        return tbl.append_column("_code", pa.array(codes[mask]))
+
+    filtered = pa.concat_tables(
+        ray.get(ds.map_batches(bucket_filter, batch_format="pyarrow").to_arrow_refs())
+    )
+    if filtered.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int32()),
+             id_col: pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}
+        )
+    vecs = _normalize(_as_matrix(filtered[vec_col]))
+    ids = np.asarray(filtered[id_col].to_pylist())
+    codes = np.asarray(filtered["_code"].to_pylist())
+    q_unit = _normalize(queries)
+    out_q: list[int] = []
+    out_id: list = []
+    out_s: list[float] = []
+    for qi in range(q_unit.shape[0]):
+        mask = np.isin(codes, list(probe_sets[qi]))
+        if not mask.any():
+            continue
+        sims = vecs[mask] @ q_unit[qi]
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -sims))[: min(k, sims.size)]
+        out_q.extend([qi] * len(order))
+        out_id.extend(sub_ids[order].tolist())
+        out_s.extend(sims[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int32()),
+            id_col: pa.array(out_id),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )

@@ -1,0 +1,117 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine — with deterministic synthesized near-duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.dedup import (
+    add_content_hash,
+    embedding_cosine_clusters,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_clusters,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_clusters,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the distant mountains and the river flows gently through the valley "
+    "carrying leaves and small branches toward the patient sea"
+)
+NEAR = BASE.replace("quick", "rapid").replace("gently", "softly")  # ~2 word edits
+FAR = (
+    "completely different content about database engines and query optimizers "
+    "discussing hash joins sort merge operations and columnar storage formats "
+    "with vectorized execution kernels and adaptive runtime statistics"
+)
+
+
+def _docs_with_dups() -> rd.Dataset:
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [BASE, NEAR, FAR, BASE, "short text"],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_exact_dedup_keeps_first():
+    ds = rd.from_arrow(
+        pa.table({"k": ["a", "a", "b"], "v": [2, 1, 3], "ord": [2, 1, 1]})
+    )
+    out = exact_dedup(ds, key="k", order_by="ord").to_pandas().sort_values("k")
+    assert out["v"].tolist() == [1, 3]
+
+
+def test_content_hash_deterministic():
+    b = pa.table({"text": ["x", "x", "y"]})
+    h = add_content_hash(b)["content_hash"].to_pylist()
+    assert h[0] == h[1] != h[2]
+
+
+def test_minhash_similarity_property():
+    s1 = minhash_signature(BASE)
+    s2 = minhash_signature(NEAR)
+    s3 = minhash_signature(FAR)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.5  # near-dup signatures largely agree
+    assert sim13 < 0.2  # unrelated docs don't
+
+
+def test_minhash_lsh_clusters_near_dups():
+    out = minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
+    cl = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert cl[1] == cl[2] == cl[4] == 1  # BASE, NEAR, BASE-copy cluster together
+    assert cl[3] == 3 and cl[5] == 5  # FAR and short stay singleton
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, FAR) < 0.05
+    assert 0.5 < ngram_jaccard(BASE, NEAR) < 1.0
+    assert ngram_jaccard("", "") == 1.0
+
+
+def test_simhash_hamming_property():
+    f1, f2, f3 = simhash64(BASE), simhash64(NEAR), simhash64(FAR)
+    assert hamming64(f1, f2) < hamming64(f1, f3)
+    assert hamming64(f1, f1) == 0
+
+
+def test_simhash_clusters():
+    out = simhash_clusters(_docs_with_dups(), max_hamming=6)
+    cl = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert cl[1] == cl[4]  # identical docs always cluster
+    assert cl[3] != cl[1]
+
+
+def test_embedding_cosine_clusters():
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    far = rng.standard_normal(16)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": [10, 11, 12],
+                "embedding": [base.tolist(), near.tolist(), far.tolist()],
+            }
+        )
+    )
+    out = embedding_cosine_clusters(ds, threshold=0.95)
+    cl = dict(zip(out["vec_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert cl[10] == cl[11] == 10
+    assert cl[12] == 12
+
+
+def test_dedup_on_documents_table(sf_dir):
+    """Real table: no exact text dups exist, so dedup is the identity."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    out = exact_dedup(hashed, key="content_hash", order_by="doc_id")
+    assert out.count() == 500

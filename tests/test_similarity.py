@@ -1,0 +1,57 @@
+"""ANN over the embeddings table: brute-force exactness vs a DuckDB
+reference; LSH recall against brute force."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.similarity import knn_brute_force, knn_lsh
+
+
+def _queries(sf_dir, n=3):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return np.array(t["embedding"].to_pylist()[:n], dtype=np.float64)
+
+
+def test_brute_force_matches_duckdb(sf_dir):
+    q = _queries(sf_dir, 2)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_brute_force(ds, q, k=5).to_pandas()
+
+    con = duckdb.connect()
+    for qi in range(2):
+        qlist = ",".join(str(x) for x in q[qi])
+        ref = con.sql(
+            f"""
+            SELECT vec_id, list_cosine_similarity(embedding, [{qlist}]) AS score
+            FROM read_parquet('{sf_dir}/embeddings.parquet')
+            ORDER BY score DESC, vec_id ASC LIMIT 5
+            """
+        ).df()
+        mine = out[out["query_id"] == qi]
+        assert mine["vec_id"].tolist() == ref["vec_id"].tolist()
+        # duckdb computes in float32; our path is float64
+        np.testing.assert_allclose(mine["score"].values, ref["score"].values, atol=1e-5)
+
+
+def test_self_is_nearest(sf_dir):
+    q = _queries(sf_dir, 3)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_brute_force(ds, q, k=1).to_pandas()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    first_ids = t["vec_id"].to_pylist()[:3]
+    assert out.sort_values("query_id")["vec_id"].tolist() == first_ids
+
+
+def test_lsh_recall_vs_brute_force(sf_dir):
+    q = _queries(sf_dir, 5)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = knn_lsh(ds, q, k=10, n_planes=6, probe_hamming=2).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # probes ~7/64 of space; recall well above chance

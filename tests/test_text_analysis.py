@@ -1,0 +1,76 @@
+"""Language ID, token counts, quality metrics, winnowing fingerprints."""
+
+import pyarrow as pa
+
+from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_metrics,
+    add_token_counts,
+    language_id,
+    winnow_fingerprints,
+)
+
+
+def test_language_id():
+    assert language_id("the cat is on the mat and it is happy") == "en"
+    assert language_id("der Hund ist nicht mit der Katze") == "de"
+    assert language_id("le chat est dans la maison pour vous") == "fr"
+    assert language_id("el perro es una mascota para la casa") == "es"
+    assert language_id("这是一个中文句子") == "zh"
+    assert language_id("") == "und"
+    assert language_id("xyzzy qwerty asdf") == "und"
+
+
+def test_token_counts():
+    b = pa.table({"text": ["hello world", "a,b,c 123", "", None]})
+    out = add_token_counts(b)
+    assert out["ws_tokens"].to_pylist() == [2, 2, 0, 0]
+    # "a,b,c 123" → a , b , c 123 = 6 bpe pieces
+    assert out["bpe_tokens"].to_pylist() == [2, 6, 0, 0]
+
+
+def test_quality_metrics_ranges():
+    b = pa.table(
+        {
+            "text": [
+                "A normal sentence with reasonable words and structure here.",
+                "!!! ??? ... ###",
+                "",
+            ]
+        }
+    )
+    out = add_quality_metrics(b)
+    scores = out["quality_score"].to_pylist()
+    assert 0.0 <= min(scores) and max(scores) <= 1.0
+    assert scores[0] > scores[1]  # prose beats punctuation soup
+    assert out["q_n_words"].to_pylist() == [9, 4, 0]
+    assert out["punct_ratio"].to_pylist()[2] == 0.0
+
+
+def test_winnow_fingerprints_deterministic_and_shift_stable():
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    f1 = winnow_fingerprints(t)
+    f2 = winnow_fingerprints(t)
+    assert f1 == f2 and len(f1) > 0
+    # shared substring ⇒ shared fingerprints (winnowing guarantee)
+    t2 = "PREFIX " + t
+    shared = set(winnow_fingerprints(t2)) & set(f1)
+    assert len(shared) > 0
+
+
+def test_fingerprint_column():
+    b = pa.table({"text": ["same text here for all", "same text here for all", "other"]})
+    out = add_fingerprint(b)
+    fps = out["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+    assert len(fps[0]) == 64
+
+
+def test_language_id_batch(sf_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    out = add_language_id(docs)
+    assert len(out) == len(docs)
+    assert set(out["lang_pred"].to_pylist()) <= {"en", "de", "fr", "es", "zh", "und"}
