@@ -1,0 +1,749 @@
+"""Driver-contract query battery: one entry per operator family from
+SURVEY.md §2, each with a DuckDB-checkable oracle (see ORACLE_SQL).
+
+Conventions for oracle parity (driver compares row-count + schema +
+order-insensitive value hash, columns sorted by name):
+- every aggregate / computed column is explicitly named, identically in
+  Ray and SQL;
+- integer outputs are int64 (SQL: CAST(... AS BIGINT)); floats are
+  float64 rounded post-aggregation (kills FP association drift);
+- deterministic tie-breaks on every sort/top-k.
+
+Queries that aren't SQL-expressible (near-dup clustering, LSH ANN,
+extraction, grading) return deterministic results and are listed without
+an oracle — the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """DuckDB/SQL ROUND semantics (half away from zero) — numpy's .round is
+    half-to-even and would drift from the oracle on exact halves."""
+    f = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+def _finalize(df: pd.DataFrame, rounding: dict[str, int] | None = None) -> pd.DataFrame:
+    if rounding:
+        for col, nd in rounding.items():
+            df[col] = _round_half_away(df[col].astype(np.float64).to_numpy(), nd)
+    return df.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Relational: aggregations
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-style grouped aggregate with map-side partial aggregation
+    (SURVEY.md A7 pattern: combine inside map_batches, tiny final groupby)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
+             ("l_quantity", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["n"]
+    return _finalize(
+        out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}
+    )
+
+
+def q02_high_quantity_items(sf_dir: str) -> rd.Dataset:
+    """Vectorized filter + projection (prune at the read)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 45.0)),
+        batch_format="pyarrow",
+    )
+
+
+def q04_orders_by_status(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["avg_price"] = out["total_price"] / out["n"]
+    return _finalize(out, {"total_price": 2, "avg_price": 4})
+
+
+def q13_part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("p_retailprice", alias_name="sum_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .to_pandas()
+    )
+    out["avg_price"] = out["sum_price"] / out["n"]
+    out["max_size"] = out["max_size"].astype(np.int64)
+    out = out.drop(columns=["sum_price"])
+    return _finalize(out, {"avg_price": 4})
+
+
+def q19_events_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    return _finalize(out, {"sum_value": 3, "min_value": 3, "max_value": 3})
+
+
+# --------------------------------------------------------------------------
+# Relational: joins
+# --------------------------------------------------------------------------
+
+def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash join (Dataset.join) + grouped agg + top-k."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+
+    per_order = (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    df = joined.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    df = df.rename(columns={"l_orderkey": "o_orderkey"})[
+        ["o_orderkey", "o_orderpriority", "revenue"]
+    ]
+    return _finalize(df)
+
+
+def _broadcast_map(sf_dir: str, table: str, key: str, val: str) -> dict:
+    tbl = pa.concat_tables(ray.get(_read(sf_dir, table, [key, val]).to_arrow_refs()))
+    return dict(zip(tbl[key].to_pylist(), tbl[val].to_pylist()))
+
+
+def q05_orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast map-side join (small dim via ray.put) + grouped agg."""
+    seg_map_ref = ray.put(_broadcast_map(sf_dir, "customer", "c_custkey", "c_mktsegment"))
+
+    class AddSegment:
+        def __init__(self, ref) -> None:
+            self.seg = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        AddSegment,
+        fn_constructor_kwargs={"ref": seg_map_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = (
+        ds.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    return _finalize(out, {"total": 2})
+
+
+def q06_customers_with_orders(sf_dir: str) -> rd.Dataset:
+    """Semi join: broadcast the distinct key set, filter inside map_batches."""
+    keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    keys_ref = ray.put(keys)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k in ks for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        semi, batch_format="pyarrow"
+    )
+
+
+def q07_customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join — same broadcast set, inverted mask (resume-frontier
+    pattern, SURVEY.md §2.4)."""
+    keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    keys_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+    # an empty result must still carry its schema for the oracle compare
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype=np.int64), "c_name": pd.Series(dtype=str)}
+        )
+    return df
+
+
+def q10_customers_per_region(sf_dir: str) -> pd.DataFrame:
+    """3-way broadcast join: customer → nation → region, grouped count."""
+    nat = _broadcast_map(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    reg = _broadcast_map(sf_dir, "region", "r_regionkey", "r_name")
+    lookup_ref = ray.put({k: reg[v] for k, v in nat.items()})
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        names = [lk.get(k) for k in batch["c_nationkey"].to_pylist()]
+        return batch.append_column("r_name", pa.array(names, type=pa.string()))
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
+def q22_supplier_nation_rollup(sf_dir: str) -> pd.DataFrame:
+    nat_ref = ray.put(_broadcast_map(sf_dir, "nation", "n_nationkey", "n_name"))
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        lk = ray.get(nat_ref)
+        names = [lk.get(k) for k in batch["s_nationkey"].to_pylist()]
+        return batch.append_column("n_name", pa.array(names, type=pa.string()))
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+        .to_pandas()
+    )
+    return _finalize(out, {"total_bal": 2})
+
+
+# --------------------------------------------------------------------------
+# Relational: sort / top-k / distinct
+# --------------------------------------------------------------------------
+
+def q08_top_customers(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    df = ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10).to_pandas()
+    return _finalize(df, {"c_acctbal": 2})
+
+
+def q09_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    vals = sorted(_read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+# --------------------------------------------------------------------------
+# Events: windowed aggregate + sessionization
+# --------------------------------------------------------------------------
+
+def q11_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type (ts → epoch-hour key in a
+    vectorized map_batches; groupby over small keyspace)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+        )
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _finalize(out, {"sum_value": 3})
+
+
+def q12_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Gap-based sessionization: groupby(user) → per-group sorted scan
+    (SURVEY.md §2.8 streaming-shaped workload; ordering assumption:
+    (ts, event_id) within user)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff().dt.total_seconds()
+        sid = (gap.isna() | (gap > gap_s)).cumsum().astype(np.int64)
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", sort=True)
+            .agg(n_events=("event_id", "size"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return _finalize(
+        ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    )
+
+
+# --------------------------------------------------------------------------
+# Documents: text analysis + dedup
+# --------------------------------------------------------------------------
+
+def q14_doc_token_counts(sf_dir: str) -> rd.Dataset:
+    from ..stages.text_analysis import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_token_counts(b).select(["doc_id", "ws_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q15_doc_quality(sf_dir: str) -> rd.Dataset:
+    from ..stages.text_analysis import add_quality_metrics
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = add_quality_metrics(b)
+        mean_wl = pc.round(
+            t["mean_word_len"], 4, round_mode="half_towards_infinity"
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_text": t["q_n_chars"],
+                "n_words": t["q_n_words"],
+                "mean_word_len": mean_wl,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q16_dedup_docs_exact(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.groupby("text")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    out["keep_id"] = out["keep_id"].astype(np.int64)
+    return _finalize(out)
+
+
+def q17_lang_counts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
+def q18_docs_en_long(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["lang"], "en"), pc.greater(t["n_chars"], 300))
+        ).select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def q23_events_user_first(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup by key with deterministic winner: first event per user
+    (ordered by ts, event_id) — the groupby→first operator (SURVEY.md §2.5)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
+
+    df = ds.groupby("user_id").map_groups(first, batch_format="pandas").to_pandas()
+    return _finalize(df[["user_id", "event_id", "event_type"]])
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity + aggregates
+# --------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 2) -> tuple[list[int], np.ndarray]:
+    tbl = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(
+                lambda t: t.filter(pc.less(t["vec_id"], n)), batch_format="pyarrow"
+            )
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    order = np.argsort(tbl["vec_id"].to_pylist())
+    ids = [tbl["vec_id"].to_pylist()[i] for i in order]
+    vecs = np.array([tbl["embedding"].to_pylist()[i] for i in order], dtype=np.float64)
+    return ids, vecs
+
+
+def q20_knn_brute(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import knn_brute_force
+
+    ids, vecs = _query_vectors(sf_dir, 2)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute_force(ds, vecs, k=10).to_pandas()
+    out["query_id"] = out["query_id"].map(dict(enumerate(ids))).astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return _finalize(out[["query_id", "vec_id"]])
+
+
+def q21_label_counts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "embeddings", ["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["label"] = out["label"].astype(np.int64)
+    return _finalize(out)
+
+
+# --------------------------------------------------------------------------
+# Engine-specific (no SQL oracle → driver rows-only check)
+# --------------------------------------------------------------------------
+
+def q30_flagship_extract(sf_dir: str) -> rd.Dataset:
+    from .extract import flagship
+
+    return flagship(sf_dir, concurrency=(1, 4))
+
+
+def q31_grading(sf_dir: str) -> rd.Dataset:
+    from .grading import grading_pipeline
+
+    return grading_pipeline(sf_dir, concurrency=(1, 4))
+
+
+def _docs_with_near_dups(sf_dir: str) -> rd.Dataset:
+    """Deterministic near-dup fixture: every doc_id % 7 == 0 gains a
+    variant (id+1M) with every 5th word dropped."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, t in zip(ids, texts):
+            out_i.append(i)
+            out_t.append(t)
+            if i % 7 == 0:
+                words = (t or "").split()
+                out_i.append(i + 1_000_000)
+                out_t.append(" ".join(w for j, w in enumerate(words) if j % 5 != 0))
+        return pa.table({"doc_id": pa.array(out_i, type=pa.int64()),
+                         "text": pa.array(out_t, type=pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def q32_minhash_dedup(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import minhash_lsh_clusters
+
+    return minhash_lsh_clusters(_docs_with_near_dups(sf_dir), threshold=0.55)
+
+
+def q33_simhash_dedup(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import simhash_clusters
+
+    return simhash_clusters(_docs_with_near_dups(sf_dir), max_hamming=8)
+
+
+def q34_fingerprint_docs(sf_dir: str) -> rd.Dataset:
+    from ..stages.text_analysis import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_fingerprint(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def q35_language_id(sf_dir: str) -> rd.Dataset:
+    from ..stages.text_analysis import add_language_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_language_id(b).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+    )
+
+
+def q36_knn_lsh(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import knn_lsh
+
+    ids, vecs = _query_vectors(sf_dir, 2)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_lsh(ds, vecs, k=10, n_planes=8, probe_hamming=2).to_pandas()
+    out["query_id"] = out["query_id"].map(dict(enumerate(ids))).astype(np.int64)
+    return _finalize(out[["query_id", "vec_id", "score"]], {"score": 4})
+
+
+def q37_embedding_dedup(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import embedding_cosine_clusters
+
+    return embedding_cosine_clusters(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.98
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_high_quantity_items": q02_high_quantity_items,
+    "q03_top_revenue_orders": q03_top_revenue_orders,
+    "q04_orders_by_status": q04_orders_by_status,
+    "q05_orders_by_segment": q05_orders_by_segment,
+    "q06_customers_with_orders": q06_customers_with_orders,
+    "q07_customers_without_orders": q07_customers_without_orders,
+    "q08_top_customers": q08_top_customers,
+    "q09_distinct_segments": q09_distinct_segments,
+    "q10_customers_per_region": q10_customers_per_region,
+    "q11_events_hourly": q11_events_hourly,
+    "q12_sessionize": q12_sessionize,
+    "q13_part_brand_stats": q13_part_brand_stats,
+    "q14_doc_token_counts": q14_doc_token_counts,
+    "q15_doc_quality": q15_doc_quality,
+    "q16_dedup_docs_exact": q16_dedup_docs_exact,
+    "q17_lang_counts": q17_lang_counts,
+    "q18_docs_en_long": q18_docs_en_long,
+    "q19_events_type_stats": q19_events_type_stats,
+    "q20_knn_brute": q20_knn_brute,
+    "q21_label_counts": q21_label_counts,
+    "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
+    "q23_events_user_first": q23_events_user_first,
+    "q30_flagship_extract": q30_flagship_extract,
+    "q31_grading": q31_grading,
+    "q32_minhash_dedup": q32_minhash_dedup,
+    "q33_simhash_dedup": q33_simhash_dedup,
+    "q34_fingerprint_docs": q34_fingerprint_docs,
+    "q35_language_id": q35_language_id,
+    "q36_knn_lsh": q36_knn_lsh,
+    "q37_embedding_dedup": q37_embedding_dedup,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_quantity) / count(*), 4) AS avg_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_high_quantity_items": """
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem WHERE l_quantity >= 45
+    """,
+    "q03_top_revenue_orders": """
+        SELECT o.o_orderkey, o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """,
+    "q04_orders_by_status": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(sum(o_totalprice) / count(*), 4) AS avg_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q05_orders_by_segment": """
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "q06_customers_with_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "q07_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "q08_top_customers": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+    "q09_distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "q10_customers_per_region": """
+        SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "q11_events_hourly": """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM events GROUP BY event_type, hour
+    """,
+    "q12_sessionize": """
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), m AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o
+        ), s AS (
+          SELECT user_id, event_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "q13_part_brand_stats": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(p_size) AS BIGINT) AS max_size,
+               round(sum(p_retailprice) / count(*), 4) AS avg_price
+        FROM part GROUP BY p_brand
+    """,
+    "q14_doc_token_counts": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+                 AS ws_tokens
+        FROM documents
+    """,
+    "q15_doc_quality": """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_text,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+                   AS n_words,
+                 CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+          FROM documents
+        )
+        SELECT doc_id, n_chars_text, n_words,
+               round(CASE WHEN n_words = 0 THEN 0.0
+                          ELSE CAST(n_nonspace AS DOUBLE) / n_words END, 4) AS mean_word_len
+        FROM b
+    """,
+    "q16_dedup_docs_exact": """
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "q17_lang_counts": """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    """,
+    "q18_docs_en_long": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars > 300
+    """,
+    "q19_events_type_stats": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_value,
+               round(min(value), 3) AS min_value,
+               round(max(value), 3) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "q20_knn_brute": """
+        SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                            e.vec_id ASC
+                 ) AS rn
+          FROM embeddings e
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2) q
+        ) WHERE rn <= 10
+    """,
+    "q21_label_counts": """
+        SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    """,
+    "q22_supplier_nation_rollup": """
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(sum(s.s_acctbal), 2) AS total_bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "q23_events_user_first": """
+        SELECT user_id, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+}

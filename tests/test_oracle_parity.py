@@ -1,0 +1,61 @@
+"""Driver-style oracle parity: run every queries() entry that has an
+oracle_sql() entry and compare against DuckDB on the same parquet —
+row count + column names + order-insensitive values (SURVEY.md §5 item 3).
+Mirrors the driver's comparison (columns sorted by name, rows sorted)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_df(result) -> pd.DataFrame:
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_parity(name, sf_dir, con):
+    mine = _canon(_to_df(QUERIES[name](sf_dir)))
+    ref = _canon(con.sql(ORACLE_SQL[name]).df())
+    assert list(mine.columns) == list(ref.columns), (
+        f"{name} column mismatch: {list(mine.columns)} vs {list(ref.columns)}"
+    )
+    assert len(mine) == len(ref), f"{name} row count {len(mine)} vs {len(ref)}"
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False, atol=1e-9, rtol=0)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+def test_rows_only_queries_run(name, sf_dir):
+    df = _to_df(QUERIES[name](sf_dir))
+    assert len(df) >= 0 and len(df.columns) > 0
