@@ -21,16 +21,21 @@ from ..stages.extract import ExtractActor
 from ..synth import docs_to_pages
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster (never call
-    ray.init here — the session belongs to the driver)."""
+def _default_concurrency() -> int:
+    """Fixed actor-pool size sized to the cluster (never call ray.init
+    here — the session belongs to the driver).
+
+    Fixed, not autoscaling: an autoscaling pool starts at its minimum and
+    ramps too slowly for short jobs, capping effective parallelism well
+    below the cluster (measured: 0.31 scaling efficiency with (1, N) vs
+    ~linear with N).  Leave ≥2 CPUs free for the read/write task
+    operators — a pool that reserves every CPU starves them and the
+    pipeline stalls."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    # leave ≥2 CPUs free for the read/write task operators — a pool that
-    # reserves every CPU starves them and the pipeline stalls
-    return (1, max(1, cpus - 2))
+    return max(1, cpus - 2)
 
 
 def build_pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None) -> rd.Dataset:
