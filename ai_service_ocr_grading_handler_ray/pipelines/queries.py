@@ -464,6 +464,33 @@ def q21_label_counts(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q24_credit_reducer(sf_dir: str) -> pd.DataFrame:
+    """A3 + J4 parity: credits' = credits − n_generated/10 (grouped count
+    joined against the users side table; orders stand in for generated
+    questions, question_generation_handler.py:460-469)."""
+    from .questions import credit_reducer
+
+    generated = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"user_id": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    users = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table({"user_id": t["c_custkey"], "credits": t["c_acctbal"]}),
+        batch_format="pyarrow",
+    )
+    out = credit_reducer(generated, users)
+    return _finalize(out, {"credits": 2})
+
+
+def q25_salted_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Two-level salted grouped aggregate (skew-safe) — must equal the
+    plain groupby exactly (SURVEY.md §4 skew handling)."""
+    from ..stages.skew import salted_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = salted_count(ds, key="user_id", salt_from="event_id", salt=8, sum_col="value")
+    return _finalize(out, {"sum_value": 3})
+
+
 # --------------------------------------------------------------------------
 # Engine-specific (no SQL oracle → driver rows-only check)
 # --------------------------------------------------------------------------
@@ -552,6 +579,69 @@ def q37_embedding_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def q38_question_generation(sf_dir: str) -> rd.Dataset:
+    """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
+    from .questions import question_generation_batch
+
+    reqs = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["c_custkey"], pa.string()),
+                "grade_level": pc.add(pc.cast(pc.bit_wise_and(t["c_custkey"], 7), pa.int64()), 1),
+                "subject": pa.array(
+                    ["Mathematics" if k % 2 == 0 else "English" for k in t["c_custkey"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "board": pa.array(["CBSE"] * len(t), type=pa.string()),
+                "topic": t["c_mktsegment"],
+                "n_questions": pa.array([2 + k % 4 for k in t["c_custkey"].to_pylist()], type=pa.int64()),
+            }
+        ).filter(pc.less(pc.cast(t["c_custkey"], pa.int64()), 40)),
+        batch_format="pyarrow",
+    )
+    return reqs.map_batches(question_generation_batch, batch_format="pyarrow")
+
+
+def q39_number_predict(sf_dir: str) -> pd.DataFrame:
+    """Group-compose + number prediction (A5/A6/J5): gemini-number grading
+    requests grouped by scan, stacked, predicted, equality-scored."""
+    from ..stages.compose import predict_numbers_for_group
+
+    reqs = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        docs_to_grading_requests_batch, batch_format="pyarrow"
+    )
+    number_reqs = reqs.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["grading_prompt"], "gemini-number"),
+                pc.greater(pc.binary_length(t["student_answer_payload"]), 0),
+            )
+        ).select(["scan_id", "que_id", "student_answer_payload", "correct_answer", "max_score"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        number_reqs.groupby("scan_id")
+        .map_groups(predict_numbers_for_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
+def docs_to_grading_requests_batch(batch: pa.Table) -> pa.Table:
+    from ..synth import docs_to_grading_requests
+
+    return docs_to_grading_requests(batch)
+
+
+def q40_host_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host salted rollup over the synthetic pages table (giant-host
+    skew fixture: big.example.com owns ~20% of rows)."""
+    from ..stages.skew import host_stats
+    from .extract import build_pages_dataset
+
+    return host_stats(build_pages_dataset(sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -580,6 +670,8 @@ QUERIES = {
     "q21_label_counts": q21_label_counts,
     "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
     "q23_events_user_first": q23_events_user_first,
+    "q24_credit_reducer": q24_credit_reducer,
+    "q25_salted_user_counts": q25_salted_user_counts,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -588,6 +680,9 @@ QUERIES = {
     "q35_language_id": q35_language_id,
     "q36_knn_lsh": q36_knn_lsh,
     "q37_embedding_dedup": q37_embedding_dedup,
+    "q38_question_generation": q38_question_generation,
+    "q39_number_predict": q39_number_predict,
+    "q40_host_stats": q40_host_stats,
 }
 
 ORACLE_SQL = {
@@ -745,5 +840,17 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
         ) WHERE rn = 1
+    """,
+    "q24_credit_reducer": """
+        SELECT c.c_custkey AS user_id,
+               round(c.c_acctbal - count(o.o_orderkey) / 10.0, 2) AS credits,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_generated
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    "q25_salted_user_counts": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM events GROUP BY user_id
     """,
 }

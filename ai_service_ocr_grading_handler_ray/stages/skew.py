@@ -1,0 +1,108 @@
+"""Skew-aware (salted) grouped aggregation — north-rule requirement
+(SURVEY.md §4 "Skew": giant hosts own ~20% of rows; a plain groupby
+lands them on one reducer).
+
+Two-level exact aggregation for algebraic aggregates (count/sum/min/max):
+
+    stage 1: map_batches adds salt = hash(row_id) % S for rows of hot
+             keys (every key gets salt 0..S-1; cheap, no pre-pass needed
+             for counts/sums since the merge is exact)
+    stage 2: groupby (key, salt) → partial aggregates   (S× smaller groups)
+    stage 3: groupby key → merge partials               (tiny)
+
+The reference never aggregates across records at all (SURVEY.md §2.5);
+this operator exists for the engine's per-host rollups at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def host_of_url(url: str) -> str:
+    try:
+        return url.split("/", 3)[2]
+    except IndexError:
+        return ""
+
+
+def add_host_and_salt(batch: pa.Table, url_col: str = "url", salt: int = 8) -> pa.Table:
+    urls = batch[url_col].to_pylist()
+    hosts = [host_of_url(u or "") for u in urls]
+    salts = [
+        int.from_bytes(hashlib.blake2b((u or "").encode(), digest_size=2).digest(), "big")
+        % salt
+        for u in urls
+    ]
+    return batch.append_column("host", pa.array(hosts, type=pa.string())).append_column(
+        "salt", pa.array(salts, type=pa.int32())
+    )
+
+
+def salted_count(
+    ds: rd.Dataset,
+    key: str,
+    *,
+    salt_from: str,
+    salt: int = 8,
+    sum_col: str | None = None,
+) -> pd.DataFrame:
+    """Exact grouped count (and optional sum) via two-level salted
+    aggregation.  ``salt_from`` names a column whose hash spreads each hot
+    key across ``salt`` sub-groups."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        vals = batch[salt_from].to_pylist()
+        salts = [
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode(), digest_size=2).digest(), "big"
+            )
+            % salt
+            for v in vals
+        ]
+        return batch.append_column("salt", pa.array(salts, type=pa.int32()))
+
+    aggs = [Count(alias_name="_n")]
+    if sum_col:
+        aggs.append(Sum(sum_col, alias_name="_s"))
+    partial = ds.map_batches(add_salt, batch_format="pyarrow").groupby(
+        [key, "salt"]
+    ).aggregate(*aggs)
+    final_aggs = [Sum("_n", alias_name="n")]
+    if sum_col:
+        final_aggs.append(Sum("_s", alias_name=f"sum_{sum_col}"))
+    out = partial.groupby(key).aggregate(*final_aggs).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def host_stats(pages: rd.Dataset, salt: int = 8) -> pd.DataFrame:
+    """Per-host page count + total payload bytes over the pages table,
+    salted against the giant-host skew fixture."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = add_host_and_salt(batch, salt=salt)
+        sizes = pc.binary_length(t["html"])
+        return pa.table(
+            {"host": t["host"], "salt": t["salt"], "payload_bytes": pc.cast(sizes, pa.int64())}
+        )
+
+    partial = (
+        pages.map_batches(project, batch_format="pyarrow")
+        .groupby(["host", "salt"])
+        .aggregate(Count(alias_name="_n"), Sum("payload_bytes", alias_name="_b"))
+    )
+    out = (
+        partial.groupby("host")
+        .aggregate(Sum("_n", alias_name="n_pages"), Sum("_b", alias_name="total_bytes"))
+        .to_pandas()
+    )
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return out.reset_index(drop=True)

@@ -192,6 +192,11 @@ def docs_to_grading_requests(batch: pa.Table) -> pa.Table:
         elif d % 10 == 3:  # blank-page rows (M19 short-circuit fixture)
             rows["student_answer"].append("")
             rows["student_answer_payload"].append(b"")
+        elif gp == "gemini-number":
+            # the number-prediction path is image crops by definition
+            # (llm_number_prediction.py:39-55)
+            rows["student_answer"].append("")
+            rows["student_answer_payload"].append(encode_image_text(ans))
         else:
             rows["student_answer"].append("")
             kind = d % 3
