@@ -113,6 +113,11 @@ def score_batch(batch: pa.Table, answer_col: str = "extracted_answer") -> pa.Tab
     answers = batch[answer_col].to_pylist()
     rubrics = batch["rubrics"].to_pylist()
     max_scores = batch["max_score"].to_pylist()
+    classes = (
+        batch["engine_class"].to_pylist()
+        if "engine_class" in batch.column_names
+        else [""] * len(batch)
+    )
 
     feedbacks: list[str] = []
     scores: list[float] = []
@@ -120,8 +125,20 @@ def score_batch(batch: pa.Table, answer_col: str = "extracted_answer") -> pa.Tab
     rubric_resp: list[list[dict]] = []
     is_correct: list[bool] = []
     is_blank: list[bool] = []
-    for ans, rub, mx in zip(answers, rubrics, max_scores):
-        rec = score_one(ans, rub, mx if mx is not None else 1.0)
+    for ans, rub, mx, cls in zip(answers, rubrics, max_scores, classes):
+        if cls == "essayExtract" and ans and str(ans).strip():
+            # A4 + M14: 3-call concat → essay fold, fixed maxScore 15
+            from ..functions.essay import essay_grade
+
+            fb, sc, emx = essay_grade(str(ans))
+            rec = {
+                "ai_feedback": fb,
+                "score": sc,
+                "max_score": emx,
+                "rubric_wise_response": [],
+            }
+        else:
+            rec = score_one(ans, rub, mx if mx is not None else 1.0)
         feedbacks.append(rec["ai_feedback"])
         scores.append(rec["score"])
         maxes.append(rec["max_score"])

@@ -145,7 +145,7 @@ def docs_to_pages(batch: pa.Table) -> pa.Table:
 
 _GRADING_PROMPTS = [
     "default", "ocr", "gpt-ocr", "claude-ocr", "expository-essay-ocr",
-    "whole-page-ocr", "omr", "gemini-number",
+    "whole-page-ocr", "omr", "gemini-number", "argumentative-essay-ocr",
 ]
 _SUBJECT_BY_LANG = {"en": "english", "de": "science", "fr": "mathematics",
                     "es": "english", "zh": "science"}

@@ -84,3 +84,21 @@ def test_quantize_half():
     assert quantize_half(1.25) == 1.5
     assert quantize_half(1.76) == 2.0
     assert quantize_half(0.0) == 0.0
+
+
+def test_essay_path(graded, sf_dir):
+    """argumentativeEssayOcr rows: 3-call concat → feedback fold, fixed
+    maxScore 15 (gen_ai_calling.py:394-415)."""
+    from ai_service_ocr_grading_handler_ray.functions.essay import essay_grade
+
+    fb, score, mx = essay_grade(
+        "a reasonably long essay answer " + "with many words " * 20
+    )
+    assert mx == 15.0
+    assert 0.0 <= score <= 10.0  # 10 feedback points, each ≤ 1
+    assert "Transition Words -" in fb
+    fb2, score2, _ = essay_grade("short")
+    assert score2 <= score  # worse answers score lower
+
+    essay_rows = graded.filter(pc.equal(graded["max_score"], 15.0))
+    assert essay_rows.num_rows > 0

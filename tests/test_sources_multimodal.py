@@ -1,0 +1,115 @@
+"""Envelope parsing (S1/S2), readers, and multimodal stage plumbing."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.sources.envelope import (
+    as_bool,
+    create_reqobj_scan,
+    read_event_records,
+    route_for_path,
+)
+from ai_service_ocr_grading_handler_ray.payloads import encode_image_text
+from ai_service_ocr_grading_handler_ray.stages.multimodal import (
+    AudioFeatureActor,
+    ImageDecodeActor,
+    ImageResizeActor,
+    VideoFrameSampleActor,
+    encode_audio_pcm,
+    encode_video_frames,
+)
+
+
+class TestEnvelope:
+    def test_as_bool_quirks(self):
+        # service_handler.py:156-163: '' passes through; only these 5 → True
+        assert as_bool("") == ""
+        assert all(as_bool(x) is True for x in ("1", "true", "True", "t", "T"))
+        assert as_bool("yes") is False
+        assert as_bool(1) is False  # int 1 is NOT in the accepted set
+
+    def test_sqs_envelope_list(self):
+        body = {"Records": [{"body": json.dumps([{"queId": "a"}, {"queId": "b"}])}]}
+        assert create_reqobj_scan(body, "json") == [{"queId": "a"}, {"queId": "b"}]
+
+    def test_scalar_wraps_to_list(self):
+        body = {"Records": [{"body": json.dumps({"queId": "solo"})}]}
+        assert create_reqobj_scan(body, "json") == [{"queId": "solo"}]
+
+    def test_http_body_form(self):
+        body = {"body": json.dumps({"topic": "x"})}
+        assert create_reqobj_scan(body, "question_generation") == [{"topic": "x"}]
+
+    def test_invalid_reqtype_raises(self):
+        with pytest.raises(ValueError):
+            create_reqobj_scan({}, "bogus")
+
+    def test_router(self):
+        assert route_for_path("/generate") == "grading"
+        assert route_for_path("/generateQuestion") == "question_generation"
+        assert route_for_path("/nope") == "unknown"
+
+    def test_read_event_records(self):
+        events = [
+            {
+                "requestContext": {"http": {"path": "/generate"}},
+                "Records": [{"body": json.dumps([{"queId": "q1"}, {"queId": "q2"}])}],
+            }
+        ]
+        ds = read_event_records(events)
+        rows = ds.take_all()
+        assert [r["queId"] for r in rows] == ["q1", "q2"]
+        assert all(r["_route"] == "grading" for r in rows)
+
+
+def _img_batch(texts):
+    return pa.table({"payload": pa.array([encode_image_text(t) for t in texts], type=pa.binary())})
+
+
+class TestMultimodal:
+    def test_image_decode_meta(self):
+        out = ImageDecodeActor()(_img_batch(["abcd\nef", "xyz"]))
+        metas = out["image_meta"].to_pylist()
+        assert metas[0] == {"width": 24, "height": 20, "format": "synthetic"}
+        assert out["decode_status"].to_pylist() == ["ok", "ok"]
+
+    def test_image_decode_real_png_is_error_row(self):
+        batch = pa.table({"payload": pa.array([b"\x89PNG\r\n\x1a\n" + b"\x00" * 10], type=pa.binary())})
+        out = ImageDecodeActor()(batch)
+        assert out["decode_status"].to_pylist() == ["error"]
+
+    def test_image_resize_truncates(self):
+        from ai_service_ocr_grading_handler_ray.payloads import decode_image_text
+
+        out = ImageResizeActor(max_dim=24)(_img_batch(["abcdefgh\nij\nkl\nmn"]))
+        text = decode_image_text(out["payload"][0].as_py())
+        assert text == "abcd\nij"  # 4 cols (24//6), 2 rows (24//10)
+
+    def test_audio_features(self):
+        samples = np.array([100, -100, 100, -100, 0, 0], dtype=np.int16)
+        batch = pa.table({"payload": pa.array([encode_audio_pcm(samples)], type=pa.binary())})
+        out = AudioFeatureActor()(batch)
+        assert out["n_samples"].to_pylist() == [6]
+        assert out["zero_crossings"].to_pylist()[0] >= 3
+        assert out["rms"].to_pylist()[0] > 0
+
+    def test_video_frame_sampling(self):
+        payload = encode_video_frames(["f0", "f1", "f2", "f3", "f4"])
+        batch = pa.table({"payload": pa.array([payload], type=pa.binary())})
+        out = VideoFrameSampleActor(stride=2)(batch)
+        assert out["n_frames"].to_pylist() == [5]
+        assert len(out["frames"][0].as_py()) == 3  # frames 0, 2, 4
+
+    def test_actor_pool_plumbing(self):
+        """The stages run as real map_batches actor pools over a Dataset."""
+        ds = rd.from_arrow(_img_batch([f"line {i}" for i in range(20)]))
+        out = ds.map_batches(
+            ImageDecodeActor, batch_format="pyarrow", batch_size=8, concurrency=2, num_cpus=1
+        )
+        tbl = out.to_pandas()
+        assert len(tbl) == 20
+        assert (tbl["decode_status"] == "ok").all()
