@@ -125,8 +125,24 @@ def score_batch(batch: pa.Table, answer_col: str = "extracted_answer") -> pa.Tab
     rubric_resp: list[list[dict]] = []
     is_correct: list[bool] = []
     is_blank: list[bool] = []
-    for ans, rub, mx, cls in zip(answers, rubrics, max_scores, classes):
-        if cls == "essayExtract" and ans and str(ans).strip():
+    corrects = (
+        batch["correct_answer"].to_pylist()
+        if "correct_answer" in batch.column_names
+        else [None] * len(batch)
+    )
+    for ans, rub, mx, cls, corr in zip(answers, rubrics, max_scores, classes, corrects):
+        if cls == "extractMcq" and corr is not None and ans and str(ans).strip():
+            # omr semantics (gen_ai_calling.py:114-115 prompt): just
+            # correct-or-not, very brief feedback, no rubric breakdown
+            mxf = float(mx if mx is not None else 1.0)
+            hit = str(ans).split()[0].lower() == str(corr).lower() if str(ans).split() else False
+            rec = {
+                "ai_feedback": "Correct" if hit else "Incorrect",
+                "score": mxf if hit else 0.0,
+                "max_score": mxf,
+                "rubric_wise_response": [],
+            }
+        elif cls == "essayExtract" and ans and str(ans).strip():
             # A4 + M14: 3-call concat → essay fold, fixed maxScore 15
             from ..functions.essay import essay_grade
 

@@ -224,7 +224,14 @@ def docs_to_grading_requests(batch: pa.Table) -> pa.Table:
             )
         rows["rubrics"].append(rubrics)
         rows["max_score"].append(sum(r["score"] for r in rubrics))
-        rows["correct_answer"].append(str(d % 10) if gp == "gemini-number" else None)
+        if gp == "gemini-number":
+            rows["correct_answer"].append(str(d % 10))
+        elif gp == "omr":
+            # MCQ key: the first word of the full text (the lossy answer
+            # sometimes drops it → a deterministic mix of correct/incorrect)
+            rows["correct_answer"].append(words[0] if words else "")
+        else:
+            rows["correct_answer"].append(None)
 
     return pa.table(
         {

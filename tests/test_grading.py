@@ -102,3 +102,15 @@ def test_essay_path(graded, sf_dir):
 
     essay_rows = graded.filter(pc.equal(graded["max_score"], 15.0))
     assert essay_rows.num_rows > 0
+
+
+def test_mcq_omr_path(graded):
+    """omr rows: correct-or-not equality scoring, brief feedback."""
+    mcq = graded.filter(
+        pc.is_in(graded["ai_feedback"], value_set=pa.array(["Correct", "Incorrect"]))
+    )
+    assert mcq.num_rows > 0
+    for s, m, fb in zip(
+        mcq["score"].to_pylist(), mcq["max_score"].to_pylist(), mcq["ai_feedback"].to_pylist()
+    ):
+        assert (s == m) if fb == "Correct" else (s == 0.0)
