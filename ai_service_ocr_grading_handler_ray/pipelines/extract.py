@@ -52,8 +52,8 @@ def build_pages_dataset(sf_dir: str, *, override_num_blocks: int | None = None) 
 def extract_pages(
     pages: rd.Dataset,
     *,
-    min_len: int = 25,
-    max_link_pct: int = 33,
+    min_len: int | None = None,
+    max_link_pct: int | None = None,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
@@ -74,6 +74,25 @@ def extract_pages(
     )
 
 
+def dedup_pages_by_url(pages: rd.Dataset) -> rd.Dataset:
+    """North-rule exact dedup by url: Common-Crawl-style inputs repeat
+    urls across snapshots (SURVEY.md §2.5).  Hash shuffle on url; the
+    deterministic winner is the earliest snapshot (min warc_ts, then min
+    content for exact ties)."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["warc_ts", "text"], kind="mergesort").head(1)
+
+    return pages.groupby("url").map_groups(first, batch_format="pandas")
+
+
 def flagship(sf_dir: str, **kwargs) -> rd.Dataset:
     """End-to-end flagship over one sf dir (used by ``__ray_entry__.entry``)."""
     return extract_pages(build_pages_dataset(sf_dir), **kwargs)
+
+
+def flagship_deduped(sf_dir: str, **kwargs) -> rd.Dataset:
+    """Flagship with the north-rule url-dedup stage ahead of extraction
+    (dedup before the expensive stage: never extract a url twice)."""
+    return extract_pages(dedup_pages_by_url(build_pages_dataset(sf_dir)), **kwargs)

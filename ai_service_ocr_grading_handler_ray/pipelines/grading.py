@@ -59,7 +59,7 @@ class GradingExtractActor:
                 answers.append(ans)
                 continue
             payload = payloads[i].as_py() or b""
-            text, _nb, _st = self._extractor._extract_one(kind, payload)
+            text, _nb, _st, _title = self._extractor._extract_one(kind, payload)
             answers.append(text)
         return batch.append_column(
             "extracted_answer", pa.array(answers, type=pa.large_string())

@@ -501,6 +501,15 @@ def q30_flagship_extract(sf_dir: str) -> rd.Dataset:
     return flagship(sf_dir, concurrency=(1, 4))
 
 
+def q41_flagship_deduped(sf_dir: str) -> rd.Dataset:
+    """Flagship with the north-rule exact url-dedup stage: duplicate-url
+    pairs (synth fixture, ~4% of rows) collapse to the earliest snapshot
+    before extraction."""
+    from .extract import flagship_deduped
+
+    return flagship_deduped(sf_dir, concurrency=(1, 4))
+
+
 def q31_grading(sf_dir: str) -> rd.Dataset:
     from .grading import grading_pipeline
 
@@ -683,6 +692,7 @@ QUERIES = {
     "q38_question_generation": q38_question_generation,
     "q39_number_predict": q39_number_predict,
     "q40_host_stats": q40_host_stats,
+    "q41_flagship_deduped": q41_flagship_deduped,
 }
 
 ORACLE_SQL = {

@@ -29,6 +29,7 @@ EXTRACTED_FIELDS = [
     pa.field("warc_ts", pa.timestamp("us")),
     pa.field("lang", pa.string()),
     pa.field("payload_kind", pa.string()),
+    pa.field("title", pa.string()),
     pa.field("extracted_text", pa.large_string()),
     pa.field("content_sha256", pa.string()),
     pa.field("n_blocks", pa.int32()),

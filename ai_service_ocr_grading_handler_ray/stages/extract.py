@@ -4,11 +4,17 @@ at ``gen_ai_calling.py:278-415``).
 
 Rows are grouped by ``payload_kind`` inside the batch; each kind's
 extractor runs over its sub-batch; results are scattered back into
-document order.  Parser state (OCR engine, thresholds) is warmed once per
-actor in ``__init__``.  Per-row failures follow the poison-pill policy
-(SURVEY.md §4): the row gets ``status='error'`` and empty text instead of
-failing the block — mirroring the reference's degraded-response records
-(``llm_calling.py:111-112,173-174``).
+document order.  Parser state (OCR engine, per-lang policies) is warmed
+once per actor in ``__init__``.  Per-row failures follow the poison-pill
+policy (SURVEY.md §4): the row gets ``status='error'`` and empty text
+instead of failing the block — mirroring the reference's
+degraded-response records (``llm_calling.py:111-112,173-174``).
+
+Per-lang extraction policies mirror the reference's (task, subjectName)
+prompt lookup (J3, ``utils.py:23-29`` + subject_wise_prompt.json): the
+policy table broadcasts by closure, resolved once per distinct lang per
+batch — never re-read per record (the reference re-reads its JSON table
+per record at gen_ai_calling.py:200-201).
 """
 
 from __future__ import annotations
@@ -18,8 +24,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..config import DEFAULT_POLICY, get_policy
 from ..payloads import decode_pdf_glyphs
-from .html_extract import extract_html
+from .html_extract import extract_html_with_title
 from .ocr import OcrEngine
 from .pdf_layout import parse_pdf_layout
 
@@ -33,44 +40,76 @@ class ExtractActor:
 
     Input batch columns: url, warc_ts, html(binary), text, lang,
     payload_kind.  Output: EXTRACTED_SCHEMA (schema.py).
+
+    ``min_len`` / ``max_link_pct`` override the per-lang policy table when
+    given explicitly (policy=None default uses config.EXTRACTION_POLICIES).
     """
 
-    def __init__(self, min_len: int = 25, max_link_pct: int = 33) -> None:
-        self.min_len = min_len
-        self.max_link_pct = max_link_pct
+    def __init__(
+        self,
+        min_len: int | None = None,
+        max_link_pct: int | None = None,
+        task: str = "extract",
+    ) -> None:
         self.ocr = OcrEngine()  # warm engine state, once per actor
+        self.task = task
+        self._override = (min_len, max_link_pct)
+        self._policy_cache: dict[str, tuple[int, int]] = {}
 
-    def _extract_one(self, kind: str, payload: bytes) -> tuple[str, int, str]:
-        """→ (extracted_text, n_blocks, status)."""
+    def _params_for(self, lang: str) -> tuple[int, int]:
+        if self._override != (None, None):
+            p = DEFAULT_POLICY
+            return (
+                self._override[0] if self._override[0] is not None else p["min_len"],
+                self._override[1] if self._override[1] is not None else p["max_link_pct"],
+            )
+        key = (lang or "").lower()
+        if key not in self._policy_cache:
+            p = get_policy(self.task, key)
+            self._policy_cache[key] = (p["min_len"], p["max_link_pct"])
+        return self._policy_cache[key]
+
+    def _extract_one(
+        self, kind: str, payload: bytes, lang: str = ""
+    ) -> tuple[str, int, str, str]:
+        """→ (extracted_text, n_blocks, status, title)."""
         if kind == "blank":
-            return "", 0, "blank"
+            return "", 0, "blank", ""
         try:
             if kind == "html":
-                text, n = extract_html(payload, self.min_len, self.max_link_pct)
-                return text, n, ("ok" if text else "blank")
+                min_len, max_link_pct = self._params_for(lang)
+                text, n, title = extract_html_with_title(payload, min_len, max_link_pct)
+                return text, n, ("ok" if text else "blank"), title
             if kind == "pdf":
                 text, n = parse_pdf_layout(decode_pdf_glyphs(payload))
-                return text, n, ("ok" if text else "blank")
+                return text, n, ("ok" if text else "blank"), ""
             if kind == "image":
                 text = self.ocr.recognize(payload)
-                return text, (1 if text else 0), ("ok" if text else "blank")
-            return "", 0, "error"
+                return text, (1 if text else 0), ("ok" if text else "blank"), ""
+            return "", 0, "error", ""
         except Exception:
-            return "", 0, "error"
+            return "", 0, "error", ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["payload_kind"].to_pylist()
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else [""] * len(batch)
+        )
         payloads = batch["html"]
         n = len(batch)
         texts: list[str] = [""] * n
+        titles: list[str] = [""] * n
         blocks = np.zeros(n, dtype=np.int32)
         statuses: list[str] = ["error"] * n
         digests: list[str] = [""] * n
         for i in range(n):
             # .as_py() copies only this row's payload out of the Arrow buffer
             payload = payloads[i].as_py() or b""
-            text, nb, st = self._extract_one(kinds[i], payload)
+            text, nb, st, title = self._extract_one(kinds[i], payload, langs[i] or "")
             texts[i] = text
+            titles[i] = title
             blocks[i] = nb
             statuses[i] = st
             digests[i] = sha256_hex(text)
@@ -81,6 +120,7 @@ class ExtractActor:
                 "warc_ts": batch["warc_ts"],
                 "lang": batch["lang"],
                 "payload_kind": batch["payload_kind"],
+                "title": pa.array(titles, type=pa.string()),
                 "extracted_text": pa.array(texts, type=pa.large_string()),
                 "content_sha256": pa.array(digests, type=pa.string()),
                 "n_blocks": pa.array(blocks),

@@ -129,10 +129,10 @@ class _BlockCollector(HTMLParser):
             self._cur.boiler_ctx = self._boiler_depth > 0 or bool(self._attr_boiler_stack)
 
     def handle_data(self, data: str) -> None:
-        if self._skip_depth:
-            return
-        if self._in_title:
+        if self._in_title:  # before the skip check: <title> lives in <head>
             self.title_parts.append(data)
+            return
+        if self._skip_depth:
             return
         if not data:
             return
@@ -141,12 +141,12 @@ class _BlockCollector(HTMLParser):
             self._cur.link_chars += len(" ".join(data.split()))
 
 
-def extract_html(
+def extract_html_with_title(
     payload: bytes | str,
     min_len: int = 25,
     max_link_pct: int = 33,
-) -> tuple[str, int]:
-    """Strip boilerplate; return ``(extracted_text, n_kept_blocks)``.
+) -> tuple[str, int, str]:
+    """Strip boilerplate; return ``(extracted_text, n_kept_blocks, title)``.
 
     Deterministic: integer thresholds, document-order blocks, no float
     comparisons.  Never raises on malformed HTML (html.parser is lenient);
@@ -173,4 +173,15 @@ def extract_html(
         if blk.link_chars * 100 > n * max_link_pct:
             continue
         kept.append(text)
-    return "\n\n".join(kept), len(kept)
+    title = " ".join("".join(coll.title_parts).split())
+    return "\n\n".join(kept), len(kept), title
+
+
+def extract_html(
+    payload: bytes | str,
+    min_len: int = 25,
+    max_link_pct: int = 33,
+) -> tuple[str, int]:
+    """Back-compat wrapper: ``(extracted_text, n_kept_blocks)``."""
+    text, n, _title = extract_html_with_title(payload, min_len, max_link_pct)
+    return text, n

@@ -79,3 +79,37 @@ def test_extracted_text_matches_source_words(sf_dir):
             assert " ".join(extracted.split()) == " ".join(source.split()), (kind, url)
             n_checked += 1
     assert n_checked > 400  # ~95% of 500 rows are non-edge
+
+
+def test_title_extraction(sf_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pages = docs_to_pages(docs)
+    result = ExtractActor()(classify_payload_kind(pages))
+    ok_html = result.filter(
+        pc.and_(pc.equal(result["payload_kind"], "html"), pc.equal(result["status"], "ok"))
+    )
+    titled = ok_html.filter(pc.match_substring(ok_html["title"], "Document "))
+    assert titled.num_rows > 380  # every non-edge html page carries its title
+
+
+def test_url_dedup_collapses_pairs(sf_dir):
+    """North-rule exact dedup by url: ~3.8% duplicate-url pairs collapse
+    to the earliest snapshot before extraction."""
+    from ai_service_ocr_grading_handler_ray.pipelines.extract import (
+        build_pages_dataset,
+        dedup_pages_by_url,
+    )
+
+    pages = build_pages_dataset(sf_dir)
+    total = pages.count()
+    deduped = dedup_pages_by_url(build_pages_dataset(sf_dir))
+    tbl = pa.concat_tables(ray.get(deduped.to_arrow_refs()))
+    urls = tbl["url"].to_pylist()
+    assert len(urls) == len(set(urls))  # unique by url
+    n_dup_urls = total - len(set(urls))
+    assert n_dup_urls > 0  # the fixture really had duplicates
+    # winner is the earliest snapshot per url
+    dup = [u for u in urls if "dup.example.com" in u]
+    assert dup, "dup-host urls present"
