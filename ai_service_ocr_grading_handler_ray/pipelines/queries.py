@@ -29,6 +29,16 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _pool(cap: int = 4) -> int:
+    """Fixed actor-pool size that always leaves ≥2 CPUs for task operators
+    (a pool reserving every CPU stalls the pipeline)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(cap, cpus - 2))
+
+
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
     """DuckDB/SQL ROUND semantics (half away from zero) — numpy's .round is
     half-to-even and would drift from the oracle on exact halves."""
@@ -66,7 +76,7 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
              ("l_quantity", "count")]
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -143,20 +153,22 @@ def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """Large-large hash join (Dataset.join) + grouped agg + top-k."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def partial_revenue(batch: pa.Table) -> pa.Table:
+        # map-side combine: per-batch group_by shrinks the shuffle ~4×
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
 
     per_order = (
-        li.map_batches(revenue, batch_format="pyarrow")
+        li.map_batches(partial_revenue, batch_format="pyarrow", batch_size=65536)
         .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = per_order.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",)
     )
     df = joined.to_pandas()
     df["revenue"] = df["revenue"].round(2)
@@ -188,7 +200,8 @@ def q05_orders_by_segment(sf_dir: str) -> pd.DataFrame:
         AddSegment,
         fn_constructor_kwargs={"ref": seg_map_ref},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        batch_size=65536,
+        concurrency=_pool(4),
     )
     out = (
         ds.groupby("c_mktsegment")
