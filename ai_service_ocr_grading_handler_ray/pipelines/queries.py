@@ -504,6 +504,42 @@ def q25_salted_user_counts(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"sum_value": 3})
 
 
+def q26_field_extractors(sf_dir: str) -> rd.Dataset:
+    """M12/M13 regex field extractors over synthesized model-output strings
+    (three response shapes per doc_id); the oracle computes the expected
+    extraction independently in SQL."""
+    from ..functions.textfns import extract_first_json_block, extract_ocr_field
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        ocr_out: list[str] = []
+        json_out: list[str] = []
+        for d, t in zip(ids, texts):
+            head = " ".join((t or "").split()[:5])
+            if d % 3 == 0:
+                s = f'model says ocr:"{head}" done'
+            elif d % 3 == 1:
+                s = '{"ocr": "' + head + '"}'
+            else:
+                s = head
+            ocr_out.append(extract_ocr_field(s))
+            json_out.append(
+                extract_first_json_block(f'noise {{"k": {d % 5}}} tail {{"z": 9}}')
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "ocr_text": pa.array(ocr_out, type=pa.string()),
+                "json_block": pa.array(json_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Engine-specific (no SQL oracle → driver rows-only check)
 # --------------------------------------------------------------------------
@@ -694,6 +730,7 @@ QUERIES = {
     "q23_events_user_first": q23_events_user_first,
     "q24_credit_reducer": q24_credit_reducer,
     "q25_salted_user_counts": q25_salted_user_counts,
+    "q26_field_extractors": q26_field_extractors,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -875,5 +912,13 @@ ORACLE_SQL = {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 3) AS sum_value
         FROM events GROUP BY user_id
+    """,
+    "q26_field_extractors": """
+        SELECT doc_id,
+               array_to_string(
+                 list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1, 5),
+                 ' ') AS ocr_text,
+               '{"k": ' || CAST(doc_id % 5 AS VARCHAR) || '}' AS json_block
+        FROM documents
     """,
 }

@@ -27,6 +27,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # --- deterministic 64-bit hashing ------------------------------------------
@@ -353,3 +354,117 @@ def embedding_cosine_clusters(
                 if float(units[a] @ units[b]) >= threshold:
                     uf.union(a, b)
     return pa.table({id_col: pa.array(ids), "cluster_id": pa.array([uf.find(i) for i in ids])})
+
+
+# --- distributed connected components (scale path) --------------------------
+
+
+def propagate_min_labels(
+    edges: pa.Table, ids: list, *, max_rounds: int = 20, num_partitions: int = 4
+) -> pa.Table:
+    """Iterative min-label propagation over an edge Dataset — the
+    distributed replacement for driver union-find at 10^12-row scale
+    (SURVEY.md §2.5 / ray_guide dedup notes).
+
+    Each round: every edge sends each endpoint the other endpoint's
+    current label; groupby(id).min merges.  Converges in O(component
+    diameter) rounds; convergence detected via the (tiny) sum-of-labels
+    aggregate.  ``edges`` has columns (a, b); ids is the full id universe.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Min as _Min
+
+    if edges.num_rows == 0:
+        return pa.table({"id": pa.array(ids), "cluster_id": pa.array(ids)})
+    labels_tbl = pa.table({"id": pa.array(ids), "label": pa.array(ids)})
+
+    empty = pa.table(
+        {"id": pa.array([], type=labels_tbl["id"].type),
+         "label": pa.array([], type=labels_tbl["label"].type)}
+    )
+
+    def _collect(ds: rd.Dataset) -> pa.Table:
+        blocks = [b for b in _ray.get(ds.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            return empty
+        return pa.concat_tables(
+            [b.select(["id", "label"]).cast(empty.schema) for b in blocks]
+        )
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        # one join per endpoint, each its own execution (a shared lazy
+        # input feeding two hash-join operators trips Ray 2.49's join op)
+        msgs: list[pa.Table] = [labels_tbl]
+        for key, other in (("a", "b"), ("b", "a")):
+            joined = rd.from_arrow(edges).join(
+                rd.from_arrow(labels_tbl),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=(key,),
+                right_on=("id",),
+            )
+            sent = joined.map_batches(
+                lambda t, other=other: pa.table({"id": t[other], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+            msgs.append(_collect(sent))
+        merged = (
+            rd.from_arrow(pa.concat_tables(msgs))
+            .groupby("id")
+            .aggregate(_Min("label", alias_name="label"))
+        )
+        labels_tbl = _collect(merged)
+        sig = pc.sum(labels_tbl["label"]).as_py()
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return pa.table({"id": labels_tbl["id"], "cluster_id": labels_tbl["label"]})
+
+
+def minhash_lsh_clusters_distributed(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> pa.Table:
+    """MinHash-LSH near-dup with the *distributed* connected-components
+    finish (propagate_min_labels) instead of driver union-find.  Identical
+    output to minhash_lsh_clusters; the shuffle-heavy verify step stays
+    pairwise over the candidate set."""
+    import ray as _ray
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        return minhash_band_rows(batch, id_col, text_col, ngram, bands)
+
+    band_tbl = pa.concat_tables(
+        _ray.get(ds.map_batches(band_stage, batch_format="pyarrow").to_arrow_refs())
+    )
+    pairs = candidate_pairs_from_buckets(band_tbl, id_col)
+
+    texts_by_id: dict = {}
+    need = {i for p in pairs for i in p}
+    all_ids: list = []
+    for blk in _ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()):
+        blk_ids = blk[id_col].to_pylist()
+        all_ids.extend(blk_ids)
+        for i, t in zip(blk_ids, blk[text_col].to_pylist()):
+            if i in need:
+                texts_by_id[i] = t or ""
+
+    verified = [
+        (a, b)
+        for a, b in sorted(pairs)
+        if ngram_jaccard(texts_by_id[a], texts_by_id[b], ngram) >= threshold
+    ]
+    edges = pa.table(
+        {
+            "a": pa.array([p[0] for p in verified]),
+            "b": pa.array([p[1] for p in verified]),
+        }
+    )
+    out = propagate_min_labels(edges, all_ids)
+    return pa.table({id_col: out["id"], "cluster_id": out["cluster_id"]})

@@ -115,3 +115,26 @@ def test_dedup_on_documents_table(sf_dir):
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
     out = exact_dedup(hashed, key="content_hash", order_by="doc_id")
     assert out.count() == 500
+
+
+def test_distributed_label_propagation_matches_union_find():
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        minhash_lsh_clusters_distributed,
+    )
+
+    ds = _docs_with_dups()
+    uf = minhash_lsh_clusters(ds, threshold=0.5)
+    lp = minhash_lsh_clusters_distributed(_docs_with_dups(), threshold=0.5)
+    a = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
+    b = dict(zip(lp["doc_id"].to_pylist(), lp["cluster_id"].to_pylist()))
+    assert a == b
+
+
+def test_label_propagation_chain():
+    """A chain a-b, b-c, c-d must converge to one cluster (multi-round)."""
+    from ai_service_ocr_grading_handler_ray.stages.dedup import propagate_min_labels
+
+    edges = pa.table({"a": [2, 3, 4], "b": [3, 4, 5]})
+    out = propagate_min_labels(edges, [1, 2, 3, 4, 5])
+    cl = dict(zip(out["id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert cl == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2}
