@@ -1,0 +1,124 @@
+"""CLI entry points — the engine's replacement for the reference's URL-path
+router (SURVEY.md S2, ``service_handler.py:31-101``): one pipeline builder
+per job kind, launched as ``python -m ai_service_ocr_grading_handler_ray <job> ...``
+(or ``ray job submit -- python -m ai_service_ocr_grading_handler_ray ...`` on a cluster).
+
+This module OWNS a Ray session (guarded init; see __ray_entry__ contract —
+library code never calls ray.init, only CLI/bench/test fixtures do).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    """Flagship: pages parquet → extraction parquet, resumable."""
+    from .state.manifest import resumable_extract
+
+    files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [
+        args.input
+    ]
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    manifests = resumable_extract(
+        files, args.out, partition_size=args.partition_size
+    )
+    done = len(manifests)
+    total_rows = sum(m["row_count"] for m in manifests)
+    print(json.dumps({"partitions_processed": done, "rows": total_rows, "out": args.out}))
+    return 0
+
+
+def cmd_grade(args: argparse.Namespace) -> int:
+    from .pipelines.grading import grade_requests
+
+    import ray.data as rd
+
+    reqs = rd.read_parquet(args.input)
+    out = grade_requests(reqs)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_questions(args: argparse.Namespace) -> int:
+    from .pipelines.questions import question_generation_batch
+
+    import ray.data as rd
+
+    reqs = rd.read_parquet(args.input)
+    out = reqs.map_batches(question_generation_batch, batch_format="pyarrow")
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_synth_pages(args: argparse.Namespace) -> int:
+    """Materialize the synthetic pages table from a testdata sf dir."""
+    from .pipelines.extract import build_pages_dataset
+
+    build_pages_dataset(args.sf_dir).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ai_service_ocr_grading_handler_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="job", required=True)
+
+    pe = sub.add_parser("extract", help="pages parquet → extraction parquet (resumable)")
+    pe.add_argument("--input", required=True, help="parquet file or glob")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--partition-size", type=int, default=4)
+    pe.set_defaults(fn=cmd_extract)
+
+    pg = sub.add_parser("grade", help="grading requests parquet → graded parquet")
+    pg.add_argument("--input", required=True)
+    pg.add_argument("--out", required=True)
+    pg.set_defaults(fn=cmd_grade)
+
+    pq_ = sub.add_parser("questions", help="question-gen requests parquet → questions parquet")
+    pq_.add_argument("--input", required=True)
+    pq_.add_argument("--out", required=True)
+    pq_.set_defaults(fn=cmd_questions)
+
+    ps = sub.add_parser("synth-pages", help="testdata sf dir → pages parquet")
+    ps.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_synth_pages)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
