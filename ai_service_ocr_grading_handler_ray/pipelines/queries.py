@@ -637,6 +637,43 @@ def q37_embedding_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def q27_props_json_extract(sf_dir: str) -> rd.Dataset:
+    """§2.7 JSON parse parity: extract the 'k' field from the events props
+    JSON-string column (vectorized per batch; oracle via json_extract)."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                ks.append(int(_json.loads(p or "{}").get("k")))
+            except (ValueError, TypeError):
+                ks.append(None)
+        return pa.table(
+            {"event_id": batch["event_id"], "k": pa.array(ks, type=pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q28_streaming_window(sf_dir: str) -> pd.DataFrame:
+    """Stateful streaming tumbling window (per-bucket actors, incremental
+    state + watermark) — must equal the batch groupby window (q11 family)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.streaming import tumbling_window_aggregate
+
+    events = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    out = tumbling_window_aggregate(
+        events, key_col="event_type", ts_col="ts", value_col="value", window_s=3600
+    )
+    return _finalize(out, {"sum_value": 3})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -731,6 +768,8 @@ QUERIES = {
     "q24_credit_reducer": q24_credit_reducer,
     "q25_salted_user_counts": q25_salted_user_counts,
     "q26_field_extractors": q26_field_extractors,
+    "q27_props_json_extract": q27_props_json_extract,
+    "q28_streaming_window": q28_streaming_window,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -912,6 +951,17 @@ ORACLE_SQL = {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 3) AS sum_value
         FROM events GROUP BY user_id
+    """,
+    "q27_props_json_extract": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    "q28_streaming_window": """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS "window",
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM events GROUP BY event_type, "window"
     """,
     "q26_field_extractors": """
         SELECT doc_id,

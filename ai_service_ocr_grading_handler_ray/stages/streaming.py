@@ -1,0 +1,109 @@
+"""Streaming-shaped windowed aggregation with per-bucket actor state
+(ray_guide 'Streaming-shaped workloads': one actor per key-hash bucket,
+fed batches in ts order, incremental state + watermark).
+
+Ray Data has no event-time windows; this stage treats the events table as
+an ordered partitioned log: rows hash to ``n_buckets`` stateful actors;
+each actor keeps open tumbling windows per (key, window) and closes them
+when its watermark (max ts seen − allowed lateness) passes the window
+end.  A final ``flush`` emits still-open windows.
+
+Ordering assumption (documented per guide): within one bucket, batches
+arrive in ts order — callers sort per-bucket before feeding, as
+``tumbling_window_aggregate`` does.  The batch path (q11) computes the
+same result with a plain groupby; the streaming path exists for
+incremental/stateful semantics and is equivalence-tested against it.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+import ray
+
+
+@ray.remote
+class WindowBucketActor:
+    """Incremental tumbling-window state for one key-hash bucket."""
+
+    def __init__(self, window_s: int, lateness_s: int = 0) -> None:
+        self.window_us = window_s * 1_000_000
+        self.lateness_us = lateness_s * 1_000_000
+        self.open: dict = collections.defaultdict(lambda: [0, 0.0])  # (key, w) -> [n, sum]
+        self.watermark = -(2**62)
+        self.closed: list[tuple] = []
+
+    def ingest(self, keys: list, ts_us: list[int], values: list[float]) -> int:
+        for k, t, v in zip(keys, ts_us, values):
+            w = t // self.window_us
+            slot = self.open[(k, w)]
+            slot[0] += 1
+            slot[1] += v
+            if t > self.watermark:
+                self.watermark = t
+        # close windows fully below the watermark
+        horizon = (self.watermark - self.lateness_us) // self.window_us
+        for key in [kw for kw in self.open if kw[1] < horizon]:
+            n, s = self.open.pop(key)
+            self.closed.append((key[0], key[1], n, s))
+        return len(self.closed)
+
+    def flush(self) -> list[tuple]:
+        for (k, w), (n, s) in sorted(self.open.items()):
+            self.closed.append((k, w, n, s))
+        self.open.clear()
+        out, self.closed = self.closed, []
+        return out
+
+
+def tumbling_window_aggregate(
+    events: pd.DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 3600,
+    n_buckets: int = 4,
+) -> pd.DataFrame:
+    """Drive the actor stage over an event frame → closed-window table
+    (key, window, n, sum_value).  Rows hash-route to bucket actors and
+    are fed in ts order per bucket (micro-batched)."""
+    actors = [WindowBucketActor.remote(window_s) for _ in range(n_buckets)]
+    df = events[[key_col, ts_col, value_col]].copy()
+    # explicit unit cast: pandas 2.x may carry datetime64[us] or [ns]
+    df["_ts_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+    import hashlib
+
+    def _bucket_of(k) -> int:
+        # deterministic across processes (str hash randomization-safe)
+        return (
+            int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=2).digest(), "big")
+            % n_buckets
+        )
+
+    df["_bucket"] = df[key_col].map(_bucket_of)
+    df = df.sort_values(["_bucket", "_ts_us"], kind="mergesort")
+
+    pending = []
+    for b, grp in df.groupby("_bucket", sort=True):
+        # micro-batches preserve ts order within the bucket
+        for i in range(0, len(grp), 1024):
+            chunk = grp.iloc[i : i + 1024]
+            pending.append(
+                actors[b].ingest.remote(
+                    chunk[key_col].tolist(),
+                    chunk["_ts_us"].tolist(),
+                    chunk[value_col].tolist(),
+                )
+            )
+    ray.get(pending)
+    rows: list[tuple] = []
+    for a in actors:
+        rows.extend(ray.get(a.flush.remote()))
+    for a in actors:
+        ray.kill(a)
+    out = pd.DataFrame(rows, columns=[key_col, "window", "n", "sum_value"])
+    out["n"] = out["n"].astype("int64")
+    out["window"] = out["window"].astype("int64")
+    return out.sort_values([key_col, "window"], kind="mergesort").reset_index(drop=True)

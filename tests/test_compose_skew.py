@@ -104,3 +104,20 @@ def test_salted_count_matches_plain_groupby(sf_dir):
     assert salted["user_id"].tolist() == ref["user_id"].tolist()
     assert salted["n"].tolist() == ref["n"].tolist()
     assert (salted["sum_value"].round(6) == ref["sum_value"].round(6)).all()
+
+
+def test_streaming_window_incremental_close():
+    """Windows close incrementally as the watermark advances (not only at
+    flush) — the stateful-streaming semantics the batch groupby lacks."""
+    import ray as _ray
+
+    from ai_service_ocr_grading_handler_ray.stages.streaming import WindowBucketActor
+
+    a = WindowBucketActor.remote(window_s=10)
+    n_closed = _ray.get(a.ingest.remote(["k"], [5_000_000], [1.0]))
+    assert n_closed == 0  # first window still open
+    n_closed = _ray.get(a.ingest.remote(["k"], [25_000_000], [2.0]))
+    assert n_closed == 1  # watermark passed window 0 → closed
+    final = _ray.get(a.flush.remote())
+    assert ("k", 0, 1, 1.0) in final and ("k", 2, 1, 2.0) in final
+    _ray.kill(a)
