@@ -674,6 +674,34 @@ def q28_streaming_window(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"sum_value": 3})
 
 
+def q29_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-2 customers by acctbal per market segment (window-function
+    parity: groupby → per-group sorted head, deterministic tie-breaks)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(2)
+
+    df = ds.groupby("c_mktsegment").map_groups(top2, batch_format="pandas").to_pandas()
+    return _finalize(df, {"c_acctbal": 2})
+
+
+def q43_event_median(sf_dir: str) -> pd.DataFrame:
+    """Per-type median (exact, per-group pandas; DuckDB median oracle —
+    both interpolate the middle pair for even counts)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_value": [g["value"].median()]}
+        )
+
+    df = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    return _finalize(df, {"median_value": 4})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -770,6 +798,8 @@ QUERIES = {
     "q26_field_extractors": q26_field_extractors,
     "q27_props_json_extract": q27_props_json_extract,
     "q28_streaming_window": q28_streaming_window,
+    "q29_topk_per_group": q29_topk_per_group,
+    "q43_event_median": q43_event_median,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -962,6 +992,18 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 3) AS sum_value
         FROM events GROUP BY event_type, "window"
+    """,
+    "q29_topk_per_group": """
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal FROM (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer
+        ) WHERE rn <= 2
+    """,
+    "q43_event_median": """
+        SELECT event_type, round(median(value), 4) AS median_value
+        FROM events GROUP BY event_type
     """,
     "q26_field_extractors": """
         SELECT doc_id,
