@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from ..config import DEFAULT_POLICY, get_policy
 from ..payloads import decode_pdf_glyphs
-from .html_extract import extract_html_with_title
+from .html_extract import extract_html_fast, extract_html_with_title
 from .ocr import OcrEngine
 from .pdf_layout import parse_pdf_layout
 
@@ -50,11 +50,17 @@ class ExtractActor:
         min_len: int | None = None,
         max_link_pct: int | None = None,
         task: str = "extract",
+        html_engine: str = "fast",
     ) -> None:
         self.ocr = OcrEngine()  # warm engine state, once per actor
         self.task = task
         self._override = (min_len, max_link_pct)
         self._policy_cache: dict[str, tuple[int, int]] = {}
+        # "fast" = regex scanner; "stdlib" = html.parser tokenizer.
+        # Byte-identical outputs (equivalence-tested over the corpus).
+        self._extract_html = (
+            extract_html_fast if html_engine == "fast" else extract_html_with_title
+        )
 
     def _params_for(self, lang: str) -> tuple[int, int]:
         if self._override != (None, None):
@@ -78,7 +84,7 @@ class ExtractActor:
         try:
             if kind == "html":
                 min_len, max_link_pct = self._params_for(lang)
-                text, n, title = extract_html_with_title(payload, min_len, max_link_pct)
+                text, n, title = self._extract_html(payload, min_len, max_link_pct)
                 return text, n, ("ok" if text else "blank"), title
             if kind == "pdf":
                 text, n = parse_pdf_layout(decode_pdf_glyphs(payload))

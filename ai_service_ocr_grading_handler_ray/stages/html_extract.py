@@ -185,3 +185,108 @@ def extract_html(
     """Back-compat wrapper: ``(extracted_text, n_kept_blocks)``."""
     text, n, _title = extract_html_with_title(payload, min_len, max_link_pct)
     return text, n
+
+
+# --- fast tokenizer path ----------------------------------------------------
+#
+# html.parser spends ~1.5 ms/page in its char-by-char goahead loop; this
+# regex scanner drives the SAME _BlockCollector callbacks ~4-5x faster.
+# Equivalence with the stdlib path is asserted over the whole synthetic
+# corpus in tests (byte-identical extracted text) and both paths are total
+# on arbitrary bytes.  Block classification logic is shared — only
+# tokenization differs.
+
+import html as _html
+
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|$)"  # comments (unterminated → to EOF)
+    r"|!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|[!?][^>]*>?"  # doctype / processing instruction
+    r"|(/?)([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>?"
+    r")",
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z:_-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*))"
+)
+_RAWTEXT = frozenset(("script", "style", "textarea"))
+_ATTR_HINT = re.compile(r"\b(?:id|class|role)\s*=", re.IGNORECASE)
+
+
+def _scan_html(doc: str, coll: _BlockCollector) -> None:
+    """Emit start/end/data events into the collector (fast path)."""
+    pos = 0
+    n = len(doc)
+    while pos < n:
+        m = _TAG_RE.search(doc, pos)
+        if m is None:
+            data = doc[pos:]
+            if data:
+                coll.handle_data(_html.unescape(data) if "&" in data else data)
+            break
+        if m.start() > pos:
+            data = doc[pos : m.start()]
+            coll.handle_data(_html.unescape(data) if "&" in data else data)
+        pos = m.end()
+        closer, tag, rawattrs = m.group(1), m.group(2), m.group(3)
+        if tag is None:
+            continue  # comment / doctype / PI
+        tag = tag.lower()
+        if closer:
+            coll.handle_endtag(tag)
+            continue
+        attrs: list[tuple[str, str | None]] = []
+        if rawattrs and _ATTR_HINT.search(rawattrs):
+            for am in _ATTR_RE.finditer(rawattrs):
+                val = am.group(2) or am.group(3) or am.group(4) or ""
+                attrs.append((am.group(1).lower(), val))
+        coll.handle_starttag(tag, attrs)
+        self_closing = rawattrs is not None and rawattrs.rstrip().endswith("/")
+        if self_closing and tag not in _VOID_TAGS:
+            coll.handle_endtag(tag)
+            continue
+        if tag in _RAWTEXT:
+            # raw-text element: content runs to the matching close tag
+            close = re.compile(rf"</{tag}\s*>", re.IGNORECASE)
+            cm = close.search(doc, pos)
+            if cm is None:
+                coll.handle_endtag(tag)  # unterminated: drop rest as raw
+                break
+            pos = cm.end()
+            coll.handle_endtag(tag)
+        elif tag == "title":
+            # collector handles title via _in_title; feed its text directly
+            cm = re.compile(r"</title\s*>", re.IGNORECASE).search(doc, pos)
+            text = doc[pos : cm.start()] if cm else doc[pos:]
+            coll.handle_data(_html.unescape(text) if "&" in text else text)
+            pos = cm.end() if cm else n
+            coll.handle_endtag("title")
+
+
+def extract_html_fast(
+    payload: bytes | str,
+    min_len: int = 25,
+    max_link_pct: int = 33,
+) -> tuple[str, int, str]:
+    """Fast-tokenizer twin of extract_html_with_title (same outputs)."""
+    if isinstance(payload, bytes):
+        doc = payload.decode("utf-8", errors="replace")
+    else:
+        doc = payload
+    coll = _BlockCollector()
+    _scan_html(doc, coll)
+    coll._flush()
+    kept: list[str] = []
+    for blk in coll.blocks:
+        if blk.boiler_ctx:
+            continue
+        text = blk.text()
+        nchars = len(text)
+        if nchars < min_len:
+            continue
+        if blk.link_chars * 100 > nchars * max_link_pct:
+            continue
+        kept.append(text)
+    title = " ".join("".join(coll.title_parts).split())
+    return "\n\n".join(kept), len(kept), title

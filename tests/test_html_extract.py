@@ -70,3 +70,47 @@ def test_empty_input():
 def test_deterministic():
     html = f"<body><p>{CONTENT_A}</p><div class='menu'><a href='/'>m</a></div></body>"
     assert extract_html(html) == extract_html(html)
+
+
+def test_fast_engine_equivalent_on_corpus():
+    """The regex-scanner tokenizer must produce byte-identical output to
+    the stdlib html.parser path over every synthetic html page."""
+    import pyarrow.parquet as pq
+
+    from ai_service_ocr_grading_handler_ray.stages.classify import classify_payload_kind
+    from ai_service_ocr_grading_handler_ray.stages.html_extract import (
+        extract_html_fast,
+        extract_html_with_title,
+    )
+    from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pages = classify_payload_kind(docs_to_pages(docs))
+    n = 0
+    for payload, kind in zip(pages["html"].to_pylist(), pages["payload_kind"].to_pylist()):
+        if kind == "html":
+            assert extract_html_fast(payload) == extract_html_with_title(payload)
+            n += 1
+    assert n > 390
+
+
+def test_fast_engine_handles_tricky_html():
+    from ai_service_ocr_grading_handler_ray.stages.html_extract import (
+        extract_html_fast,
+        extract_html_with_title,
+    )
+
+    tricky = (
+        '<html><head><title>T &amp; U</title><script>if (a<b) { x="</p>"; }</script>'
+        "</head><body><!-- comment with <p>fake</p> -->"
+        f"<p>{CONTENT_A}</p>"
+        f'<div class="related-promo"><p>{CONTENT_B}</p></div>'
+        f"<p>Entity test &lt;tag&gt; and &quot;quotes&quot; inside a long paragraph here.</p>"
+        "</body></html>"
+    )
+    fast = extract_html_fast(tricky)
+    std = extract_html_with_title(tricky)
+    assert fast == std
+    assert fast[2] == "T & U"
+    assert CONTENT_B not in fast[0]  # promo class dropped
+    assert "<tag>" in fast[0]  # entities decoded

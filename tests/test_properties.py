@@ -66,3 +66,13 @@ def test_minhash_signature_shape(text):
     sig = minhash_signature(text)
     assert sig.shape == (64,)
     assert (minhash_signature(text) == sig).all()
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_fast_extractor_total_on_arbitrary_bytes(payload):
+    from ai_service_ocr_grading_handler_ray.stages.html_extract import extract_html_fast
+
+    a = extract_html_fast(payload)
+    assert a == extract_html_fast(payload)
+    assert isinstance(a[0], str) and a[1] >= 0
