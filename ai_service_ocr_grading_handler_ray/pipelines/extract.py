@@ -56,13 +56,31 @@ def extract_pages(
     max_link_pct: int | None = None,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
+    compute: str = "tasks",
 ) -> rd.Dataset:
-    """classify → extract.  Returns the EXTRACTED_SCHEMA dataset (lazy)."""
-    if concurrency is None:
-        concurrency = _default_concurrency()
+    """classify → extract.  Returns the EXTRACTED_SCHEMA dataset (lazy).
+
+    ``compute="tasks"`` (default): stateless tasks with a per-worker cached
+    engine — zero pool spin-up, elastic, fuses with read/write (measured
+    ~1.6× faster end-to-end and better scaling than a fixed pool, since
+    this extractor's state is cheap).  ``compute="actors"``: fixed actor
+    pool sized ``concurrency`` (default cpus−2) — the right shape when the
+    per-actor state is heavy (real OCR models)."""
     classified = pages.map_batches(
         classify_payload_kind, batch_format="pyarrow", zero_copy_batch=True
     )
+    if compute == "tasks":
+        from ..stages.extract import extract_batch_task
+
+        return classified.map_batches(
+            extract_batch_task,
+            fn_kwargs={"min_len": min_len, "max_link_pct": max_link_pct},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    if concurrency is None:
+        concurrency = _default_concurrency()
     return classified.map_batches(
         ExtractActor,
         fn_constructor_kwargs={"min_len": min_len, "max_link_pct": max_link_pct},

@@ -134,3 +134,29 @@ class ExtractActor:
                 "status": pa.array(statuses, type=pa.string()),
             }
         )
+
+
+# --- task-based twin with per-worker engine cache ---------------------------
+#
+# ExtractActor state is cheap (regex + policy table; no model weights), so
+# the flagship can run as STATELESS TASKS with the engine cached per Ray
+# worker process (workers persist across tasks → warm after first batch,
+# zero actor-pool spin-up, fully elastic scheduling).  Heavy-state stages
+# (real OCR models) should stay actor pools; this path exists because the
+# measured actor-pool startup (~2-3 s for cpus-2 actors) dominates short
+# jobs and costs scaling efficiency.
+
+_TASK_ENGINE: dict[tuple, ExtractActor] = {}
+
+
+def extract_batch_task(
+    batch: pa.Table,
+    min_len: int | None = None,
+    max_link_pct: int | None = None,
+    task: str = "extract",
+) -> pa.Table:
+    key = (min_len, max_link_pct, task)
+    eng = _TASK_ENGINE.get(key)
+    if eng is None:
+        eng = _TASK_ENGINE[key] = ExtractActor(min_len, max_link_pct, task)
+    return eng(batch)
