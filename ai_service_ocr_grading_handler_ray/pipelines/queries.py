@@ -702,6 +702,40 @@ def q43_event_median(sf_dir: str) -> pd.DataFrame:
     return _finalize(df, {"median_value": 4})
 
 
+def q44_train_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic md5-threshold train split (75%) — rows never migrate
+    as data/cluster grows; oracle uses DuckDB's identical md5()."""
+    from ..stages.sampling import train_eval_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    train, _ = train_eval_split(ds, "doc_id", train_frac_16ths=12)
+    return train
+
+
+def q45_stratified_sample_counts(sf_dir: str) -> pd.DataFrame:
+    """~25% deterministic sample, counted per lang stratum."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = (
+        stratified_sample(ds, "doc_id", frac_16ths=4)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
+def q46_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """HLL count-distinct of l_partkey (mergeable per-batch sketches) —
+    rows-only; accuracy vs exact asserted in tests (<5% error)."""
+    from ..stages.sampling import approx_count_distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    est = approx_count_distinct(ds, "l_partkey")
+    return pd.DataFrame({"approx_distinct_partkeys": [round(est)]})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -800,6 +834,9 @@ QUERIES = {
     "q28_streaming_window": q28_streaming_window,
     "q29_topk_per_group": q29_topk_per_group,
     "q43_event_median": q43_event_median,
+    "q44_train_split": q44_train_split,
+    "q45_stratified_sample_counts": q45_stratified_sample_counts,
+    "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1004,6 +1041,15 @@ ORACLE_SQL = {
     "q43_event_median": """
         SELECT event_type, round(median(value), 4) AS median_value
         FROM events GROUP BY event_type
+    """,
+    "q44_train_split": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+    """,
+    "q45_stratified_sample_counts": """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        GROUP BY lang
     """,
     "q26_field_extractors": """
         SELECT doc_id,

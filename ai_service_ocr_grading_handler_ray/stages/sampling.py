@@ -1,0 +1,118 @@
+"""Deterministic sampling / splitting + mergeable sketches for
+training-data pipelines.
+
+- train/eval split and stratified sampling use an md5-threshold rule
+  (hash of the id, compare hex prefix) — deterministic, cluster-size
+  independent, and expressible in SQL for oracle checks (DuckDB md5()
+  matches Python hashlib.md5).
+- HyperLogLog count-distinct: one sketch per batch inside map_batches,
+  merged associatively — the mergeable-sketch aggregation pattern
+  (ray_guide 'Aggregation at scale'); the reference has no sketches
+  (SURVEY.md §2.5), the engine adds them for 10^12-row distincts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _md5_hex(v) -> str:
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def hash_bucket_filter(batch: pa.Table, id_col: str, lo: str, hi: str) -> pa.Table:
+    """Keep rows whose md5(id) hex digest falls in [lo, hi) — the
+    deterministic split predicate (lexicographic hex compare == numeric)."""
+    ids = batch[id_col].to_pylist()
+    mask = pa.array([lo <= _md5_hex(i) < hi for i in ids])
+    return batch.filter(mask)
+
+
+def train_eval_split(
+    ds: rd.Dataset, id_col: str, train_frac_16ths: int = 12
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Split by the first md5 hex nibble: nibbles < ``train_frac_16ths``
+    go to train (12/16 = 75%).  Rows never migrate between splits as the
+    data or cluster grows."""
+    cut = format(train_frac_16ths, "x")
+    train = ds.map_batches(
+        lambda t: hash_bucket_filter(t, id_col, "0", cut), batch_format="pyarrow"
+    )
+    eval_ = ds.map_batches(
+        lambda t: hash_bucket_filter(t, id_col, cut, "g"), batch_format="pyarrow"
+    )
+    return train, eval_
+
+
+def stratified_sample(
+    ds: rd.Dataset, id_col: str, frac_16ths: int = 4
+) -> rd.Dataset:
+    """Deterministic ~frac_16ths/16 sample (uniform within every stratum
+    because the hash is independent of any stratum column)."""
+    cut = format(frac_16ths, "x")
+    return ds.map_batches(
+        lambda t: hash_bucket_filter(t, id_col, "0", cut), batch_format="pyarrow"
+    )
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+_HLL_P = 12  # 4096 registers → ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def hll_sketch(values: list) -> np.ndarray:
+    """Registers (uint8) for one batch of values — mergeable via max."""
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    for v in values:
+        h = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
+        )
+        idx = h >> (64 - _HLL_P)
+        rest = h & ((1 << (64 - _HLL_P)) - 1)
+        # rank = position of leftmost 1 in the remaining 52 bits
+        rank = (64 - _HLL_P) - rest.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(_HLL_M, dtype=np.uint8)
+    for s in sketches:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * _HLL_M * _HLL_M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _HLL_M and zeros:
+        est = _HLL_M * np.log(_HLL_M / zeros)  # linear counting correction
+    return float(est)
+
+
+def approx_count_distinct(ds: rd.Dataset, col: str) -> float:
+    """Distributed HLL: one sketch per batch (map_batches), merged on the
+    driver (sketches are 4 KiB each — tiny)."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        regs = hll_sketch(batch[col].to_pylist())
+        return pa.table({"sketch": pa.array([regs.tobytes()], type=pa.binary())})
+
+    parts = ray.get(
+        ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=8192)
+        .to_arrow_refs()
+    )
+    sketches = [
+        np.frombuffer(s, dtype=np.uint8)
+        for blk in parts
+        for s in blk["sketch"].to_pylist()
+    ]
+    return hll_estimate(hll_merge(sketches))
