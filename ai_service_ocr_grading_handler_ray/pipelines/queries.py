@@ -736,6 +736,38 @@ def q46_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_partkeys": [round(est)]})
 
 
+def q47_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event gets the latest order (by o_orderdate ≤ ts)
+    of the same customer; right side pre-aggregated to one row per
+    (custkey, date) for deterministic ties (oracle: DuckDB ASOF JOIN)."""
+    from ray.data.aggregate import Max as _Max
+
+    from ..stages.asof import asof_join_backward
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(_Max("o_orderkey", alias_name="o_orderkey"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": pc.cast(t["o_custkey"], pa.int64()),
+                    "o_orderdate": t["o_orderdate"],
+                    "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = asof_join_backward(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    df = joined.to_pandas()[["event_id", "user_id", "o_orderkey"]]
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return _finalize(df)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -837,6 +869,7 @@ QUERIES = {
     "q44_train_split": q44_train_split,
     "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
+    "q47_asof_join": q47_asof_join,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1050,6 +1083,14 @@ ORACLE_SQL = {
         SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
         GROUP BY lang
+    """,
+    "q47_asof_join": """
+        SELECT e.event_id, e.user_id, CAST(o.o_orderkey AS BIGINT) AS o_orderkey
+        FROM events e
+        ASOF JOIN (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate
+        ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "q26_field_extractors": """
         SELECT doc_id,
