@@ -67,7 +67,11 @@ def _rollup(part_dir: str) -> tuple[int, int, str]:
 
 
 def run_partition(pid: int, files: list[str], out_dir: str, **extract_kwargs) -> dict:
-    """Process one input partition end-to-end, atomically."""
+    """Process one input partition end-to-end, atomically.  The manifest
+    records lineage (input files) AND per-partition metrics (wall seconds,
+    docs/sec) — the engine's replacement for dashboard counters."""
+    import time
+
     part_dir = os.path.join(out_dir, f"part={pid:04d}")
     tmp_dir = part_dir + ".tmp"
     if os.path.isdir(tmp_dir):
@@ -75,9 +79,11 @@ def run_partition(pid: int, files: list[str], out_dir: str, **extract_kwargs) ->
     if os.path.isdir(part_dir):  # crashed after rename, before manifest
         shutil.rmtree(part_dir)
 
+    t0 = time.perf_counter()
     pages = rd.read_parquet(files)
     result = extract_pages(pages, **extract_kwargs)
     result.write_parquet(tmp_dir)
+    wall_s = time.perf_counter() - t0
     os.replace(tmp_dir, part_dir)
 
     rows, n_ok, digest = _rollup(part_dir)
@@ -87,6 +93,8 @@ def run_partition(pid: int, files: list[str], out_dir: str, **extract_kwargs) ->
         "row_count": rows,
         "n_ok": n_ok,
         "digest": digest,
+        "wall_s": round(wall_s, 3),
+        "docs_per_sec": round(rows / wall_s, 1) if wall_s > 0 else 0.0,
     }
     mdir = os.path.join(out_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)

@@ -70,5 +70,9 @@ def test_resume_exact(tmp_path, sf_dir):
     # manifests carry lineage + metrics
     with open(os.path.join(out_dir, "manifest", "part-0000.json")) as f:
         m = json.load(f)
-    assert set(m) == {"partition_id", "input_files", "row_count", "n_ok", "digest"}
+    assert set(m) == {
+        "partition_id", "input_files", "row_count", "n_ok", "digest",
+        "wall_s", "docs_per_sec",
+    }
+    assert m["docs_per_sec"] > 0
     assert m["row_count"] == 125
