@@ -16,9 +16,12 @@ import os
 import sys
 
 
-def _ensure_ray(num_cpus: int | None) -> None:
+def _ensure_ray(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff WE own the session (so a
+    caller embedding the CLI in an existing session keeps its session)."""
     import ray
 
+    owned = False
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -27,9 +30,11 @@ def _ensure_ray(num_cpus: int | None) -> None:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        owned = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
@@ -111,13 +116,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.set_defaults(fn=cmd_synth_pages)
 
     args = p.parse_args(argv)
-    _ensure_ray(args.num_cpus)
+    owned = _ensure_ray(args.num_cpus)
     try:
         return args.fn(args)
     finally:
-        import ray
+        if owned:
+            import ray
 
-        ray.shutdown()
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -423,8 +423,6 @@ def q18_docs_en_long(sf_dir: str) -> rd.Dataset:
 def q23_events_user_first(sf_dir: str) -> pd.DataFrame:
     """Exact dedup by key with deterministic winner: first event per user
     (ordered by ts, event_id) — the groupby→first operator (SURVEY.md §2.5)."""
-    from ..stages.dedup import exact_dedup
-
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def first(g: pd.DataFrame) -> pd.DataFrame:

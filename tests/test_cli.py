@@ -1,0 +1,69 @@
+"""CLI job entry points (S2 router analogue), driven in-process against
+the shared Ray session (the CLI only shuts Ray down when it owns it)."""
+
+import json
+
+import pyarrow.parquet as pq
+
+from ai_service_ocr_grading_handler_ray.cli import main
+from ai_service_ocr_grading_handler_ray.synth import docs_to_grading_requests
+
+
+def test_synth_extract_roundtrip(tmp_path, sf_dir, capsys):
+    pages = tmp_path / "pages"
+    out = tmp_path / "out"
+    assert main(["synth-pages", "--sf-dir", sf_dir, "--out", str(pages)]) == 0
+    assert (
+        main(
+            [
+                "extract",
+                "--input", f"{pages}/*.parquet",
+                "--out", str(out),
+                "--partition-size", "2",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 500
+    # resumable: second invocation is a no-op
+    assert main(["extract", "--input", f"{pages}/*.parquet", "--out", str(out)]) == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["partitions_processed"] == 0
+
+
+def test_grade_command(tmp_path, sf_dir, capsys):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    reqs = docs_to_grading_requests(docs.slice(0, 50))
+    req_path = tmp_path / "reqs.parquet"
+    pq.write_table(reqs, str(req_path))
+    out = tmp_path / "graded"
+    assert main(["grade", "--input", str(req_path), "--out", str(out)]) == 0
+    graded = pq.read_table(str(out))
+    assert graded.num_rows == 50
+    assert "score" in graded.column_names
+
+
+def test_questions_command(tmp_path, capsys):
+    import pyarrow as pa
+
+    reqs = pa.table(
+        {
+            "user_id": ["u1"],
+            "grade_level": [7],
+            "subject": ["Mathematics"],
+            "board": ["CBSE"],
+            "topic": ["fractions"],
+            "n_questions": [3],
+        }
+    )
+    req_path = tmp_path / "qreqs.parquet"
+    pq.write_table(reqs, str(req_path))
+    out = tmp_path / "questions"
+    assert main(["questions", "--input", str(req_path), "--out", str(out)]) == 0
+    qs = pq.read_table(str(out))
+    assert qs.num_rows == 3
+
+
+def test_bad_input_glob(tmp_path, capsys):
+    assert main(["extract", "--input", f"{tmp_path}/nope*.parquet", "--out", str(tmp_path / "o")]) == 2
