@@ -766,6 +766,37 @@ def q47_asof_join(sf_dir: str) -> pd.DataFrame:
     return _finalize(df)
 
 
+def q48_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
+    """Exact word-3-gram Jaccard between each doc (doc_id % 7 == 0) and
+    its deterministic every-5th-word-dropped variant — the near-dup
+    verifier with an independent SQL oracle (DuckDB list kernels)."""
+    from ..stages.dedup import ngram_jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, js = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d % 7 != 0:
+                continue
+            words = (t or "").split()
+            variant = " ".join(w for j, w in enumerate(words) if j % 5 != 0)
+            ids.append(d)
+            js.append(ngram_jaccard(t or "", variant))
+        import numpy as _np
+
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "jaccard": pa.array(
+                    _round_half_away(_np.asarray(js, dtype=_np.float64), 4)
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -868,6 +899,7 @@ QUERIES = {
     "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q47_asof_join": q47_asof_join,
+    "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1089,6 +1121,30 @@ ORACLE_SQL = {
           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
           FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "q48_ngram_jaccard_pairs": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents WHERE doc_id % 7 = 0
+        ), pair AS (
+          SELECT doc_id, w,
+                 list_transform(
+                   list_filter(range(1, len(w) + 1), i -> (i - 1) % 5 != 0),
+                   i -> w[i]) AS wv
+          FROM base
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s1,
+                 list_distinct(list_transform(range(1, len(wv) - 1),
+                   i -> array_to_string(list_slice(wv, i, i + 2), ' '))) AS s2
+          FROM pair
+        )
+        SELECT doc_id,
+               round(CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+                     / (len(s1) + len(s2) - len(list_intersect(s1, s2))), 4) AS jaccard
+        FROM sh
     """,
     "q26_field_extractors": """
         SELECT doc_id,
