@@ -797,6 +797,18 @@ def q48_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q49_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate ANN (deterministic k-means lists, n_probe nearest
+    lists probed) — the scale path beside brute force (q20) and LSH (q36)."""
+    from ..stages.similarity import knn_ivf
+
+    ids, vecs = _query_vectors(sf_dir, 2)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, vecs, k=10, n_lists=16, n_probe=6).to_pandas()
+    out["query_id"] = out["query_id"].map(dict(enumerate(ids))).astype(np.int64)
+    return _finalize(out[["query_id", "vec_id", "score"]], {"score": 4})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -900,6 +912,7 @@ QUERIES = {
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q47_asof_join": q47_asof_join,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
+    "q49_knn_ivf": q49_knn_ivf,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,

@@ -181,3 +181,108 @@ def knn_lsh(
             "score": pa.array(out_s, type=pa.float64()),
         }
     )
+
+
+# --- IVF (inverted-file) approximate search ---------------------------------
+
+
+def kmeans_centroids(
+    vectors: np.ndarray, k: int, iters: int = 10, seed: int = 20240101
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on unit vectors (fixed seed/iters;
+    empty clusters re-seeded deterministically)."""
+    unit = _normalize(np.asarray(vectors, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(unit), size=min(k, len(unit)), replace=False)
+    cents = unit[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (unit @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = unit[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # re-seed an empty cluster with the worst-assigned vector
+                worst = (unit @ cents.T).max(axis=1).argmin()
+                cents[c] = unit[worst]
+        cents = _normalize(cents)
+    return cents
+
+
+def build_ivf_assignments(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_sample: int = 2048,
+) -> tuple[np.ndarray, rd.Dataset]:
+    """Train centroids on a bounded head sample (driver-side; at 10^12
+    rows use a random_sample instead), then assign every row to its
+    nearest list inside map_batches.  Returns (centroids, ds+ivf_list)."""
+    head = ds.limit(train_sample)
+    train = _as_matrix(
+        pa.concat_tables(ray.get(head.to_arrow_refs()))[vec_col]
+    )
+    cents = kmeans_centroids(train, n_lists)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        unit = _normalize(_as_matrix(batch[vec_col]))
+        lists = (unit @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    return cents, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> pa.Table:
+    """IVF approximate top-k: probe only the ``n_probe`` nearest inverted
+    lists per query.  Same output shape as knn_brute_force."""
+    queries = np.asarray(queries, dtype=np.float64)
+    cents, assigned = build_ivf_assignments(
+        ds, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+    )
+    q_unit = _normalize(queries)
+    probe_lists = np.argsort(-(q_unit @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    wanted = np.unique(probe_lists)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(batch["ivf_list"].to_pylist()), wanted)
+        return batch.filter(pa.array(mask))
+
+    filtered = pa.concat_tables(
+        ray.get(assigned.map_batches(bucket_filter, batch_format="pyarrow").to_arrow_refs())
+    )
+    out_q: list[int] = []
+    out_id: list = []
+    out_s: list[float] = []
+    if filtered.num_rows:
+        vecs = _normalize(_as_matrix(filtered[vec_col]))
+        ids = np.asarray(filtered[id_col].to_pylist())
+        lists = np.asarray(filtered["ivf_list"].to_pylist())
+        for qi in range(q_unit.shape[0]):
+            mask = np.isin(lists, probe_lists[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ q_unit[qi]
+            sub = ids[mask]
+            order = np.lexsort((sub, -sims))[: min(k, sims.size)]
+            out_q.extend([qi] * len(order))
+            out_id.extend(sub[order].tolist())
+            out_s.extend(sims[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int32()),
+            id_col: pa.array(out_id),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )

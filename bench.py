@@ -226,8 +226,32 @@ def scaling() -> None:
     print(json.dumps(out))
 
 
+
+
+def stats() -> None:
+    """--stats: print the per-operator breakdown of the headline pipeline."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.pipelines.extract import extract_pages
+
+    pages_dir = ensure_pages_input(SF_DIR, REPLICATE)
+    pages = rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "text", "lang"])
+    res = extract_pages(pages, batch_size=128).materialize()
+    print(res.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stats" in sys.argv:
+        stats()
     else:
         main()
