@@ -95,9 +95,10 @@ def ensure_pages_input(sf_dir: str, replicate: int) -> str:
     marker = os.path.join(cache, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)
-        # many smaller files → full read parallelism from the first wave
+        # bounded file sizes → file-level read parallelism + resumable
+        # units (never one giant file)
         build_replicated_pages(sf_dir, replicate).write_parquet(
-            cache, min_rows_per_file=8192
+            cache, min_rows_per_file=8192, max_rows_per_file=8192
         )
         with open(marker, "w") as f:
             f.write("ok")
