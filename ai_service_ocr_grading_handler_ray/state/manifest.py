@@ -128,3 +128,27 @@ def resumable_extract(
         if max_partitions is not None and len(out) >= max_partitions:
             break
     return out
+
+
+def metrics_rollup(out_dir: str) -> dict:
+    """A7 global rollup over committed partition manifests: totals +
+    aggregate docs/sec (the job-level metrics surface)."""
+    mdir = os.path.join(out_dir, "manifest")
+    rows = ok = 0
+    wall = 0.0
+    parts = 0
+    for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            rows += m["row_count"]
+            ok += m["n_ok"]
+            wall += m.get("wall_s", 0.0)
+            parts += 1
+    return {
+        "partitions": parts,
+        "rows": rows,
+        "n_ok": ok,
+        "sum_wall_s": round(wall, 3),
+        "docs_per_sec": round(rows / wall, 1) if wall else 0.0,
+    }

@@ -113,3 +113,17 @@ def test_url_dedup_collapses_pairs(sf_dir):
     # winner is the earliest snapshot per url
     dup = [u for u in urls if "dup.example.com" in u]
     assert dup, "dup-host urls present"
+
+
+def test_policy_override_beats_table(sf_dir):
+    """Explicit thresholds override the per-lang policy table (env-var
+    analogue, SURVEY.md §2.9)."""
+    html = b"<body><p>a tiny block here ok</p></body>"  # 21 chars normalized
+    default_actor = ExtractActor()  # en policy: min_len 25 → dropped
+    strict = default_actor._extract_one("html", html, "en")
+    assert strict[0] == ""
+    loose = ExtractActor(min_len=10)._extract_one("html", html, "en")
+    assert loose[0] == "a tiny block here ok"
+    # zh policy (min_len 12) keeps it via the table
+    zh = default_actor._extract_one("html", html, "zh")
+    assert zh[0] == "a tiny block here ok"

@@ -76,3 +76,46 @@ def test_fast_extractor_total_on_arbitrary_bytes(payload):
     a = extract_html_fast(payload)
     assert a == extract_html_fast(payload)
     assert isinstance(a[0], str) and a[1] >= 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),               # key
+            st.integers(min_value=0, max_value=10**7),       # ts seconds
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_streaming_window_equals_batch_groupby(rows):
+    """The stateful streaming tumbling window must equal a plain batch
+    groupby for arbitrary event streams."""
+    import pandas as pd
+
+    from ai_service_ocr_grading_handler_ray.stages.streaming import (
+        tumbling_window_aggregate,
+    )
+
+    df = pd.DataFrame(rows, columns=["k", "sec", "v"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s").astype("datetime64[us]")
+    out = tumbling_window_aggregate(
+        df, key_col="k", ts_col="ts", value_col="v", window_s=3600, n_buckets=2
+    )
+    ref = (
+        df.assign(window=df["sec"] // 3600)
+        .groupby(["k", "window"])
+        .agg(n=("v", "size"), sum_value=("v", "sum"))
+        .reset_index()
+        .rename(columns={"k": "k"})
+        .sort_values(["k", "window"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == ref["k"].tolist()
+    assert out["window"].tolist() == ref["window"].tolist()
+    assert out["n"].tolist() == ref["n"].tolist()
+    import numpy as _np
+
+    _np.testing.assert_allclose(out["sum_value"], ref["sum_value"], atol=1e-9)
