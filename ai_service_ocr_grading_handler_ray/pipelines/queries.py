@@ -809,6 +809,24 @@ def q49_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["query_id", "vec_id", "score"]], {"score": 4})
 
 
+def q50_bucketed_join(sf_dir: str) -> pd.DataFrame:
+    """Explicit bucketed hash join (portable large-large pattern) —
+    orders x customer rolled up per segment, oracle = plain SQL join."""
+    from ..stages.joins import bucketed_inner_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucketed_inner_join(
+        orders, cust, left_key="o_custkey", right_key="c_custkey", n_buckets=8
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    return _finalize(out, {"total": 2})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -913,6 +931,7 @@ QUERIES = {
     "q47_asof_join": q47_asof_join,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q49_knn_ivf": q49_knn_ivf,
+    "q50_bucketed_join": q50_bucketed_join,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1134,6 +1153,12 @@ ORACLE_SQL = {
           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
           FROM orders GROUP BY o_custkey, o_orderdate
         ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "q50_bucketed_join": """
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
