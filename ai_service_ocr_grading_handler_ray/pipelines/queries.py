@@ -834,6 +834,30 @@ def q50_bucketed_join(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"total": 2})
 
 
+def q51_redact_pii(sf_dir: str) -> rd.Dataset:
+    """PII redaction (emails/phones/IPs → tokens) over synthesized
+    pii-bearing strings; the oracle applies identical RE2 patterns via
+    DuckDB regexp_replace (verified byte-equal semantics)."""
+    from ..stages.clean import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            head = " ".join((t or "").split()[:6])
+            s = f"{head} contact user{d}@example.com or 555-000-{d % 10000:04d} end"
+            out.append(redact_pii(s))
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "redacted": pa.array(out, type=pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -939,6 +963,7 @@ QUERIES = {
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q49_knn_ivf": q49_knn_ivf,
     "q50_bucketed_join": q50_bucketed_join,
+    "q51_redact_pii": q51_redact_pii,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1166,6 +1191,20 @@ ORACLE_SQL = {
                round(sum(o.o_totalprice), 2) AS total
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
+    """,
+    "q51_redact_pii": """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1, 6), ' ')
+                       || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-000-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
+        FROM documents
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
