@@ -858,6 +858,15 @@ def q51_redact_pii(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q52_curation(sf_dir: str) -> rd.Dataset:
+    """Full training-data curation composition: extract -> canonical-url
+    dedup -> PII redaction -> quality/repetition filter -> lang ID ->
+    deterministic split (pipelines/curate.py)."""
+    from .curate import curation_pipeline
+
+    return curation_pipeline(sf_dir)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -964,6 +973,7 @@ QUERIES = {
     "q49_knn_ivf": q49_knn_ivf,
     "q50_bucketed_join": q50_bucketed_join,
     "q51_redact_pii": q51_redact_pii,
+    "q52_curation": q52_curation,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
