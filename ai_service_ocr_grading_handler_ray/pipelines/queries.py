@@ -867,6 +867,33 @@ def q52_curation(sf_dir: str) -> rd.Dataset:
     return curation_pipeline(sf_dir)
 
 
+def q53_bloom_semi_join(sf_dir: str) -> rd.Dataset:
+    """Semi join via a broadcast Bloom filter (constant-size broadcast at
+    any scale) with exact re-verify — must equal the plain IN-subquery."""
+    from ..stages.sketches import bloom_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return bloom_semi_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        n_expected=200_000, exact=True,
+    )
+
+
+def q54_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over event users (the salting pre-pass:
+    counts are lower bounds within n/k of exact)."""
+    from ..stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    hh = heavy_hitters(ds, "user_id", k=32)
+    out = pd.DataFrame(
+        sorted(((int(k), int(v)) for k, v in hh.items()), key=lambda t: (-t[1], t[0])),
+        columns=["user_id", "approx_count"],
+    )
+    return _finalize(out.head(10))
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -974,6 +1001,8 @@ QUERIES = {
     "q50_bucketed_join": q50_bucketed_join,
     "q51_redact_pii": q51_redact_pii,
     "q52_curation": q52_curation,
+    "q53_bloom_semi_join": q53_bloom_semi_join,
+    "q54_heavy_hitters": q54_heavy_hitters,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1215,6 +1244,10 @@ ORACLE_SQL = {
                    '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
                  '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
         FROM documents
+    """,
+    "q53_bloom_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (

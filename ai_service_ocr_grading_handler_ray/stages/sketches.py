@@ -1,0 +1,150 @@
+"""Additional mergeable sketches: Bloom filter (semi/anti join at scale)
+and Misra-Gries heavy hitters (hot-key detection for the salting
+pre-pass).
+
+- Bloom: at 10^12 rows the semi-join key set no longer fits a broadcast
+  Python set; a Bloom filter keeps the broadcast constant-size at a
+  bounded false-positive rate (ray_guide 'Semi / anti join').  False
+  positives make a semi join slightly over-include (and an anti join
+  under-exclude) — callers that need exactness re-verify survivors
+  against the exact set.
+- Misra-Gries: one pass, k counters, mergeable; over-approximates counts
+  by at most n/k — exactly the cheap pre-pass SURVEY.md §4 wants for
+  deciding which hosts to salt.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter with deterministic double hashing."""
+
+    def __init__(self, n_expected: int, fp_rate: float = 0.01) -> None:
+        m = max(64, int(-n_expected * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, round(m / max(1, n_expected) * math.log(2)))
+        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+
+    def _hashes(self, v) -> list[int]:
+        d = hashlib.blake2b(str(v).encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [(h1 + i * h2) % self.m for i in range(self.k)]
+
+    def add(self, v) -> None:
+        for h in self._hashes(v):
+            self.bits[h >> 3] |= 1 << (h & 7)
+
+    def __contains__(self, v) -> bool:
+        return all(self.bits[h >> 3] & (1 << (h & 7)) for h in self._hashes(v))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def build_bloom(ds: rd.Dataset, col: str, n_expected: int, fp_rate: float = 0.01) -> BloomFilter:
+    """Distributed build: one filter per batch (map_batches), OR-merged —
+    the broadcast stays ``m/8`` bytes regardless of cluster size."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_expected, fp_rate)
+        for v in batch[col].to_pylist():
+            bf.add(v)
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], type=pa.binary())})
+
+    parts = ray.get(ds.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+    out = BloomFilter(n_expected, fp_rate)
+    for blk in parts:
+        for b in blk["bits"].to_pylist():
+            out.bits |= np.frombuffer(b, dtype=np.uint8)
+    return out
+
+
+def bloom_semi_join(
+    left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
+    n_expected: int, fp_rate: float = 0.01, exact: bool = True,
+) -> rd.Dataset:
+    """Keep left rows whose key (probably) appears in right.
+
+    ``exact=True`` re-verifies Bloom survivors against the true key set
+    (still cheap: the verify set only covers survivors' keys)."""
+    bf = build_bloom(right, right_key, n_expected, fp_rate)
+    bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
+    exact_keys_ref = (
+        ray.put(set(right.unique(right_key))) if exact else None
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        bits_b, m, k = ray.get(bf_ref)
+        bf2 = BloomFilter.__new__(BloomFilter)
+        bf2.bits = np.frombuffer(bits_b, dtype=np.uint8)
+        bf2.m, bf2.k = m, k
+        keys = batch[left_key].to_pylist()
+        mask = [v in bf2 for v in keys]
+        if exact_keys_ref is not None:
+            true_keys = ray.get(exact_keys_ref)
+            mask = [mk and (v in true_keys) for mk, v in zip(mask, keys)]
+        return batch.filter(pa.array(mask))
+
+    return left.map_batches(filt, batch_format="pyarrow")
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+
+def misra_gries_sketch(values: list, k: int = 64) -> dict:
+    """One-pass k-counter heavy-hitters summary of a batch."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def merge_mg(sketches: list[dict], k: int = 64) -> dict:
+    """Merge by summing then re-compressing to k counters (decrement by
+    the (k+1)-th largest weight — standard mergeable MG)."""
+    total: dict = {}
+    for s in sketches:
+        for key, c in s.items():
+            total[key] = total.get(key, 0) + c
+    if len(total) <= k:
+        return total
+    cut = sorted(total.values(), reverse=True)[k]
+    out = {key: c - cut for key, c in total.items() if c - cut > 0}
+    return out
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> dict:
+    """Distributed heavy hitters: per-batch MG sketches merged on the
+    driver (each sketch ≤ k entries).  Counts are lower bounds within
+    n/k of exact — enough to pick salting candidates (stages/skew.py)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        import json
+
+        mg = misra_gries_sketch(batch[col].to_pylist(), k)
+        return pa.table({"mg": pa.array([json.dumps({str(a): b for a, b in mg.items()})])})
+
+    import json
+
+    parts = ray.get(ds.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+    sketches = [json.loads(s) for blk in parts for s in blk["mg"].to_pylist()]
+    return merge_mg(sketches, k)

@@ -1,0 +1,74 @@
+"""Bloom semi-join and Misra-Gries heavy hitters."""
+
+import duckdb
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.sketches import (
+    BloomFilter,
+    bloom_semi_join,
+    build_bloom,
+    heavy_hitters,
+    merge_mg,
+    misra_gries_sketch,
+)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    bf = BloomFilter(1000, fp_rate=0.01)
+    for i in range(1000):
+        bf.add(f"in-{i}")
+    assert all(f"in-{i}" in bf for i in range(1000))  # no false negatives
+    fps = sum(1 for i in range(10000) if f"out-{i}" in bf)
+    assert fps / 10000 < 0.03
+
+
+def test_bloom_merge_equals_single():
+    a, b = BloomFilter(100), BloomFilter(100)
+    for i in range(50):
+        a.add(i)
+    for i in range(50, 100):
+        b.add(i)
+    a.merge(b)
+    assert all(i in a for i in range(100))
+
+
+def test_bloom_semi_join_exact_matches_sql(sf_dir):
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    out = bloom_semi_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        n_expected=2000, exact=True,
+    ).to_pandas()
+    ref = duckdb.sql(
+        f"""SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet')
+        WHERE c_custkey IN (SELECT o_custkey FROM read_parquet('{sf_dir}/orders.parquet'))
+        ORDER BY c_custkey"""
+    ).df()
+    assert sorted(out["c_custkey"]) == ref["c_custkey"].tolist()
+
+
+def test_misra_gries_finds_hot_keys():
+    stream = ["hot"] * 500 + [f"cold-{i}" for i in range(400)] + ["warm"] * 120
+    mg = misra_gries_sketch(stream, k=8)
+    assert "hot" in mg
+    assert mg["hot"] >= 500 - len(stream) // 8  # error bound n/k
+
+
+def test_mg_merge_preserves_heavy():
+    a = misra_gries_sketch(["x"] * 300 + [f"a{i}" for i in range(100)], k=8)
+    b = misra_gries_sketch(["x"] * 200 + [f"b{i}" for i in range(100)], k=8)
+    merged = merge_mg([a, b], k=8)
+    assert "x" in merged and merged["x"] > 200
+
+
+def test_heavy_hitters_on_pages_host(sf_dir):
+    """The giant-host fixture (big.example.com ~20% of rows) must surface."""
+    from ai_service_ocr_grading_handler_ray.pipelines.extract import build_pages_dataset
+    from ai_service_ocr_grading_handler_ray.stages.skew import add_host_and_salt
+
+    pages = build_pages_dataset(sf_dir).map_batches(
+        lambda t: add_host_and_salt(t).select(["host"]), batch_format="pyarrow"
+    )
+    hh = heavy_hitters(pages, "host", k=16)
+    assert "big.example.com" in hh
+    assert hh["big.example.com"] >= 50  # ~100 of 500 rows, lower bound
