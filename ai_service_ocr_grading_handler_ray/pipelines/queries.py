@@ -894,6 +894,30 @@ def q54_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     return _finalize(out.head(10))
 
 
+def q55_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: events.value joined to a broadcast band
+    table via vectorized searchsorted (no shuffle — the small interval
+    side broadcasts; oracle = BETWEEN join)."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    edges = np.array([0.0, 20.0, 40.0, 60.0, 80.0], dtype=np.float64)
+    labels = np.array(["b0", "b20", "b40", "b60", "b80"])
+
+    def bin_values(batch: pa.Table) -> pa.Table:
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(edges, vals, side="right") - 1, 0, len(labels) - 1)
+        return pa.table(
+            {"band": pa.array(labels[idx]), "value": batch["value"]}
+        )
+
+    out = (
+        ds.map_batches(bin_values, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _finalize(out, {"sum_value": 3})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1003,6 +1027,7 @@ QUERIES = {
     "q52_curation": q52_curation,
     "q53_bloom_semi_join": q53_bloom_semi_join,
     "q54_heavy_hitters": q54_heavy_hitters,
+    "q55_range_join": q55_range_join,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1248,6 +1273,16 @@ ORACLE_SQL = {
     "q53_bloom_semi_join": """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "q55_range_join": """
+        WITH bands(band, lo, hi) AS (
+          VALUES ('b0', 0.0, 20.0), ('b20', 20.0, 40.0), ('b40', 40.0, 60.0),
+                 ('b60', 60.0, 80.0), ('b80', 80.0, 1e18)
+        )
+        SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+               round(sum(e.value), 3) AS sum_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
