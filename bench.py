@@ -36,8 +36,11 @@ BENCH_QUERIES = [
     "q12_sessionize",
     "q16_dedup_docs_exact",
     "q20_knn_brute",
+    "q28_streaming_window",
     "q31_grading",
     "q32_minhash_dedup",
+    "q47_asof_join",
+    "q52_curation",
 ]
 
 
