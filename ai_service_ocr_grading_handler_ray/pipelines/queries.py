@@ -918,6 +918,42 @@ def q55_range_join(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"sum_value": 3})
 
 
+def q56_extraction_fidelity(sf_dir: str) -> pd.DataFrame:
+    """Self-audit: per payload kind, how many extracted texts match the
+    source document words verbatim (the extract-exactly invariant,
+    gen_ai_calling.py:205; edge rows excluded)."""
+    from ..synth import edge_bucket
+    from ..stages.classify import classify_payload_kind
+    from ..stages.extract import extract_batch_task
+    from .extract import build_pages_dataset
+
+    pages = build_pages_dataset(sf_dir)
+
+    def audit_full(batch: pa.Table) -> pa.Table:
+        t = classify_payload_kind(batch)
+        r = extract_batch_task(t)
+        kinds, flags = [], []
+        for k, s_, u, e, src in zip(
+            r["payload_kind"].to_pylist(), r["status"].to_pylist(),
+            r["url"].to_pylist(), r["extracted_text"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            if k in ("html", "pdf", "image") and s_ == "ok" and not edge_bucket(u):
+                kinds.append(k)
+                flags.append(int(" ".join(e.split()) == " ".join((src or "").split())))
+        return pa.table({"payload_kind": pa.array(kinds, type=pa.string()),
+                         "verbatim": pa.array(flags, type=pa.int64())})
+
+    out = (
+        pages.map_batches(audit_full, batch_format="pyarrow")
+        .groupby("payload_kind")
+        .aggregate(Count(alias_name="n_checked"), Sum("verbatim", alias_name="n_verbatim"))
+        .to_pandas()
+    )
+    out["n_verbatim"] = out["n_verbatim"].astype(np.int64)
+    return _finalize(out)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1028,6 +1064,7 @@ QUERIES = {
     "q53_bloom_semi_join": q53_bloom_semi_join,
     "q54_heavy_hitters": q54_heavy_hitters,
     "q55_range_join": q55_range_join,
+    "q56_extraction_fidelity": q56_extraction_fidelity,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,

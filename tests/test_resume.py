@@ -76,3 +76,22 @@ def test_resume_exact(tmp_path, sf_dir):
     }
     assert m["docs_per_sec"] > 0
     assert m["row_count"] == 125
+
+
+def test_crash_between_rename_and_manifest(tmp_path, sf_dir):
+    """Simulated crash window: partition dir renamed but manifest missing
+    → rerun reprocesses that partition and commits an identical digest."""
+    import shutil
+
+    files = _make_input(tmp_path, sf_dir, n_files=2)
+    out_dir = str(tmp_path / "crash")
+    resumable_extract(files, out_dir, partition_size=1)
+    m_path = os.path.join(out_dir, "manifest", "part-0001.json")
+    with open(m_path) as f:
+        orig_digest = json.load(f)["digest"]
+    os.remove(m_path)  # crash: data present, manifest lost
+
+    redone = resumable_extract(files, out_dir, partition_size=1)
+    assert [m["partition_id"] for m in redone] == [1]
+    with open(m_path) as f:
+        assert json.load(f)["digest"] == orig_digest
