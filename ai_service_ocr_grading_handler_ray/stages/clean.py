@@ -61,7 +61,7 @@ def normalize_url(url: str) -> str:
             host = host[: -len(port)]
     path = parts.path or "/"
     if path != "/" and path.endswith("/"):
-        path = path.rstrip("/")
+        path = path.rstrip("/") or "/"  # '//' collapses to root, not empty
     params = [
         (k, v)
         for k, v in parse_qsl(parts.query, keep_blank_values=True)

@@ -119,3 +119,25 @@ def test_streaming_window_equals_batch_groupby(rows):
     import numpy as _np
 
     _np.testing.assert_allclose(out["sum_value"], ref["sum_value"], atol=1e-9)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_redaction_total_deterministic_idempotent(s):
+    from ai_service_ocr_grading_handler_ray.stages.clean import redact_pii
+
+    a = redact_pii(s)
+    assert a == redact_pii(s)
+    # idempotent: tokens contain no pii-shaped substrings
+    assert redact_pii(a) == a
+
+
+@given(
+    st.from_regex(r"https?://[a-z0-9.-]{1,20}(/[a-zA-Z0-9._~-]{0,10}){0,3}(\?[a-z]=[0-9])?", fullmatch=True)
+)
+@settings(max_examples=100, deadline=None)
+def test_url_normalize_idempotent(url):
+    from ai_service_ocr_grading_handler_ray.stages.clean import normalize_url
+
+    once = normalize_url(url)
+    assert normalize_url(once) == once
