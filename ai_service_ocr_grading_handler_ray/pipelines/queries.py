@@ -954,6 +954,23 @@ def q56_extraction_fidelity(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q57_group_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-user z-score normalization of event values (feature-engineering
+    window op: groupby → per-group vectorized transform; oracle = SQL
+    window AVG/STDDEV_SAMP)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def z(g: pd.DataFrame) -> pd.DataFrame:
+        mu = g["value"].mean()
+        sd = g["value"].std(ddof=1)
+        g = g.copy()
+        g["value_z"] = 0.0 if (pd.isna(sd) or sd == 0) else (g["value"] - mu) / sd
+        return g[["event_id", "user_id", "value_z"]]
+
+    df = ds.groupby("user_id").map_groups(z, batch_format="pandas").to_pandas()
+    return _finalize(df, {"value_z": 4})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1065,6 +1082,7 @@ QUERIES = {
     "q54_heavy_hitters": q54_heavy_hitters,
     "q55_range_join": q55_range_join,
     "q56_extraction_fidelity": q56_extraction_fidelity,
+    "q57_group_zscore": q57_group_zscore,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1320,6 +1338,17 @@ ORACLE_SQL = {
                round(sum(e.value), 3) AS sum_value
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY b.band
+    """,
+    "q57_group_zscore": """
+        SELECT event_id, user_id,
+               round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                          ELSE (value - mu) / sd END, 4) AS value_z
+        FROM (
+          SELECT event_id, user_id, value,
+                 avg(value) OVER (PARTITION BY user_id) AS mu,
+                 stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+          FROM events
+        )
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
