@@ -971,6 +971,38 @@ def q57_group_zscore(sf_dir: str) -> pd.DataFrame:
     return _finalize(df, {"value_z": 4})
 
 
+def q58_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """Reshape/pivot: per-user event-type counts as wide columns
+    (conditional-aggregation oracle).  Ray side: map-side partial pivot
+    inside map_batches → tiny final groupby-sum (no wide shuffle)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        counts: dict = collections.defaultdict(lambda: dict.fromkeys(types, 0))
+        for u, t in zip(batch["user_id"].to_pylist(), batch["event_type"].to_pylist()):
+            if t in counts[u]:
+                counts[u][t] += 1
+        users = sorted(counts)
+        cols = {"user_id": pa.array(users, type=pa.int64())}
+        for t in types:
+            cols[f"n_{t}"] = pa.array([counts[u][t] for u in users], type=pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    for t in types:
+        out[f"n_{t}"] = out[f"n_{t}"].astype(np.int64)
+    return _finalize(out)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1083,6 +1115,7 @@ QUERIES = {
     "q55_range_join": q55_range_join,
     "q56_extraction_fidelity": q56_extraction_fidelity,
     "q57_group_zscore": q57_group_zscore,
+    "q58_pivot_events": q58_pivot_events,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1349,6 +1382,15 @@ ORACLE_SQL = {
                  stddev_samp(value) OVER (PARTITION BY user_id) AS sd
           FROM events
         )
+    """,
+    "q58_pivot_events": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
