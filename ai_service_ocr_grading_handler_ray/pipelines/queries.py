@@ -1003,6 +1003,37 @@ def q58_pivot_events(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q59_rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP-style multi-level aggregate: (status, priority) cells +
+    per-status subtotals + grand total, as three grouped aggregates
+    unioned (each level shuffles only its own key; oracle = GROUP BY
+    ROLLUP).  NULL level markers encoded as 'ALL'."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    cells = (
+        ds.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    subtotals = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    subtotals["o_orderpriority"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n": [int(cells["n"].sum())],
+            "total": [float(cells["total"].sum())],
+        }
+    )
+    out = pd.concat([cells, subtotals, grand], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return _finalize(out[["o_orderstatus", "o_orderpriority", "n", "total"]], {"total": 2})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1116,6 +1147,7 @@ QUERIES = {
     "q56_extraction_fidelity": q56_extraction_fidelity,
     "q57_group_zscore": q57_group_zscore,
     "q58_pivot_events": q58_pivot_events,
+    "q59_rollup_orders": q59_rollup_orders,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1391,6 +1423,14 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         FROM events GROUP BY user_id
+    """,
+    "q59_rollup_orders": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
