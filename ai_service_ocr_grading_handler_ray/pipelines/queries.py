@@ -1034,6 +1034,80 @@ def q59_rollup_orders(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["o_orderstatus", "o_orderpriority", "n", "total"]], {"total": 2})
 
 
+def q60_above_nation_avg(sf_dir: str) -> rd.Dataset:
+    """Decorrelated subquery: customers whose balance exceeds their
+    nation's average — small per-nation aggregate broadcast into a
+    vectorized filter (no correlated per-row subquery, no big shuffle)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    avgs_df = (
+        cust.groupby("c_nationkey")
+        .aggregate(Sum("c_acctbal", alias_name="s"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    avg_map = dict(zip(avgs_df["c_nationkey"], avgs_df["s"] / avgs_df["n"]))
+    avg_ref = ray.put(avg_map)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        m = ray.get(avg_ref)
+        mask = [
+            b > m[k]
+            for b, k in zip(batch["c_acctbal"].to_pylist(), batch["c_nationkey"].to_pylist())
+        ]
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "c_acctbal": pc.round(t["c_acctbal"], 2, round_mode="half_towards_infinity"),
+            }
+        )
+
+    return cust.map_batches(filt, batch_format="pyarrow")
+
+
+def q61_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Set operations on derived key sets: customers with orders INTERSECT
+    / EXCEPT customers with >=1 high-value order (broadcast sets +
+    vectorized membership)."""
+    all_cust = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200_000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    big_cust = set(big.unique("o_custkey"))
+    inter = sorted(all_cust & big_cust)
+    exc = sorted(all_cust - big_cust)
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(k) for k in inter + exc],
+            "set_op": ["intersect"] * len(inter) + ["except"] * len(exc),
+        }
+    )
+
+
+def q62_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Custom UDAF shape: quantity-weighted average price per supplier —
+    two partial sums inside map_batches, one tiny groupby, final ratio."""
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wp = pc.multiply(batch["l_extendedprice"], batch["l_quantity"])
+        t = pa.table(
+            {"l_suppkey": batch["l_suppkey"], "wp": wp, "q": batch["l_quantity"]}
+        )
+        return t.group_by("l_suppkey").aggregate([("wp", "sum"), ("q", "sum")])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_suppkey")
+        .aggregate(Sum("wp_sum", alias_name="wp"), Sum("q_sum", alias_name="q"))
+        .to_pandas()
+    )
+    out["weighted_avg_price"] = out["wp"] / out["q"]
+    out = out.drop(columns=["wp", "q"])
+    return _finalize(out, {"weighted_avg_price": 4})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1148,6 +1222,9 @@ QUERIES = {
     "q57_group_zscore": q57_group_zscore,
     "q58_pivot_events": q58_pivot_events,
     "q59_rollup_orders": q59_rollup_orders,
+    "q60_above_nation_avg": q60_above_nation_avg,
+    "q61_set_ops": q61_set_ops,
+    "q62_weighted_avg": q62_weighted_avg,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1431,6 +1508,33 @@ ORACLE_SQL = {
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q60_above_nation_avg": """
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               round(c_acctbal, 2) AS c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+    """,
+    "q61_set_ops": """
+        SELECT c_custkey, 'intersect' AS set_op FROM (
+          SELECT DISTINCT o_custkey AS c_custkey FROM orders
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+        )
+        UNION ALL
+        SELECT c_custkey, 'except' AS set_op FROM (
+          SELECT DISTINCT o_custkey AS c_custkey FROM orders
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+        )
+    """,
+    "q62_weighted_avg": """
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                 AS weighted_avg_price
+        FROM lineitem GROUP BY l_suppkey
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
