@@ -1108,6 +1108,67 @@ def q62_weighted_avg(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"weighted_avg_price": 4})
 
 
+def q63_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group percentiles (p50/p90/p99) via per-group pandas
+    linear interpolation — matches SQL quantile_cont."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        q = g["value"].quantile([0.5, 0.9, 0.99], interpolation="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [q.loc[0.5]],
+                "p90": [q.loc[0.9]],
+                "p99": [q.loc[0.99]],
+            }
+        )
+
+    df = ds.groupby("event_type").map_groups(pct, batch_format="pandas").to_pandas()
+    return _finalize(df, {"p50": 4, "p90": 4, "p99": 4})
+
+
+def q64_string_functions(sf_dir: str) -> rd.Dataset:
+    """§2.7 string-kernel battery over part names: upper/lower, substring,
+    concat, length, replace — all pyarrow.compute, oracle = SQL string fns."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = t["p_name"]
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "upper_name": pc.utf8_upper(name),
+                "first5": pc.utf8_slice_codeunits(name, 0, 5),
+                "branded": pc.binary_join_element_wise(t["p_brand"], name, ": "),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "dashed": pc.replace_substring(name, " ", "-"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q65_orders_by_year(sf_dir: str) -> pd.DataFrame:
+    """Timestamp kernels: group order totals by calendar year
+    (pyarrow.compute.year; oracle = date_part)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+             "o_totalprice": t["o_totalprice"]}
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    return _finalize(out, {"total": 2})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1225,6 +1286,9 @@ QUERIES = {
     "q60_above_nation_avg": q60_above_nation_avg,
     "q61_set_ops": q61_set_ops,
     "q62_weighted_avg": q62_weighted_avg,
+    "q63_percentiles": q63_percentiles,
+    "q64_string_functions": q64_string_functions,
+    "q65_orders_by_year": q65_orders_by_year,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1535,6 +1599,28 @@ ORACLE_SQL = {
                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
                  AS weighted_avg_price
         FROM lineitem GROUP BY l_suppkey
+    """,
+    "q63_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "q64_string_functions": """
+        SELECT p_partkey,
+               upper(p_name) AS upper_name,
+               substr(p_name, 1, 5) AS first5,
+               p_brand || ': ' || p_name AS branded,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               replace(p_name, ' ', '-') AS dashed
+        FROM part
+    """,
+    "q65_orders_by_year": """
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS year,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY year
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
