@@ -1169,6 +1169,26 @@ def q65_orders_by_year(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"total": 2})
 
 
+def q66_union_sources(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union of two derived sources (early vs late events) with a
+    grouped count — the multi-source ingestion shape (oracle: UNION ALL)."""
+    early = _read(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.less(pc.cast(t["ts"], pa.int64()), 1_705_276_800_000_000)),
+        batch_format="pyarrow",
+    )
+    late = _read(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.cast(t["ts"], pa.int64()), 1_705_276_800_000_000)),
+        batch_format="pyarrow",
+    )
+    out = (
+        early.union(late)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1289,6 +1309,7 @@ QUERIES = {
     "q63_percentiles": q63_percentiles,
     "q64_string_functions": q64_string_functions,
     "q65_orders_by_year": q65_orders_by_year,
+    "q66_union_sources": q66_union_sources,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1621,6 +1642,13 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n,
                round(sum(o_totalprice), 2) AS total
         FROM orders GROUP BY year
+    """,
+    "q66_union_sources": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT event_type FROM events WHERE ts <  TIMESTAMP '2024-01-15 00:00:00'
+          UNION ALL
+          SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        ) GROUP BY event_type
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
