@@ -1189,6 +1189,24 @@ def q66_union_sources(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q67_bloom_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Anti join with a Bloom fast path for definite non-members (exact
+    re-check only on Bloom hits) — parts never ordered (oracle NOT IN)."""
+    from ..stages.sketches import bloom_anti_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+        lambda t: t.filter(pc.less(t["l_partkey"], 50)), batch_format="pyarrow"
+    )
+    out = bloom_anti_join(
+        part, li, left_key="p_partkey", right_key="l_partkey", n_expected=100_000
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                            "p_name": pd.Series(dtype=str)})
+    return out
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1310,6 +1328,7 @@ QUERIES = {
     "q64_string_functions": q64_string_functions,
     "q65_orders_by_year": q65_orders_by_year,
     "q66_union_sources": q66_union_sources,
+    "q67_bloom_anti_join": q67_bloom_anti_join,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1649,6 +1668,10 @@ ORACLE_SQL = {
           UNION ALL
           SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         ) GROUP BY event_type
+    """,
+    "q67_bloom_anti_join": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 50)
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (

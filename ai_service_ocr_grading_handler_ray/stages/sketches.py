@@ -99,6 +99,37 @@ def bloom_semi_join(
     return left.map_batches(filt, batch_format="pyarrow")
 
 
+def bloom_anti_join(
+    left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
+    n_expected: int, fp_rate: float = 0.01,
+) -> rd.Dataset:
+    """Keep left rows whose key does NOT appear in right.  The Bloom
+    filter fast-paths definite non-members; only Bloom *hits* (maybe
+    members) are re-checked against the exact key set, so the exact-set
+    lookups cover a small fraction of rows."""
+    bf = build_bloom(right, right_key, n_expected, fp_rate)
+    bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
+    exact_ref = ray.put(set(right.unique(right_key)))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        bits_b, m, k = ray.get(bf_ref)
+        bf2 = BloomFilter.__new__(BloomFilter)
+        bf2.bits = np.frombuffer(bits_b, dtype=np.uint8)
+        bf2.m, bf2.k = m, k
+        true_keys = None
+        mask = []
+        for v in batch[left_key].to_pylist():
+            if v not in bf2:
+                mask.append(True)  # definite non-member
+            else:
+                if true_keys is None:
+                    true_keys = ray.get(exact_ref)
+                mask.append(v not in true_keys)
+        return batch.filter(pa.array(mask))
+
+    return left.map_batches(filt, batch_format="pyarrow")
+
+
 # --- Misra-Gries heavy hitters ----------------------------------------------
 
 
