@@ -1207,6 +1207,61 @@ def q67_bloom_anti_join(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q68_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON-field aggregate: mean of props.k per event_type (vectorized
+    json parse in map_batches; oracle json_extract + avg)."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                ks.append(int(_json.loads(p or "{}").get("k")))
+            except (ValueError, TypeError):
+                ks.append(None)
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pa.array(ks, type=pa.int64())})
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    out["avg_k"] = out["sum_k"] / out["n"]
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    return _finalize(out, {"avg_k": 4})
+
+
+def q69_filtered_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q6-style scalar: revenue from discounted mid-quantity items
+    (pure vectorized filter + product + global sum via per-batch partials)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], 0.05),
+                pc.less_equal(batch["l_discount"], 0.07),
+            ),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        t = batch.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], type=pa.float64())})
+
+    total = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()["rev"]
+        .sum()
+    )
+    del ds
+    return _finalize(pd.DataFrame({"revenue": [float(total)]}), {"revenue": 2})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1329,6 +1384,8 @@ QUERIES = {
     "q65_orders_by_year": q65_orders_by_year,
     "q66_union_sources": q66_union_sources,
     "q67_bloom_anti_join": q67_bloom_anti_join,
+    "q68_props_stats": q68_props_stats,
+    "q69_filtered_revenue": q69_filtered_revenue,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1672,6 +1729,18 @@ ORACLE_SQL = {
     "q67_bloom_anti_join": """
         SELECT p_partkey, p_name FROM part
         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_partkey < 50)
+    """,
+    "q68_props_stats": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+                     / count(*), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "q69_filtered_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
