@@ -1262,6 +1262,40 @@ def q69_filtered_revenue(sf_dir: str) -> pd.DataFrame:
     return _finalize(pd.DataFrame({"revenue": [float(total)]}), {"revenue": 2})
 
 
+def q70_rubric_flatten(sf_dir: str) -> pd.DataFrame:
+    """Nested-column explode: grading output rubric_wise_response
+    (list<struct>) flattened to one row per rubric via Arrow list kernels,
+    then bucketed by awarded score (engine-specific → rows-only)."""
+    from .grading import grading_pipeline
+
+    graded = grading_pipeline(sf_dir, concurrency=(1, 4))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["rubric_wise_response"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)  # struct child rows
+        if len(flat) == 0:
+            return pa.table(
+                {"rubric_score": pa.array([], type=pa.float64()),
+                 "rubric_max": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "rubric_score": flat.field("rubric_wise_score"),
+                "rubric_max": flat.field("rubric_wise_max_score"),
+            }
+        )
+
+    out = (
+        graded.map_batches(explode, batch_format="pyarrow")
+        .groupby(["rubric_score", "rubric_max"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return _finalize(out, {"rubric_score": 1, "rubric_max": 1})
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1386,6 +1420,7 @@ QUERIES = {
     "q67_bloom_anti_join": q67_bloom_anti_join,
     "q68_props_stats": q68_props_stats,
     "q69_filtered_revenue": q69_filtered_revenue,
+    "q70_rubric_flatten": q70_rubric_flatten,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
