@@ -1238,8 +1238,6 @@ def q68_props_stats(sf_dir: str) -> pd.DataFrame:
 def q69_filtered_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q6-style scalar: revenue from discounted mid-quantity items
     (pure vectorized filter + product + global sum via per-batch partials)."""
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
-
     def partial(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
             pc.and_(
@@ -1258,7 +1256,6 @@ def q69_filtered_revenue(sf_dir: str) -> pd.DataFrame:
         .to_pandas()["rev"]
         .sum()
     )
-    del ds
     return _finalize(pd.DataFrame({"revenue": [float(total)]}), {"revenue": 2})
 
 

@@ -72,3 +72,24 @@ def test_heavy_hitters_on_pages_host(sf_dir):
     hh = heavy_hitters(pages, "host", k=16)
     assert "big.example.com" in hh
     assert hh["big.example.com"] >= 50  # ~100 of 500 rows, lower bound
+
+
+def test_bloom_anti_join_complements_semi(sf_dir):
+    from ai_service_ocr_grading_handler_ray.stages.sketches import bloom_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    anti = set(
+        bloom_anti_join(
+            cust, orders, left_key="c_custkey", right_key="o_custkey", n_expected=2000
+        ).to_pandas()["c_custkey"]
+    )
+    semi = set(
+        bloom_semi_join(
+            cust, orders, left_key="c_custkey", right_key="o_custkey",
+            n_expected=2000, exact=True,
+        ).to_pandas()["c_custkey"]
+    )
+    all_cust = set(cust.to_pandas()["c_custkey"])
+    assert anti | semi == all_cust
+    assert not (anti & semi)
