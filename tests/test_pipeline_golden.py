@@ -127,3 +127,21 @@ def test_policy_override_beats_table(sf_dir):
     # zh policy (min_len 12) keeps it via the table
     zh = default_actor._extract_one("html", html, "zh")
     assert zh[0] == "a tiny block here ok"
+
+
+def test_flagship_golden_sf001():
+    """Second committed golden at sf0.01 (distinct table from sf0.001) —
+    extraction digests stable across inputs and runs."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    tbl = ExtractActor()(classify_payload_kind(docs_to_pages(docs)))
+    pairs = sorted(zip(tbl["url"].to_pylist(), tbl["content_sha256"].to_pylist()))
+    digest = hashlib.sha256(json.dumps(pairs).encode()).hexdigest()
+    with open(os.path.join(os.path.dirname(__file__), "golden", "extract_sf0.01.json")) as f:
+        golden = json.load(f)
+    assert digest == golden["global_digest"]
+    statuses = dict(
+        zip(*[c.to_pylist() for c in pc.value_counts(tbl["status"]).flatten()])
+    )
+    assert statuses == golden["statuses"]
