@@ -1293,6 +1293,57 @@ def q70_rubric_flatten(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"rubric_score": 1, "rubric_max": 1})
 
 
+def q71_month_over_month(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue delta: distributed monthly aggregate, then
+    a lag-difference over the (tiny) monthly series (oracle: window LAG)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "month": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    monthly = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["year", "month"])
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+        .sort_values(["year", "month"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # round revenue BEFORE differencing — the oracle lags over rounded
+    # values, and deltas of unrounded sums can differ at the cent level
+    monthly["revenue"] = _round_half_away(monthly["revenue"].to_numpy(), 2)
+    monthly["delta"] = (monthly["revenue"] - monthly["revenue"].shift(1)).fillna(0.0)
+    return _finalize(monthly, {"revenue": 2, "delta": 2})
+
+
+def q72_distinct_per_group(sf_dir: str) -> pd.DataFrame:
+    """Exact count(distinct part) per supplier: per-batch pair dedup →
+    pair-level groupby (removes cross-batch dups) → per-supplier count."""
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": t["l_suppkey"], "l_partkey": t["l_partkey"]}
+        ).group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_distinct_parts"))
+        .to_pandas()
+    )
+    out["n_distinct_parts"] = out["n_distinct_parts"].astype(np.int64)
+    return _finalize(out)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1418,6 +1469,8 @@ QUERIES = {
     "q68_props_stats": q68_props_stats,
     "q69_filtered_revenue": q69_filtered_revenue,
     "q70_rubric_flatten": q70_rubric_flatten,
+    "q71_month_over_month": q71_month_over_month,
+    "q72_distinct_per_group": q72_distinct_per_group,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1773,6 +1826,20 @@ ORACLE_SQL = {
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         FROM lineitem
         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q71_month_over_month": """
+        SELECT year, month, revenue,
+               round(coalesce(revenue - lag(revenue) OVER (ORDER BY year, month), 0.0), 2) AS delta
+        FROM (
+          SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS year,
+                 CAST(date_part('month', o_orderdate) AS BIGINT) AS month,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY year, month
+        )
+    """,
+    "q72_distinct_per_group": """
+        SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+        FROM lineitem GROUP BY l_suppkey
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
