@@ -1344,6 +1344,32 @@ def q72_distinct_per_group(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q73_split_priority(sf_dir: str) -> pd.DataFrame:
+    """Capture-group regex extraction: split "N-LABEL" priorities into
+    typed code + label columns (pc.extract_regex; oracle regexp_extract),
+    aggregated per code."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["o_orderpriority"], r"^(?P<code>[0-9]+)-(?P<label>.+)$")
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        return pa.table(
+            {
+                "code": pc.cast(pc.struct_field(ex, "code"), pa.int64()),
+                "label": pc.struct_field(ex, "label"),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["code", "label"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return _finalize(out)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1471,6 +1497,7 @@ QUERIES = {
     "q70_rubric_flatten": q70_rubric_flatten,
     "q71_month_over_month": q71_month_over_month,
     "q72_distinct_per_group": q72_distinct_per_group,
+    "q73_split_priority": q73_split_priority,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1840,6 +1867,12 @@ ORACLE_SQL = {
     "q72_distinct_per_group": """
         SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
         FROM lineitem GROUP BY l_suppkey
+    """,
+    "q73_split_priority": """
+        SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-(.+)$', 1) AS BIGINT) AS code,
+               regexp_extract(o_orderpriority, '^([0-9]+)-(.+)$', 2) AS label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY code, label
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
