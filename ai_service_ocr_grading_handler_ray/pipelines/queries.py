@@ -1370,6 +1370,22 @@ def q73_split_priority(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q74_string_agg(sf_dir: str) -> pd.DataFrame:
+    """Grouped string aggregation: comma-joined, alphabetically-ordered
+    nation names per region (oracle string_agg ORDER BY)."""
+    nat = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["n_name"]))
+        return pd.DataFrame(
+            {"n_regionkey": [int(g["n_regionkey"].iloc[0])], "nations": [names]}
+        )
+
+    df = nat.groupby("n_regionkey").map_groups(agg, batch_format="pandas").to_pandas()
+    df["n_regionkey"] = df["n_regionkey"].astype(np.int64)
+    return _finalize(df)
+
+
 def q38_question_generation(sf_dir: str) -> rd.Dataset:
     """/generateQuestion pipeline over synthesized requests (SURVEY.md §3.2)."""
     from .questions import question_generation_batch
@@ -1498,6 +1514,7 @@ QUERIES = {
     "q71_month_over_month": q71_month_over_month,
     "q72_distinct_per_group": q72_distinct_per_group,
     "q73_split_priority": q73_split_priority,
+    "q74_string_agg": q74_string_agg,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -1873,6 +1890,11 @@ ORACLE_SQL = {
                regexp_extract(o_orderpriority, '^([0-9]+)-(.+)$', 2) AS label,
                CAST(count(*) AS BIGINT) AS n
         FROM orders GROUP BY code, label
+    """,
+    "q74_string_agg": """
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey
     """,
     "q48_ngram_jaccard_pairs": """
         WITH base AS (
