@@ -134,8 +134,10 @@ def assign_rubric_id_to_response(
         resp["rubricId"] = rub["rubricId"]
         resp["rubricWiseMaxScore"] = rub["score"]
         resp["criteria"] = rub["criteria"]
-        resp.pop("rubricIndex", None)
-        resp.pop("rubricText", None)
+        # reference uses bare `del` (utils.py:213-214): a response row
+        # missing these keys raises KeyError — preserved verbatim
+        del resp["rubricIndex"]
+        del resp["rubricText"]
         score += resp["rubricWiseScore"]
         max_score += rub["score"]
     return response_json, score, max_score

@@ -1,18 +1,28 @@
-"""As-of (backward temporal) join — composition of union-tag + groupby +
-per-group ``pd.merge_asof`` (ray_guide 'As-of / range join' pattern).
+"""As-of (backward temporal) join — union-tag + hash-bucket groupby +
+per-bucket vectorized ``pd.merge_asof(by=key)`` (ray_guide 'As-of / range
+join' pattern).
 
 The reference has no temporal joins (SURVEY.md §2.4); the engine ships
 one because event-to-dimension-as-of lookups are a standard step in
 training-data pipelines (e.g. latest snapshot ≤ crawl time).
 
 Partitioning assumption (documented per the guide): both sides hash-group
-on the join key — one shuffle each; within a group pandas sorts by
-timestamp.  Right-side timestamp ties must be resolved by the caller
-(pre-aggregate to one row per (key, ts)) for deterministic output.
+on ``hash(key) % num_buckets`` — one shuffle each; within a bucket pandas
+sorts by timestamp once and ``merge_asof(by=key)`` handles every key in
+the bucket in a single vectorized call (orders of magnitude fewer group
+invocations than per-key grouping when keys are small).  Right-side
+timestamp ties must be resolved by the caller (pre-aggregate to one row
+per (key, ts)) for deterministic output.
+
+Dtype discipline: the union-widen step inserts *typed* nulls taken from
+each side's schema, and integer columns are cast back after the pandas
+group conversion (pandas promotes int columns with nulls to float64 —
+the q47 driver-hash bug in round 1).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -25,68 +35,116 @@ def asof_join_backward(
     key: str,
     left_ts: str,
     right_ts: str,
+    num_buckets: int = 32,
 ) -> rd.Dataset:
     """For every left row, attach the right row with the greatest
     ``right_ts`` ≤ ``left_ts`` for the same ``key`` (left join: no match →
     nulls).  Columns of both sides are preserved (right's ts column
     included)."""
-    l_cols = [f.name for f in left.schema().base_schema]
-    r_cols = [f.name for f in right.schema().base_schema]
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_cols = [f.name for f in l_schema]
+    r_cols = [f.name for f in r_schema]
     overlap = (set(l_cols) & set(r_cols)) - {key}
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    def tag(side: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column("_side", pa.array([side] * len(t), type=pa.int8()))
-
-        return fn
-
-    # union with schema superset (missing columns → null)
-    def widen(cols_all: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            arrays, names = [], []
-            for c in cols_all:
-                names.append(c)
-                if c in t.column_names:
-                    arrays.append(t[c])
-                else:
-                    arrays.append(pa.nulls(len(t)))
-            return pa.table(dict(zip(names, arrays)))
-
-        return fn
-
-    all_cols = l_cols + [c for c in r_cols if c != key] + ["_side"]
-    lt = left.map_batches(tag(0), batch_format="pyarrow").map_batches(
-        widen(all_cols), batch_format="pyarrow"
-    )
-    rt = right.map_batches(tag(1), batch_format="pyarrow").map_batches(
-        widen(all_cols), batch_format="pyarrow"
-    )
+    # column -> Arrow type for typed null-widening (left wins on the key)
+    types: dict[str, pa.DataType] = {f.name: f.type for f in r_schema}
+    types.update({f.name: f.type for f in l_schema})
 
     r_payload = [c for c in r_cols if c != key]
+    all_cols = l_cols + r_payload + ["_side"]
+    types["_side"] = pa.int8()
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].copy()
-        rg = g[g["_side"] == 1].copy()
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for c in all_cols:
+                if c == "_side":
+                    cols[c] = pa.array(np.full(len(t), side, dtype=np.int8))
+                elif c in t.column_names:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(len(t), type=types[c])
+            out = pa.table(cols)
+            kb = (
+                np.abs(out[key].to_numpy(zero_copy_only=False).astype(np.int64))
+                % num_buckets
+                if pa.types.is_integer(types[key])
+                else np.fromiter(
+                    (hash(v) % num_buckets for v in out[key].to_pylist()),
+                    dtype=np.int64,
+                    count=len(out),
+                )
+            )
+            return out.append_column("_kb", pa.array(kb.astype(np.int32)))
+
+        return fn
+
+    lt = left.map_batches(prep(0), batch_format="pyarrow")
+    rt = right.map_batches(prep(1), batch_format="pyarrow")
+
+    # post-merge integer restoration: left cols are never null after the
+    # side split (plain int64); right payload may miss → nullable Int64
+    l_int = [c for c in l_cols if pa.types.is_integer(types[c])]
+    r_int = [c for c in r_payload if pa.types.is_integer(types[c])]
+    out_cols = l_cols + r_payload
+
+    def _typed_empty() -> pd.DataFrame:
+        cols: dict[str, pd.Series] = {}
+        for c in out_cols:
+            t = types[c]
+            if pa.types.is_integer(t):
+                cols[c] = pd.Series(dtype="int64")
+            elif pa.types.is_floating(t):
+                cols[c] = pd.Series(dtype="float64")
+            elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+                cols[c] = pd.Series(dtype="datetime64[us]")
+            else:
+                cols[c] = pd.Series(dtype="object")
+        return pd.DataFrame(cols)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].drop(columns=["_side", "_kb"] + r_payload)
         if lg.empty:
-            return lg.drop(columns=["_side"] + r_payload, errors="ignore").iloc[0:0]
+            return _typed_empty()
+        for c in l_int:
+            lg[c] = lg[c].astype("int64")
         lg[left_ts] = lg[left_ts].astype("datetime64[us]")
-        lg = lg.sort_values(left_ts, kind="mergesort").drop(columns=["_side"] + r_payload)
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        rg = g[g["_side"] == 1]
         if rg.empty:
+            # all-null right payload, dtyped identically to the merge branch
             for c in r_payload:
-                lg[c] = None
+                t = types[c]
+                if pa.types.is_integer(t):
+                    lg[c] = pd.array([pd.NA] * len(lg), dtype="Int64")
+                elif pa.types.is_floating(t):
+                    lg[c] = np.nan
+                elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+                    lg[c] = pd.Series(
+                        pd.NaT, index=lg.index, dtype="datetime64[us]"
+                    )
+                else:
+                    lg[c] = None
             return lg
         rg = rg[[key] + r_payload].copy()
+        for c in r_int:
+            rg[c] = rg[c].astype("int64")
+        rg[key] = rg[key].astype(lg[key].dtype)
         rg[right_ts] = pd.to_datetime(rg[right_ts]).astype("datetime64[us]")
         rg = rg.sort_values(right_ts, kind="mergesort")
         merged = pd.merge_asof(
             lg,
-            rg.drop(columns=[key]),
+            rg,
             left_on=left_ts,
             right_on=right_ts,
+            by=key,
             direction="backward",
         )
+        for c in r_int:
+            merged[c] = merged[c].astype("Int64")
         return merged
 
-    return lt.union(rt).groupby(key).map_groups(per_key, batch_format="pandas")
+    return lt.union(rt).groupby("_kb").map_groups(per_bucket, batch_format="pandas")

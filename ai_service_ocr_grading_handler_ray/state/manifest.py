@@ -123,7 +123,14 @@ def resumable_extract(
     out: list[dict] = []
     for pid, files in enumerate(_partitions(input_files, partition_size)):
         if pid in done:
-            continue
+            # lineage check: a committed partition is only skippable if it
+            # covers the SAME input files — if the input list changed, the
+            # sorted chunking shifts the pid→files mapping and the old
+            # partition silently holds stale rows.  Reprocess on mismatch.
+            with open(os.path.join(out_dir, "manifest", f"part-{pid:04d}.json")) as f:
+                committed = json.load(f)
+            if committed.get("input_files") == files:
+                continue
         out.append(run_partition(pid, files, out_dir, **extract_kwargs))
         if max_partitions is not None and len(out) >= max_partitions:
             break

@@ -52,6 +52,15 @@ def test_parity(name, sf_dir, con):
         f"{name} column mismatch: {list(mine.columns)} vs {list(ref.columns)}"
     )
     assert len(mine) == len(ref), f"{name} row count {len(mine)} vs {len(ref)}"
+    # dtype-kind parity: the driver hashes raw values, so int64 2 vs
+    # float64 2.0 is a hash mismatch even when values compare equal
+    # (round-1 q47 escaped through check_dtype=False)
+    kinds_mine = ["i" if d.kind == "u" else d.kind for d in mine.dtypes]
+    kinds_ref = ["i" if d.kind == "u" else d.kind for d in ref.dtypes]
+    assert kinds_mine == kinds_ref, (
+        f"{name} dtype-kind mismatch: {kinds_mine} vs {kinds_ref} "
+        f"({dict(zip(mine.columns, mine.dtypes))})"
+    )
     pd.testing.assert_frame_equal(mine, ref, check_dtype=False, atol=1e-9, rtol=0)
 
 

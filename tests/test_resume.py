@@ -95,3 +95,24 @@ def test_crash_between_rename_and_manifest(tmp_path, sf_dir):
     assert [m["partition_id"] for m in redone] == [1]
     with open(m_path) as f:
         assert json.load(f)["digest"] == orig_digest
+
+
+def test_changed_input_list_reprocesses(tmp_path, sf_dir):
+    """Lineage check: if the input file list changes between runs, a
+    committed partition whose pid now maps to DIFFERENT files must be
+    reprocessed, not silently skipped (ADVICE r01)."""
+    files = _make_input(tmp_path, sf_dir, n_files=4)
+    out_dir = str(tmp_path / "lineage")
+    resumable_extract(files, out_dir, partition_size=2)
+    assert completed_partitions(out_dir) == {0, 1}
+
+    # drop the first file: sorted chunking shifts every pid→files mapping
+    shifted = files[1:]
+    redone = resumable_extract(shifted, out_dir, partition_size=2)
+    assert [m["partition_id"] for m in redone] == [0, 1]
+    for m in redone:
+        expected = shifted[m["partition_id"] * 2 : m["partition_id"] * 2 + 2]
+        assert m["input_files"] == expected
+
+    # unchanged rerun: nothing reprocessed
+    assert resumable_extract(shifted, out_dir, partition_size=2) == []
