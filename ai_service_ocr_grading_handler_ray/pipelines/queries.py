@@ -665,15 +665,12 @@ def q27_props_json_extract(sf_dir: str) -> rd.Dataset:
 
 def q28_streaming_window(sf_dir: str) -> pd.DataFrame:
     """Stateful streaming tumbling window (per-bucket actors, incremental
-    state + watermark) — must equal the batch groupby window (q11 family)."""
-    import pyarrow.parquet as pq
+    state + watermark), fed from a Ray Data pipeline — must equal the
+    batch groupby window (q11 family)."""
+    from ..stages.streaming import tumbling_window_aggregate_ds
 
-    from ..stages.streaming import tumbling_window_aggregate
-
-    events = pq.read_table(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    ).to_pandas()
-    out = tumbling_window_aggregate(
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window_aggregate_ds(
         events, key_col="event_type", ts_col="ts", value_col="value", window_s=3600
     )
     return _finalize(out, {"sum_value": 3})

@@ -7,18 +7,26 @@ expressed Ray-Data-first:
 
 - exact dedup      : hash column in map_batches → groupby(key) → first
 - MinHash + LSH    : shingle→signature per batch → explode (band, bucket)
-                     rows → groupby band bucket → candidate pairs →
-                     Jaccard verify → connected components
-- SimHash          : 64-bit fingerprint per batch → band buckets →
-                     Hamming verify
-- n-gram Jaccard   : exact pairwise verifier (used by both LSH paths)
-- embedding cosine : hyperplane-LSH buckets → pairwise cosine verify
+                     rows → groupby(band, bucket).map_groups → candidate
+                     pair Dataset → Jaccard verify by joining texts onto
+                     pairs → connected components
+- SimHash          : 64-bit fingerprint per batch → band-bucket groupby →
+                     Hamming verify inside the group (fingerprints travel
+                     with the rows — no second pass over the data)
+- n-gram Jaccard   : exact pairwise verifier (used by the MinHash path)
+- embedding cosine : hyperplane-LSH bucket groupby → pairwise cosine
+                     verify inside the group (unit vectors travel with
+                     the rows)
 
-Scale notes (SURVEY.md §4): signatures/fingerprints are computed inside
-``map_batches`` (vectorized numpy, no driver work); only the *candidate
-pairs* — a tiny fraction of rows — are collected for union-find.  At
-10^12 rows replace the driver union-find with iterative min-label
-propagation over a pairs Dataset (same bucketing stages unchanged).
+Scale shape (SURVEY.md §4): every stage up to the final edge list is a
+``map_batches`` / ``groupby.map_groups`` / ``join`` over Datasets — the
+driver only ever holds (a) the verified edge list, a tiny fraction of
+rows, and (b) the final (id, cluster_id) assignment, which is the output
+itself.  Degenerate buckets (near-identical boilerplate) are capped at
+``PAIR_CAP`` ids before pair expansion to bound the O(n²) blowup; hits
+are logged, not silent.  The connected-components finish is driver
+union-find over the tiny edge list by default, or distributed min-label
+propagation (``propagate_min_labels``) on the ``_distributed`` path.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -63,7 +72,6 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
 def exact_dedup(ds: rd.Dataset, key: str, order_by: str) -> rd.Dataset:
     """Keep the first row per ``key`` ordered by ``order_by`` (deterministic
     winner).  groupby = hash shuffle on key; per-group work is O(group)."""
-    import pandas as pd
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_by, kind="mergesort").head(1)
@@ -78,6 +86,9 @@ _MINHASH_K = 64
 # deterministic parameters derived from blake2b of the index
 _A = np.array([_h64(f"minhash-a-{i}".encode()) | 1 for i in range(_MINHASH_K)], dtype=np.uint64)
 _B = np.array([_h64(f"minhash-b-{i}".encode()) for i in range(_MINHASH_K)], dtype=np.uint64)
+
+# degenerate-bucket cap before pair expansion (see module docstring)
+PAIR_CAP = 256
 
 
 def minhash_signature(text: str, ngram: int = 3) -> np.ndarray:
@@ -150,27 +161,170 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
-def candidate_pairs_from_buckets(bucket_table: pa.Table, id_col: str) -> set[tuple]:
-    """(band_id, bucket) groups → unordered candidate id pairs.
-    Buckets are capped at 256 ids (a degenerate bucket of near-identical
-    boilerplate would otherwise produce O(n²) pairs — cap + log, SURVEY.md
-    'no silent caps')."""
-    import collections
+# --- distributed LSH plumbing (shared by MinHash / SimHash / embedding) -----
 
-    groups: dict = collections.defaultdict(list)
-    for band, bucket, i in zip(
-        bucket_table["band_id"].to_pylist(),
-        bucket_table["bucket"].to_pylist(),
-        bucket_table[id_col].to_pylist(),
-    ):
-        groups[(band, bucket)].append(i)
-    pairs: set[tuple] = set()
-    for ids in groups.values():
-        ids = sorted(set(ids))[:256]
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                pairs.add((ids[x], ids[y]))
-    return pairs
+
+def _pairs_from_sorted_ids(ids: list) -> tuple[list, list]:
+    out_a: list = []
+    out_b: list = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            out_a.append(ids[x])
+            out_b.append(ids[y])
+    return out_a, out_b
+
+
+# The per-bucket work is tiny, so one Ray group per LSH bucket would pay
+# Ray's per-group slicing overhead millions of times.  Instead buckets are
+# salted into NUM_GROUP_PARTS coarse partitions (one Ray group each, still
+# a hash shuffle → distributed + memory-bounded) and a vectorized pandas
+# groupby walks the buckets inside each partition.
+NUM_GROUP_PARTS = 32
+
+
+def candidate_pairs_dataset(
+    band_ds: rd.Dataset, id_col: str, *, cap: int = PAIR_CAP,
+    num_parts: int = NUM_GROUP_PARTS,
+) -> rd.Dataset:
+    """(band_id, bucket, id) Dataset → deduplicated candidate-pair Dataset
+    (a, b), a < b.  Pair generation runs inside a groupby over salted
+    bucket partitions — the band table never touches the driver.  The same
+    pair can surface in several bands; a count-aggregate groupby keeps one
+    copy so the verifier runs each pair once."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["bucket"].to_numpy(zero_copy_only=False) % num_parts).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby(["band_id", "bucket"], sort=False):
+            ids = sorted(sub[id_col].unique().tolist())
+            if len(ids) < 2:
+                continue
+            if len(ids) > cap:
+                print(
+                    f"[dedup] bucket cap: {len(ids)} ids in one LSH bucket, "
+                    f"keeping first {cap} (sorted) before pair expansion"
+                )
+                ids = ids[:cap]
+            a, b = _pairs_from_sorted_ids(ids)
+            out_a.extend(a)
+            out_b.extend(b)
+        dtype = g[id_col].dtype
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=dtype), "b": pd.Series(out_b, dtype=dtype)}
+        )
+
+    pairs = (
+        band_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    # dedupe across bands: count-aggregate is cheaper than per-group heads
+    deduped = pairs.groupby(["a", "b"]).aggregate(rd.aggregate.Count(alias_name="_n"))
+    return deduped.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: rd.Dataset,
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Attach both texts to each candidate pair via two hash joins, then
+    Jaccard-verify inside map_batches → verified edge Dataset (a, b).
+
+    The joins ship each text only to the pairs that need it — no
+    driver-side texts_by_id dict.  The first join is materialized before
+    the second is built: Ray 2.49's join operator fails when one lazy
+    dataset feeds two joins in a single DAG."""
+    texts = ds.select_columns([id_col, text_col])
+    ta = texts.map_batches(
+        lambda t: pa.table({"_ida": t[id_col], "_ta": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j1 = pairs.join(
+        ta, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("_ida",)
+    ).materialize()
+    tb = texts.map_batches(
+        lambda t: pa.table({"_idb": t[id_col], "_tb": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        tb, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("_idb",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = [
+            ngram_jaccard(x or "", y or "", ngram) >= threshold
+            for x, y in zip(t["_ta"].to_pylist(), t["_tb"].to_pylist())
+        ]
+        return t.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _collect_ids(ds: rd.Dataset, id_col: str) -> list:
+    """Pull only the id column (the id universe is the same size as the
+    final (id, cluster) output, so this is not a data materialization)."""
+    import ray
+
+    blocks = ray.get(ds.select_columns([id_col]).to_arrow_refs())
+    out: list = []
+    for blk in blocks:
+        out.extend(blk[id_col].to_pylist())
+    return out
+
+
+def _clusters_from_edges(edges: pa.Table, ids: list, id_col: str) -> pa.Table:
+    uf = _UnionFind()
+    for i in ids:
+        uf.find(i)
+    for a, b in sorted(zip(edges["a"].to_pylist(), edges["b"].to_pylist())):
+        uf.union(a, b)
+    return pa.table(
+        {id_col: pa.array(ids), "cluster_id": pa.array([uf.find(i) for i in ids])}
+    )
+
+
+def minhash_lsh_edges(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> pa.Table:
+    """Distributed MinHash-LSH: signatures+banding (map_batches) → pair
+    generation (groupby(band, bucket).map_groups) → Jaccard verify (joins
+    + map_batches) → the verified edge table (the only driver pull)."""
+    import ray
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        return minhash_band_rows(batch, id_col, text_col, ngram, bands)
+
+    band_ds = ds.map_batches(band_stage, batch_format="pyarrow")
+    pairs = candidate_pairs_dataset(band_ds, id_col).materialize()
+    verified = verify_pairs_jaccard(
+        pairs, ds, id_col=id_col, text_col=text_col, ngram=ngram, threshold=threshold
+    )
+    blocks = [b for b in ray.get(verified.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        id_type = pa.int64()
+        for f in ds.schema().base_schema:
+            if f.name == id_col:
+                id_type = f.type
+        return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
+    return pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
 
 
 def minhash_lsh_clusters(
@@ -183,43 +337,15 @@ def minhash_lsh_clusters(
     threshold: float = 0.7,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline → (id, cluster_id) table.
-
-    Stages: per-batch signatures+banding (map_batches, distributed) →
-    groupby-equivalent bucket collection → pair verify (exact Jaccard,
-    distributed-ready; here driver-side over the small candidate set) →
-    union-find.  cluster_id = min id in the cluster (deterministic)."""
-    import ray
-
-    def band_stage(batch: pa.Table) -> pa.Table:
-        return minhash_band_rows(batch, id_col, text_col, ngram, bands)
-
-    # band table is tiny relative to input (bands × ids, ints only)
-    band_tbl = pa.concat_tables(
-        ray.get(ds.map_batches(band_stage, batch_format="pyarrow").to_arrow_refs())
+    cluster_id = min id in the cluster (deterministic).  All heavy stages
+    distributed (see minhash_lsh_edges); the connected-components finish
+    is driver union-find over the tiny verified edge list."""
+    ds = ds.materialize()  # read once: band stage + verify joins + id pull
+    edges = minhash_lsh_edges(
+        ds, id_col=id_col, text_col=text_col, ngram=ngram, bands=bands, threshold=threshold
     )
-    pairs = candidate_pairs_from_buckets(band_tbl, id_col)
-
-    # fetch texts for verification (only ids appearing in candidate pairs)
-    texts_by_id: dict = {}
-    need = {i for p in pairs for i in p}
-    all_ids: list = []
-    for blk in ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()):
-        blk_ids = blk[id_col].to_pylist()
-        all_ids.extend(blk_ids)
-        if need:
-            for i, t in zip(blk_ids, blk[text_col].to_pylist()):
-                if i in need:
-                    texts_by_id[i] = t or ""
-
-    uf = _UnionFind()
-    for i in all_ids:
-        uf.find(i)
-    for a, b in sorted(pairs):
-        if ngram_jaccard(texts_by_id[a], texts_by_id[b], ngram) >= threshold:
-            uf.union(a, b)
-
-    clusters = [uf.find(i) for i in all_ids]
-    return pa.table({id_col: pa.array(all_ids), "cluster_id": pa.array(clusters)})
+    ids = _collect_ids(ds, id_col)
+    return _clusters_from_edges(edges, ids, id_col)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -252,43 +378,72 @@ def simhash_clusters(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> pa.Table:
-    """SimHash near-dup: fingerprint per batch → 4×16-bit band buckets →
-    Hamming-verify candidates → union-find → (id, cluster_id)."""
+    """SimHash near-dup: fingerprint per batch → explode 4×16-bit band
+    rows → groupby(band, bucket).map_groups Hamming-verify (fingerprints
+    travel with the rows, so verification needs no second data pass) →
+    union-find over the edge list → (id, cluster_id)."""
     import ray
 
-    fp_tbl = pa.concat_tables(
-        ray.get(
-            ds.map_batches(
-                lambda b: add_simhash(b, text_col), batch_format="pyarrow"
-            )
-            .select_columns([id_col, "simhash"])
-            .to_arrow_refs()
-        )
-    )
-    ids = fp_tbl[id_col].to_pylist()
-    fps = [f & 0xFFFFFFFFFFFFFFFF for f in fp_tbl["simhash"].to_pylist()]
+    ds = ds.materialize()
+    fp_ds = ds.map_batches(
+        lambda b: add_simhash(b, text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "simhash"])
 
-    import collections
-
-    buckets: dict = collections.defaultdict(list)
-    for i, fp in zip(ids, fps):
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        fps = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands_out, buckets_out = [], []
         for band in range(4):
-            key = (band, (fp >> (band * 16)) & 0xFFFF)
-            buckets[key].append(i)
-    fp_by_id = dict(zip(ids, fps))
-    uf = _UnionFind()
-    for i in ids:
-        uf.find(i)
-    pairs: set[tuple] = set()
-    for members in buckets.values():
-        members = sorted(set(members))[:256]
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                pairs.add((members[x], members[y]))
-    for a, b in sorted(pairs):
-        if hamming64(fp_by_id[a], fp_by_id[b]) <= max_hamming:
-            uf.union(a, b)
-    return pa.table({id_col: pa.array(ids), "cluster_id": pa.array([uf.find(i) for i in ids])})
+            bands_out.append(np.full(n, band, dtype=np.int32))
+            buckets_out.append(((fps >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int32))
+        idx = np.tile(np.arange(n), 4)
+        bucket = np.concatenate(buckets_out)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(bands_out)),
+                "bucket": pa.array(bucket),
+                "_part": pa.array((bucket % NUM_GROUP_PARTS).astype(np.int32)),
+                id_col: t[id_col].take(pa.array(idx)),
+                "simhash": t["simhash"].take(pa.array(idx)),
+            }
+        )
+
+    band_ds = fp_ds.map_batches(explode, batch_format="pyarrow")
+
+    def emit_edges(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, grp in g.groupby(["band_id", "bucket"], sort=False):
+            sub = grp.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(sub) < 2:
+                continue
+            if len(sub) > PAIR_CAP:
+                print(f"[dedup] simhash bucket cap: {len(sub)} ids -> {PAIR_CAP}")
+                sub = sub.head(PAIR_CAP)
+            ids = sub[id_col].tolist()
+            fps = [int(f) & 0xFFFFFFFFFFFFFFFF for f in sub["simhash"].tolist()]
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if hamming64(fps[x], fps[y]) <= max_hamming:
+                        out_a.append(ids[x])
+                        out_b.append(ids[y])
+        dtype = g[id_col].dtype
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=dtype), "b": pd.Series(out_b, dtype=dtype)}
+        )
+
+    edge_ds = band_ds.groupby("_part").map_groups(emit_edges, batch_format="pandas")
+    blocks = [b for b in ray.get(edge_ds.to_arrow_refs()) if b.num_rows]
+    ids = _collect_ids(ds, id_col)
+    if not blocks:
+        edges = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    else:
+        edges = pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
+        # same edge may arrive from several bands — tiny table, dedupe here
+        edges = pa.Table.from_pandas(
+            edges.to_pandas().drop_duplicates(), preserve_index=False
+        )
+    return _clusters_from_edges(edges, ids, id_col)
 
 
 # --- embedding cosine near-dup ----------------------------------------------
@@ -314,10 +469,12 @@ def embedding_cosine_clusters(
     n_planes: int = 12,
 ) -> pa.Table:
     """Embedding near-dup: sign-of-projection LSH buckets (map_batches) →
-    pairwise cosine verify within buckets → union-find."""
-    import collections
-
+    groupby(bucket).map_groups pairwise-cosine verify (unit vectors travel
+    with the rows — no driver-side vector dict) → union-find over the
+    edge list."""
     import ray
+
+    ds = ds.materialize()
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
@@ -331,29 +488,44 @@ def embedding_cosine_clusters(
             {
                 id_col: batch[id_col],
                 "bucket": pa.array(codes.astype(np.int64)),
+                "_part": pa.array((codes % NUM_GROUP_PARTS).astype(np.int32)),
                 "_unit": pa.array(list(unit)),
             }
         )
 
-    tbl = pa.concat_tables(
-        ray.get(ds.map_batches(bucket_stage, batch_format="pyarrow").to_arrow_refs())
+    def emit_edges(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, grp in g.groupby("bucket", sort=False):
+            sub = grp.sort_values(id_col)
+            if len(sub) < 2:
+                continue
+            if len(sub) > PAIR_CAP:
+                print(f"[dedup] embedding bucket cap: {len(sub)} ids -> {PAIR_CAP}")
+                sub = sub.head(PAIR_CAP)
+            ids = sub[id_col].tolist()
+            units = np.array([np.asarray(u) for u in sub["_unit"]], dtype=np.float64)
+            sims = units @ units.T
+            xs, ys = np.where(np.triu(sims >= threshold, k=1))
+            out_a.extend(ids[x] for x in xs)
+            out_b.extend(ids[y] for y in ys)
+        dtype = g[id_col].dtype
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=dtype), "b": pd.Series(out_b, dtype=dtype)}
+        )
+
+    edge_ds = (
+        ds.map_batches(bucket_stage, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_edges, batch_format="pandas")
     )
-    ids = tbl[id_col].to_pylist()
-    units = {i: np.array(u) for i, u in zip(ids, tbl["_unit"].to_pylist())}
-    buckets: dict = collections.defaultdict(list)
-    for i, bk in zip(ids, tbl["bucket"].to_pylist()):
-        buckets[bk].append(i)
-    uf = _UnionFind()
-    for i in ids:
-        uf.find(i)
-    for members in buckets.values():
-        members = sorted(set(members))[:256]
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                a, b = members[x], members[y]
-                if float(units[a] @ units[b]) >= threshold:
-                    uf.union(a, b)
-    return pa.table({id_col: pa.array(ids), "cluster_id": pa.array([uf.find(i) for i in ids])})
+    blocks = [b for b in ray.get(edge_ds.to_arrow_refs()) if b.num_rows]
+    ids = _collect_ids(ds, id_col)
+    if not blocks:
+        edges = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    else:
+        edges = pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
+    return _clusters_from_edges(edges, ids, id_col)
 
 
 # --- distributed connected components (scale path) --------------------------
@@ -433,38 +605,12 @@ def minhash_lsh_clusters_distributed(
 ) -> pa.Table:
     """MinHash-LSH near-dup with the *distributed* connected-components
     finish (propagate_min_labels) instead of driver union-find.  Identical
-    output to minhash_lsh_clusters; the shuffle-heavy verify step stays
-    pairwise over the candidate set."""
-    import ray as _ray
-
-    def band_stage(batch: pa.Table) -> pa.Table:
-        return minhash_band_rows(batch, id_col, text_col, ngram, bands)
-
-    band_tbl = pa.concat_tables(
-        _ray.get(ds.map_batches(band_stage, batch_format="pyarrow").to_arrow_refs())
+    output to minhash_lsh_clusters.  End-to-end the driver holds only the
+    verified edge list and the final (id, cluster_id) table."""
+    ds = ds.materialize()
+    edges = minhash_lsh_edges(
+        ds, id_col=id_col, text_col=text_col, ngram=ngram, bands=bands, threshold=threshold
     )
-    pairs = candidate_pairs_from_buckets(band_tbl, id_col)
-
-    texts_by_id: dict = {}
-    need = {i for p in pairs for i in p}
-    all_ids: list = []
-    for blk in _ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()):
-        blk_ids = blk[id_col].to_pylist()
-        all_ids.extend(blk_ids)
-        for i, t in zip(blk_ids, blk[text_col].to_pylist()):
-            if i in need:
-                texts_by_id[i] = t or ""
-
-    verified = [
-        (a, b)
-        for a, b in sorted(pairs)
-        if ngram_jaccard(texts_by_id[a], texts_by_id[b], ngram) >= threshold
-    ]
-    edges = pa.table(
-        {
-            "a": pa.array([p[0] for p in verified]),
-            "b": pa.array([p[1] for p in verified]),
-        }
-    )
-    out = propagate_min_labels(edges, all_ids)
+    ids = _collect_ids(ds, id_col)
+    out = propagate_min_labels(edges, ids)
     return pa.table({id_col: out["id"], "cluster_id": out["cluster_id"]})

@@ -51,8 +51,12 @@ class ExtractActor:
         max_link_pct: int | None = None,
         task: str = "extract",
         html_engine: str = "fast",
+        ocr_engine_factory: type[OcrEngine] | None = None,
     ) -> None:
-        self.ocr = OcrEngine()  # warm engine state, once per actor
+        # warm engine state, once per actor.  The factory hook lets a real
+        # engine (tesseract handle, vision model) — or a test fake — be
+        # injected without changing the actor-pool plumbing.
+        self.ocr = (ocr_engine_factory or OcrEngine)()
         self.task = task
         self._override = (min_len, max_link_pct)
         self._policy_cache: dict[str, tuple[int, int]] = {}

@@ -216,13 +216,35 @@ def build_ivf_assignments(
     n_lists: int = 16,
     train_sample: int = 2048,
 ) -> tuple[np.ndarray, rd.Dataset]:
-    """Train centroids on a bounded head sample (driver-side; at 10^12
-    rows use a random_sample instead), then assign every row to its
-    nearest list inside map_batches.  Returns (centroids, ds+ivf_list)."""
-    head = ds.limit(train_sample)
-    train = _as_matrix(
-        pa.concat_tables(ray.get(head.to_arrow_refs()))[vec_col]
+    """Train centroids on a deterministic seeded hash-sample of the rows
+    (a head sample would bias the lists on sorted inputs), then assign
+    every row to its nearest list inside map_batches.  Returns
+    (centroids, ds+ivf_list)."""
+    from .sampling import hash_bucket_filter
+
+    n = ds.count()  # parquet metadata — no scan
+    if n <= train_sample:
+        sampled = ds
+    else:
+        # md5-window width sized from the row count (with headroom so the
+        # sample can't come up short); membership depends only on the id,
+        # never on input order — a sorted input cannot bias the lists
+        width = min(65536, max(1, -(-65536 * train_sample * 12 // (n * 10))))
+        sampled = ds.map_batches(
+            lambda t: hash_bucket_filter(t, id_col, "0", format(width, "04x")),
+            batch_format="pyarrow",
+        )
+    # sort the sample by id so the training matrix (and therefore k-means
+    # seeding) is identical no matter how the input rows were ordered
+    tbl = pa.concat_tables(
+        [
+            b.select([id_col, vec_col])
+            for b in ray.get(sampled.to_arrow_refs())
+            if b.num_rows
+        ]
     )
+    tbl = tbl.take(pa.compute.sort_indices(tbl[id_col]))
+    train = _as_matrix(tbl[vec_col])[:train_sample]
     cents = kmeans_centroids(train, n_lists)
     cents_ref = ray.put(cents)
 

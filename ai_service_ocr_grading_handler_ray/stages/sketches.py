@@ -70,64 +70,70 @@ def build_bloom(ds: rd.Dataset, col: str, n_expected: int, fp_rate: float = 0.01
     return out
 
 
-def bloom_semi_join(
-    left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
-    n_expected: int, fp_rate: float = 0.01, exact: bool = True,
-) -> rd.Dataset:
-    """Keep left rows whose key (probably) appears in right.
-
-    ``exact=True`` re-verifies Bloom survivors against the true key set
-    (still cheap: the verify set only covers survivors' keys)."""
-    bf = build_bloom(right, right_key, n_expected, fp_rate)
-    bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
-    exact_keys_ref = (
-        ray.put(set(right.unique(right_key))) if exact else None
-    )
+def _bloom_mask_fn(bf_ref, left_key: str, keep_members: bool):
+    """Batch filter keeping Bloom members (or definite non-members)."""
 
     def filt(batch: pa.Table) -> pa.Table:
         bits_b, m, k = ray.get(bf_ref)
         bf2 = BloomFilter.__new__(BloomFilter)
         bf2.bits = np.frombuffer(bits_b, dtype=np.uint8)
         bf2.m, bf2.k = m, k
-        keys = batch[left_key].to_pylist()
-        mask = [v in bf2 for v in keys]
-        if exact_keys_ref is not None:
-            true_keys = ray.get(exact_keys_ref)
-            mask = [mk and (v in true_keys) for mk, v in zip(mask, keys)]
+        mask = [(v in bf2) == keep_members for v in batch[left_key].to_pylist()]
         return batch.filter(pa.array(mask))
 
-    return left.map_batches(filt, batch_format="pyarrow")
+    return filt
+
+
+def bloom_semi_join(
+    left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
+    n_expected: int, fp_rate: float = 0.01, exact: bool = True,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Keep left rows whose key (probably) appears in right.
+
+    The Bloom broadcast stays constant-size regardless of right's row
+    count.  ``exact=True`` re-verifies the (already small) survivor set
+    with a *shuffled* ``left_semi`` join against right's key column — no
+    exact-key-set broadcast, so the memory per task stays bounded at any
+    scale."""
+    bf = build_bloom(right, right_key, n_expected, fp_rate)
+    bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
+    survivors = left.map_batches(
+        _bloom_mask_fn(bf_ref, left_key, True), batch_format="pyarrow"
+    )
+    if not exact:
+        return survivors
+    keys = right.select_columns([right_key])
+    return survivors.join(
+        keys, "left_semi", num_partitions=num_partitions,
+        on=(left_key,), right_on=(right_key,),
+    )
 
 
 def bloom_anti_join(
     left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
-    n_expected: int, fp_rate: float = 0.01,
+    n_expected: int, fp_rate: float = 0.01, num_partitions: int = 8,
 ) -> rd.Dataset:
     """Keep left rows whose key does NOT appear in right.  The Bloom
-    filter fast-paths definite non-members; only Bloom *hits* (maybe
-    members) are re-checked against the exact key set, so the exact-set
-    lookups cover a small fraction of rows."""
+    filter fast-paths definite non-members (no shuffle for them); only
+    Bloom *hits* (maybe-members, a small false-positive-bounded fraction)
+    go through a shuffled ``left_anti`` join against right's key column.
+    Costs one extra scan of left (the two mask passes) in exchange for
+    never broadcasting the exact key set."""
     bf = build_bloom(right, right_key, n_expected, fp_rate)
     bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
-    exact_ref = ray.put(set(right.unique(right_key)))
-
-    def filt(batch: pa.Table) -> pa.Table:
-        bits_b, m, k = ray.get(bf_ref)
-        bf2 = BloomFilter.__new__(BloomFilter)
-        bf2.bits = np.frombuffer(bits_b, dtype=np.uint8)
-        bf2.m, bf2.k = m, k
-        true_keys = None
-        mask = []
-        for v in batch[left_key].to_pylist():
-            if v not in bf2:
-                mask.append(True)  # definite non-member
-            else:
-                if true_keys is None:
-                    true_keys = ray.get(exact_ref)
-                mask.append(v not in true_keys)
-        return batch.filter(pa.array(mask))
-
-    return left.map_batches(filt, batch_format="pyarrow")
+    definite = left.map_batches(
+        _bloom_mask_fn(bf_ref, left_key, False), batch_format="pyarrow"
+    )
+    maybe = left.map_batches(
+        _bloom_mask_fn(bf_ref, left_key, True), batch_format="pyarrow"
+    )
+    keys = right.select_columns([right_key])
+    anti_maybe = maybe.join(
+        keys, "left_anti", num_partitions=num_partitions,
+        on=(left_key,), right_on=(right_key,),
+    )
+    return definite.union(anti_maybe)
 
 
 # --- Misra-Gries heavy hitters ----------------------------------------------

@@ -18,9 +18,12 @@ incremental/stateful semantics and is equivalence-tested against it.
 from __future__ import annotations
 
 import collections
+import hashlib
 
 import pandas as pd
+import pyarrow as pa
 import ray
+import ray.data as rd
 
 
 @ray.remote
@@ -73,16 +76,7 @@ def tumbling_window_aggregate(
     df = events[[key_col, ts_col, value_col]].copy()
     # explicit unit cast: pandas 2.x may carry datetime64[us] or [ns]
     df["_ts_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-    import hashlib
-
-    def _bucket_of(k) -> int:
-        # deterministic across processes (str hash randomization-safe)
-        return (
-            int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=2).digest(), "big")
-            % n_buckets
-        )
-
-    df["_bucket"] = df[key_col].map(_bucket_of)
+    df["_bucket"] = df[key_col].map(lambda k: _bucket_of(k, n_buckets))
     df = df.sort_values(["_bucket", "_ts_us"], kind="mergesort")
 
     pending = []
@@ -98,6 +92,90 @@ def tumbling_window_aggregate(
                 )
             )
     ray.get(pending)
+    rows: list[tuple] = []
+    for a in actors:
+        rows.extend(ray.get(a.flush.remote()))
+    for a in actors:
+        ray.kill(a)
+    out = pd.DataFrame(rows, columns=[key_col, "window", "n", "sum_value"])
+    out["n"] = out["n"].astype("int64")
+    out["window"] = out["window"].astype("int64")
+    return out.sort_values([key_col, "window"], kind="mergesort").reset_index(drop=True)
+
+
+def _bucket_of(k, n_buckets: int) -> int:
+    # deterministic across processes (str hash randomization-safe)
+    return (
+        int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=2).digest(), "big")
+        % n_buckets
+    )
+
+
+def tumbling_window_aggregate_ds(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 3600,
+    n_buckets: int = 4,
+) -> pd.DataFrame:
+    """Streaming windowed aggregate fed from a Ray Data pipeline — the
+    scale path of ``tumbling_window_aggregate``.  Ingestion is a
+    ``groupby(bucket).map_groups`` stage: each bucket's rows arrive in one
+    distributed task, get sorted by ts there, and stream to that bucket's
+    actor in ordered micro-batches.  The driver never holds the event
+    table; it only assembles the (small) closed-window result from the
+    actors' flushes.
+
+    Bucket actors hold pure Python dict state (no compute loops), so they
+    are created with ``num_cpus=0`` — reserving a CPU per actor would
+    starve the groupby tasks that feed them (the pool-sizing stall)."""
+    actors = [
+        WindowBucketActor.options(num_cpus=0).remote(window_s) for _ in range(n_buckets)
+    ]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = [_bucket_of(k, n_buckets) for k in t[key_col].to_pylist()]
+        ts_us = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                key_col: t[key_col],
+                value_col: t[value_col],
+                "_ts_us": pa.array(ts_us),
+                "_bucket": pa.array(buckets, type=pa.int32()),
+            }
+        )
+
+    def feed(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values("_ts_us", kind="mergesort")
+        pending = []
+        for i in range(0, len(g), 1024):
+            chunk = g.iloc[i : i + 1024]
+            pending.append(
+                actors[b].ingest.remote(
+                    chunk[key_col].tolist(),
+                    chunk["_ts_us"].tolist(),
+                    chunk[value_col].tolist(),
+                )
+            )
+        ray.get(pending)
+        return pd.DataFrame({"_bucket": pd.Series([b], dtype="int32"),
+                             "n_fed": pd.Series([len(g)], dtype="int64")})
+
+    fed = (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(feed, batch_format="pandas")
+    )
+    fed.materialize()  # drive ingestion to completion before flushing
+
     rows: list[tuple] = []
     for a in actors:
         rows.extend(ray.get(a.flush.remote()))

@@ -26,8 +26,15 @@ def test_synth_extract_roundtrip(tmp_path, sf_dir, capsys):
     )
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 500
-    # resumable: second invocation is a no-op
-    assert main(["extract", "--input", f"{pages}/*.parquet", "--out", str(out)]) == 0
+    # resumable: second invocation with the same job parameters is a no-op
+    # (a different --partition-size would remap pid→files and correctly
+    # trigger reprocessing under the manifest lineage check)
+    assert main([
+        "extract",
+        "--input", f"{pages}/*.parquet",
+        "--out", str(out),
+        "--partition-size", "2",
+    ]) == 0
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["partitions_processed"] == 0
 

@@ -1,0 +1,93 @@
+"""Fake-OCR-engine injection (SURVEY.md T1): proves the actor-pool
+extraction path warms a NON-synthetic engine once per actor in
+``__init__`` and reuses it across batches — without pytesseract/PIL in
+the container.  The fake stands in for a real tesseract handle: its
+"expensive state" is a per-instance id that leaks into every recognized
+text, so distinct ids in the output == number of engine constructions."""
+
+import hashlib
+import uuid
+
+import pyarrow as pa
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.payloads import PNG_MAGIC
+from ai_service_ocr_grading_handler_ray.stages.classify import classify_payload_kind
+from ai_service_ocr_grading_handler_ray.stages.extract import ExtractActor
+from ai_service_ocr_grading_handler_ray.stages.ocr import OcrEngine
+
+
+def make_fake_tesseract() -> type[OcrEngine]:
+    """Deterministic stand-in for a real OCR engine (handles payloads the
+    synthetic codec can't).  Built inside a function so cloudpickle ships
+    the class BY VALUE to Ray workers — the tests/ dir is not importable
+    from worker processes."""
+
+    class FakeTesseract(OcrEngine):
+        def __init__(self) -> None:
+            super().__init__()
+            self.engine_id = uuid.uuid4().hex[:8]  # "expensive" warm state
+
+        def recognize(self, payload: bytes) -> str:
+            return f"fake[{self.engine_id}] {hashlib.sha256(payload).hexdigest()[:8]}"
+
+    return FakeTesseract
+
+
+def _real_pngish_pages(n: int) -> pa.Table:
+    # PNG magic + arbitrary bytes: classifies as "image" but is NOT the
+    # synthetic codec format (no OCR marker) — a real engine must handle it
+    payloads = [PNG_MAGIC + f"realpng-{i}".encode() for i in range(n)]
+    return pa.table(
+        {
+            "url": [f"https://ex.com/{i}.png" for i in range(n)],
+            "warc_ts": pa.array([0] * n, type=pa.timestamp("us")),
+            "html": pa.array(payloads, type=pa.binary()),
+            "text": [""] * n,
+            "lang": ["en"] * n,
+        }
+    )
+
+
+def test_fake_engine_injected_via_actor_pool():
+    n, batch_size, concurrency = 64, 8, 2
+    ds = (
+        rd.from_arrow(_real_pngish_pages(n))
+        .map_batches(classify_payload_kind, batch_format="pyarrow")
+        .map_batches(
+            ExtractActor,
+            fn_constructor_kwargs={"ocr_engine_factory": make_fake_tesseract()},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    )
+    out = ds.to_pandas()
+    assert len(out) == n
+    assert (out["status"] == "ok").all()
+    assert (out["payload_kind"] == "image").all()
+    # every payload recognized by the injected engine, deterministically
+    for url, text in zip(out["url"], out["extracted_text"]):
+        i = url.rsplit("/", 1)[1].split(".")[0]
+        digest = hashlib.sha256(PNG_MAGIC + f"realpng-{i}".encode()).hexdigest()[:8]
+        assert text.endswith(digest)
+    # warm-state proof: far fewer engine constructions than batches —
+    # __init__ ran once per actor, not once per batch
+    ids = {t.split("]")[0] for t in out["extracted_text"]}
+    assert 1 <= len(ids) <= concurrency < n // batch_size
+
+
+def test_default_engine_errors_on_real_bytes():
+    """Without an injected engine (and without tesseract installed), real
+    PNG bytes follow the poison-pill policy: status='error', no crash."""
+    ds = (
+        rd.from_arrow(_real_pngish_pages(4))
+        .map_batches(classify_payload_kind, batch_format="pyarrow")
+        .map_batches(
+            lambda t: ExtractActor()(t),
+            batch_format="pyarrow",
+        )
+    )
+    out = ds.to_pandas()
+    assert (out["status"] == "error").all()
+    assert (out["extracted_text"] == "").all()

@@ -141,3 +141,29 @@ def test_url_normalize_idempotent(url):
 
     once = normalize_url(url)
     assert normalize_url(once) == once
+
+
+def test_streaming_window_ds_equals_driver_version(sf_dir):
+    """The Ray-Data-fed streaming window (groupby-bucket ingestion, no
+    driver-side event table) must equal the driver-fed version."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.streaming import (
+        tumbling_window_aggregate,
+        tumbling_window_aggregate_ds,
+    )
+
+    events = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    a = tumbling_window_aggregate_ds(
+        rd.from_arrow(events), key_col="event_type", ts_col="ts",
+        value_col="value", window_s=3600,
+    )
+    b = tumbling_window_aggregate(
+        events.to_pandas(), key_col="event_type", ts_col="ts",
+        value_col="value", window_s=3600,
+    )
+    pd.testing.assert_frame_equal(a, b)

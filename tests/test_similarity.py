@@ -83,3 +83,24 @@ def test_ivf_deterministic(sf_dir):
     a = knn_ivf(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=5).to_pandas()
     b = knn_ivf(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=5).to_pandas()
     assert a.equals(b)
+
+
+def test_ivf_training_sample_order_independent(sf_dir):
+    """Centroid training uses a hash-sample, so a SORTED input must yield
+    the same centroids (a head sample would train on one corner of the
+    sorted space and collapse recall)."""
+    import pyarrow.parquet as pq
+
+    from ai_service_ocr_grading_handler_ray.stages.similarity import (
+        build_ivf_assignments,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    # sort by the first embedding coordinate — worst case for head sampling
+    first = [v[0] for v in tbl["embedding"].to_pylist()]
+    order = np.argsort(np.asarray(first), kind="stable")
+    sorted_tbl = tbl.take(order.tolist())
+
+    c_orig, _ = build_ivf_assignments(rd.from_arrow(tbl), n_lists=8)
+    c_sorted, _ = build_ivf_assignments(rd.from_arrow(sorted_tbl), n_lists=8)
+    np.testing.assert_allclose(c_orig, c_sorted)
