@@ -26,7 +26,11 @@ import pyarrow as pa
 
 from ..config import DEFAULT_POLICY, get_policy
 from ..payloads import decode_pdf_glyphs
-from .html_extract import extract_html_fast, extract_html_with_title
+from .html_extract import (
+    extract_html_fast,
+    extract_html_fused,
+    extract_html_with_title,
+)
 from .ocr import OcrEngine
 from .pdf_layout import parse_pdf_layout
 
@@ -50,7 +54,7 @@ class ExtractActor:
         min_len: int | None = None,
         max_link_pct: int | None = None,
         task: str = "extract",
-        html_engine: str = "fast",
+        html_engine: str = "fused",
         ocr_engine_factory: type[OcrEngine] | None = None,
     ) -> None:
         # warm engine state, once per actor.  The factory hook lets a real
@@ -60,11 +64,15 @@ class ExtractActor:
         self.task = task
         self._override = (min_len, max_link_pct)
         self._policy_cache: dict[str, tuple[int, int]] = {}
-        # "fast" = regex scanner; "stdlib" = html.parser tokenizer.
-        # Byte-identical outputs (equivalence-tested over the corpus).
-        self._extract_html = (
-            extract_html_fast if html_engine == "fast" else extract_html_with_title
-        )
+        # "fused" = single-function tokenizer+classifier (fewest
+        # allocations — default); "fast" = regex scanner driving the
+        # collector; "stdlib" = html.parser tokenizer.  Byte-identical
+        # outputs (equivalence-tested over the corpus).
+        self._extract_html = {
+            "fused": extract_html_fused,
+            "fast": extract_html_fast,
+            "stdlib": extract_html_with_title,
+        }[html_engine]
 
     def _params_for(self, lang: str) -> tuple[int, int]:
         if self._override != (None, None):
@@ -107,7 +115,9 @@ class ExtractActor:
             if "lang" in batch.column_names
             else [""] * len(batch)
         )
-        payloads = batch["html"]
+        # one vectorized column conversion beats n per-row scalar
+        # .as_py() round-trips (each allocates an Arrow scalar wrapper)
+        payloads = batch["html"].to_pylist()
         n = len(batch)
         texts: list[str] = [""] * n
         titles: list[str] = [""] * n
@@ -115,8 +125,7 @@ class ExtractActor:
         statuses: list[str] = ["error"] * n
         digests: list[str] = [""] * n
         for i in range(n):
-            # .as_py() copies only this row's payload out of the Arrow buffer
-            payload = payloads[i].as_py() or b""
+            payload = payloads[i] or b""
             text, nb, st, title = self._extract_one(kinds[i], payload, langs[i] or "")
             texts[i] = text
             titles[i] = title

@@ -80,6 +80,7 @@ def test_fast_engine_equivalent_on_corpus():
     from ai_service_ocr_grading_handler_ray.stages.classify import classify_payload_kind
     from ai_service_ocr_grading_handler_ray.stages.html_extract import (
         extract_html_fast,
+        extract_html_fused,
         extract_html_with_title,
     )
     from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
@@ -89,7 +90,9 @@ def test_fast_engine_equivalent_on_corpus():
     n = 0
     for payload, kind in zip(pages["html"].to_pylist(), pages["payload_kind"].to_pylist()):
         if kind == "html":
-            assert extract_html_fast(payload) == extract_html_with_title(payload)
+            ref = extract_html_with_title(payload)
+            assert extract_html_fast(payload) == ref
+            assert extract_html_fused(payload) == ref
             n += 1
     assert n > 390
 
@@ -114,3 +117,33 @@ def test_fast_engine_handles_tricky_html():
     assert fast[2] == "T & U"
     assert CONTENT_B not in fast[0]  # promo class dropped
     assert "<tag>" in fast[0]  # entities decoded
+
+
+def test_fused_engine_equivalent_on_tricky_fragments():
+    """The fused engine must match both other engines on structurally
+    nasty fragments: self-closing blocks, raw-text elements, uppercase
+    tags, unterminated script, boilerplate-attr inline tags."""
+    from ai_service_ocr_grading_handler_ray.stages.html_extract import (
+        extract_html_fast,
+        extract_html_fused,
+        extract_html_with_title,
+    )
+
+    frags = [
+        '<div class="ad"/><p>Self closing block tags here with enough text to pass easily.</p>',
+        '<nav><a href="/">home</a></nav><P CLASS="x">Uppercase tags with plenty of verbose content kept.</P>',
+        "<textarea>not <b>parsed</b> here</textarea><p>After textarea a long enough paragraph remains.</p>",
+        "<head><textarea>hidden?</textarea></head><p>Body text long enough to be kept by the extractor.</p>",
+        "<p>Unterminated <script>alert(1)",
+        "<title>only a title</title>",
+        "<p>a &lt; b &amp; c &gt; d plus padding text to be over the limit okay here.</p><br><p>next</p>",
+        '<svg><text>vector text</text></svg><p>Past the svg we keep this adequately long paragraph.</p>',
+        '<DIV Role="Navigation breadcrumb">crumbs</DIV><p>Content after the breadcrumb is still kept fine.</p>',
+        "",
+        "<p></p><p>   </p><p>Spaces then a real paragraph with sufficient length to be retained here.</p>",
+        '<span id="social-share">x</span><p>An inline boiler attr marks the whole current block as boiler.</p>',
+    ]
+    for f in frags:
+        ref = extract_html_with_title(f)
+        assert extract_html_fast(f) == ref, f[:60]
+        assert extract_html_fused(f) == ref, f[:60]
