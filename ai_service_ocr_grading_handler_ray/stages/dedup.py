@@ -182,15 +182,14 @@ def _pairs_from_sorted_ids(ids: list) -> tuple[list, list]:
 NUM_GROUP_PARTS = 32
 
 
-def candidate_pairs_dataset(
+def raw_candidate_pairs(
     band_ds: rd.Dataset, id_col: str, *, cap: int = PAIR_CAP,
     num_parts: int = NUM_GROUP_PARTS,
 ) -> rd.Dataset:
-    """(band_id, bucket, id) Dataset → deduplicated candidate-pair Dataset
-    (a, b), a < b.  Pair generation runs inside a groupby over salted
-    bucket partitions — the band table never touches the driver.  The same
-    pair can surface in several bands; a count-aggregate groupby keeps one
-    copy so the verifier runs each pair once."""
+    """(band_id, bucket, id) Dataset → candidate-pair Dataset (a, b),
+    a < b, possibly with cross-band duplicates.  Pair generation runs
+    inside a groupby over salted bucket partitions — the band table never
+    touches the driver."""
 
     def add_part(t: pa.Table) -> pa.Table:
         part = (t["bucket"].to_numpy(zero_copy_only=False) % num_parts).astype(np.int32)
@@ -217,12 +216,21 @@ def candidate_pairs_dataset(
             {"a": pd.Series(out_a, dtype=dtype), "b": pd.Series(out_b, dtype=dtype)}
         )
 
-    pairs = (
+    return (
         band_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(emit_pairs, batch_format="pandas")
     )
-    # dedupe across bands: count-aggregate is cheaper than per-group heads
+
+
+def candidate_pairs_dataset(
+    band_ds: rd.Dataset, id_col: str, *, cap: int = PAIR_CAP,
+    num_parts: int = NUM_GROUP_PARTS,
+) -> rd.Dataset:
+    """Deduplicated candidate-pair Dataset (a, b): raw pairs + a
+    count-aggregate groupby keeping one copy per (a, b) so the verifier
+    runs each pair once (the same pair surfaces once per agreeing band)."""
+    pairs = raw_candidate_pairs(band_ds, id_col, cap=cap, num_parts=num_parts)
     deduped = pairs.groupby(["a", "b"]).aggregate(rd.aggregate.Count(alias_name="_n"))
     return deduped.map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow"
@@ -237,7 +245,7 @@ def verify_pairs_jaccard(
     text_col: str,
     ngram: int = 3,
     threshold: float = 0.7,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Attach both texts to each candidate pair via two hash joins, then
     Jaccard-verify inside map_batches → verified edge Dataset (a, b).
@@ -246,6 +254,14 @@ def verify_pairs_jaccard(
     driver-side texts_by_id dict.  The first join is materialized before
     the second is built: Ray 2.49's join operator fails when one lazy
     dataset feeds two joins in a single DAG."""
+    if num_partitions is None:
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(8, cpus // 4))
     texts = ds.select_columns([id_col, text_col])
     ta = texts.map_batches(
         lambda t: pa.table({"_ida": t[id_col], "_ta": t[text_col]}),
@@ -295,6 +311,12 @@ def _clusters_from_edges(edges: pa.Table, ids: list, id_col: str) -> pa.Table:
     )
 
 
+# below this many candidate pairs the broadcast-verify branch wins (its
+# driver memory is bounded by the PAIR count, never the dataset size);
+# above it the shuffled join-verify branch keeps every task bounded
+SMALL_PAIR_LIMIT = 100_000
+
+
 def minhash_lsh_edges(
     ds: rd.Dataset,
     *,
@@ -305,25 +327,73 @@ def minhash_lsh_edges(
     threshold: float = 0.7,
 ) -> pa.Table:
     """Distributed MinHash-LSH: signatures+banding (map_batches) → pair
-    generation (groupby(band, bucket).map_groups) → Jaccard verify (joins
-    + map_batches) → the verified edge table (the only driver pull)."""
+    generation (groupby over salted bucket partitions) → Jaccard verify →
+    the verified edge table (the only driver pull).
+
+    Verify strategy is adaptive, like a broadcast-vs-shuffle join: with
+    few candidate pairs, the needed texts (≤ 2×pairs rows) are fetched by
+    a distributed filter and verified on the driver; with many, texts are
+    joined onto pairs and verified inside map_batches.  Both branches keep
+    driver memory bounded by the pair count."""
     import ray
 
     def band_stage(batch: pa.Table) -> pa.Table:
         return minhash_band_rows(batch, id_col, text_col, ngram, bands)
 
+    id_type = pa.int64()
+    for f in ds.schema().base_schema:
+        if f.name == id_col:
+            id_type = f.type
+    empty = pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
+
     band_ds = ds.map_batches(band_stage, batch_format="pyarrow")
-    pairs = candidate_pairs_dataset(band_ds, id_col).materialize()
+    pairs_raw = raw_candidate_pairs(band_ds, id_col).materialize()
+    n_raw = pairs_raw.count()
+    if n_raw == 0:
+        return empty
+
+    if n_raw <= SMALL_PAIR_LIMIT:
+        # broadcast branch: dedupe the (tiny) pair table on the driver,
+        # pull only the texts those pairs reference via a distributed
+        # filter, verify locally
+        ptbl = pa.concat_tables(
+            [b for b in ray.get(pairs_raw.to_arrow_refs()) if b.num_rows]
+        )
+        pair_list = sorted(set(zip(ptbl["a"].to_pylist(), ptbl["b"].to_pylist())))
+        need = {i for p in pair_list for i in p}
+        need_ref = ray.put(need)
+
+        def filt(t: pa.Table) -> pa.Table:
+            ns = ray.get(need_ref)
+            mask = pa.array([v in ns for v in t[id_col].to_pylist()])
+            return pa.table({id_col: t[id_col], text_col: t[text_col]}).filter(mask)
+
+        texts_by_id: dict = {}
+        for blk in ray.get(ds.map_batches(filt, batch_format="pyarrow").to_arrow_refs()):
+            for i, t in zip(blk[id_col].to_pylist(), blk[text_col].to_pylist()):
+                texts_by_id[i] = t or ""
+        kept = [
+            (a, b)
+            for a, b in pair_list
+            if ngram_jaccard(texts_by_id[a], texts_by_id[b], ngram) >= threshold
+        ]
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in kept], type=id_type),
+                "b": pa.array([p[1] for p in kept], type=id_type),
+            }
+        )
+
+    # scale branch: dedupe via count-agg groupby, verify via joins
+    deduped = pairs_raw.groupby(["a", "b"]).aggregate(
+        rd.aggregate.Count(alias_name="_n")
+    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     verified = verify_pairs_jaccard(
-        pairs, ds, id_col=id_col, text_col=text_col, ngram=ngram, threshold=threshold
+        deduped, ds, id_col=id_col, text_col=text_col, ngram=ngram, threshold=threshold
     )
     blocks = [b for b in ray.get(verified.to_arrow_refs()) if b.num_rows]
     if not blocks:
-        id_type = pa.int64()
-        for f in ds.schema().base_schema:
-            if f.name == id_col:
-                id_type = f.type
-        return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
+        return empty
     return pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
 
 

@@ -138,3 +138,14 @@ def test_label_propagation_chain():
     out = propagate_min_labels(edges, [1, 2, 3, 4, 5])
     cl = dict(zip(out["id"].to_pylist(), out["cluster_id"].to_pylist()))
     assert cl == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_minhash_scale_branch_matches_broadcast_branch(monkeypatch):
+    """The join-verify scale branch (forced via SMALL_PAIR_LIMIT=0) must
+    produce the same clusters as the adaptive broadcast branch."""
+    from ai_service_ocr_grading_handler_ray.stages import dedup as D
+
+    small = minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
+    monkeypatch.setattr(D, "SMALL_PAIR_LIMIT", 0)
+    big = D.minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
+    assert small.to_pydict() == big.to_pydict()
