@@ -141,46 +141,68 @@ def knn_lsh(
         probe_sets.append(codes)
     all_probe = set().union(*probe_sets) if probe_sets else set()
 
-    def bucket_filter(batch: pa.Table) -> pa.Table:
+    q_unit = _normalize(queries)
+    probe_ref = ray.put((q_unit, [np.array(sorted(s)) for s in probe_sets],
+                         np.array(sorted(all_probe))))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        """Filter to probed buckets and emit each query's LOCAL top-k —
+        the driver merge sees only k × n_batches rows, never the probed
+        rows themselves (scale fix: round-1 collected every probed row)."""
+        qm, psets, probe_all = ray.get(probe_ref)
         vecs = _as_matrix(batch[vec_col])
         codes = lsh_code(vecs, n_planes)
-        mask = np.isin(codes, list(all_probe))
-        tbl = batch.filter(pa.array(mask))
-        return tbl.append_column("_code", pa.array(codes[mask]))
+        mask = np.isin(codes, probe_all)
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int32()),
+                 id_col: pa.array([], type=batch[id_col].type),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        vecs = _normalize(vecs[mask])
+        ids = np.asarray(batch[id_col].to_pylist())[mask]
+        codes = codes[mask]
+        out_q: list[int] = []
+        out_id: list = []
+        out_s: list[float] = []
+        for qi in range(qm.shape[0]):
+            qmask = np.isin(codes, psets[qi])
+            if not qmask.any():
+                continue
+            sims = vecs[qmask] @ qm[qi]
+            sub_ids = ids[qmask]
+            order = np.lexsort((sub_ids, -sims))[: min(k, sims.size)]
+            out_q.extend([qi] * len(order))
+            out_id.extend(sub_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=batch[id_col].type),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
 
-    filtered = pa.concat_tables(
-        ray.get(ds.map_batches(bucket_filter, batch_format="pyarrow").to_arrow_refs())
-    )
-    if filtered.num_rows == 0:
+    cand_blocks = [
+        b
+        for b in ray.get(
+            ds.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not cand_blocks:
         return pa.table(
             {"query_id": pa.array([], type=pa.int32()),
              id_col: pa.array([], type=pa.int64()),
              "score": pa.array([], type=pa.float64())}
         )
-    vecs = _normalize(_as_matrix(filtered[vec_col]))
-    ids = np.asarray(filtered[id_col].to_pylist())
-    codes = np.asarray(filtered["_code"].to_pylist())
-    q_unit = _normalize(queries)
-    out_q: list[int] = []
-    out_id: list = []
-    out_s: list[float] = []
-    for qi in range(q_unit.shape[0]):
-        mask = np.isin(codes, list(probe_sets[qi]))
-        if not mask.any():
-            continue
-        sims = vecs[mask] @ q_unit[qi]
-        sub_ids = ids[mask]
-        order = np.lexsort((sub_ids, -sims))[: min(k, sims.size)]
-        out_q.extend([qi] * len(order))
-        out_id.extend(sub_ids[order].tolist())
-        out_s.extend(sims[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, type=pa.int32()),
-            id_col: pa.array(out_id),
-            "score": pa.array(out_s, type=pa.float64()),
-        }
-    )
+    cand = pa.concat_tables([b.cast(cand_blocks[0].schema) for b in cand_blocks])
+    import pandas as pd
+
+    df = cand.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # --- IVF (inverted-file) approximate search ---------------------------------
@@ -275,36 +297,62 @@ def knn_ivf(
     )
     q_unit = _normalize(queries)
     probe_lists = np.argsort(-(q_unit @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    wanted = np.unique(probe_lists)
+    probe_ref = ray.put((q_unit, probe_lists, np.unique(probe_lists)))
 
-    def bucket_filter(batch: pa.Table) -> pa.Table:
-        mask = np.isin(np.asarray(batch["ivf_list"].to_pylist()), wanted)
-        return batch.filter(pa.array(mask))
-
-    filtered = pa.concat_tables(
-        ray.get(assigned.map_batches(bucket_filter, batch_format="pyarrow").to_arrow_refs())
-    )
-    out_q: list[int] = []
-    out_id: list = []
-    out_s: list[float] = []
-    if filtered.num_rows:
-        vecs = _normalize(_as_matrix(filtered[vec_col]))
-        ids = np.asarray(filtered[id_col].to_pylist())
-        lists = np.asarray(filtered["ivf_list"].to_pylist())
-        for qi in range(q_unit.shape[0]):
-            mask = np.isin(lists, probe_lists[qi])
-            if not mask.any():
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        """Per-batch local top-k over probed lists — only k × n_batches
+        candidate rows reach the driver merge (scale fix: round-1
+        collected every probed-list row)."""
+        qm, plists, wanted = ray.get(probe_ref)
+        lists = np.asarray(batch["ivf_list"].to_pylist())
+        mask = np.isin(lists, wanted)
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int32()),
+                 id_col: pa.array([], type=batch[id_col].type),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        vecs = _normalize(_as_matrix(batch[vec_col])[mask])
+        ids = np.asarray(batch[id_col].to_pylist())[mask]
+        lists = lists[mask]
+        out_q: list[int] = []
+        out_id: list = []
+        out_s: list[float] = []
+        for qi in range(qm.shape[0]):
+            qmask = np.isin(lists, plists[qi])
+            if not qmask.any():
                 continue
-            sims = vecs[mask] @ q_unit[qi]
-            sub = ids[mask]
+            sims = vecs[qmask] @ qm[qi]
+            sub = ids[qmask]
             order = np.lexsort((sub, -sims))[: min(k, sims.size)]
             out_q.extend([qi] * len(order))
             out_id.extend(sub[order].tolist())
             out_s.extend(sims[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, type=pa.int32()),
-            id_col: pa.array(out_id),
-            "score": pa.array(out_s, type=pa.float64()),
-        }
-    )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id, type=batch[id_col].type),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand_blocks = [
+        b
+        for b in ray.get(
+            assigned.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not cand_blocks:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int32()),
+             id_col: pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}
+        )
+    cand = pa.concat_tables([b.cast(cand_blocks[0].schema) for b in cand_blocks])
+    import pandas as pd
+
+    df = cand.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
