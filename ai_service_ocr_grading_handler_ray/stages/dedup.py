@@ -602,14 +602,18 @@ def embedding_cosine_clusters(
 
 
 def propagate_min_labels(
-    edges: pa.Table, ids: list, *, max_rounds: int = 20, num_partitions: int = 4
+    edges: pa.Table, ids: list, *, max_rounds: int = 20, num_partitions: int = 32
 ) -> pa.Table:
     """Iterative min-label propagation over an edge Dataset — the
     distributed replacement for driver union-find at 10^12-row scale
     (SURVEY.md §2.5 / ray_guide dedup notes).
 
     Each round: every edge sends each endpoint the other endpoint's
-    current label; groupby(id).min merges.  Converges in O(component
+    current label; groupby(id).min merges.  Label lookup co-locates each
+    node's label row with its half-edges via ONE salted groupby (hash of
+    the node id) and a vectorized pandas merge inside the group — round 1
+    used two Dataset.join ops per round, which paid aggregator-actor
+    startup every round and tripled wall time.  Converges in O(component
     diameter) rounds; convergence detected via the (tiny) sum-of-labels
     aggregate.  ``edges`` has columns (a, b); ids is the full id universe.
     """
@@ -619,10 +623,10 @@ def propagate_min_labels(
     if edges.num_rows == 0:
         return pa.table({"id": pa.array(ids), "cluster_id": pa.array(ids)})
     labels_tbl = pa.table({"id": pa.array(ids), "label": pa.array(ids)})
+    id_type = labels_tbl["id"].type
 
     empty = pa.table(
-        {"id": pa.array([], type=labels_tbl["id"].type),
-         "label": pa.array([], type=labels_tbl["label"].type)}
+        {"id": pa.array([], type=id_type), "label": pa.array([], type=id_type)}
     )
 
     def _collect(ds: rd.Dataset) -> pa.Table:
@@ -633,29 +637,58 @@ def propagate_min_labels(
             [b.select(["id", "label"]).cast(empty.schema) for b in blocks]
         )
 
+    def _salt(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+        v = np.abs(arr.to_numpy(zero_copy_only=False).astype(np.int64)) % num_partitions
+        return pa.array(v.astype(np.int32))
+
+    # half-edges (key, other) never change between rounds: key carries the
+    # salt; built once, reused as an Arrow table
+    half = pa.table(
+        {
+            "key": pa.concat_arrays(
+                [edges["a"].combine_chunks(), edges["b"].combine_chunks()]
+            ),
+            "other": pa.concat_arrays(
+                [edges["b"].combine_chunks(), edges["a"].combine_chunks()]
+            ),
+        }
+    )
+    half = half.append_column("_part", _salt(half["key"]))
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["other"].isna()][["key", "label"]]
+        ed = g[g["other"].notna()][["key", "other"]]
+        m = ed.merge(lab, on="key", how="inner")
+        out_id = pd.concat([lab["key"], m["other"]], ignore_index=True)
+        out_label = pd.concat([lab["label"], m["label"]], ignore_index=True)
+        return pd.DataFrame(
+            {"id": out_id.astype("int64"), "label": out_label.astype("int64")}
+        )
+
     prev_sig = None
     for _ in range(max_rounds):
-        # one join per endpoint, each its own execution (a shared lazy
-        # input feeding two hash-join operators trips Ray 2.49's join op)
-        msgs: list[pa.Table] = [labels_tbl]
-        for key, other in (("a", "b"), ("b", "a")):
-            joined = rd.from_arrow(edges).join(
-                rd.from_arrow(labels_tbl),
-                join_type="inner",
-                num_partitions=num_partitions,
-                on=(key,),
-                right_on=("id",),
-            )
-            sent = joined.map_batches(
-                lambda t, other=other: pa.table({"id": t[other], "label": t["label"]}),
-                batch_format="pyarrow",
-            )
-            msgs.append(_collect(sent))
-        merged = (
-            rd.from_arrow(pa.concat_tables(msgs))
-            .groupby("id")
-            .aggregate(_Min("label", alias_name="label"))
+        lab_part = pa.table(
+            {
+                "key": labels_tbl["id"],
+                "other": pa.nulls(labels_tbl.num_rows, type=id_type),
+                "label": labels_tbl["label"],
+                "_part": _salt(labels_tbl["id"]),
+            }
         )
+        ed_part = pa.table(
+            {
+                "key": half["key"],
+                "other": half["other"],
+                "label": pa.nulls(half.num_rows, type=id_type),
+                "_part": half["_part"],
+            }
+        )
+        msgs = (
+            rd.from_arrow([lab_part, ed_part])
+            .groupby("_part")
+            .map_groups(send, batch_format="pandas")
+        )
+        merged = msgs.groupby("id").aggregate(_Min("label", alias_name="label"))
         labels_tbl = _collect(merged)
         sig = pc.sum(labels_tbl["label"]).as_py()
         if sig == prev_sig:

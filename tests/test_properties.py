@@ -78,6 +78,54 @@ def test_fast_extractor_total_on_arbitrary_bytes(payload):
     assert isinstance(a[0], str) and a[1] >= 0
 
 
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_fused_extractor_total_and_equivalent_on_arbitrary_bytes(payload):
+    """The fused engine never raises on ANY bytes and matches the
+    scanner engine exactly (differential fuzz)."""
+    from ai_service_ocr_grading_handler_ray.stages.html_extract import (
+        extract_html_fast,
+        extract_html_fused,
+    )
+
+    assert extract_html_fused(payload) == extract_html_fast(payload)
+
+
+# markup-shaped fuzz: random tag soup exercises the state machines far
+# harder than raw bytes (which rarely parse as tags at all)
+_tag_soup = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>", "<a href='x'>",
+                "</a>", "<br>", "<script>", "</script>", "<title>", "</title>",
+                "<textarea>", "</textarea>", "<span class='menu'>", "</span>",
+                "<DIV ID='sidebar'>", "<li/>", "<!-- c -->", "<head>", "</head>",
+                "<p", ">", "&amp;", "&lt;",
+            ]
+        ),
+        st.text(alphabet=string.ascii_lowercase + " ", min_size=1, max_size=24),
+    ),
+    min_size=0,
+    max_size=60,
+).map("".join)
+
+
+@given(_tag_soup)
+@settings(max_examples=300, deadline=None)
+def test_fused_extractor_equivalent_on_tag_soup(doc):
+    """fused == fast on arbitrary tag soup.  The stdlib engine is only
+    corpus-equivalent: html.parser does not treat <title> as RCDATA, so
+    pathological unterminated titles ('<title><p>') differ there — a
+    documented html.parser limitation, not an engine bug."""
+    from ai_service_ocr_grading_handler_ray.stages.html_extract import (
+        extract_html_fast,
+        extract_html_fused,
+    )
+
+    assert extract_html_fused(doc) == extract_html_fast(doc)
+
+
 @given(
     st.lists(
         st.tuples(
