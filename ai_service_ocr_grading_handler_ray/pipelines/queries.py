@@ -1453,6 +1453,168 @@ def q40_host_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus/text index operators (round 2 additions)
+# --------------------------------------------------------------------------
+
+
+def _tokens(text: str) -> list[str]:
+    return (text or "").lower().split()
+
+
+def q75_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build: token → document-frequency + first-10
+    postings.  (token, doc_id) pairs distinct-ed per doc inside
+    map_batches; the groupby(token) shuffle carries only pairs.  Tokens
+    with df < 20 pruned (both sides) to bound the output."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        dids: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for tok in set(_tokens(t)):
+                toks.append(tok)
+                dids.append(d)
+        return pa.table(
+            {"token": pa.array(toks, type=pa.string()),
+             "doc_id": pa.array(dids, type=pa.int64())}
+        )
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 20:
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=str), "df": pd.Series(dtype="int64"),
+                 "postings": pd.Series(dtype=str)}
+            )
+        ids = sorted(g["doc_id"].tolist())
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": pd.Series([len(ids)], dtype="int64"),
+                "postings": [",".join(str(i) for i in ids[:10])],
+            }
+        )
+
+    df = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(postings, batch_format="pandas")
+        .to_pandas()
+    )
+    return _finalize(df)
+
+
+def q76_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level top-20 word bigrams: per-batch partial counts
+    (map-side combine) → groupby sum → distributed sort + limit."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        counts: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            w = _tokens(t)
+            counts.update(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1))
+        return pa.table(
+            {"bigram": pa.array(list(counts.keys()), type=pa.string()),
+             "n": pa.array(list(counts.values()), type=pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return _finalize(out[["bigram", "n"]])
+
+
+def q77_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic uniform k-sample without replacement: the 64 docs
+    with the smallest md5(doc_id) — per-batch partial top-k, tiny driver
+    merge (cluster-size- and order-independent membership)."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    k = 64
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [_hl.md5(str(i).encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: (hs[j], ids[j]))[:k]
+        return pa.table(
+            {"doc_id": pa.array([ids[j] for j in order], type=pa.int64()),
+             "h": pa.array([hs[j] for j in order], type=pa.string())}
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["h", "doc_id"], kind="mergesort").head(k)
+    return _finalize(cand.reset_index(drop=True))
+
+
+def q78_tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+    """Per-document top term by tf-idf.  Pass 1: document frequencies via
+    distinct (token, doc) pairs + groupby (vocabulary-sized result,
+    broadcast via ray.put — natural-language vocab is bounded, documented
+    scale assumption).  Pass 2: per-doc scoring inside map_batches (no
+    per-doc shuffle: each doc's terms score locally)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_docs = ds.count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks, dids = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for tok in set(_tokens(t)):
+                toks.append(tok)
+                dids.append(d)
+        return pa.table(
+            {"token": pa.array(toks, type=pa.string()),
+             "doc_id": pa.array(dids, type=pa.int64())}
+        )
+
+    df_tbl = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import collections
+
+        dfm = ray.get(df_ref)
+        out_d, out_t = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            w = _tokens(t)
+            if not w:
+                continue
+            tf = collections.Counter(w)
+            best_term, best_score = None, None
+            for term in tf:
+                s = tf[term] * math.log(float(n_docs) / dfm[term])
+                if best_score is None or s > best_score or (
+                    s == best_score and term < best_term
+                ):
+                    best_term, best_score = term, s
+            out_d.append(d)
+            out_t.append(best_term)
+        return pa.table(
+            {"doc_id": pa.array(out_d, type=pa.int64()),
+             "top_term": pa.array(out_t, type=pa.string())}
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _finalize(out)
+
+
+# --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
 
@@ -1539,6 +1701,10 @@ QUERIES = {
     "q61_set_ops": q61_set_ops,
     "q62_weighted_avg": q62_weighted_avg,
     "q63_percentiles": q63_percentiles,
+    "q75_inverted_index": q75_inverted_index,
+    "q76_top_bigrams": q76_top_bigrams,
+    "q77_hash_sample": q77_hash_sample,
+    "q78_tfidf_top_term": q78_tfidf_top_term,
 }
 
 ORACLE_SQL = {
@@ -1939,5 +2105,52 @@ ORACLE_SQL = {
                  ' ') AS ocr_text,
                '{"k": ' || CAST(doc_id % 5 AS VARCHAR) || '}' AS json_block
         FROM documents
+    """,
+    "q75_inverted_index": """
+        WITH p AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+          FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS postings
+        FROM p GROUP BY token HAVING count(*) >= 20
+    """,
+    "q76_top_bigrams": """
+        WITH w AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), b AS (
+          SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+          FROM w
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+    "q77_hash_sample": """
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q78_tfidf_top_term": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term
+        ), nd AS (
+          SELECT count(*) AS n FROM documents
+        ), s AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term AS top_term FROM (
+          SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+          FROM s
+        ) WHERE rn = 1
     """,
 }
