@@ -547,7 +547,9 @@ def embedding_cosine_clusters(
     ds = ds.materialize()
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        from .similarity import _as_matrix  # lazy: avoids module cycle
+
+        vecs = _as_matrix(batch[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
