@@ -49,10 +49,22 @@ def curate_pages(
         lambda t: add_canonical_url(t, url_col="url"), batch_format="pyarrow"
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["warc_ts", "content_sha256"], kind="mergesort").head(1)
+    from ..stages.dedup import add_key_partition
 
-    deduped = with_canon.groupby("canonical_url").map_groups(first, batch_format="pandas")
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["warc_ts", "content_sha256"], kind="mergesort")
+            .drop_duplicates(subset=["canonical_url"], keep="first")
+            .drop(columns=["_part"])
+        )
+
+    deduped = (
+        with_canon.map_batches(
+            lambda t: add_key_partition(t, "canonical_url"), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(first, batch_format="pandas")
+    )
 
     def enrich(t: pa.Table) -> pa.Table:
         t = add_redacted(t, text_col="extracted_text", out="curated_text")

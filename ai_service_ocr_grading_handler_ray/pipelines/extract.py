@@ -94,15 +94,28 @@ def extract_pages(
 
 def dedup_pages_by_url(pages: rd.Dataset) -> rd.Dataset:
     """North-rule exact dedup by url: Common-Crawl-style inputs repeat
-    urls across snapshots (SURVEY.md §2.5).  Hash shuffle on url; the
-    deterministic winner is the earliest snapshot (min warc_ts, then min
-    content for exact ties)."""
+    urls across snapshots (SURVEY.md §2.5).  One hash shuffle on a salted
+    url partition; inside each partition a stable sort +
+    drop_duplicates handles every url vectorized.  Deterministic winner =
+    earliest snapshot (min warc_ts, then min content for exact ties)."""
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["warc_ts", "text"], kind="mergesort").head(1)
+    from ..stages.dedup import add_key_partition
 
-    return pages.groupby("url").map_groups(first, batch_format="pandas")
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["warc_ts", "text"], kind="mergesort")
+            .drop_duplicates(subset=["url"], keep="first")
+            .drop(columns=["_part"])
+        )
+
+    return (
+        pages.map_batches(
+            lambda t: add_key_partition(t, "url"), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(first, batch_format="pandas")
+    )
 
 
 def flagship(sf_dir: str, **kwargs) -> rd.Dataset:

@@ -150,7 +150,11 @@ def q19_events_type_stats(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
-    """Large-large hash join (Dataset.join) + grouped agg + top-k."""
+    """Grouped revenue + top-k, join LAST: per-order revenue via map-side
+    combine + groupby, global top-10 via distributed sort+limit, and only
+    those 10 keys fetch their dimension row — the scale-smart plan (a
+    large-large join before the limit would shuffle every order row for
+    10 survivors)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_revenue(batch: pa.Table) -> pa.Table:
@@ -161,26 +165,51 @@ def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
         return t.group_by("l_orderkey").aggregate([("rev", "sum")])
 
-    try:
-        n_shuffle = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        n_shuffle = 8
-    per_order = (
-        li.map_batches(partial_revenue, batch_format="pyarrow", batch_size=65536)
-        # pre-shuffle block split: the sort-based groupby parallelizes per
-        # input block; 32 blocks measured ~35% faster than default
-        .repartition(n_shuffle)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    from ..stages.skew import partitioned_sum
+
+    # high-cardinality (one group per order) → partitioned vectorized agg
+    per_order = partitioned_sum(
+        li.map_batches(partial_revenue, batch_format="pyarrow", batch_size=65536),
+        "l_orderkey",
+        "rev_sum",
+        out_col="revenue",
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = per_order.join(
-        orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",)
+
+    def local_top10(t: pa.Table) -> pa.Table:
+        # round BEFORE the top-k: the oracle orders by the rounded value,
+        # and rounding can create ties the o_orderkey tie-break must see.
+        # Partial top-10 per block: the driver merge sees 10 × n_blocks
+        # rows instead of a global sort.
+        r = _round_half_away(t["revenue"].to_numpy(zero_copy_only=False), 2)
+        keys_np = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys_np, -r))[:10]
+        return pa.table(
+            {"l_orderkey": pa.array(keys_np[order]), "revenue": pa.array(r[order])}
+        )
+
+    top = (
+        per_order.map_batches(local_top10, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
     )
-    df = joined.to_pandas()
-    df["revenue"] = _round_half_away(df["revenue"].to_numpy(), 2)
-    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    df = df.rename(columns={"l_orderkey": "o_orderkey"})[
+    keys = set(top["l_orderkey"])
+    prio_tbl = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+            .map_batches(
+                lambda t: t.filter(
+                    pa.array([k in keys for k in t["o_orderkey"].to_pylist()])
+                ),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+    ).to_pandas()
+    df = top.rename(columns={"l_orderkey": "o_orderkey"}).merge(
+        prio_tbl, on="o_orderkey", how="inner"
+    )
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True])[
         ["o_orderkey", "o_orderpriority", "revenue"]
     ]
     return _finalize(df)

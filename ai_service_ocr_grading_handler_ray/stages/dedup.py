@@ -69,14 +69,55 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
     return batch.append_column(out, pa.array(hashes, type=pa.string()))
 
 
-def exact_dedup(ds: rd.Dataset, key: str, order_by: str) -> rd.Dataset:
+def add_key_partition(
+    batch: pa.Table, key: str, *, num_parts: int = 32, out: str = "_part"
+) -> pa.Table:
+    """Append hash(key) % num_parts — the coarse co-location column used
+    by every high-cardinality groupby here (one Ray group per partition,
+    vectorized pandas inside, instead of millions of tiny Ray groups)."""
+    col = batch[key]
+    if pa.types.is_integer(col.type):
+        part = (
+            np.abs(col.to_numpy(zero_copy_only=False).astype(np.int64)) % num_parts
+        ).astype(np.int32)
+        arr = pa.array(part)
+    else:
+        arr = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(str(v).encode(), digest_size=2).digest(), "big"
+                )
+                % num_parts
+                for v in col.to_pylist()
+            ],
+            type=pa.int32(),
+        )
+    return batch.append_column(out, arr)
+
+
+def exact_dedup(
+    ds: rd.Dataset, key: str, order_by: str, *, num_parts: int = 32
+) -> rd.Dataset:
     """Keep the first row per ``key`` ordered by ``order_by`` (deterministic
-    winner).  groupby = hash shuffle on key; per-group work is O(group)."""
+    winner).  One hash shuffle on a salted partition of ``key``; inside
+    each partition a stable sort + ``drop_duplicates(keep='first')``
+    handles every key vectorized (no per-key group overhead)."""
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_by, kind="mergesort").head(1)
+        return (
+            g.sort_values(order_by, kind="mergesort")
+            .drop_duplicates(subset=[key], keep="first")
+            .drop(columns=["_part"])
+        )
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    return (
+        ds.map_batches(
+            lambda t: add_key_partition(t, key, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(first, batch_format="pandas")
+    )
 
 
 # --- MinHash ----------------------------------------------------------------
