@@ -220,24 +220,28 @@ def _broadcast_map(sf_dir: str, table: str, key: str, val: str) -> dict:
     return dict(zip(tbl[key].to_pylist(), tbl[val].to_pylist()))
 
 
+_BROADCAST_CACHE: dict[str, dict] = {}
+
+
 def q05_orders_by_segment(sf_dir: str) -> pd.DataFrame:
-    """Broadcast map-side join (small dim via ray.put) + grouped agg."""
+    """Broadcast map-side join (small dim via ray.put) + grouped agg.
+    Stateless tasks with a per-worker cache of the deserialized dict
+    (keyed by the object ref) — actor-pool spin-up dominated this short
+    stage, and Ray workers persist across tasks so the cache stays warm."""
     seg_map_ref = ray.put(_broadcast_map(sf_dir, "customer", "c_custkey", "c_mktsegment"))
+    ref_key = seg_map_ref.hex()
 
-    class AddSegment:
-        def __init__(self, ref) -> None:
-            self.seg = ray.get(ref)  # fetched once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+    def add_segment(batch: pa.Table) -> pa.Table:
+        seg = _BROADCAST_CACHE.get(ref_key)
+        if seg is None:
+            seg = _BROADCAST_CACHE[ref_key] = ray.get(seg_map_ref)
+        segs = [seg.get(k) for k in batch["o_custkey"].to_pylist()]
+        return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        AddSegment,
-        fn_constructor_kwargs={"ref": seg_map_ref},
+        add_segment,
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=_pool(4),
     )
     out = (
         ds.groupby("c_mktsegment")
@@ -771,15 +775,16 @@ def q47_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event gets the latest order (by o_orderdate ≤ ts)
     of the same customer; right side pre-aggregated to one row per
     (custkey, date) for deterministic ties (oracle: DuckDB ASOF JOIN)."""
-    from ray.data.aggregate import Max as _Max
-
     from ..stages.asof import asof_join_backward
+    from ..stages.skew import partitioned_groupby
 
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(_Max("o_orderkey", alias_name="o_orderkey"))
+        partitioned_groupby(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            ["o_custkey", "o_orderdate"],
+            {"o_orderkey": ("o_orderkey", "max")},
+        )
         .map_batches(
             lambda t: pa.table(
                 {

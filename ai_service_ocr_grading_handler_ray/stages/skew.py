@@ -133,6 +133,37 @@ def partitioned_sum(
     )
 
 
+def partitioned_groupby(
+    ds: rd.Dataset,
+    keys: list[str],
+    agg_map: dict[str, tuple[str, str]],
+    *,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """General high-cardinality grouped aggregation: partition by
+    hash(keys[0]) (all rows of a composite group share it → co-located),
+    aggregate each partition with ONE vectorized pandas groupby.
+    ``agg_map``: out_col -> (src_col, op) with op ∈ {sum, max, min, count,
+    size}."""
+    from .dedup import add_key_partition
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        cols = {}
+        for out, (src, op) in agg_map.items():
+            cols[out] = getattr(gb[src], op)()
+        return pd.concat(cols, axis=1).reset_index()
+
+    return (
+        ds.map_batches(
+            lambda t: add_key_partition(t, keys[0], num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
 def host_stats(pages: rd.Dataset, salt: int = 8) -> pd.DataFrame:
     """Per-host page count + total payload bytes over the pages table,
     salted against the giant-host skew fixture."""
