@@ -80,6 +80,47 @@ def cmd_questions(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """pages parquet → curated train/eval parquet (extract → dedup →
+    redact → filter → lang-ID → split), partitioned by split."""
+    import ray.data as rd
+
+    from .pipelines.curate import curate_pages
+
+    files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [
+        args.input
+    ]
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    curated = curate_pages(
+        rd.read_parquet(files),
+        min_quality=args.min_quality,
+        max_repetition=args.max_repetition,
+    )
+    curated.write_parquet(args.out, partition_cols=["split"])
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet", partitioning="hive").count_rows()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """documents-style parquet → (id, cluster_id) near-dup clusters."""
+    import ray.data as rd
+
+    from .stages.dedup import minhash_lsh_clusters
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = minhash_lsh_clusters(
+        ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
+    )
+    rd.from_arrow(out).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out.num_rows}))
+    return 0
+
+
 def cmd_synth_pages(args: argparse.Namespace) -> int:
     """Materialize the synthetic pages table from a testdata sf dir."""
     from .pipelines.extract import build_pages_dataset
@@ -109,6 +150,21 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--input", required=True)
     pq_.add_argument("--out", required=True)
     pq_.set_defaults(fn=cmd_questions)
+
+    pc_ = sub.add_parser("curate", help="pages parquet → curated train/eval parquet")
+    pc_.add_argument("--input", required=True, help="parquet file or glob")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--min-quality", type=float, default=0.35)
+    pc_.add_argument("--max-repetition", type=float, default=0.5)
+    pc_.set_defaults(fn=cmd_curate)
+
+    pd_ = sub.add_parser("dedup", help="documents parquet → near-dup clusters parquet")
+    pd_.add_argument("--input", required=True)
+    pd_.add_argument("--out", required=True)
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--threshold", type=float, default=0.7)
+    pd_.set_defaults(fn=cmd_dedup)
 
     ps = sub.add_parser("synth-pages", help="testdata sf dir → pages parquet")
     ps.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001"))

@@ -1648,6 +1648,21 @@ def q78_tfidf_top_term(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q79_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Mergeable histogram quantile sketch over events.value (constant
+    4096-bin state, element-wise-sum merge — the scale path beside q63's
+    exact per-group quantiles).  The oracle replays the identical
+    histogram algorithm in SQL, so even this approximate operator is
+    hash-checked, not rows-only."""
+    from ..stages.sampling import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    vals = approx_quantiles(ds, "value", qs)
+    out = pd.DataFrame({"q": qs, "value": vals})
+    return _finalize(out, {"value": 6})
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -1739,6 +1754,7 @@ QUERIES = {
     "q76_top_bigrams": q76_top_bigrams,
     "q77_hash_sample": q77_hash_sample,
     "q78_tfidf_top_term": q78_tfidf_top_term,
+    "q79_quantile_sketch": q79_quantile_sketch,
 }
 
 ORACLE_SQL = {
@@ -2164,6 +2180,28 @@ ORACLE_SQL = {
     "q77_hash_sample": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q79_quantile_sketch": """
+        WITH mm AS (
+          SELECT min(value) AS lo, max(value) AS hi,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events
+        ), h AS (
+          SELECT least(greatest(CAST(floor((value - mm.lo) / (mm.hi - mm.lo) * 4096)
+                                     AS BIGINT), 0), 4095) AS b,
+                 count(*) AS cnt
+          FROM events, mm GROUP BY b
+        ), c AS (
+          SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM h
+        ), qs(q) AS (
+          VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                 (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+        )
+        SELECT qs.q AS q,
+               round(mm.lo + (least(
+                 (SELECT min(c.b) FROM c WHERE c.cum >= qs.q * (mm.n - 1) + 1),
+                 4095) + 0.5) / 4096 * (mm.hi - mm.lo), 6) AS value
+        FROM qs, mm
     """,
     "q78_tfidf_top_term": """
         WITH w AS (

@@ -116,3 +116,69 @@ def approx_count_distinct(ds: rd.Dataset, col: str) -> float:
         for s in blk["sketch"].to_pylist()
     ]
     return hll_estimate(hll_merge(sketches))
+
+
+# --- mergeable quantile sketch ----------------------------------------------
+#
+# Fixed-width histogram quantile sketch: a (tiny) min/max pre-aggregate
+# fixes the bin edges, then every batch contributes a 4096-bin count
+# vector, merged by element-wise sum — fully deterministic, associative,
+# and constant-size regardless of data volume (the scale path beside the
+# exact per-group quantiles of q63).  Rank error ≤ one bin's occupancy;
+# accuracy asserted in tests (<1% rank error on the events table).
+
+_QS_BINS = 4096
+
+
+def quantile_sketch_edges(ds: rd.Dataset, col: str) -> tuple[float, float]:
+    """Pass 1: global (min, max) via Ray's native aggregate (tiny)."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    row = ds.aggregate(_Min(col, alias_name="lo"), _Max(col, alias_name="hi"))
+    return float(row["lo"]), float(row["hi"])
+
+
+def quantile_sketch(ds: rd.Dataset, col: str) -> tuple[np.ndarray, float, float]:
+    """Pass 2: per-batch histogram counts (int64[4096]) merged by sum."""
+    lo, hi = quantile_sketch_edges(ds, col)
+    span = hi - lo or 1.0
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((v - lo) / span * _QS_BINS).astype(np.int64), 0, _QS_BINS - 1)
+        counts = np.bincount(idx, minlength=_QS_BINS)
+        return pa.table({"counts": pa.array([counts.astype(np.int64).tobytes()])})
+
+    parts = ray.get(
+        ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    )
+    total = np.zeros(_QS_BINS, dtype=np.int64)
+    for blk in parts:
+        for b in blk["counts"].to_pylist():
+            total += np.frombuffer(b, dtype=np.int64)
+    return total, lo, hi
+
+
+def quantile_estimate(
+    counts: np.ndarray, lo: float, hi: float, qs: list[float]
+) -> list[float]:
+    """Quantile values from the merged histogram (bin-midpoint rule)."""
+    n = int(counts.sum())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    cum = np.cumsum(counts)
+    span = hi - lo or 1.0
+    out = []
+    for q in qs:
+        rank = q * (n - 1)
+        b = int(np.searchsorted(cum, rank + 1))
+        b = min(b, _QS_BINS - 1)
+        out.append(lo + (b + 0.5) / _QS_BINS * span)
+    return out
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> list[float]:
+    counts, lo, hi = quantile_sketch(ds, col)
+    return quantile_estimate(counts, lo, hi, qs)

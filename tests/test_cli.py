@@ -74,3 +74,21 @@ def test_questions_command(tmp_path, capsys):
 
 def test_bad_input_glob(tmp_path, capsys):
     assert main(["extract", "--input", f"{tmp_path}/nope*.parquet", "--out", str(tmp_path / "o")]) == 2
+
+
+def test_curate_and_dedup_cli(tmp_path, sf_dir, capsys):
+    pages = tmp_path / "pages2"
+    assert main(["synth-pages", "--sf-dir", sf_dir, "--out", str(pages)]) == 0
+    capsys.readouterr()
+
+    out = tmp_path / "curated"
+    assert main(["curate", "--input", f"{pages}/*.parquet", "--out", str(out)]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] > 300
+    import os
+    assert any(d.startswith("split=") for d in os.listdir(out))
+
+    dd = tmp_path / "clusters"
+    assert main(["dedup", "--input", f"{sf_dir}/documents.parquet", "--out", str(dd)]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 500

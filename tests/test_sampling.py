@@ -63,3 +63,43 @@ def test_approx_count_distinct_on_lineitem(sf_dir):
         f"SELECT count(DISTINCT l_partkey) FROM read_parquet('{sf_dir}/lineitem.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_quantile_sketch_accuracy(sf_dir):
+    """Histogram quantile sketch: <1% rank error vs exact quantiles."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.sampling import approx_quantiles
+
+    vals = np.sort(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])["value"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    qs = [0.1, 0.5, 0.9, 0.99]
+    approx = approx_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]), "value", qs
+    )
+    n = len(vals)
+    for q, a in zip(qs, approx):
+        # rank of the approximate value vs the requested rank
+        rank = np.searchsorted(vals, a) / n
+        assert abs(rank - q) < 0.01, (q, a, rank)
+
+
+def test_quantile_sketch_associative(sf_dir):
+    """Merging per-batch histograms is order-insensitive: two different
+    batch sizes give the identical merged sketch."""
+    import numpy as np
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.sampling import quantile_sketch
+
+    ds1 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds2 = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]).repartition(7)
+    c1, lo1, hi1 = quantile_sketch(ds1, "value")
+    c2, lo2, hi2 = quantile_sketch(ds2, "value")
+    assert (lo1, hi1) == (lo2, hi2)
+    assert np.array_equal(c1, c2)
