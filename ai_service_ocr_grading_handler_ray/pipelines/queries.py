@@ -369,27 +369,37 @@ def q11_events_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def q12_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
-    """Gap-based sessionization: groupby(user) → per-group sorted scan
-    (SURVEY.md §2.8 streaming-shaped workload; ordering assumption:
-    (ts, event_id) within user)."""
+    """Gap-based sessionization (SURVEY.md §2.8 streaming-shaped
+    workload): one hash shuffle over salted user partitions; inside each
+    partition EVERY user sessionizes in one vectorized pass (sort by
+    (user, ts, event_id), per-user diff + cumsum) — no per-user group
+    overhead."""
+    from ..stages.dedup import add_key_partition
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff().dt.total_seconds()
-        sid = (gap.isna() | (gap > gap_s)).cumsum().astype(np.int64)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        new_s = gap.isna() | (gap > gap_s)
+        sid_global = new_s.cumsum()
+        sid = (
+            sid_global - sid_global.groupby(g["user_id"], sort=False).transform("first") + 1
+        ).astype(np.int64)
         out = (
             g.assign(session_id=sid)
-            .groupby("session_id", sort=True)
+            .groupby(["user_id", "session_id"], sort=True)
             .agg(n_events=("event_id", "size"))
             .reset_index()
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
     return _finalize(
-        ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+        ds.map_batches(lambda t: add_key_partition(t, "user_id"), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
     )
 
 
@@ -462,13 +472,12 @@ def q18_docs_en_long(sf_dir: str) -> rd.Dataset:
 
 def q23_events_user_first(sf_dir: str) -> pd.DataFrame:
     """Exact dedup by key with deterministic winner: first event per user
-    (ordered by ts, event_id) — the groupby→first operator (SURVEY.md §2.5)."""
+    (ordered by ts, event_id) — the groupby→first operator (SURVEY.md
+    §2.5), via the partitioned vectorized exact_dedup."""
+    from ..stages.dedup import exact_dedup
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"], kind="mergesort").head(1)
-
-    df = ds.groupby("user_id").map_groups(first, batch_format="pandas").to_pandas()
+    df = exact_dedup(ds, key="user_id", order_by=["ts", "event_id"]).to_pandas()
     return _finalize(df[["user_id", "event_id", "event_type"]])
 
 
@@ -1663,6 +1672,21 @@ def q79_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"value": 6})
 
 
+def q80_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding (overlapping) event-time windows: 1h windows every 15 min
+    — each event explodes into its 4 containing windows inside
+    map_batches, then one grouped aggregate (oracle: unnest of the window
+    range in SQL)."""
+    from ..stages.streaming import sliding_window_aggregate
+
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window_aggregate(
+        events, key_col="event_type", ts_col="ts", value_col="value",
+        window_s=3600, slide_s=900,
+    )
+    return _finalize(out, {"sum_value": 3})
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -1755,6 +1779,7 @@ QUERIES = {
     "q77_hash_sample": q77_hash_sample,
     "q78_tfidf_top_term": q78_tfidf_top_term,
     "q79_quantile_sketch": q79_quantile_sketch,
+    "q80_sliding_window": q80_sliding_window,
 }
 
 ORACLE_SQL = {
@@ -2180,6 +2205,21 @@ ORACLE_SQL = {
     "q77_hash_sample": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q80_sliding_window": """
+        WITH e AS (
+          SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT) AS t
+          FROM events
+        ), x AS (
+          SELECT event_type, value,
+                 unnest(range((t - 3600000000) // 900000000 + 1,
+                              t // 900000000 + 1)) AS k
+          FROM e
+        )
+        SELECT event_type, CAST(k * 900 AS BIGINT) AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM x GROUP BY event_type, window_start
     """,
     "q79_quantile_sketch": """
         WITH mm AS (

@@ -96,16 +96,18 @@ def add_key_partition(
 
 
 def exact_dedup(
-    ds: rd.Dataset, key: str, order_by: str, *, num_parts: int = 32
+    ds: rd.Dataset, key: str, order_by: str | list[str], *, num_parts: int = 32
 ) -> rd.Dataset:
-    """Keep the first row per ``key`` ordered by ``order_by`` (deterministic
-    winner).  One hash shuffle on a salted partition of ``key``; inside
-    each partition a stable sort + ``drop_duplicates(keep='first')``
-    handles every key vectorized (no per-key group overhead)."""
+    """Keep the first row per ``key`` ordered by ``order_by`` (one column
+    or a tie-break list; deterministic winner).  One hash shuffle on a
+    salted partition of ``key``; inside each partition a stable sort +
+    ``drop_duplicates(keep='first')`` handles every key vectorized (no
+    per-key group overhead)."""
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return (
-            g.sort_values(order_by, kind="mergesort")
+            g.sort_values(order_cols, kind="mergesort")
             .drop_duplicates(subset=[key], keep="first")
             .drop(columns=["_part"])
         )

@@ -185,3 +185,60 @@ def tumbling_window_aggregate_ds(
     out["n"] = out["n"].astype("int64")
     out["window"] = out["window"].astype("int64")
     return out.sort_values([key_col, "window"], kind="mergesort").reset_index(drop=True)
+
+
+def sliding_window_aggregate(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int = 3600,
+    slide_s: int = 900,
+) -> "pd.DataFrame":
+    """Overlapping (sliding) windows: every event replicates into the
+    ``window_s / slide_s`` windows that contain it inside ``map_batches``
+    (the standard explode-then-aggregate plan — replication factor is the
+    overlap count, not the data size), then one grouped aggregate.
+    Windows are identified by their start second (k * slide_s)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    w_us = window_s * 1_000_000
+    s_us = slide_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        k_hi = ts_us // s_us  # last window whose span contains ts
+        k_lo = (ts_us - w_us) // s_us + 1
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts_us)), reps)
+        # per-row consecutive window indices k_lo..k_hi
+        offsets = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        k = np.repeat(k_lo, reps) + (np.arange(reps.sum()) - np.repeat(offsets, reps))
+        keys = t[key_col].take(pa.array(idx))
+        vals = t[value_col].take(pa.array(idx))
+        return pa.table(
+            {
+                key_col: keys,
+                "window_start": pa.array(k * slide_s, type=pa.int64()),
+                value_col: vals,
+            }
+        )
+
+    out = (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values([key_col, "window_start"], kind="mergesort").reset_index(
+        drop=True
+    )
