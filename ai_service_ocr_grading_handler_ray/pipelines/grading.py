@@ -66,6 +66,19 @@ class GradingExtractActor:
         )
 
 
+# per-worker cached engine for the stateless-task path (workers persist
+# across tasks → warm after the first batch; same rationale as
+# stages/extract.extract_batch_task: pool spin-up dominates short jobs,
+# pools remain right for heavy per-actor state like real OCR models)
+_TASK_GRADER: list = []
+
+
+def grade_extract_task(batch: pa.Table) -> pa.Table:
+    if not _TASK_GRADER:
+        _TASK_GRADER.append(GradingExtractActor())
+    return _TASK_GRADER[0](batch)
+
+
 def build_grading_requests(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
@@ -78,19 +91,32 @@ def grade_requests(
     *,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
+    use_actors: bool = False,
 ) -> rd.Dataset:
-    """Full Stage A + Stage B over a grading-request dataset (lazy)."""
-    if concurrency is None:
-        concurrency = _default_concurrency()
+    """Full Stage A + Stage B over a grading-request dataset (lazy).
+
+    Default: stateless tasks with a per-worker cached engine (cheap
+    parser state).  ``use_actors=True`` hosts the engine in a fixed actor
+    pool — the right shape when Stage A carries heavy model state."""
     routed = requests.map_batches(route_requests, batch_format="pyarrow")
-    extracted = routed.map_batches(
-        GradingExtractActor,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if use_actors:
+        if concurrency is None:
+            concurrency = _default_concurrency()
+        extracted = routed.map_batches(
+            GradingExtractActor,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        extracted = routed.map_batches(
+            grade_extract_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return extracted.map_batches(score_batch, batch_format="pyarrow")
 
 

@@ -252,33 +252,23 @@ def q05_orders_by_segment(sf_dir: str) -> pd.DataFrame:
 
 
 def q06_customers_with_orders(sf_dir: str) -> rd.Dataset:
-    """Semi join: broadcast the distinct key set, filter inside map_batches."""
-    keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    keys_ref = ray.put(keys)
-
-    def semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([k in ks for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        semi, batch_format="pyarrow"
+    """Semi join via Ray's native shuffled left_semi — correct at any
+    right-side size (the Bloom variant q53 keeps the broadcast constant
+    when a pre-filter pays; a raw broadcast key set would not scale)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", ["o_custkey"])
+    return cust.join(
+        keys, "left_semi", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",)
     )
 
 
 def q07_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join — same broadcast set, inverted mask (resume-frontier
-    pattern, SURVEY.md §2.4)."""
-    keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    keys_ref = ray.put(keys)
-
-    def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        anti, batch_format="pyarrow"
+    """Anti join via native shuffled left_anti (resume-frontier pattern,
+    SURVEY.md §2.4)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", ["o_custkey"])
+    ds = cust.join(
+        keys, "left_anti", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",)
     )
     # an empty result must still carry its schema for the oracle compare
     df = ds.to_pandas()
@@ -286,7 +276,7 @@ def q07_customers_without_orders(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame(
             {"c_custkey": pd.Series(dtype=np.int64), "c_name": pd.Series(dtype=str)}
         )
-    return df
+    return df[["c_custkey", "c_name"]]
 
 
 def q10_customers_per_region(sf_dir: str) -> pd.DataFrame:
@@ -609,7 +599,7 @@ def q41_flagship_deduped(sf_dir: str) -> rd.Dataset:
 def q31_grading(sf_dir: str) -> rd.Dataset:
     from .grading import grading_pipeline
 
-    return grading_pipeline(sf_dir, concurrency=(1, 4))
+    return grading_pipeline(sf_dir)
 
 
 def _docs_with_near_dups(sf_dir: str) -> rd.Dataset:
@@ -1311,7 +1301,7 @@ def q70_rubric_flatten(sf_dir: str) -> pd.DataFrame:
     then bucketed by awarded score (engine-specific → rows-only)."""
     from .grading import grading_pipeline
 
-    graded = grading_pipeline(sf_dir, concurrency=(1, 4))
+    graded = grading_pipeline(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
         col = batch["rubric_wise_response"]

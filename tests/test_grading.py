@@ -13,7 +13,7 @@ from ai_service_ocr_grading_handler_ray.stages.score import quantize_half, score
 
 @pytest.fixture(scope="module")
 def graded(sf_dir) -> pa.Table:
-    out = grading_pipeline(sf_dir, concurrency=(1, 4))
+    out = grading_pipeline(sf_dir, use_actors=True, concurrency=(1, 4))
     return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
 
