@@ -1359,24 +1359,36 @@ def q71_month_over_month(sf_dir: str) -> pd.DataFrame:
 
 
 def q72_distinct_per_group(sf_dir: str) -> pd.DataFrame:
-    """Exact count(distinct part) per supplier: per-batch pair dedup →
-    pair-level groupby (removes cross-batch dups) → per-supplier count."""
+    """Exact count(distinct part) per supplier: per-batch pair dedup
+    (map-side combine) → one shuffle on salted supplier partitions →
+    vectorized per-partition nunique (cross-batch dups removed inside the
+    partition: every pair of one supplier co-locates)."""
+    from ..stages.dedup import add_key_partition
+
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
 
     def pairs(t: pa.Table) -> pa.Table:
-        return pa.table(
+        deduped = pa.table(
             {"l_suppkey": t["l_suppkey"], "l_partkey": t["l_partkey"]}
         ).group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        return add_key_partition(deduped, "l_suppkey")
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.drop_duplicates(["l_suppkey", "l_partkey"])
+            .groupby("l_suppkey", sort=False)["l_partkey"]
+            .size()
+            .reset_index(name="n_distinct_parts")
+        )
+        r["n_distinct_parts"] = r["n_distinct_parts"].astype(np.int64)
+        return r
 
     out = (
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
-        .groupby(["l_suppkey", "l_partkey"])
-        .aggregate(Count(alias_name="_c"))
-        .groupby("l_suppkey")
-        .aggregate(Count(alias_name="n_distinct_parts"))
+        .groupby("_part")
+        .map_groups(nunique, batch_format="pandas")
         .to_pandas()
     )
-    out["n_distinct_parts"] = out["n_distinct_parts"].astype(np.int64)
     return _finalize(out)
 
 
