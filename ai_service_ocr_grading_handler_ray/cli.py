@@ -80,6 +80,19 @@ def cmd_questions(args: argparse.Namespace) -> int:
     return 0
 
 
+def _refuse_existing_out(out: str) -> bool:
+    """Ray's write_parquet APPENDS part files into an existing directory,
+    silently doubling rows on a rerun — refuse instead."""
+    if os.path.isdir(out) and os.listdir(out):
+        print(
+            f"output dir {out} exists and is non-empty; write_parquet would "
+            "append to it — use a fresh directory",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """pages parquet → curated train/eval parquet (extract → dedup →
     redact → filter → lang-ID → split), partitioned by split."""
@@ -92,6 +105,8 @@ def cmd_curate(args: argparse.Namespace) -> int:
     ]
     if not files:
         print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    if _refuse_existing_out(args.out):
         return 2
     curated = curate_pages(
         rd.read_parquet(files),
@@ -112,6 +127,8 @@ def cmd_dedup(args: argparse.Namespace) -> int:
 
     from .stages.dedup import minhash_lsh_clusters
 
+    if _refuse_existing_out(args.out):
+        return 2
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     out = minhash_lsh_clusters(
         ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold

@@ -29,16 +29,6 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _pool(cap: int = 4) -> int:
-    """Fixed actor-pool size that always leaves ≥2 CPUs for task operators
-    (a pool reserving every CPU stalls the pipeline)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(1, min(cap, cpus - 2))
-
-
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
     """DuckDB/SQL ROUND semantics (half away from zero) — numpy's .round is
     half-to-even and would drift from the oracle on exact halves."""
@@ -220,7 +210,9 @@ def _broadcast_map(sf_dir: str, table: str, key: str, val: str) -> dict:
     return dict(zip(tbl[key].to_pylist(), tbl[val].to_pylist()))
 
 
-_BROADCAST_CACHE: dict[str, dict] = {}
+# single-slot per-worker cache (ref hex, dict): a new ref evicts the old
+# entry, so repeated invocations can't grow worker memory unboundedly
+_BROADCAST_CACHE: list = []
 
 
 def q05_orders_by_segment(sf_dir: str) -> pd.DataFrame:
@@ -232,9 +224,9 @@ def q05_orders_by_segment(sf_dir: str) -> pd.DataFrame:
     ref_key = seg_map_ref.hex()
 
     def add_segment(batch: pa.Table) -> pa.Table:
-        seg = _BROADCAST_CACHE.get(ref_key)
-        if seg is None:
-            seg = _BROADCAST_CACHE[ref_key] = ray.get(seg_map_ref)
+        if not _BROADCAST_CACHE or _BROADCAST_CACHE[0][0] != ref_key:
+            _BROADCAST_CACHE[:] = [(ref_key, ray.get(seg_map_ref))]
+        seg = _BROADCAST_CACHE[0][1]
         segs = [seg.get(k) for k in batch["o_custkey"].to_pylist()]
         return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
 

@@ -68,16 +68,32 @@ def asof_join_backward(
                 else:
                     cols[c] = pa.nulls(len(t), type=types[c])
             out = pa.table(cols)
-            kb = (
-                np.abs(out[key].to_numpy(zero_copy_only=False).astype(np.int64))
-                % num_buckets
-                if pa.types.is_integer(types[key])
-                else np.fromiter(
-                    (hash(v) % num_buckets for v in out[key].to_pylist()),
+            if pa.types.is_integer(types[key]):
+                kb = (
+                    np.abs(out[key].to_numpy(zero_copy_only=False).astype(np.int64))
+                    % num_buckets
+                )
+            else:
+                # deterministic across worker processes — Python's builtin
+                # hash() is PYTHONHASHSEED-randomized per process, which
+                # would scatter the same key to different buckets on
+                # different workers and silently drop matches
+                import hashlib
+
+                kb = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                str(v).encode(), digest_size=2
+                            ).digest(),
+                            "big",
+                        )
+                        % num_buckets
+                        for v in out[key].to_pylist()
+                    ),
                     dtype=np.int64,
                     count=len(out),
                 )
-            )
             return out.append_column("_kb", pa.array(kb.astype(np.int32)))
 
         return fn

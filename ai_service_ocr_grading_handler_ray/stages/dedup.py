@@ -235,8 +235,7 @@ def raw_candidate_pairs(
     touches the driver."""
 
     def add_part(t: pa.Table) -> pa.Table:
-        part = (t["bucket"].to_numpy(zero_copy_only=False) % num_parts).astype(np.int32)
-        return t.append_column("_part", pa.array(part))
+        return add_key_partition(t, "bucket", num_parts=num_parts)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
@@ -266,17 +265,22 @@ def raw_candidate_pairs(
     )
 
 
+def dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """One copy per (a, b) via a count-aggregate groupby (the same pair
+    surfaces once per agreeing band)."""
+    deduped = pairs.groupby(["a", "b"]).aggregate(rd.aggregate.Count(alias_name="_n"))
+    return deduped.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    )
+
+
 def candidate_pairs_dataset(
     band_ds: rd.Dataset, id_col: str, *, cap: int = PAIR_CAP,
     num_parts: int = NUM_GROUP_PARTS,
 ) -> rd.Dataset:
-    """Deduplicated candidate-pair Dataset (a, b): raw pairs + a
-    count-aggregate groupby keeping one copy per (a, b) so the verifier
-    runs each pair once (the same pair surfaces once per agreeing band)."""
-    pairs = raw_candidate_pairs(band_ds, id_col, cap=cap, num_parts=num_parts)
-    deduped = pairs.groupby(["a", "b"]).aggregate(rd.aggregate.Count(alias_name="_n"))
-    return deduped.map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    """Deduplicated candidate-pair Dataset (a, b) from a band table."""
+    return dedupe_pairs(
+        raw_candidate_pairs(band_ds, id_col, cap=cap, num_parts=num_parts)
     )
 
 
@@ -428,9 +432,7 @@ def minhash_lsh_edges(
         )
 
     # scale branch: dedupe via count-agg groupby, verify via joins
-    deduped = pairs_raw.groupby(["a", "b"]).aggregate(
-        rd.aggregate.Count(alias_name="_n")
-    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    deduped = dedupe_pairs(pairs_raw)
     verified = verify_pairs_jaccard(
         deduped, ds, id_col=id_col, text_col=text_col, ngram=ngram, threshold=threshold
     )
@@ -669,6 +671,12 @@ def propagate_min_labels(
         return pa.table({"id": pa.array(ids), "cluster_id": pa.array(ids)})
     labels_tbl = pa.table({"id": pa.array(ids), "label": pa.array(ids)})
     id_type = labels_tbl["id"].type
+    if not pa.types.is_integer(id_type):
+        # min-label semantics + the sum-of-labels convergence probe are
+        # integer-only; hash non-integer ids to int64 upstream
+        raise TypeError(
+            f"propagate_min_labels requires integer ids, got {id_type}"
+        )
 
     empty = pa.table(
         {"id": pa.array([], type=id_type), "label": pa.array([], type=id_type)}
@@ -700,14 +708,23 @@ def propagate_min_labels(
     )
     half = half.append_column("_part", _salt(half["key"]))
 
-    def send(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["other"].isna()][["key", "label"]]
-        ed = g[g["other"].notna()][["key", "other"]]
-        m = ed.merge(lab, on="key", how="inner")
-        out_id = pd.concat([lab["key"], m["other"]], ignore_index=True)
-        out_label = pd.concat([lab["label"], m["label"]], ignore_index=True)
-        return pd.DataFrame(
-            {"id": out_id.astype("int64"), "label": out_label.astype("int64")}
+    def send(g: pa.Table) -> pa.Table:
+        # pyarrow group + null-free side tables: the label/other columns
+        # carry nulls in the union, and a pandas conversion of the WHOLE
+        # group would promote int64 → float64, corrupting ids above 2^53
+        is_lab = pc.is_null(g["other"])
+        lab = g.filter(is_lab)
+        ed = g.filter(pc.invert(is_lab))
+        lab_df = pa.table({"key": lab["key"], "label": lab["label"]}).to_pandas()
+        ed_df = pa.table({"key": ed["key"], "other": ed["other"]}).to_pandas()
+        m = ed_df.merge(lab_df, on="key", how="inner")
+        out_id = pd.concat([lab_df["key"], m["other"]], ignore_index=True)
+        out_label = pd.concat([lab_df["label"], m["label"]], ignore_index=True)
+        return pa.table(
+            {
+                "id": pa.array(out_id.to_numpy(), type=id_type),
+                "label": pa.array(out_label.to_numpy(), type=id_type),
+            }
         )
 
     prev_sig = None
@@ -731,7 +748,7 @@ def propagate_min_labels(
         msgs = (
             rd.from_arrow([lab_part, ed_part])
             .groupby("_part")
-            .map_groups(send, batch_format="pandas")
+            .map_groups(send, batch_format="pyarrow")
         )
         merged = msgs.groupby("id").aggregate(_Min("label", alias_name="label"))
         labels_tbl = _collect(merged)

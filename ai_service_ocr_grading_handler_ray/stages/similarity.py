@@ -255,13 +255,16 @@ def build_ivf_assignments(
     from .sampling import hash_bucket_filter
 
     n = ds.count()  # parquet metadata — no scan
-    if n <= train_sample:
+    # md5-window width sized from the row count (with headroom so the
+    # sample can't come up short); membership depends only on the id,
+    # never on input order — a sorted input cannot bias the lists
+    width = max(1, -(-65536 * train_sample * 12 // (max(n, 1) * 10)))
+    if n <= train_sample or width >= 65536:
+        # window covers the whole 4-hex space — take everything (a capped
+        # 5-char "10000" hi would lexicographically admit only ~1/16 of
+        # 32-char digests)
         sampled = ds
     else:
-        # md5-window width sized from the row count (with headroom so the
-        # sample can't come up short); membership depends only on the id,
-        # never on input order — a sorted input cannot bias the lists
-        width = min(65536, max(1, -(-65536 * train_sample * 12 // (n * 10))))
         sampled = ds.map_batches(
             lambda t: hash_bucket_filter(t, id_col, "0", format(width, "04x")),
             batch_format="pyarrow",

@@ -98,36 +98,17 @@ def partitioned_sum(
     ``salted_count`` (which spreads HOT keys — this helper is for many
     uniform keys)."""
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        col = batch[key]
-        if pa.types.is_integer(col.type):
-            import numpy as np
-
-            part = (
-                np.abs(col.to_numpy(zero_copy_only=False).astype(np.int64))
-                % num_parts
-            ).astype("int32")
-            arr = pa.array(part)
-        else:
-            arr = pa.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(str(v).encode(), digest_size=2).digest(),
-                        "big",
-                    )
-                    % num_parts
-                    for v in col.to_pylist()
-                ],
-                type=pa.int32(),
-            )
-        return batch.append_column("_part", arr)
+    from .dedup import add_key_partition
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         r = g.groupby(key, sort=False)[value_col].sum().reset_index()
         return r.rename(columns={value_col: out_col})
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: add_key_partition(t, key, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
         .groupby("_part")
         .map_groups(agg, batch_format="pandas")
     )

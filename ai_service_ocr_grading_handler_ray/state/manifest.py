@@ -120,8 +120,20 @@ def resumable_extract(
     exists for the kill/restart test."""
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
+    parts = _partitions(input_files, partition_size)
+    # a committed partition BEYOND the current partition count holds rows
+    # from inputs no longer in the job — its files would silently remain
+    # part of the output dataset; refuse rather than serve stale rows
+    orphans = {pid for pid in done if pid >= len(parts)}
+    if orphans:
+        raise RuntimeError(
+            f"{out_dir} contains committed partitions {sorted(orphans)} beyond "
+            f"the current input's {len(parts)} partitions — the input list "
+            "shrank; use a fresh output directory (or delete the orphaned "
+            "part=NNNN dirs and manifests)"
+        )
     out: list[dict] = []
-    for pid, files in enumerate(_partitions(input_files, partition_size)):
+    for pid, files in enumerate(parts):
         if pid in done:
             # lineage check: a committed partition is only skippable if it
             # covers the SAME input files — if the input list changed, the

@@ -149,3 +149,29 @@ def test_minhash_scale_branch_matches_broadcast_branch(monkeypatch):
     monkeypatch.setattr(D, "SMALL_PAIR_LIMIT", 0)
     big = D.minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
     assert small.to_pydict() == big.to_pydict()
+
+
+def test_label_propagation_exact_above_2_53():
+    """Ids above 2^53 must survive propagation exactly (a pandas float64
+    round-trip would corrupt them)."""
+    from ai_service_ocr_grading_handler_ray.stages.dedup import propagate_min_labels
+
+    base = (1 << 60) + 12345678901234567
+    ids = [base, base + 1, base + 2, base + 4]
+    edges = pa.table(
+        {"a": pa.array([base, base + 1], type=pa.int64()),
+         "b": pa.array([base + 1, base + 2], type=pa.int64())}
+    )
+    out = propagate_min_labels(edges, ids)
+    got = dict(zip(out["id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert got == {base: base, base + 1: base, base + 2: base, base + 4: base + 4}
+
+
+def test_label_propagation_rejects_non_integer_ids():
+    import pytest
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import propagate_min_labels
+
+    edges = pa.table({"a": ["x"], "b": ["y"]})
+    with pytest.raises(TypeError, match="integer ids"):
+        propagate_min_labels(edges, ["x", "y"])

@@ -48,3 +48,40 @@ def test_overlapping_columns_rejected():
     r = rd.from_arrow(pa.table({"k2": [1], "v": [2]}))
     with pytest.raises(ValueError, match="overlap"):
         bucketed_inner_join(l, r, left_key="k", right_key="k2")
+
+
+def test_asof_join_string_key():
+    """String join keys must bucket deterministically across worker
+    processes (blake2b, not PYTHONHASHSEED-randomized hash())."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.asof import asof_join_backward
+
+    left = pa.table(
+        {
+            "k": ["a", "a", "b", "c"],
+            "lts": pa.array([10, 30, 20, 5], type=pa.timestamp("us")),
+            "lv": [1, 2, 3, 4],
+        }
+    )
+    right = pa.table(
+        {
+            "k": ["a", "a", "b"],
+            "rts": pa.array([5, 25, 15], type=pa.timestamp("us")),
+            "rv": [100, 200, 300],
+        }
+    )
+    out = (
+        asof_join_backward(
+            rd.from_arrow(left), rd.from_arrow(right),
+            key="k", left_ts="lts", right_ts="rts",
+        )
+        .to_pandas()
+        .sort_values(["k", "lts"])
+        .reset_index(drop=True)
+    )
+    assert out["rv"].tolist() == [100, 200, 300, pd.NA] or (
+        out["rv"].tolist()[:3] == [100, 200, 300] and pd.isna(out["rv"].iloc[3])
+    )

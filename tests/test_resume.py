@@ -116,3 +116,18 @@ def test_changed_input_list_reprocesses(tmp_path, sf_dir):
 
     # unchanged rerun: nothing reprocessed
     assert resumable_extract(shifted, out_dir, partition_size=2) == []
+
+
+def test_shrunken_input_with_orphan_partitions_refuses(tmp_path, sf_dir):
+    """If the input list shrinks below the committed partition count, the
+    orphaned partitions would silently stay in the output — resume must
+    refuse instead of serving stale rows."""
+    import pytest
+
+    files = _make_input(tmp_path, sf_dir, n_files=4)
+    out_dir = str(tmp_path / "orphan")
+    resumable_extract(files, out_dir, partition_size=1)
+    assert completed_partitions(out_dir) == {0, 1, 2, 3}
+
+    with pytest.raises(RuntimeError, match="beyond the current input"):
+        resumable_extract(files[:2], out_dir, partition_size=1)
