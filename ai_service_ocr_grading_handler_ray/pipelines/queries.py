@@ -1681,6 +1681,72 @@ def q80_sliding_window(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"sum_value": 3})
 
 
+def q81_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Training-sequence chunking: split each document into 64-word
+    chunks with 8-word overlap (stride 56) — pure map_batches explode, no
+    shuffle.  Emits (doc_id, chunk_id, n_words, first_word) per chunk."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    size, stride = 64, 56
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        c_out: list[int] = []
+        n_out: list[int] = []
+        f_out: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            w = (t or "").split()
+            if not w:
+                continue
+            cid = 0
+            for start in range(0, len(w), stride):
+                piece = w[start : start + size]
+                d_out.append(d)
+                c_out.append(cid)
+                n_out.append(len(piece))
+                f_out.append(piece[0])
+                cid += 1
+                if start + size >= len(w):
+                    break
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "chunk_id": pa.array(c_out, type=pa.int64()),
+                "n_words": pa.array(n_out, type=pa.int64()),
+                "first_word": pa.array(f_out, type=pa.string()),
+            }
+        )
+
+    return _finalize(ds.map_batches(chunks, batch_format="pyarrow").to_pandas())
+
+
+def q82_source_quota(sf_dir: str) -> pd.DataFrame:
+    """Per-source quota sampling (curation: cap any one source's share):
+    keep the first 50 docs per source ordered by doc_id — vectorized
+    head-N per key inside salted partitions (one shuffle)."""
+    from ..stages.dedup import add_key_partition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    quota = 50
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id", kind="mergesort")
+            .groupby("source", sort=False)
+            .head(quota)
+            .drop(columns=["_part"])
+        )
+
+    out = (
+        ds.map_batches(
+            lambda t: add_key_partition(t, "source"), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(head_n, batch_format="pandas")
+        .to_pandas()
+    )
+    return _finalize(out[["doc_id", "source"]])
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -1774,6 +1840,8 @@ QUERIES = {
     "q78_tfidf_top_term": q78_tfidf_top_term,
     "q79_quantile_sketch": q79_quantile_sketch,
     "q80_sliding_window": q80_sliding_window,
+    "q81_doc_chunks": q81_doc_chunks,
+    "q82_source_quota": q82_source_quota,
 }
 
 ORACLE_SQL = {
@@ -2199,6 +2267,31 @@ ORACLE_SQL = {
     "q77_hash_sample": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q81_doc_chunks": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), d AS (
+          SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+        ), k AS (
+          SELECT doc_id, ws, n,
+                 unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 56.0) AS BIGINT)))
+                   AS cid
+          FROM d
+        )
+        SELECT doc_id, cid AS chunk_id,
+               CAST(least(n - cid * 56, 64) AS BIGINT) AS n_words,
+               ws[cid * 56 + 1] AS first_word
+        FROM k
+    """,
+    "q82_source_quota": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 50
     """,
     "q80_sliding_window": """
         WITH e AS (
