@@ -24,7 +24,7 @@ def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from ai_service_ocr_grading_handler_ray.pipelines.extract import flagship
 
-    return flagship("/root/testdata/sf0.001", concurrency=(1, 4))
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
