@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q32_minhash_dedup",
     "q47_asof_join",
     "q52_curation",
+    "q75_inverted_index",
+    "q80_sliding_window",
 ]
 
 
