@@ -265,12 +265,23 @@ def raw_candidate_pairs(
     )
 
 
-def dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
-    """One copy per (a, b) via a count-aggregate groupby (the same pair
-    surfaces once per agreeing band)."""
-    deduped = pairs.groupby(["a", "b"]).aggregate(rd.aggregate.Count(alias_name="_n"))
-    return deduped.map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+def dedupe_pairs(pairs: rd.Dataset, *, num_parts: int = NUM_GROUP_PARTS) -> rd.Dataset:
+    """One copy per (a, b) — the same pair surfaces once per agreeing
+    band.  Salted-partition dedup: all copies of a pair share ``a``, so
+    one shuffle on hash(a) co-locates them and a vectorized
+    ``drop_duplicates`` handles every pair (a two-column Ray
+    sort-aggregate measured ~30× slower at 500k pair rows)."""
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns=["_part"])
+
+    return (
+        pairs.map_batches(
+            lambda t: add_key_partition(t, "a", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(dd, batch_format="pandas")
     )
 
 

@@ -148,7 +148,10 @@ def test_minhash_scale_branch_matches_broadcast_branch(monkeypatch):
     small = minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
     monkeypatch.setattr(D, "SMALL_PAIR_LIMIT", 0)
     big = D.minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
-    assert small.to_pydict() == big.to_pydict()
+    # order-insensitive: the branches may emit rows in different orders
+    a = dict(zip(small["doc_id"].to_pylist(), small["cluster_id"].to_pylist()))
+    b = dict(zip(big["doc_id"].to_pylist(), big["cluster_id"].to_pylist()))
+    assert a == b
 
 
 def test_label_propagation_exact_above_2_53():
