@@ -986,16 +986,26 @@ def q57_group_zscore(sf_dir: str) -> pd.DataFrame:
     """Per-user z-score normalization of event values (feature-engineering
     window op: groupby → per-group vectorized transform; oracle = SQL
     window AVG/STDDEV_SAMP)."""
+    from ..stages.dedup import add_key_partition
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def z(g: pd.DataFrame) -> pd.DataFrame:
-        mu = g["value"].mean()
-        sd = g["value"].std(ddof=1)
-        g = g.copy()
-        g["value_z"] = 0.0 if (pd.isna(sd) or sd == 0) else (g["value"] - mu) / sd
-        return g[["event_id", "user_id", "value_z"]]
+        # every user in the partition normalizes in one vectorized pass
+        gb = g.groupby("user_id", sort=False)["value"]
+        mu = gb.transform("mean")
+        sd = gb.transform("std")  # ddof=1, matches STDDEV_SAMP
+        zv = np.where(sd.isna() | (sd == 0), 0.0, (g["value"] - mu) / sd)
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "user_id": g["user_id"], "value_z": zv}
+        )
 
-    df = ds.groupby("user_id").map_groups(z, batch_format="pandas").to_pandas()
+    df = (
+        ds.map_batches(lambda t: add_key_partition(t, "user_id"), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(z, batch_format="pandas")
+        .to_pandas()
+    )
     return _finalize(df, {"value_z": 4})
 
 
@@ -1517,24 +1527,29 @@ def q75_inverted_index(sf_dir: str) -> pd.DataFrame:
              "doc_id": pa.array(dids, type=pa.int64())}
         )
 
+    from ..stages.dedup import add_key_partition
+
     def postings(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 20:
+        # one vectorized pass over all tokens in the partition
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        sizes = g.groupby("token", sort=False)["doc_id"].transform("size")
+        g = g[sizes >= 20]
+        if g.empty:
             return pd.DataFrame(
                 {"token": pd.Series(dtype=str), "df": pd.Series(dtype="int64"),
                  "postings": pd.Series(dtype=str)}
             )
-        ids = sorted(g["doc_id"].tolist())
-        return pd.DataFrame(
-            {
-                "token": [g["token"].iloc[0]],
-                "df": pd.Series([len(ids)], dtype="int64"),
-                "postings": [",".join(str(i) for i in ids[:10])],
-            }
+        agg = g.groupby("token", sort=False)["doc_id"].agg(
+            df="size", postings=lambda s: ",".join(str(i) for i in s.iloc[:10])
         )
+        out = agg.reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out[["token", "df", "postings"]]
 
     df = (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("token")
+        .map_batches(lambda t: add_key_partition(t, "token"), batch_format="pyarrow")
+        .groupby("_part")
         .map_groups(postings, batch_format="pandas")
         .to_pandas()
     )
