@@ -39,9 +39,14 @@ class ImageDecodeActor:
 
     Real path (PIL) loads once per actor in __init__; synthetic payloads
     decode deterministically; real PNG/WEBP without PIL → status 'error'
-    rows (poison-pill policy), never a raised batch."""
+    rows (poison-pill policy), never a raised batch.
 
-    def __init__(self) -> None:
+    ``decoder_factory`` injects a real decoder (or a test fake) without
+    changing the actor-pool plumbing: it is constructed ONCE per actor
+    and must expose ``decode(payload) -> (width, height, format)``."""
+
+    def __init__(self, decoder_factory=None) -> None:
+        self._decoder = decoder_factory() if decoder_factory is not None else None
         try:  # pragma: no cover - not installed here
             from PIL import Image  # type: ignore
 
@@ -56,6 +61,9 @@ class ImageDecodeActor:
             text = decode_image_text(payload)
             w, h = image_dims(text)
             return w, h, "synthetic", "ok"
+        if self._decoder is not None:
+            w, h, f = self._decoder.decode(payload)
+            return w, h, f, "ok"
         if self._pil is not None:  # pragma: no cover
             import io
 

@@ -91,3 +91,40 @@ def test_default_engine_errors_on_real_bytes():
     out = ds.to_pandas()
     assert (out["status"] == "error").all()
     assert (out["extracted_text"] == "").all()
+
+
+def test_fake_image_decoder_injected_via_actor_pool():
+    """Same injection contract for the multimodal image stage: a
+    non-synthetic decoder is constructed once per actor and drives the
+    pool without PIL installed."""
+    from ai_service_ocr_grading_handler_ray.stages.multimodal import ImageDecodeActor
+
+    def make_fake_decoder():
+        class FakeDecoder:
+            def __init__(self) -> None:
+                self.decoder_id = uuid.uuid4().hex[:8]
+
+            def decode(self, payload: bytes):
+                return len(payload), 7, f"fake-{self.decoder_id}"
+
+        return FakeDecoder
+
+    n = 32
+    payloads = [PNG_MAGIC + b"x" * i for i in range(n)]  # real-ish, no marker
+    tbl = pa.table({"payload": pa.array(payloads, type=pa.binary())})
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ImageDecodeActor,
+            fn_constructor_kwargs={"decoder_factory": make_fake_decoder()},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert (out["decode_status"] == "ok").all()
+    widths = [m["width"] for m in out["image_meta"]]
+    assert widths == [len(p) for p in payloads]
+    ids = {m["format"] for m in out["image_meta"]}
+    assert 1 <= len(ids) <= 2 < n // 4  # once per actor, not per batch
