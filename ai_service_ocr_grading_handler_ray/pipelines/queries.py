@@ -1762,6 +1762,26 @@ def q82_source_quota(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["doc_id", "source"]])
 
 
+def q83_skewed_join(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware join plan: Misra-Gries-detected hot users join map-side
+    against a broadcast right-side fragment (no reducer receives a hot
+    key's full row set); cold keys take the bucketed hash join.  Rolled
+    up per market segment; oracle = plain SQL join."""
+    from ..stages.joins import skewed_inner_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = skewed_inner_join(
+        events, cust, left_key="user_id", right_key="c_custkey", hot_k=16
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _finalize(out, {"sum_value": 3})
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -1857,6 +1877,7 @@ QUERIES = {
     "q80_sliding_window": q80_sliding_window,
     "q81_doc_chunks": q81_doc_chunks,
     "q82_source_quota": q82_source_quota,
+    "q83_skewed_join": q83_skewed_join,
 }
 
 ORACLE_SQL = {
@@ -2282,6 +2303,12 @@ ORACLE_SQL = {
     "q77_hash_sample": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q83_skewed_join": """
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               round(sum(e.value), 3) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
     """,
     "q81_doc_chunks": """
         WITH w AS (

@@ -2,11 +2,20 @@
 (ray_guide 'Joins and lookups'): add ``bucket = hash(key) % B`` to both
 sides, co-group by bucket, join pairwise inside ``map_groups``.
 
-``Dataset.join`` (used in q03) is the built-in path; this operator exists
-because the bucketed formulation (a) works on any Ray version, (b) makes
-the partitioning explicit and tunable (B, salt for hot keys), and (c) is
-the shape the engine's other co-grouped operators (asof, compose) share.
+``Dataset.join`` is the built-in path; this operator exists because the
+bucketed formulation (a) works on any Ray version, (b) makes the
+partitioning explicit and tunable (B, salt for hot keys), and (c) is the
+shape the engine's other co-grouped operators (asof, compose) share.
 Equivalence with Dataset.join is tested.
+
+``skewed_inner_join`` adds the skew-aware plan (SURVEY.md §4): hot keys
+(detected with the Misra-Gries sketch, or caller-supplied) join map-side
+against a broadcast fragment of the right side, so no single reducer
+receives a hot key's entire row set; cold keys take the bucketed path.
+
+Dtype discipline mirrors stages/asof.py: union-widening inserts TYPED
+nulls and integer columns are cast back after the pandas group
+conversion (untyped nulls were the round-1 q47 hash-mismatch bug).
 """
 
 from __future__ import annotations
@@ -36,19 +45,31 @@ def bucketed_inner_join(
     """Inner equi-join via explicit key-hash buckets.
 
     One shuffle per side (the bucket groupby); join work is per-bucket
-    pandas merges.  Hot keys: raise ``n_buckets`` or salt upstream
-    (stages/skew.py) — the bucket column makes the skew visible and
-    tunable instead of hidden inside a join operator."""
-    l_cols = [f.name for f in left.schema().base_schema]
-    r_cols = [f.name for f in right.schema().base_schema]
+    pandas merges.  Hot keys: use ``skewed_inner_join`` — the bucket
+    column makes the skew visible and tunable instead of hidden inside a
+    join operator."""
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_cols = [f.name for f in l_schema]
+    r_cols = [f.name for f in r_schema]
     overlap = set(l_cols) & set(r_cols)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    types = {f.name: f.type for f in l_schema}
+    types.update({f.name: f.type for f in r_schema})
+    int_cols = [c for c in types if pa.types.is_integer(types[c])]
 
     def prep(side: int, key: str, all_cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            buckets = [ _bucket_of(v, n_buckets) for v in t[key].to_pylist() ]
-            out = {c: (t[c] if c in t.column_names else pa.nulls(len(t))) for c in all_cols}
+            buckets = [_bucket_of(v, n_buckets) for v in t[key].to_pylist()]
+            out = {
+                c: (
+                    t[c]
+                    if c in t.column_names
+                    else pa.nulls(len(t), type=types[c])
+                )
+                for c in all_cols
+            }
             out["_bucket"] = pa.array(buckets, type=pa.int32())
             out["_side"] = pa.array([side] * len(t), type=pa.int8())
             return pa.table(out)
@@ -59,12 +80,106 @@ def bucketed_inner_join(
     lt = left.map_batches(prep(0, left_key, all_cols), batch_format="pyarrow")
     rt = right.map_batches(prep(1, right_key, all_cols), batch_format="pyarrow")
 
+    out_cols = l_cols + [c for c in r_cols if c != right_key]
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][l_cols]
         rg = g[g["_side"] == 1][r_cols]
         if lg.empty or rg.empty:
-            return pd.DataFrame(columns=l_cols + [c for c in r_cols if c != right_key])
+            return pd.DataFrame(columns=out_cols)
+        # own-side columns carry no nulls — restore ints the union's
+        # cross-side nulls promoted to float64
+        for c in l_cols:
+            if c in int_cols:
+                lg = lg.astype({c: "int64"})
+        for c in r_cols:
+            if c in int_cols:
+                rg = rg.astype({c: "int64"})
         merged = lg.merge(rg, left_on=left_key, right_on=right_key, how="inner")
         return merged.drop(columns=[right_key])
 
     return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def skewed_inner_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 16,
+    hot_keys: set | None = None,
+    hot_k: int = 16,
+) -> rd.Dataset:
+    """Skew-aware inner equi-join.
+
+    Hot left-side keys (Misra-Gries detected unless supplied) would land
+    their entire row set on one bucket reducer; instead the right-side
+    rows for those keys — a dimension-sized fragment, ≤ hot_k keys —
+    broadcast via ``ray.put`` and hot left rows join map-side with no
+    shuffle at all.  Cold keys take the bucketed path.  The union of the
+    two plans equals a plain inner join (equivalence-tested)."""
+    import ray
+
+    from .sketches import heavy_hitters
+
+    if hot_keys is None:
+        hot_keys = set(
+            heavy_hitters(left.select_columns([left_key]), left_key, k=hot_k)
+        )
+    hot_keys = set(hot_keys)
+    if not hot_keys:
+        return bucketed_inner_join(
+            left, right, left_key=left_key, right_key=right_key, n_buckets=n_buckets
+        )
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    r_cols = [f.name for f in r_schema]
+    out_fields = [pa.field(f.name, f.type) for f in l_schema] + [
+        pa.field(f.name, f.type) for f in r_schema if f.name != right_key
+    ]
+    out_schema = pa.schema(out_fields)
+    # broadcast fragment: right rows whose key is hot (collected — bounded
+    # by hot_k dimension keys, independent of left's size)
+    frag_blocks = ray.get(
+        right.map_batches(
+            lambda t: t.filter(
+                pa.array([v in hot_keys for v in t[right_key].to_pylist()])
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    frag = pa.concat_tables([b for b in frag_blocks if b.num_rows]) if any(
+        b.num_rows for b in frag_blocks
+    ) else None
+    frag_ref = ray.put(frag.to_pandas() if frag is not None else None)
+
+    def hot_join(t: pa.Table) -> pa.Table:
+        rf = ray.get(frag_ref)
+        mask = pa.array([v in hot_keys for v in t[left_key].to_pylist()])
+        lg = t.filter(mask).to_pandas()
+        if rf is None or lg.empty:
+            return out_schema.empty_table()
+        merged = lg.merge(rf, left_on=left_key, right_on=right_key, how="inner")
+        return pa.Table.from_pandas(
+            merged.drop(columns=[right_key]), preserve_index=False
+        ).cast(out_schema)
+
+    def keep_cold(key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pa.array([v not in hot_keys for v in t[key].to_pylist()])
+            )
+
+        return fn
+
+    hot_part = left.map_batches(hot_join, batch_format="pyarrow")
+    cold = bucketed_inner_join(
+        left.map_batches(keep_cold(left_key), batch_format="pyarrow"),
+        right.map_batches(keep_cold(right_key), batch_format="pyarrow"),
+        left_key=left_key,
+        right_key=right_key,
+        n_buckets=n_buckets,
+    )
+    return hot_part.union(cold)

@@ -85,3 +85,49 @@ def test_asof_join_string_key():
     assert out["rv"].tolist() == [100, 200, 300, pd.NA] or (
         out["rv"].tolist()[:3] == [100, 200, 300] and pd.isna(out["rv"].iloc[3])
     )
+
+
+def test_skewed_join_equals_bucketed_join():
+    """Hot-key broadcast plan ∪ cold bucketed plan must equal the plain
+    bucketed join, including a forced giant hot key."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.joins import (
+        bucketed_inner_join,
+        skewed_inner_join,
+    )
+
+    n = 2000
+    # key 7 owns ~40% of the left side (the giant-host shape)
+    keys = [7 if i % 5 < 2 else (i % 50) for i in range(n)]
+    left = pa.table(
+        {"k": pa.array(keys, type=pa.int64()),
+         "v": pa.array(list(range(n)), type=pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array(list(range(50)), type=pa.int64()),
+         "tag": [f"t{i}" for i in range(50)]}
+    )
+
+    plain = (
+        bucketed_inner_join(
+            rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="rk"
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    skewed = (
+        skewed_inner_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", right_key="rk", hot_k=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, skewed, check_like=True)
+    # dtype fidelity: int columns stay ints through both plans
+    assert plain["k"].dtype.kind == "i" and skewed["k"].dtype.kind == "i"
