@@ -138,6 +138,21 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_metrics(args: argparse.Namespace) -> int:
+    """Job-level metrics rollup over a resumable-extract output dir:
+    per-partition lineage + docs/sec and the aggregate (the engine's
+    metrics surface, SURVEY.md A7)."""
+    from .state.manifest import completed_partitions, metrics_rollup
+
+    if not os.path.isdir(os.path.join(args.out, "manifest")):
+        print(f"no manifest dir under {args.out}", file=sys.stderr)
+        return 2
+    rollup = metrics_rollup(args.out)
+    rollup["completed_partitions"] = sorted(completed_partitions(args.out))
+    print(json.dumps(rollup))
+    return 0
+
+
 def cmd_synth_pages(args: argparse.Namespace) -> int:
     """Materialize the synthetic pages table from a testdata sf dir."""
     from .pipelines.extract import build_pages_dataset
@@ -183,12 +198,18 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--threshold", type=float, default=0.7)
     pd_.set_defaults(fn=cmd_dedup)
 
+    pm = sub.add_parser("metrics", help="manifest rollup for an extract output dir")
+    pm.add_argument("--out", required=True)
+    pm.set_defaults(fn=cmd_metrics, no_ray=True)
+
     ps = sub.add_parser("synth-pages", help="testdata sf dir → pages parquet")
     ps.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     ps.add_argument("--out", required=True)
     ps.set_defaults(fn=cmd_synth_pages)
 
     args = p.parse_args(argv)
+    if getattr(args, "no_ray", False):  # pure-filesystem job kinds
+        return args.fn(args)
     owned = _ensure_ray(args.num_cpus)
     try:
         return args.fn(args)

@@ -92,3 +92,21 @@ def test_curate_and_dedup_cli(tmp_path, sf_dir, capsys):
     assert main(["dedup", "--input", f"{sf_dir}/documents.parquet", "--out", str(dd)]) == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 500
+
+
+def test_metrics_cli(tmp_path, sf_dir, capsys):
+    pages = tmp_path / "pages3"
+    assert main(["synth-pages", "--sf-dir", sf_dir, "--out", str(pages)]) == 0
+    out = tmp_path / "m_out"
+    assert main([
+        "extract", "--input", f"{pages}/*.parquet", "--out", str(out),
+        "--partition-size", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["metrics", "--out", str(out)]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["rows"] == 500 and m["partitions"] >= 1
+    assert m["completed_partitions"] == list(range(m["partitions"]))
+    assert m["docs_per_sec"] > 0
+    # bad dir → exit 2
+    assert main(["metrics", "--out", str(tmp_path / "nope")]) == 2
