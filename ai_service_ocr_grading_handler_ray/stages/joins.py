@@ -123,10 +123,16 @@ def skewed_inner_join(
 
     from .sketches import heavy_hitters
 
+    key_type = next(
+        f.type for f in left.schema().base_schema if f.name == left_key
+    )
     if hot_keys is None:
-        hot_keys = set(
-            heavy_hitters(left.select_columns([left_key]), left_key, k=hot_k)
-        )
+        # MG sketch stringifies keys (json-serialized counters) — coerce
+        # back to the key column's type or membership tests never match
+        detected = heavy_hitters(left.select_columns([left_key]), left_key, k=hot_k)
+        hot_keys = {
+            int(x) if pa.types.is_integer(key_type) else x for x in detected
+        }
     hot_keys = set(hot_keys)
     if not hot_keys:
         return bucketed_inner_join(

@@ -99,23 +99,26 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def approx_count_distinct(ds: rd.Dataset, col: str) -> float:
-    """Distributed HLL: one sketch per batch (map_batches), merged on the
-    driver (sketches are 4 KiB each — tiny)."""
+    """Distributed HLL: one sketch per batch (map_batches), reduced by
+    the adaptive tree merge (register-wise max is associative) — the
+    driver handles a bounded number of 4 KiB sketches at any scale."""
+    from .sketches import reduce_sketch_blobs
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         regs = hll_sketch(batch[col].to_pylist())
         return pa.table({"sketch": pa.array([regs.tobytes()], type=pa.binary())})
 
-    parts = ray.get(
-        ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=8192)
-        .to_arrow_refs()
+    def max_merge(blobs: list[bytes]) -> bytes:
+        return hll_merge([np.frombuffer(b, dtype=np.uint8) for b in blobs]).tobytes()
+
+    blob = reduce_sketch_blobs(
+        ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=8192),
+        max_merge,
+        blob_col="sketch",
     )
-    sketches = [
-        np.frombuffer(s, dtype=np.uint8)
-        for blk in parts
-        for s in blk["sketch"].to_pylist()
-    ]
-    return hll_estimate(hll_merge(sketches))
+    if blob is None:
+        return 0.0
+    return hll_estimate(np.frombuffer(blob, dtype=np.uint8))
 
 
 # --- mergeable quantile sketch ----------------------------------------------
@@ -150,14 +153,24 @@ def quantile_sketch(ds: rd.Dataset, col: str) -> tuple[np.ndarray, float, float]
         counts = np.bincount(idx, minlength=_QS_BINS)
         return pa.table({"counts": pa.array([counts.astype(np.int64).tobytes()])})
 
-    parts = ray.get(
-        ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=65536)
-        .to_arrow_refs()
+    from .sketches import reduce_sketch_blobs
+
+    def sum_merge(blobs: list[bytes]) -> bytes:
+        acc = np.frombuffer(blobs[0], dtype=np.int64).copy()
+        for b in blobs[1:]:
+            acc += np.frombuffer(b, dtype=np.int64)
+        return acc.tobytes()
+
+    blob = reduce_sketch_blobs(
+        ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=65536),
+        sum_merge,
+        blob_col="counts",
     )
-    total = np.zeros(_QS_BINS, dtype=np.int64)
-    for blk in parts:
-        for b in blk["counts"].to_pylist():
-            total += np.frombuffer(b, dtype=np.int64)
+    total = (
+        np.frombuffer(blob, dtype=np.int64).copy()
+        if blob is not None
+        else np.zeros(_QS_BINS, dtype=np.int64)
+    )
     return total, lo, hi
 
 

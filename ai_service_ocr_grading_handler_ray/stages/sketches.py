@@ -54,7 +54,9 @@ class BloomFilter:
 
 def build_bloom(ds: rd.Dataset, col: str, n_expected: int, fp_rate: float = 0.01) -> BloomFilter:
     """Distributed build: one filter per batch (map_batches), OR-merged —
-    the broadcast stays ``m/8`` bytes regardless of cluster size."""
+    the broadcast stays ``m/8`` bytes regardless of cluster size.  The
+    merge itself is the adaptive tree reduction (reduce_sketch_blobs), so
+    the driver never loops over millions of per-batch filters."""
 
     def sketch(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_expected, fp_rate)
@@ -62,11 +64,18 @@ def build_bloom(ds: rd.Dataset, col: str, n_expected: int, fp_rate: float = 0.01
             bf.add(v)
         return pa.table({"bits": pa.array([bf.bits.tobytes()], type=pa.binary())})
 
-    parts = ray.get(ds.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+    def or_merge(blobs: list[bytes]) -> bytes:
+        acc = np.frombuffer(blobs[0], dtype=np.uint8).copy()
+        for b in blobs[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return acc.tobytes()
+
+    bits = reduce_sketch_blobs(
+        ds.map_batches(sketch, batch_format="pyarrow"), or_merge
+    )
     out = BloomFilter(n_expected, fp_rate)
-    for blk in parts:
-        for b in blk["bits"].to_pylist():
-            out.bits |= np.frombuffer(b, dtype=np.uint8)
+    if bits is not None:
+        out.bits = np.frombuffer(bits, dtype=np.uint8).copy()
     return out
 
 
@@ -170,18 +179,96 @@ def merge_mg(sketches: list[dict], k: int = 64) -> dict:
 
 
 def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> dict:
-    """Distributed heavy hitters: per-batch MG sketches merged on the
-    driver (each sketch ≤ k entries).  Counts are lower bounds within
-    n/k of exact — enough to pick salting candidates (stages/skew.py)."""
-
-    def sketch(batch: pa.Table) -> pa.Table:
-        import json
-
-        mg = misra_gries_sketch(batch[col].to_pylist(), k)
-        return pa.table({"mg": pa.array([json.dumps({str(a): b for a, b in mg.items()})])})
-
+    """Distributed heavy hitters: per-batch MG sketches (≤ k entries
+    each) reduced by the adaptive tree merge — MG merge is associative,
+    so partition-level merges preserve the n/k error bound.  Counts are
+    lower bounds within n/k of exact — enough to pick salting candidates
+    (stages/skew.py)."""
     import json
 
-    parts = ray.get(ds.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
-    sketches = [json.loads(s) for blk in parts for s in blk["mg"].to_pylist()]
-    return merge_mg(sketches, k)
+    def sketch(batch: pa.Table) -> pa.Table:
+        mg = misra_gries_sketch(batch[col].to_pylist(), k)
+        return pa.table(
+            {"mg": pa.array([json.dumps({str(a): b for a, b in mg.items()}).encode()],
+                            type=pa.binary())}
+        )
+
+    def mg_merge(blobs: list[bytes]) -> bytes:
+        merged = merge_mg([json.loads(b) for b in blobs], k)
+        return json.dumps(merged).encode()
+
+    blob = reduce_sketch_blobs(
+        ds.map_batches(sketch, batch_format="pyarrow"), mg_merge, blob_col="mg"
+    )
+    return json.loads(blob) if blob else {}
+
+
+# --- distributed sketch reduction -------------------------------------------
+
+
+def reduce_sketch_blobs(
+    sketch_ds: rd.Dataset,
+    merge_fn,
+    *,
+    blob_col: str = "bits",
+    direct_limit: int = 256,
+    num_parts: int = 16,
+) -> bytes:
+    """Reduce a Dataset of mergeable sketch blobs to ONE blob.
+
+    Few blobs (≤ direct_limit — the common small-job case): collect and
+    merge on the driver.  Many blobs (10^12-row jobs produce millions of
+    per-batch sketches): a distributed tree level first merges each of
+    ``num_parts`` partitions inside a task, so the driver always merges
+    at most max(direct_limit, num_parts) blobs."""
+    mat = sketch_ds.materialize()
+    if mat.count() <= direct_limit:
+        blobs: list[bytes] = []
+        for blk in ray.get(mat.to_arrow_refs()):
+            if blk.num_rows and blob_col in blk.column_names:
+                blobs.extend(blk[blob_col].to_pylist())
+    else:
+        blobs = tree_merge_blobs(
+            mat, merge_fn, blob_col=blob_col, num_parts=num_parts
+        )
+    return merge_fn(blobs) if blobs else None
+
+
+def tree_merge_blobs(
+    sketch_ds: rd.Dataset,
+    merge_fn,
+    *,
+    blob_col: str = "bits",
+    num_parts: int = 16,
+) -> list[bytes]:
+    """Two-level reduction of per-batch sketch blobs: route blobs to
+    ``num_parts`` partitions (one groupby on a tiny int column), merge
+    each partition's blobs inside a distributed task with ``merge_fn``
+    (associative: bytes list → bytes), and return only ``num_parts``
+    blobs to the driver.  At 10^12 rows the per-batch blob count is in
+    the millions — a flat driver-side merge loop would be the bottleneck
+    and this keeps the driver's work constant."""
+    import pandas as pd
+
+    counter = [0]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        idx = counter[0]
+        counter[0] += len(t)
+        parts = [(idx + i) % num_parts for i in range(len(t))]
+        return t.append_column("_part", pa.array(parts, type=pa.int32()))
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_fn(list(g[blob_col]))
+        return pd.DataFrame({blob_col: [blob]})
+
+    merged = (
+        sketch_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_group, batch_format="pandas")
+    )
+    out: list[bytes] = []
+    for blk in ray.get(merged.to_arrow_refs()):
+        if blk.num_rows and blob_col in blk.column_names:
+            out.extend(blk[blob_col].to_pylist())
+    return out

@@ -92,3 +92,32 @@ def test_bloom_anti_join_complements_semi(sf_dir):
     all_cust = set(cust.to_pandas()["c_custkey"])
     assert anti | semi == all_cust
     assert not (anti & semi)
+
+
+def test_tree_merge_equals_direct_merge(sf_dir):
+    """Forcing the distributed tree level must produce the identical
+    Bloom filter / heavy-hitter summary as the direct driver merge."""
+    import numpy as np
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages import sketches as S
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    direct = S.build_bloom(orders, "o_custkey", n_expected=2000)
+
+    import unittest.mock as mock
+
+    force_tree = {"blob_col": "bits", "direct_limit": 0, "num_parts": 4}
+    with mock.patch.object(S.reduce_sketch_blobs, "__kwdefaults__", force_tree):
+        treed = S.build_bloom(orders, "o_custkey", n_expected=2000)
+    assert np.array_equal(direct.bits, treed.bits)
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    hh_direct = S.heavy_hitters(events, "user_id", k=16)
+    with mock.patch.object(S.reduce_sketch_blobs, "__kwdefaults__", force_tree):
+        hh_treed = S.heavy_hitters(events, "user_id", k=16)
+    # MG merges are associative up to counter compression order; the key
+    # SET of survivors must agree on the top entries
+    top_direct = sorted(hh_direct, key=lambda x: -hh_direct[x])[:4]
+    top_treed = sorted(hh_treed, key=lambda x: -hh_treed[x])[:4]
+    assert set(top_direct) == set(top_treed)
