@@ -1782,6 +1782,19 @@ def q83_skewed_join(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"sum_value": 3})
 
 
+def q84_streaming_sessionize(sf_dir: str) -> pd.DataFrame:
+    """STATEFUL streaming sessionization (per-bucket actors holding only
+    open sessions, watermark-closed) — must equal the batch sessionizer
+    q12 exactly, so it shares q12's SQL oracle."""
+    from ..stages.streaming import session_window_aggregate_ds
+
+    events = _read(sf_dir, "events", ["ts", "user_id"])
+    out = session_window_aggregate_ds(
+        events, key_col="user_id", ts_col="ts", gap_s=1800
+    )
+    return _finalize(out)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -1878,6 +1891,7 @@ QUERIES = {
     "q81_doc_chunks": q81_doc_chunks,
     "q82_source_quota": q82_source_quota,
     "q83_skewed_join": q83_skewed_join,
+    "q84_streaming_sessionize": q84_streaming_sessionize,
 }
 
 ORACLE_SQL = {
@@ -2303,6 +2317,26 @@ ORACLE_SQL = {
     "q77_hash_sample": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q84_streaming_sessionize": """
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), m AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM o
+        ), s AS (
+          SELECT user_id, event_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_id
     """,
     "q83_skewed_join": """
         SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,

@@ -242,3 +242,117 @@ def sliding_window_aggregate(
     return out.sort_values([key_col, "window_start"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+@ray.remote
+class SessionBucketActor:
+    """Incremental gap-based session state for one key-hash bucket.
+
+    Rows arrive in ts order (the feeder sorts per bucket); a session
+    closes when its key's gap is exceeded or when the bucket watermark
+    (max ts seen − gap) passes its last event — closed sessions can never
+    reopen, so memory holds only OPEN sessions."""
+
+    def __init__(self, gap_s: int) -> None:
+        self.gap_us = gap_s * 1_000_000
+        self.open: dict = {}  # key -> [last_ts_us, n_events]
+        self.counts: dict = {}  # key -> sessions closed so far
+        self.closed: list[tuple] = []  # (key, session_id, n_events)
+        self.watermark = -(2**62)
+
+    def _close(self, k) -> None:
+        last, n = self.open.pop(k)
+        sid = self.counts.get(k, 0) + 1
+        self.counts[k] = sid
+        self.closed.append((k, sid, n))
+
+    def ingest(self, keys: list, ts_us: list[int]) -> int:
+        for k, t in zip(keys, ts_us):
+            cur = self.open.get(k)
+            if cur is not None and t - cur[0] <= self.gap_us:
+                cur[0] = t
+                cur[1] += 1
+            else:
+                if cur is not None:
+                    self._close(k)
+                self.open[k] = [t, 1]
+            if t > self.watermark:
+                self.watermark = t
+        # watermark pass: sessions idle past the gap can never extend
+        horizon = self.watermark - self.gap_us
+        for k in [k for k, (last, _n) in self.open.items() if last < horizon]:
+            self._close(k)
+        return len(self.closed)
+
+    def flush(self) -> list[tuple]:
+        for k in sorted(self.open):
+            self._close(k)
+        out, self.closed = self.closed, []
+        return out
+
+
+def session_window_aggregate_ds(
+    events: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+    n_buckets: int = 4,
+) -> pd.DataFrame:
+    """Stateful STREAMING sessionization — the actor-state twin of the
+    batch sessionizer (queries.q12): rows hash-route to bucket actors and
+    stream in ts order per bucket; each actor keeps only open sessions
+    (watermark-closed otherwise).  Output (key, session_id, n_events)
+    equals the batch groupby formulation exactly (same SQL oracle)."""
+    actors = [
+        SessionBucketActor.options(num_cpus=0).remote(gap_s) for _ in range(n_buckets)
+    ]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        buckets = [_bucket_of(k, n_buckets) for k in t[key_col].to_pylist()]
+        ts_us = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "_ts_us": pa.array(ts_us),
+                "_bucket": pa.array(buckets, type=pa.int32()),
+            }
+        )
+
+    def feed(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["_ts_us", key_col], kind="mergesort")
+        pending = []
+        for i in range(0, len(g), 1024):
+            chunk = g.iloc[i : i + 1024]
+            pending.append(
+                actors[b].ingest.remote(
+                    chunk[key_col].tolist(), chunk["_ts_us"].tolist()
+                )
+            )
+        ray.get(pending)
+        return pd.DataFrame({"_bucket": pd.Series([b], dtype="int32"),
+                             "n_fed": pd.Series([len(g)], dtype="int64")})
+
+    (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(feed, batch_format="pandas")
+        .materialize()
+    )
+    rows: list[tuple] = []
+    for a in actors:
+        rows.extend(ray.get(a.flush.remote()))
+    for a in actors:
+        ray.kill(a)
+    out = pd.DataFrame(rows, columns=[key_col, "session_id", "n_events"])
+    out["session_id"] = out["session_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values([key_col, "session_id"], kind="mergesort").reset_index(
+        drop=True
+    )
