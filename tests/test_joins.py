@@ -131,3 +131,62 @@ def test_skewed_join_equals_bucketed_join():
     pd.testing.assert_frame_equal(plain, skewed, check_like=True)
     # dtype fidelity: int columns stay ints through both plans
     assert plain["k"].dtype.kind == "i" and skewed["k"].dtype.kind == "i"
+
+
+def test_asof_join_matches_pandas_reference():
+    """Randomized as-of join vs a direct pandas merge_asof reference
+    (per-key, driver-side) — exercises bucketing, typed-null widening,
+    and int restoration across many shapes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.asof import asof_join_backward
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        nl, nr = 400, 150
+        lk = rng.integers(0, 40, nl)
+        lts = rng.integers(0, 10_000, nl) * 1000
+        rk = rng.integers(0, 40, nr)
+        rts_raw = rng.integers(0, 10_000, nr) * 1000
+        # one right row per (key, ts): dedupe for deterministic ties
+        rdf = (
+            pd.DataFrame({"k": rk, "rts": rts_raw, "rv": np.arange(nr)})
+            .groupby(["k", "rts"], as_index=False)
+            .agg(rv=("rv", "max"))
+        )
+        left = pa.table(
+            {"k": pa.array(lk, type=pa.int64()),
+             "lts": pa.array(lts.astype("datetime64[us]")),
+             "lv": pa.array(np.arange(nl), type=pa.int64())}
+        )
+        right = pa.table(
+            {"k": pa.array(rdf["k"].to_numpy(), type=pa.int64()),
+             "rts": pa.array(rdf["rts"].to_numpy().astype("datetime64[us]")),
+             "rv": pa.array(rdf["rv"].to_numpy(), type=pa.int64())}
+        )
+        out = (
+            asof_join_backward(
+                rd.from_arrow(left), rd.from_arrow(right),
+                key="k", left_ts="lts", right_ts="rts",
+            )
+            .to_pandas()
+            .sort_values(["k", "lts", "lv"])
+            .reset_index(drop=True)
+        )
+        # reference: per-key pandas merge_asof on the driver
+        ldf = left.to_pandas().sort_values("lts", kind="mergesort")
+        rr = right.to_pandas().sort_values("rts", kind="mergesort")
+        ref = pd.merge_asof(ldf, rr, left_on="lts", right_on="rts",
+                            by="k", direction="backward")
+        ref = ref.sort_values(["k", "lts", "lv"]).reset_index(drop=True)
+        assert len(out) == len(ref) == nl
+        for col in ["k", "lv"]:
+            assert out[col].astype("int64").tolist() == ref[col].astype("int64").tolist()
+        a = out["rv"].astype("Int64")
+        b = ref["rv"].astype("Int64")
+        assert a.isna().equals(b.isna())
+        assert a.dropna().tolist() == b.dropna().tolist()
+        assert out["rv"].dtype.kind in "i" or str(out["rv"].dtype) == "Int64"
