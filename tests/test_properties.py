@@ -215,3 +215,38 @@ def test_streaming_window_ds_equals_driver_version(sf_dir):
         value_col="value", window_s=3600,
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_streaming_sessionize_edges():
+    """Empty input, single row, and an exact-gap boundary all behave:
+    gap == threshold extends the session; gap+1s starts a new one."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.streaming import (
+        session_window_aggregate_ds,
+    )
+
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()),
+         "ts": pa.array([], type=pa.timestamp("us"))}
+    )
+    out = session_window_aggregate_ds(
+        rd.from_arrow(empty), key_col="user_id", ts_col="ts", gap_s=1800
+    )
+    assert len(out) == 0
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:30:00",  # +1800s: SAME session
+         "2024-01-01 01:00:01"],                        # +1801s: new session
+    ).astype("datetime64[us]")
+    t = pa.table({"user_id": pa.array([1, 1, 1], type=pa.int64()),
+                  "ts": pa.array(ts)})
+    out = session_window_aggregate_ds(
+        rd.from_arrow(t), key_col="user_id", ts_col="ts", gap_s=1800
+    )
+    assert out.to_dict("records") == [
+        {"user_id": 1, "session_id": 1, "n_events": 2},
+        {"user_id": 1, "session_id": 2, "n_events": 1},
+    ]
