@@ -48,7 +48,8 @@ def cmd_extract(args: argparse.Namespace) -> int:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
     manifests = resumable_extract(
-        files, args.out, partition_size=args.partition_size
+        files, args.out, partition_size=args.partition_size,
+        input_format=args.format,
     )
     done = len(manifests)
     total_rows = sum(m["row_count"] for m in manifests)
@@ -168,9 +169,13 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="job", required=True)
 
     pe = sub.add_parser("extract", help="pages parquet → extraction parquet (resumable)")
-    pe.add_argument("--input", required=True, help="parquet file or glob")
+    pe.add_argument("--input", required=True, help="input file or glob")
     pe.add_argument("--out", required=True)
     pe.add_argument("--partition-size", type=int, default=4)
+    pe.add_argument(
+        "--format", choices=["parquet", "jsonl", "csv"], default="parquet",
+        help="input format (jsonl/csv carry html base64-encoded)",
+    )
     pe.set_defaults(fn=cmd_extract)
 
     pg = sub.add_parser("grade", help="grading requests parquet → graded parquet")

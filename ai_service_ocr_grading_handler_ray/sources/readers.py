@@ -67,3 +67,59 @@ def validate_schema(ds: rd.Dataset, expected, *, strict: bool = True) -> rd.Data
             f"schema mismatch: missing={missing} wrong_type={wrong} extra={extra}"
         )
     return ds
+
+
+def read_pages_any(
+    paths: str | list[str],
+    *,
+    fmt: str = "parquet",
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Pages reader over interchange formats.
+
+    ``parquet`` is the native layout (binary html column).  ``jsonl`` and
+    ``csv`` carry the html payload base64-encoded (text formats cannot
+    hold raw bytes) and ``warc_ts`` as epoch microseconds or an ISO
+    string; both decode inside map_batches into the native schema."""
+    if fmt == "parquet":
+        return read_pages(paths, columns=columns)
+    if fmt not in ("jsonl", "json", "csv"):
+        raise ValueError(f"unsupported pages format: {fmt}")
+    ds = rd.read_json(paths) if fmt in ("jsonl", "json") else rd.read_csv(paths)
+
+    import base64
+
+    import pyarrow as pa
+
+    def decode(t: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(v) if v else b"" for v in t["html"].to_pylist()],
+            type=pa.binary(),
+        )
+        ts_col = t["warc_ts"]
+        if pa.types.is_timestamp(ts_col.type):
+            ts = ts_col.cast(pa.timestamp("us"))
+        elif pa.types.is_integer(ts_col.type):
+            ts = ts_col.cast(pa.timestamp("us"))  # epoch micros
+        else:
+            import pandas as pd
+
+            ts = pa.array(
+                pd.to_datetime(ts_col.to_pylist()).astype("datetime64[us]")
+            )
+        out = pa.table(
+            {
+                "url": t["url"].cast(pa.string()),
+                "warc_ts": ts,
+                "html": html,
+                "text": t["text"].cast(pa.string()) if "text" in t.column_names
+                else pa.nulls(len(t), type=pa.string()),
+                "lang": t["lang"].cast(pa.string()) if "lang" in t.column_names
+                else pa.nulls(len(t), type=pa.string()),
+            }
+        )
+        if columns:
+            out = out.select(columns)
+        return out
+
+    return ds.map_batches(decode, batch_format="pyarrow")

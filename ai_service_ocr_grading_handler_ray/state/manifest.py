@@ -80,7 +80,10 @@ def run_partition(pid: int, files: list[str], out_dir: str, **extract_kwargs) ->
         shutil.rmtree(part_dir)
 
     t0 = time.perf_counter()
-    pages = rd.read_parquet(files)
+    input_format = extract_kwargs.pop("input_format", "parquet")
+    from ..sources.readers import read_pages_any
+
+    pages = read_pages_any(files, fmt=input_format)
     result = extract_pages(pages, **extract_kwargs)
     result.write_parquet(tmp_dir)
     wall_s = time.perf_counter() - t0

@@ -49,3 +49,49 @@ def test_write_partitioned_many_files(tmp_path, sf_dir):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) >= 1
     assert pads.dataset(out, format="parquet").count_rows() == 500
+
+
+def test_jsonl_and_csv_pages_match_parquet_extraction(tmp_path, sf_dir):
+    """The same pages ingested as parquet, jsonl (base64 html), and csv
+    must produce byte-identical extraction digests."""
+    import base64
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ai_service_ocr_grading_handler_ray.pipelines.extract import extract_pages
+    from ai_service_ocr_grading_handler_ray.sources.readers import read_pages_any
+    from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").slice(0, 120)
+    pages = docs_to_pages(docs)
+    pq_path = tmp_path / "pages.parquet"
+    pq.write_table(pages, str(pq_path))
+
+    rows = pages.to_pylist()
+    jl_path = tmp_path / "pages.jsonl"
+    with open(jl_path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps({
+                "url": r["url"],
+                "warc_ts": int(pd.Timestamp(r["warc_ts"]).value // 1000),
+                "html": base64.b64encode(r["html"]).decode(),
+                "text": r["text"], "lang": r["lang"],
+            }) + "\n")
+    csv_path = tmp_path / "pages.csv"
+    pd.DataFrame({
+        "url": [r["url"] for r in rows],
+        "warc_ts": [int(pd.Timestamp(r["warc_ts"]).value // 1000) for r in rows],
+        "html": [base64.b64encode(r["html"]).decode() for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    }).to_csv(csv_path, index=False)
+
+    def digests(fmt, path):
+        out = extract_pages(read_pages_any(str(path), fmt=fmt)).to_pandas()
+        return sorted(zip(out["url"], out["content_sha256"]))
+
+    ref = digests("parquet", pq_path)
+    assert digests("jsonl", jl_path) == ref
+    assert digests("csv", csv_path) == ref
