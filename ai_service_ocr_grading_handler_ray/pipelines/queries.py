@@ -1890,16 +1890,10 @@ QUERIES = {
     "q61_set_ops": q61_set_ops,
     "q62_weighted_avg": q62_weighted_avg,
     "q63_percentiles": q63_percentiles,
-    "q75_inverted_index": q75_inverted_index,
     "q76_top_bigrams": q76_top_bigrams,
     "q77_hash_sample": q77_hash_sample,
     "q78_tfidf_top_term": q78_tfidf_top_term,
-    "q79_quantile_sketch": q79_quantile_sketch,
-    "q80_sliding_window": q80_sliding_window,
-    "q81_doc_chunks": q81_doc_chunks,
     "q82_source_quota": q82_source_quota,
-    "q83_skewed_join": q83_skewed_join,
-    "q84_streaming_sessionize": q84_streaming_sessionize,
 }
 
 ORACLE_SQL = {

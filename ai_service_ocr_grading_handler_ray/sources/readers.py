@@ -104,9 +104,11 @@ def read_pages_any(
         else:
             import pandas as pd
 
-            ts = pa.array(
-                pd.to_datetime(ts_col.to_pylist()).astype("datetime64[us]")
-            )
+            # utc=True normalizes tz-aware / mixed-offset strings, then
+            # drop the tz for the naive-UTC native schema (a direct
+            # astype from tz-aware raises in pandas 2)
+            parsed = pd.to_datetime(ts_col.to_pylist(), utc=True).tz_localize(None)
+            ts = pa.array(parsed.astype("datetime64[us]"))
         out = pa.table(
             {
                 "url": t["url"].cast(pa.string()),

@@ -87,14 +87,15 @@ def bucketed_inner_join(
         rg = g[g["_side"] == 1][r_cols]
         if lg.empty or rg.empty:
             return pd.DataFrame(columns=out_cols)
-        # own-side columns carry no nulls — restore ints the union's
-        # cross-side nulls promoted to float64
+        # restore ints the union's cross-side nulls promoted to float64;
+        # nullable Int64 tolerates sources whose own int columns carry
+        # genuine nulls (a plain int64 astype would raise on NaN)
         for c in l_cols:
             if c in int_cols:
-                lg = lg.astype({c: "int64"})
+                lg = lg.astype({c: "Int64"})
         for c in r_cols:
             if c in int_cols:
-                rg = rg.astype({c: "int64"})
+                rg = rg.astype({c: "Int64"})
         merged = lg.merge(rg, left_on=left_key, right_on=right_key, how="inner")
         return merged.drop(columns=[right_key])
 
@@ -123,10 +124,26 @@ def skewed_inner_join(
 
     from .sketches import heavy_hitters
 
+    # the plan consumes left three times (hot-key detect, hot path, cold
+    # path) and right twice — materialize once so upstream transforms
+    # don't re-execute per consumer
+    left = left.materialize()
+    right = right.materialize()
     key_type = next(
         f.type for f in left.schema().base_schema if f.name == left_key
     )
     if hot_keys is None:
+        if not (
+            pa.types.is_integer(key_type)
+            or pa.types.is_string(key_type)
+            or pa.types.is_large_string(key_type)
+        ):
+            # MG stringifies keys; for other types a silent coercion miss
+            # would quietly disable the hot path — make the caller choose
+            raise TypeError(
+                f"hot-key auto-detection supports integer/string keys, got "
+                f"{key_type}; pass hot_keys= explicitly"
+            )
         # MG sketch stringifies keys (json-serialized counters) — coerce
         # back to the key column's type or membership tests never match
         detected = heavy_hitters(left.select_columns([left_key]), left_key, k=hot_k)
@@ -167,6 +184,13 @@ def skewed_inner_join(
         lg = t.filter(mask).to_pandas()
         if rf is None or lg.empty:
             return out_schema.empty_table()
+        # int columns with genuine nulls arrive as float64 — move them to
+        # nullable Int64 so the cast back to int64 below can't hit NaN
+        for f in out_fields:
+            if pa.types.is_integer(f.type):
+                for df in (lg, rf):
+                    if f.name in df.columns and df[f.name].dtype.kind == "f":
+                        df[f.name] = df[f.name].astype("Int64")
         merged = lg.merge(rf, left_on=left_key, right_on=right_key, how="inner")
         return pa.Table.from_pandas(
             merged.drop(columns=[right_key]), preserve_index=False

@@ -250,12 +250,17 @@ def tree_merge_blobs(
     and this keeps the driver's work constant."""
     import pandas as pd
 
-    counter = [0]
-
     def add_part(t: pa.Table) -> pa.Table:
-        idx = counter[0]
-        counter[0] += len(t)
-        parts = [(idx + i) % num_parts for i in range(len(t))]
+        # partition by a hash of the blob bytes: task-local counters
+        # restart at 0 in every task, which would pile single-blob blocks
+        # onto partition 0 and serialize the "tree"
+        parts = [
+            int.from_bytes(
+                hashlib.blake2b(bytes(b[:64]), digest_size=2).digest(), "big"
+            )
+            % num_parts
+            for b in t[blob_col].to_pylist()
+        ]
         return t.append_column("_part", pa.array(parts, type=pa.int32()))
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:

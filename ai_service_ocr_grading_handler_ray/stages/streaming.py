@@ -169,18 +169,21 @@ def tumbling_window_aggregate_ds(
         return pd.DataFrame({"_bucket": pd.Series([b], dtype="int32"),
                              "n_fed": pd.Series([len(g)], dtype="int64")})
 
-    fed = (
-        events.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(feed, batch_format="pandas")
-    )
-    fed.materialize()  # drive ingestion to completion before flushing
+    try:
+        fed = (
+            events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(feed, batch_format="pandas")
+        )
+        fed.materialize()  # drive ingestion to completion before flushing
 
-    rows: list[tuple] = []
-    for a in actors:
-        rows.extend(ray.get(a.flush.remote()))
-    for a in actors:
-        ray.kill(a)
+        rows: list[tuple] = []
+        for a in actors:
+            rows.extend(ray.get(a.flush.remote()))
+    finally:
+        # a failed ingest must not orphan the zero-CPU state actors
+        for a in actors:
+            ray.kill(a)
     out = pd.DataFrame(rows, columns=[key_col, "window", "n", "sum_value"])
     out["n"] = out["n"].astype("int64")
     out["window"] = out["window"].astype("int64")
@@ -339,17 +342,20 @@ def session_window_aggregate_ds(
         return pd.DataFrame({"_bucket": pd.Series([b], dtype="int32"),
                              "n_fed": pd.Series([len(g)], dtype="int64")})
 
-    (
-        events.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(feed, batch_format="pandas")
-        .materialize()
-    )
-    rows: list[tuple] = []
-    for a in actors:
-        rows.extend(ray.get(a.flush.remote()))
-    for a in actors:
-        ray.kill(a)
+    try:
+        (
+            events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(feed, batch_format="pandas")
+            .materialize()
+        )
+        rows: list[tuple] = []
+        for a in actors:
+            rows.extend(ray.get(a.flush.remote()))
+    finally:
+        # a failed ingest must not orphan the zero-CPU state actors
+        for a in actors:
+            ray.kill(a)
     out = pd.DataFrame(rows, columns=[key_col, "session_id", "n_events"])
     out["session_id"] = out["session_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")

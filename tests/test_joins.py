@@ -190,3 +190,32 @@ def test_asof_join_matches_pandas_reference():
         assert a.isna().equals(b.isna())
         assert a.dropna().tolist() == b.dropna().tolist()
         assert out["rv"].dtype.kind in "i" or str(out["rv"].dtype) == "Int64"
+
+
+def test_bucketed_join_tolerates_nullable_int_columns():
+    """A source with nulls in a non-key int column must join (nullable
+    Int64 restoration), not crash on an int64 astype of NaN."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.joins import bucketed_inner_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], type=pa.int64()),
+         "opt": pa.array([10, None, 30], type=pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([1, 2, 3], type=pa.int64()),
+         "tag": ["a", "b", "c"]}
+    )
+    out = (
+        bucketed_inner_join(
+            rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="rk"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].astype("int64").tolist() == [1, 2, 3]
+    assert pd.isna(out["opt"].iloc[1]) and int(out["opt"].iloc[0]) == 10
