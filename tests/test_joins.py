@@ -219,3 +219,21 @@ def test_bucketed_join_tolerates_nullable_int_columns():
     )
     assert out["k"].astype("int64").tolist() == [1, 2, 3]
     assert pd.isna(out["opt"].iloc[1]) and int(out["opt"].iloc[0]) == 10
+
+
+def test_skewed_join_rejects_unsupported_auto_detect_key():
+    """Float keys can't round-trip through the MG sketch's stringified
+    counters — auto-detection must refuse instead of silently running
+    the whole plan with an empty hot set."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.joins import skewed_inner_join
+
+    left = pa.table({"k": pa.array([1.5, 2.5]), "v": [1, 2]})
+    right = pa.table({"rk": pa.array([1.5]), "tag": ["a"]})
+    with pytest.raises(TypeError, match="pass hot_keys"):
+        skewed_inner_join(
+            rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="rk"
+        )

@@ -95,3 +95,12 @@ def test_jsonl_and_csv_pages_match_parquet_extraction(tmp_path, sf_dir):
     ref = digests("parquet", pq_path)
     assert digests("jsonl", jl_path) == ref
     assert digests("csv", csv_path) == ref
+
+
+def test_read_pages_any_rejects_unknown_format():
+    import pytest
+
+    from ai_service_ocr_grading_handler_ray.sources.readers import read_pages_any
+
+    with pytest.raises(ValueError, match="unsupported pages format"):
+        read_pages_any("/tmp/x.avro", fmt="avro")
