@@ -212,4 +212,7 @@ def skewed_inner_join(
         right_key=right_key,
         n_buckets=n_buckets,
     )
-    return hot_part.union(cold)
+    # the bucketed path emits pandas blocks (map_groups); normalize to
+    # Arrow so the union is block-type homogeneous for downstream ops
+    cold_arrow = cold.map_batches(lambda t: t, batch_format="pyarrow")
+    return hot_part.union(cold_arrow)
