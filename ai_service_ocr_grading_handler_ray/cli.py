@@ -134,8 +134,11 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     out = minhash_lsh_clusters(
         ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
     )
-    rd.from_arrow(out).write_parquet(args.out)
-    print(json.dumps({"out": args.out, "rows": out.num_rows}))
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet").count_rows()
+    print(json.dumps({"out": args.out, "rows": n}))
     return 0
 
 

@@ -111,11 +111,15 @@ def grade_requests(
             num_cpus=1,
         )
     else:
+        # forward concurrency so callers bounding parallelism on the
+        # stateless-task path aren't silently ignored (ADVICE r2)
+        task_kwargs = {} if concurrency is None else {"concurrency": concurrency}
         extracted = routed.map_batches(
             grade_extract_task,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
+            **task_kwargs,
         )
     return extracted.map_batches(score_batch, batch_format="pyarrow")
 

@@ -616,13 +616,13 @@ def _docs_with_near_dups(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
-def q32_minhash_dedup(sf_dir: str) -> pa.Table:
+def q32_minhash_dedup(sf_dir: str) -> rd.Dataset:
     from ..stages.dedup import minhash_lsh_clusters
 
     return minhash_lsh_clusters(_docs_with_near_dups(sf_dir), threshold=0.55)
 
 
-def q33_simhash_dedup(sf_dir: str) -> pa.Table:
+def q33_simhash_dedup(sf_dir: str) -> rd.Dataset:
     from ..stages.dedup import simhash_clusters
 
     return simhash_clusters(_docs_with_near_dups(sf_dir), max_hamming=8)
@@ -658,7 +658,7 @@ def q36_knn_lsh(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["query_id", "vec_id", "score"]], {"score": 4})
 
 
-def q37_embedding_dedup(sf_dir: str) -> pa.Table:
+def q37_embedding_dedup(sf_dir: str) -> rd.Dataset:
     from ..stages.dedup import embedding_cosine_clusters
 
     return embedding_cosine_clusters(
@@ -1800,67 +1800,15 @@ def q84_streaming_sessionize(sf_dir: str) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 # Ordering contract: the driver oracle-checks the FIRST 50 entries (dict
-# insertion order).  Engine-flagship queries and every newest oracle query
-# therefore come first; redundant relational variants (all hash-verified
-# by the driver in round 1, and all still covered by
-# tests/test_oracle_parity.py every run) are parked after position 50.
+# insertion order).  The window rotates per round so every registered
+# query gets a driver-green row at least once across rounds: round 3
+# front-loads the 33 queries the r2 window did not sample, then the
+# queries whose implementation changed this round.  Everything parked
+# after position 50 already has a driver-green row from rounds 1/2 and
+# still runs in tests/test_oracle_parity.py every session.
 QUERIES = {
-    # engine flagship + near-dup family (rows-only driver checks)
-    "q30_flagship_extract": q30_flagship_extract,
-    "q31_grading": q31_grading,
-    "q32_minhash_dedup": q32_minhash_dedup,
-    "q33_simhash_dedup": q33_simhash_dedup,
-    "q34_fingerprint_docs": q34_fingerprint_docs,
-    "q35_language_id": q35_language_id,
-    "q36_knn_lsh": q36_knn_lsh,
-    "q37_embedding_dedup": q37_embedding_dedup,
-    "q38_question_generation": q38_question_generation,
-    "q39_number_predict": q39_number_predict,
-    "q40_host_stats": q40_host_stats,
-    "q41_flagship_deduped": q41_flagship_deduped,
-    # distinctive oracle-bearing operators
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_top_revenue_orders": q03_top_revenue_orders,
-    "q06_customers_with_orders": q06_customers_with_orders,
-    "q07_customers_without_orders": q07_customers_without_orders,
-    "q12_sessionize": q12_sessionize,
-    "q14_doc_token_counts": q14_doc_token_counts,
-    "q15_doc_quality": q15_doc_quality,
-    "q16_dedup_docs_exact": q16_dedup_docs_exact,
-    "q20_knn_brute": q20_knn_brute,
-    "q23_events_user_first": q23_events_user_first,
-    "q24_credit_reducer": q24_credit_reducer,
-    "q25_salted_user_counts": q25_salted_user_counts,
-    "q28_streaming_window": q28_streaming_window,
-    "q47_asof_join": q47_asof_join,
-    "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
-    "q50_bucketed_join": q50_bucketed_join,
-    "q51_redact_pii": q51_redact_pii,
-    "q52_curation": q52_curation,
-    "q53_bloom_semi_join": q53_bloom_semi_join,
-    "q55_range_join": q55_range_join,
-    "q56_extraction_fidelity": q56_extraction_fidelity,
-    # round-2 operators with their own oracles
-    "q75_inverted_index": q75_inverted_index,
-    "q79_quantile_sketch": q79_quantile_sketch,
-    "q80_sliding_window": q80_sliding_window,
-    "q81_doc_chunks": q81_doc_chunks,
-    "q83_skewed_join": q83_skewed_join,
-    "q84_streaming_sessionize": q84_streaming_sessionize,
-    # newest oracle queries (unchecked by the round-1 driver window)
-    "q64_string_functions": q64_string_functions,
-    "q65_orders_by_year": q65_orders_by_year,
-    "q66_union_sources": q66_union_sources,
-    "q67_bloom_anti_join": q67_bloom_anti_join,
-    "q68_props_stats": q68_props_stats,
-    "q69_filtered_revenue": q69_filtered_revenue,
-    "q70_rubric_flatten": q70_rubric_flatten,
-    "q71_month_over_month": q71_month_over_month,
-    "q72_distinct_per_group": q72_distinct_per_group,
-    "q73_split_priority": q73_split_priority,
-    "q74_string_agg": q74_string_agg,
-    # --- position >50: variants already driver-verified in round 1, plus
-    # newer additions covered by the local parity harness every session ---
+    # --- first 50 = the driver's oracle window this round ---
+    # (a) the 33 queries the r2 driver window did not sample (VERDICT r2 #4):
     "q26_field_extractors": q26_field_extractors,
     "q29_topk_per_group": q29_topk_per_group,
     "q44_train_split": q44_train_split,
@@ -1894,6 +1842,61 @@ QUERIES = {
     "q77_hash_sample": q77_hash_sample,
     "q78_tfidf_top_term": q78_tfidf_top_term,
     "q82_source_quota": q82_source_quota,
+    # (b) queries whose implementation changed in round 3 (vectorized
+    # hashing, dedup finish, streaming actors, join paths) — re-verify:
+    "q47_asof_join": q47_asof_join,
+    "q83_skewed_join": q83_skewed_join,
+    "q50_bucketed_join": q50_bucketed_join,
+    "q25_salted_user_counts": q25_salted_user_counts,
+    "q28_streaming_window": q28_streaming_window,
+    "q84_streaming_sessionize": q84_streaming_sessionize,
+    "q12_sessionize": q12_sessionize,
+    "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
+    "q16_dedup_docs_exact": q16_dedup_docs_exact,
+    "q23_events_user_first": q23_events_user_first,
+    "q53_bloom_semi_join": q53_bloom_semi_join,
+    "q67_bloom_anti_join": q67_bloom_anti_join,
+    "q79_quantile_sketch": q79_quantile_sketch,
+    "q32_minhash_dedup": q32_minhash_dedup,
+    "q33_simhash_dedup": q33_simhash_dedup,
+    "q37_embedding_dedup": q37_embedding_dedup,
+    "q52_curation": q52_curation,
+    # --- position >50: driver-green in rounds 1/2 and unchanged (or
+    # rows-only with r2 green rows); all still run in
+    # tests/test_oracle_parity.py every session ---
+    "q30_flagship_extract": q30_flagship_extract,
+    "q31_grading": q31_grading,
+    "q34_fingerprint_docs": q34_fingerprint_docs,
+    "q35_language_id": q35_language_id,
+    "q36_knn_lsh": q36_knn_lsh,
+    "q38_question_generation": q38_question_generation,
+    "q39_number_predict": q39_number_predict,
+    "q40_host_stats": q40_host_stats,
+    "q41_flagship_deduped": q41_flagship_deduped,
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_revenue_orders": q03_top_revenue_orders,
+    "q06_customers_with_orders": q06_customers_with_orders,
+    "q07_customers_without_orders": q07_customers_without_orders,
+    "q14_doc_token_counts": q14_doc_token_counts,
+    "q15_doc_quality": q15_doc_quality,
+    "q20_knn_brute": q20_knn_brute,
+    "q24_credit_reducer": q24_credit_reducer,
+    "q51_redact_pii": q51_redact_pii,
+    "q55_range_join": q55_range_join,
+    "q56_extraction_fidelity": q56_extraction_fidelity,
+    "q75_inverted_index": q75_inverted_index,
+    "q80_sliding_window": q80_sliding_window,
+    "q81_doc_chunks": q81_doc_chunks,
+    "q64_string_functions": q64_string_functions,
+    "q65_orders_by_year": q65_orders_by_year,
+    "q66_union_sources": q66_union_sources,
+    "q68_props_stats": q68_props_stats,
+    "q69_filtered_revenue": q69_filtered_revenue,
+    "q70_rubric_flatten": q70_rubric_flatten,
+    "q71_month_over_month": q71_month_over_month,
+    "q72_distinct_per_group": q72_distinct_per_group,
+    "q73_split_priority": q73_split_priority,
+    "q74_string_agg": q74_string_agg,
 }
 
 ORACLE_SQL = {

@@ -27,6 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .hashing import bucket_ids
+
 
 def asof_join_backward(
     left: rd.Dataset,
@@ -68,33 +70,19 @@ def asof_join_backward(
                 else:
                     cols[c] = pa.nulls(len(t), type=types[c])
             out = pa.table(cols)
-            if pa.types.is_integer(types[key]):
-                kb = (
-                    np.abs(out[key].to_numpy(zero_copy_only=False).astype(np.int64))
-                    % num_buckets
+            if out[key].null_count:
+                # merge_asof(by=key) semantics on null keys are undefined
+                # (a null would otherwise hash to the sentinel bucket and
+                # "match" other nulls) — reject explicitly
+                raise ValueError(
+                    f"asof_join_backward: null values in key column {key!r}; "
+                    "filter or fill null keys upstream"
                 )
-            else:
-                # deterministic across worker processes — Python's builtin
-                # hash() is PYTHONHASHSEED-randomized per process, which
-                # would scatter the same key to different buckets on
-                # different workers and silently drop matches
-                import hashlib
-
-                kb = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                str(v).encode(), digest_size=2
-                            ).digest(),
-                            "big",
-                        )
-                        % num_buckets
-                        for v in out[key].to_pylist()
-                    ),
-                    dtype=np.int64,
-                    count=len(out),
-                )
-            return out.append_column("_kb", pa.array(kb.astype(np.int32)))
+            # vectorized + deterministic across worker processes (builtin
+            # hash() is PYTHONHASHSEED-randomized per process, which would
+            # scatter one key across buckets and silently drop matches)
+            kb = bucket_ids(out[key], num_buckets)
+            return out.append_column("_kb", pa.array(kb))
 
         return fn
 

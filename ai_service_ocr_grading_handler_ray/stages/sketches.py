@@ -251,17 +251,13 @@ def tree_merge_blobs(
     import pandas as pd
 
     def add_part(t: pa.Table) -> pa.Table:
-        # partition by a hash of the blob bytes: task-local counters
-        # restart at 0 in every task, which would pile single-blob blocks
-        # onto partition 0 and serialize the "tree"
-        parts = [
-            int.from_bytes(
-                hashlib.blake2b(bytes(b[:64]), digest_size=2).digest(), "big"
-            )
-            % num_parts
-            for b in t[blob_col].to_pylist()
-        ]
-        return t.append_column("_part", pa.array(parts, type=pa.int32()))
+        # partition by a hash of the FULL blob bytes: task-local counters
+        # restart at 0 in every task (which would pile single-blob blocks
+        # onto partition 0), and prefix-only hashing collapses sparse
+        # sketches that share a zero prefix into one partition (ADVICE r2)
+        from .hashing import bucket_ids
+
+        return t.append_column("_part", pa.array(bucket_ids(t[blob_col], num_parts)))
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         blob = merge_fn(list(g[blob_col]))

@@ -16,13 +16,13 @@ this operator exists for the engine's per-host rollups at 10^12 rows.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
+
+from .hashing import bucket_ids
 
 
 def host_of_url(url: str) -> str:
@@ -35,13 +35,8 @@ def host_of_url(url: str) -> str:
 def add_host_and_salt(batch: pa.Table, url_col: str = "url", salt: int = 8) -> pa.Table:
     urls = batch[url_col].to_pylist()
     hosts = [host_of_url(u or "") for u in urls]
-    salts = [
-        int.from_bytes(hashlib.blake2b((u or "").encode(), digest_size=2).digest(), "big")
-        % salt
-        for u in urls
-    ]
     return batch.append_column("host", pa.array(hosts, type=pa.string())).append_column(
-        "salt", pa.array(salts, type=pa.int32())
+        "salt", pa.array(bucket_ids(batch[url_col], salt))
     )
 
 
@@ -58,15 +53,9 @@ def salted_count(
     key across ``salt`` sub-groups."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        vals = batch[salt_from].to_pylist()
-        salts = [
-            int.from_bytes(
-                hashlib.blake2b(str(v).encode(), digest_size=2).digest(), "big"
-            )
-            % salt
-            for v in vals
-        ]
-        return batch.append_column("salt", pa.array(salts, type=pa.int32()))
+        return batch.append_column(
+            "salt", pa.array(bucket_ids(batch[salt_from], salt))
+        )
 
     aggs = [Count(alias_name="_n")]
     if sum_col:

@@ -18,26 +18,31 @@ incremental/stateful semantics and is equivalence-tested against it.
 from __future__ import annotations
 
 import collections
-import hashlib
 
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .hashing import bucket_ids
+
 
 @ray.remote
 class WindowBucketActor:
-    """Incremental tumbling-window state for one key-hash bucket."""
+    """Incremental tumbling-window state for one key-hash bucket.
+
+    ``ingest`` RETURNS the windows it closes instead of accumulating
+    them: closed results flow back through the feeder task into the
+    Dataset plane, so actor memory holds only OPEN windows (bounded by
+    keys active inside one window span, not by the stream length)."""
 
     def __init__(self, window_s: int, lateness_s: int = 0) -> None:
         self.window_us = window_s * 1_000_000
         self.lateness_us = lateness_s * 1_000_000
         self.open: dict = collections.defaultdict(lambda: [0, 0.0])  # (key, w) -> [n, sum]
         self.watermark = -(2**62)
-        self.closed: list[tuple] = []
 
-    def ingest(self, keys: list, ts_us: list[int], values: list[float]) -> int:
+    def ingest(self, keys: list, ts_us: list[int], values: list[float]) -> list[tuple]:
         for k, t, v in zip(keys, ts_us, values):
             w = t // self.window_us
             slot = self.open[(k, w)]
@@ -45,19 +50,21 @@ class WindowBucketActor:
             slot[1] += v
             if t > self.watermark:
                 self.watermark = t
-        # close windows fully below the watermark
+        # close (and emit) windows fully below the watermark
         horizon = (self.watermark - self.lateness_us) // self.window_us
+        closed = []
         for key in [kw for kw in self.open if kw[1] < horizon]:
             n, s = self.open.pop(key)
-            self.closed.append((key[0], key[1], n, s))
-        return len(self.closed)
+            closed.append((key[0], key[1], n, s))
+        return closed
 
     def flush(self) -> list[tuple]:
-        for (k, w), (n, s) in sorted(self.open.items()):
-            self.closed.append((k, w, n, s))
+        out = [(k, w, n, s) for (k, w), (n, s) in sorted(self.open.items())]
         self.open.clear()
-        out, self.closed = self.closed, []
         return out
+
+    def state_size(self) -> int:
+        return len(self.open)
 
 
 def tumbling_window_aggregate(
@@ -76,7 +83,7 @@ def tumbling_window_aggregate(
     df = events[[key_col, ts_col, value_col]].copy()
     # explicit unit cast: pandas 2.x may carry datetime64[us] or [ns]
     df["_ts_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-    df["_bucket"] = df[key_col].map(lambda k: _bucket_of(k, n_buckets))
+    df["_bucket"] = bucket_ids(df[key_col], n_buckets)
     df = df.sort_values(["_bucket", "_ts_us"], kind="mergesort")
 
     pending = []
@@ -91,8 +98,9 @@ def tumbling_window_aggregate(
                     chunk[value_col].tolist(),
                 )
             )
-    ray.get(pending)
     rows: list[tuple] = []
+    for closed in ray.get(pending):
+        rows.extend(closed)
     for a in actors:
         rows.extend(ray.get(a.flush.remote()))
     for a in actors:
@@ -101,14 +109,6 @@ def tumbling_window_aggregate(
     out["n"] = out["n"].astype("int64")
     out["window"] = out["window"].astype("int64")
     return out.sort_values([key_col, "window"], kind="mergesort").reset_index(drop=True)
-
-
-def _bucket_of(k, n_buckets: int) -> int:
-    # deterministic across processes (str hash randomization-safe)
-    return (
-        int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=2).digest(), "big")
-        % n_buckets
-    )
 
 
 def tumbling_window_aggregate_ds(
@@ -130,13 +130,18 @@ def tumbling_window_aggregate_ds(
 
     Bucket actors hold pure Python dict state (no compute loops), so they
     are created with ``num_cpus=0`` — reserving a CPU per actor would
-    starve the groupby tasks that feed them (the pool-sizing stall)."""
+    starve the groupby tasks that feed them (the pool-sizing stall).
+
+    Memory shape: closed windows return from ``ingest`` to the feeder
+    task and become the feeder's map_groups OUTPUT — they flow through
+    the Dataset plane, so actor state is bounded by OPEN windows only and
+    the driver holds just the final closed-window table (the result)."""
     actors = [
         WindowBucketActor.options(num_cpus=0).remote(window_s) for _ in range(n_buckets)
     ]
+    out_cols = [key_col, "window", "n", "sum_value"]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        buckets = [_bucket_of(k, n_buckets) for k in t[key_col].to_pylist()]
         ts_us = (
             t[ts_col]
             .to_numpy(zero_copy_only=False)
@@ -148,7 +153,18 @@ def tumbling_window_aggregate_ds(
                 key_col: t[key_col],
                 value_col: t[value_col],
                 "_ts_us": pa.array(ts_us),
-                "_bucket": pa.array(buckets, type=pa.int32()),
+                "_bucket": pa.array(bucket_ids(t[key_col], n_buckets)),
+            }
+        )
+
+    def _closed_frame(rows: list[tuple], key_dtype) -> pd.DataFrame:
+        df = pd.DataFrame(rows, columns=out_cols)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].astype(key_dtype) if len(df) else pd.Series(dtype=key_dtype),
+                "window": df["window"].astype("int64"),
+                "n": df["n"].astype("int64"),
+                "sum_value": df["sum_value"].astype("float64"),
             }
         )
 
@@ -165,26 +181,37 @@ def tumbling_window_aggregate_ds(
                     chunk[value_col].tolist(),
                 )
             )
-        ray.get(pending)
-        return pd.DataFrame({"_bucket": pd.Series([b], dtype="int32"),
-                             "n_fed": pd.Series([len(g)], dtype="int64")})
+        rows: list[tuple] = []
+        for closed in ray.get(pending):
+            rows.extend(closed)
+        return _closed_frame(rows, g[key_col].dtype)
 
     try:
         fed = (
             events.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(feed, batch_format="pandas")
+            .materialize()  # drive ingestion to completion before flushing
         )
-        fed.materialize()  # drive ingestion to completion before flushing
-
-        rows: list[tuple] = []
+        flush_rows: list[tuple] = []
         for a in actors:
-            rows.extend(ray.get(a.flush.remote()))
+            flush_rows.extend(ray.get(a.flush.remote()))
     finally:
         # a failed ingest must not orphan the zero-CPU state actors
         for a in actors:
             ray.kill(a)
-    out = pd.DataFrame(rows, columns=[key_col, "window", "n", "sum_value"])
+    out = fed.to_pandas()
+    if key_col not in out.columns:  # all feeder groups emitted empty
+        out = pd.DataFrame(columns=out_cols)
+    if flush_rows:
+        key_dtype = (
+            out[key_col].dtype
+            if len(out)
+            else pd.DataFrame(flush_rows, columns=out_cols)[key_col].dtype
+        )
+        out = pd.concat(
+            [out, _closed_frame(flush_rows, key_dtype)], ignore_index=True
+        )
     out["n"] = out["n"].astype("int64")
     out["window"] = out["window"].astype("int64")
     return out.sort_values([key_col, "window"], kind="mergesort").reset_index(drop=True)
@@ -254,44 +281,47 @@ class SessionBucketActor:
     Rows arrive in ts order (the feeder sorts per bucket); a session
     closes when its key's gap is exceeded or when the bucket watermark
     (max ts seen − gap) passes its last event — closed sessions can never
-    reopen, so memory holds only OPEN sessions."""
+    reopen, so memory holds only OPEN sessions.
+
+    Closed sessions are RETURNED from ``ingest`` as (key, start_ts_us,
+    n_events) and session ordinals are assigned downstream (a grouped
+    cumcount over start_ts) — round 2 kept a per-key sessions-closed
+    counter forever, which grew with total key cardinality (VERDICT r2
+    #6); now actor state is exactly the open-session dict."""
 
     def __init__(self, gap_s: int) -> None:
         self.gap_us = gap_s * 1_000_000
-        self.open: dict = {}  # key -> [last_ts_us, n_events]
-        self.counts: dict = {}  # key -> sessions closed so far
-        self.closed: list[tuple] = []  # (key, session_id, n_events)
+        self.open: dict = {}  # key -> [start_ts_us, last_ts_us, n_events]
         self.watermark = -(2**62)
 
-    def _close(self, k) -> None:
-        last, n = self.open.pop(k)
-        sid = self.counts.get(k, 0) + 1
-        self.counts[k] = sid
-        self.closed.append((k, sid, n))
+    def _close(self, k) -> tuple:
+        start, _last, n = self.open.pop(k)
+        return (k, start, n)
 
-    def ingest(self, keys: list, ts_us: list[int]) -> int:
+    def ingest(self, keys: list, ts_us: list[int]) -> list[tuple]:
+        closed: list[tuple] = []
         for k, t in zip(keys, ts_us):
             cur = self.open.get(k)
-            if cur is not None and t - cur[0] <= self.gap_us:
-                cur[0] = t
-                cur[1] += 1
+            if cur is not None and t - cur[1] <= self.gap_us:
+                cur[1] = t
+                cur[2] += 1
             else:
                 if cur is not None:
-                    self._close(k)
-                self.open[k] = [t, 1]
+                    closed.append(self._close(k))
+                self.open[k] = [t, t, 1]
             if t > self.watermark:
                 self.watermark = t
         # watermark pass: sessions idle past the gap can never extend
         horizon = self.watermark - self.gap_us
-        for k in [k for k, (last, _n) in self.open.items() if last < horizon]:
-            self._close(k)
-        return len(self.closed)
+        for k in [k for k, (_s, last, _n) in self.open.items() if last < horizon]:
+            closed.append(self._close(k))
+        return closed
 
     def flush(self) -> list[tuple]:
-        for k in sorted(self.open):
-            self._close(k)
-        out, self.closed = self.closed, []
-        return out
+        return [self._close(k) for k in sorted(self.open)]
+
+    def state_size(self) -> int:
+        return len(self.open)
 
 
 def session_window_aggregate_ds(
@@ -306,13 +336,19 @@ def session_window_aggregate_ds(
     batch sessionizer (queries.q12): rows hash-route to bucket actors and
     stream in ts order per bucket; each actor keeps only open sessions
     (watermark-closed otherwise).  Output (key, session_id, n_events)
-    equals the batch groupby formulation exactly (same SQL oracle)."""
+    equals the batch groupby formulation exactly (same SQL oracle).
+
+    Closed sessions flow back through the feeder (see SessionBucketActor)
+    as (key, start_ts_us, n_events); session ordinals are assigned at
+    assembly time by a per-key cumcount over start_ts — a session's start
+    order equals its close order within one key (all of a key's rows live
+    in one bucket, fed in ts order)."""
     actors = [
         SessionBucketActor.options(num_cpus=0).remote(gap_s) for _ in range(n_buckets)
     ]
+    raw_cols = [key_col, "_start_us", "n_events"]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        buckets = [_bucket_of(k, n_buckets) for k in t[key_col].to_pylist()]
         ts_us = (
             t[ts_col]
             .to_numpy(zero_copy_only=False)
@@ -323,7 +359,19 @@ def session_window_aggregate_ds(
             {
                 key_col: t[key_col],
                 "_ts_us": pa.array(ts_us),
-                "_bucket": pa.array(buckets, type=pa.int32()),
+                "_bucket": pa.array(bucket_ids(t[key_col], n_buckets)),
+            }
+        )
+
+    def _raw_frame(rows: list[tuple], key_dtype) -> pd.DataFrame:
+        df = pd.DataFrame(rows, columns=raw_cols)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].astype(key_dtype)
+                if len(df)
+                else pd.Series(dtype=key_dtype),
+                "_start_us": df["_start_us"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
             }
         )
 
@@ -338,27 +386,42 @@ def session_window_aggregate_ds(
                     chunk[key_col].tolist(), chunk["_ts_us"].tolist()
                 )
             )
-        ray.get(pending)
-        return pd.DataFrame({"_bucket": pd.Series([b], dtype="int32"),
-                             "n_fed": pd.Series([len(g)], dtype="int64")})
+        rows: list[tuple] = []
+        for closed in ray.get(pending):
+            rows.extend(closed)
+        return _raw_frame(rows, g[key_col].dtype)
 
     try:
-        (
+        fed = (
             events.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(feed, batch_format="pandas")
             .materialize()
         )
-        rows: list[tuple] = []
+        flush_rows: list[tuple] = []
         for a in actors:
-            rows.extend(ray.get(a.flush.remote()))
+            flush_rows.extend(ray.get(a.flush.remote()))
     finally:
         # a failed ingest must not orphan the zero-CPU state actors
         for a in actors:
             ray.kill(a)
-    out = pd.DataFrame(rows, columns=[key_col, "session_id", "n_events"])
-    out["session_id"] = out["session_id"].astype("int64")
-    out["n_events"] = out["n_events"].astype("int64")
-    return out.sort_values([key_col, "session_id"], kind="mergesort").reset_index(
+    out = fed.to_pandas()
+    if key_col not in out.columns:  # all feeder groups emitted empty
+        out = pd.DataFrame(columns=raw_cols)
+    if flush_rows:
+        key_dtype = (
+            out[key_col].dtype
+            if len(out)
+            else pd.DataFrame(flush_rows, columns=raw_cols)[key_col].dtype
+        )
+        out = pd.concat(
+            [out, _raw_frame(flush_rows, key_dtype)], ignore_index=True
+        )
+    out = out.sort_values([key_col, "_start_us"], kind="mergesort").reset_index(
         drop=True
     )
+    out["session_id"] = (
+        out.groupby(key_col, sort=False).cumcount() + 1
+    ).astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[[key_col, "session_id", "n_events"]]

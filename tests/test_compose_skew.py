@@ -114,10 +114,10 @@ def test_streaming_window_incremental_close():
     from ai_service_ocr_grading_handler_ray.stages.streaming import WindowBucketActor
 
     a = WindowBucketActor.remote(window_s=10)
-    n_closed = _ray.get(a.ingest.remote(["k"], [5_000_000], [1.0]))
-    assert n_closed == 0  # first window still open
-    n_closed = _ray.get(a.ingest.remote(["k"], [25_000_000], [2.0]))
-    assert n_closed == 1  # watermark passed window 0 → closed
+    closed = _ray.get(a.ingest.remote(["k"], [5_000_000], [1.0]))
+    assert closed == []  # first window still open
+    closed = _ray.get(a.ingest.remote(["k"], [25_000_000], [2.0]))
+    assert closed == [("k", 0, 1, 1.0)]  # watermark passed window 0 → emitted
     final = _ray.get(a.flush.remote())
-    assert ("k", 0, 1, 1.0) in final and ("k", 2, 1, 2.0) in final
+    assert final == [("k", 2, 1, 2.0)]  # only the still-open window remains
     _ray.kill(a)

@@ -63,9 +63,15 @@ def test_minhash_similarity_property():
     assert sim13 < 0.2  # unrelated docs don't
 
 
+def _cluster_dict(out: rd.Dataset, id_col: str = "doc_id") -> dict:
+    df = out.to_pandas()
+    return dict(zip(df[id_col], df["cluster_id"]))
+
+
 def test_minhash_lsh_clusters_near_dups():
     out = minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
-    cl = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert isinstance(out, rd.Dataset)  # scale contract: assignment is a Dataset
+    cl = _cluster_dict(out)
     assert cl[1] == cl[2] == cl[4] == 1  # BASE, NEAR, BASE-copy cluster together
     assert cl[3] == 3 and cl[5] == 5  # FAR and short stay singleton
 
@@ -85,7 +91,7 @@ def test_simhash_hamming_property():
 
 def test_simhash_clusters():
     out = simhash_clusters(_docs_with_dups(), max_hamming=6)
-    cl = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    cl = _cluster_dict(out)
     assert cl[1] == cl[4]  # identical docs always cluster
     assert cl[3] != cl[1]
 
@@ -104,7 +110,7 @@ def test_embedding_cosine_clusters():
         )
     )
     out = embedding_cosine_clusters(ds, threshold=0.95)
-    cl = dict(zip(out["vec_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    cl = _cluster_dict(out, "vec_id")
     assert cl[10] == cl[11] == 10
     assert cl[12] == 12
 
@@ -125,9 +131,7 @@ def test_distributed_label_propagation_matches_union_find():
     ds = _docs_with_dups()
     uf = minhash_lsh_clusters(ds, threshold=0.5)
     lp = minhash_lsh_clusters_distributed(_docs_with_dups(), threshold=0.5)
-    a = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
-    b = dict(zip(lp["doc_id"].to_pylist(), lp["cluster_id"].to_pylist()))
-    assert a == b
+    assert _cluster_dict(uf) == _cluster_dict(lp)
 
 
 def test_label_propagation_chain():
@@ -149,9 +153,7 @@ def test_minhash_scale_branch_matches_broadcast_branch(monkeypatch):
     monkeypatch.setattr(D, "SMALL_PAIR_LIMIT", 0)
     big = D.minhash_lsh_clusters(_docs_with_dups(), threshold=0.5)
     # order-insensitive: the branches may emit rows in different orders
-    a = dict(zip(small["doc_id"].to_pylist(), small["cluster_id"].to_pylist()))
-    b = dict(zip(big["doc_id"].to_pylist(), big["cluster_id"].to_pylist()))
-    assert a == b
+    assert _cluster_dict(small) == _cluster_dict(big)
 
 
 def test_label_propagation_exact_above_2_53():
@@ -178,3 +180,26 @@ def test_label_propagation_rejects_non_integer_ids():
     edges = pa.table({"a": ["x"], "b": ["y"]})
     with pytest.raises(TypeError, match="integer ids"):
         propagate_min_labels(edges, ["x", "y"])
+
+
+def test_cluster_assignments_driver_free_contract():
+    """The finish returns a Dataset, labels only edge nodes on the driver
+    (no id-universe helper exists any more), and the forced distributed
+    branch agrees with the union-find branch including singletons."""
+    from ai_service_ocr_grading_handler_ray.stages import dedup as D
+
+    assert not hasattr(D, "_collect_ids")  # r2's id-universe pull is gone
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(50, dtype=np.int64))})
+    )
+    edges = pa.table(
+        {"a": pa.array([1, 2], type=pa.int64()), "b": pa.array([2, 3], type=pa.int64())}
+    )
+    out = D.cluster_assignments(ids, edges, id_col="doc_id")
+    assert isinstance(out, rd.Dataset)
+    cl = _cluster_dict(out)
+    assert len(cl) == 50
+    assert cl[1] == cl[2] == cl[3] == 1
+    assert all(cl[i] == i for i in range(50) if i not in (2, 3))
+    out2 = D.cluster_assignments(ids, edges, id_col="doc_id", edge_label_limit=0)
+    assert _cluster_dict(out2) == cl

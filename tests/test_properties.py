@@ -250,3 +250,25 @@ def test_streaming_sessionize_edges():
         {"user_id": 1, "session_id": 1, "n_events": 2},
         {"user_id": 1, "session_id": 2, "n_events": 1},
     ]
+
+
+def test_session_actor_state_is_bounded():
+    """10^5 distinct keys stream through one bucket; the actor may hold
+    only OPEN sessions (watermark-closed otherwise) — closed sessions and
+    per-key ordinal state must not accumulate in the actor (VERDICT r2)."""
+    import ray
+
+    from ai_service_ocr_grading_handler_ray.stages.streaming import (
+        SessionBucketActor,
+    )
+
+    actor = SessionBucketActor.options(num_cpus=0).remote(10)
+    n = 100_000
+    # each key appears once, timestamps strictly increasing by > gap:
+    # every prior session closes as the watermark advances
+    for i in range(0, n, 5000):
+        keys = [f"k{j}" for j in range(i, i + 5000)]
+        ts = [j * 20_000_000 for j in range(i, i + 5000)]
+        ray.get(actor.ingest.remote(keys, ts))
+    assert ray.get(actor.state_size.remote()) <= 2
+    ray.kill(actor)
