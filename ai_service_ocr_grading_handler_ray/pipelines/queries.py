@@ -1774,11 +1774,26 @@ def q83_skewed_join(sf_dir: str) -> pd.DataFrame:
     joined = skewed_inner_join(
         events, cust, left_key="user_id", right_key="c_custkey", hot_k=16
     )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combine: 5 segments → tiny shuffle instead of a full
+        # sort-aggregate over every joined row
+        g = (
+            t.select(["c_mktsegment", "value"])
+            .to_pandas()
+            .groupby("c_mktsegment", sort=False)["value"]
+            .agg(_n="size", _s="sum")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     out = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("_n", alias_name="n"), Sum("_s", alias_name="sum_value"))
         .to_pandas()
     )
+    out["n"] = out["n"].astype("int64")
     return _finalize(out, {"sum_value": 3})
 
 

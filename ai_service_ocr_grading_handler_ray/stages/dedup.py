@@ -393,11 +393,10 @@ def cluster_assignments(
     Scale shape (VERDICT r2 #1): the driver holds at most the edge list.
     Edge-node labels come from union-find over the (tiny) edge table, or
     from distributed label propagation above ``edge_label_limit``; ids
-    that touch no edge NEVER reach the driver — they become singletons
-    via a distributed ``left_anti`` join against the labeled nodes and a
-    union with the labeled half."""
-    import ray
-
+    that touch no edge NEVER reach the driver — the anti-membership test
+    runs inside ONE salted cogroup (ids ∪ labeled rows partitioned by
+    hash(id); a vectorized ``is_in`` inside each partition), all-Arrow so
+    int64 ids above 2^53 survive exactly."""
     lim = EDGE_LABEL_LIMIT if edge_label_limit is None else edge_label_limit
     id_type = pa.int64()
     for f in ds.schema().base_schema:
@@ -417,26 +416,54 @@ def cluster_assignments(
         labels_ds = propagate_min_labels_ds(edges, num_parts=num_parts)
 
     def rename(t: pa.Table) -> pa.Table:
-        return pa.table(
+        out = pa.table(
             {
                 id_col: t["id"].cast(id_type),
                 "cluster_id": t["label"].cast(id_type),
             }
         )
+        return add_key_partition(out, id_col, num_parts=num_parts)
 
-    labeled = labels_ds.map_batches(rename, batch_format="pyarrow").materialize()
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    singles = all_ids.join(
-        labeled,
-        "left_anti",
-        num_partitions=max(2, min(8, cpus // 4)),
-        on=(id_col,),
-        right_on=(id_col,),
-    ).map_batches(ids_as_clusters, batch_format="pyarrow")
-    return labeled.union(singles)
+    def tag_ids(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                "cluster_id": pa.nulls(len(t), type=id_type),
+            }
+        )
+        return add_key_partition(out, id_col, num_parts=num_parts)
+
+    def finish(g: pa.Table) -> pa.Table:
+        # labeled rows pass through; unlabeled ids not covered by a
+        # labeled row become singletons (id → id)
+        has_label = pc.invert(pc.is_null(g["cluster_id"]))
+        lab = g.filter(has_label)
+        cand = g.filter(pc.is_null(g["cluster_id"]))
+        covered = pc.fill_null(
+            pc.is_in(cand[id_col], value_set=lab[id_col].combine_chunks()), False
+        )
+        singles = cand.filter(pc.invert(covered))
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [lab[id_col].combine_chunks(), singles[id_col].combine_chunks()]
+                ),
+                "cluster_id": pa.concat_arrays(
+                    [
+                        lab["cluster_id"].combine_chunks(),
+                        singles[id_col].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    labeled = labels_ds.map_batches(rename, batch_format="pyarrow")
+    tagged = all_ids.map_batches(tag_ids, batch_format="pyarrow")
+    return (
+        tagged.union(labeled)
+        .groupby("_part")
+        .map_groups(finish, batch_format="pyarrow")
+    )
 
 
 # below this many candidate pairs the broadcast-verify branch wins (its

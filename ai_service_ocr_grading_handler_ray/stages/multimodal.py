@@ -93,13 +93,50 @@ class ImageDecodeActor:
         )
 
 
+class PilImageDecoder:
+    """Pillow-backed REAL-image engine for ``ImageDecodeActor``'s
+    ``decoder_factory`` seam: pass ``decoder_factory=PilImageDecoder`` to
+    ``map_batches(ImageDecodeActor, fn_constructor_kwargs=...)`` and the
+    engine loads once per actor.  Optional dependency: raises ImportError
+    at construction when Pillow is absent (this container), so the
+    synthetic codec stays the default."""
+
+    def __init__(self) -> None:
+        from PIL import Image  # raises ImportError without Pillow
+
+        self._Image = Image
+
+    def decode(self, payload: bytes) -> tuple[int, int, str]:
+        import io
+
+        img = self._Image.open(io.BytesIO(payload))
+        return img.width, img.height, (img.format or "").lower()
+
+
 class ImageResizeActor:
     """Resize-to-max-dimension stage.  Synthetic images 'resize' by
     truncating lines/columns proportionally (deterministic); real images
-    require PIL (stub)."""
+    resize through Pillow when it is importable (optional — absent in
+    this container, where real bytes raise a clearly-marked
+    NotImplementedError instead)."""
 
     def __init__(self, max_dim: int = 64) -> None:
         self.max_dim = max_dim
+        try:  # pragma: no cover - Pillow not installed here
+            from PIL import Image  # type: ignore
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _resize_real(self, payload: bytes) -> bytes:  # pragma: no cover
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        img.thumbnail((self.max_dim, self.max_dim))
+        buf = io.BytesIO()
+        img.save(buf, format=img.format or "PNG")
+        return buf.getvalue()
 
     def __call__(self, batch: pa.Table, column: str = "payload") -> pa.Table:
         from .compose import CHAR_H, CHAR_W
@@ -111,6 +148,9 @@ class ImageResizeActor:
             try:
                 text = decode_image_text(payload)
             except ValueError:
+                if self._pil is not None:  # pragma: no cover
+                    out.append(self._resize_real(payload))
+                    continue
                 raise NotImplementedError(
                     "real image resize requires PIL (absent in container)"
                 )

@@ -32,12 +32,20 @@ def host_of_url(url: str) -> str:
         return ""
 
 
+def hosts_of_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized ``host_of_url`` for scheme://host/... urls: one Arrow
+    regex kernel instead of a per-row Python split.  Non-matching rows
+    (no ``//``) map to "" like the scalar fallback."""
+    s = pc.fill_null(urls, "")
+    m = pc.extract_regex(s, pattern="^[^/]*//(?P<h>[^/]*)")
+    host = pc.struct_field(m, "h")
+    return pc.fill_null(host, "")
+
+
 def add_host_and_salt(batch: pa.Table, url_col: str = "url", salt: int = 8) -> pa.Table:
-    urls = batch[url_col].to_pylist()
-    hosts = [host_of_url(u or "") for u in urls]
-    return batch.append_column("host", pa.array(hosts, type=pa.string())).append_column(
-        "salt", pa.array(bucket_ids(batch[url_col], salt))
-    )
+    return batch.append_column(
+        "host", hosts_of_urls(batch[url_col])
+    ).append_column("salt", pa.array(bucket_ids(batch[url_col], salt)))
 
 
 def salted_count(

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q52_curation",
     "q75_inverted_index",
     "q80_sliding_window",
+    "q83_skewed_join",
+    "q84_streaming_sessionize",
 ]
 
 
@@ -155,6 +157,26 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _silence_empty_schema_warnings() -> None:
+    """Drop Ray 2.49's 'RefBundle with a different schema … new schema: .'
+    warning for SCHEMA-LESS EMPTY bundles only.  Those bundles are created
+    inside Ray's aggregate plumbing for empty partitions (our UDFs return
+    typed empty tables — verified); real schema mismatches (two non-empty
+    schemas) still warn."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            m = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in m and "new schema: ." in m
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 def main() -> None:
     import ray
 
@@ -165,6 +187,7 @@ def main() -> None:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    _silence_empty_schema_warnings()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -121,3 +121,24 @@ def test_streaming_window_incremental_close():
     final = _ray.get(a.flush.remote())
     assert final == [("k", 2, 1, 2.0)]  # only the still-open window remains
     _ray.kill(a)
+
+
+def test_hosts_of_urls_matches_scalar():
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.skew import (
+        host_of_url,
+        hosts_of_urls,
+    )
+
+    urls = [
+        "https://big.example.com/p/1",
+        "http://a.b/x",
+        "//bare.host/q",
+        "https://no-path.example.com",
+        "",
+        None,
+    ]
+    vec = hosts_of_urls(pa.array(urls, type=pa.string())).to_pylist()
+    ref = [host_of_url(u or "") for u in urls]
+    assert vec == ref

@@ -128,3 +128,77 @@ def test_fake_image_decoder_injected_via_actor_pool():
     assert widths == [len(p) for p in payloads]
     ids = {m["format"] for m in out["image_meta"]}
     assert 1 <= len(ids) <= 2 < n // 4  # once per actor, not per batch
+
+
+def _real_png_1x1() -> bytes:
+    """A REAL (non-synthetic) 1×1 RGBA PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + b"\x10\x20\x30\xff")  # filter 0 + 1 px
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_without_pil_is_poison_pill():
+    """A genuine PNG in a container without Pillow must become a
+    decode_status='error' row (never a raised batch)."""
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.multimodal import ImageDecodeActor
+
+    actor = ImageDecodeActor()
+    if actor._pil is not None:
+        import pytest
+
+        pytest.skip("Pillow installed: covered by test_real_png_with_pil")
+    out = actor(pa.table({"payload": pa.array([_real_png_1x1()], type=pa.binary())}))
+    assert out["decode_status"].to_pylist() == ["error"]
+
+
+def test_real_png_with_pil():
+    """When Pillow IS installed, the PilImageDecoder seam decodes a real
+    PNG end-to-end through the actor (skips in this container)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.multimodal import (
+        ImageDecodeActor,
+        PilImageDecoder,
+    )
+
+    actor = ImageDecodeActor(decoder_factory=PilImageDecoder)
+    out = actor(pa.table({"payload": pa.array([_real_png_1x1()], type=pa.binary())}))
+    assert out["decode_status"].to_pylist() == ["ok"]
+    meta = out["image_meta"].to_pylist()[0]
+    assert (meta["width"], meta["height"]) == (1, 1)
+
+
+def test_pil_decoder_raises_cleanly_when_absent():
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed")
+    except ImportError:
+        pass
+    from ai_service_ocr_grading_handler_ray.stages.multimodal import PilImageDecoder
+
+    with pytest.raises(ImportError):
+        PilImageDecoder()
