@@ -147,6 +147,79 @@ def minhash_signature(text: str, ngram: int = 3) -> np.ndarray:
     return m.min(axis=1)
 
 
+# --- batch-level shingle/signature kernels ----------------------------------
+# The per-text functions above are the reference semantics (and the q48
+# verifier); the batch kernels below compute the SAME values for a whole
+# map_batches batch with no per-text numpy call overhead — one global
+# word-hash pass, one polynomial combine over all full windows, one
+# minimum.reduceat for every signature.  Segment trick: empty texts
+# contribute zero-width segments, so the per-text offsets always tile the
+# concatenated shingle array and reduceat over nonempty starts is exact.
+
+
+def batch_shingle_hashes(
+    texts: list, ngram: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated shingle hashes for every text + offsets (len n+1).
+    Per text this equals ``_token_hashes`` as a MULTISET (no per-text
+    unique — MinHash minima are duplicate-invariant; SimHash uniquifies
+    downstream)."""
+    words_all: list[str] = []
+    n_words: list[int] = []
+    for t in texts:
+        w = (t or "").lower().split()
+        words_all.extend(w)
+        n_words.append(len(w))
+    n = np.array(n_words, dtype=np.int64)
+    total_words = int(n.sum())
+    wh = (
+        pd.util.hash_array(
+            np.array(words_all, dtype=object), hash_key=_WORD_KEY, categorize=False
+        )
+        if total_words
+        else np.empty(0, np.uint64)
+    )
+    w_off = np.concatenate([[0], np.cumsum(n)])
+    full = np.maximum(n - ngram + 1, 0)
+    short = (n > 0) & (n < ngram)
+    full[short] = 0
+    s_counts = full + short.astype(np.int64)  # short texts: ONE all-words shingle
+    offsets = np.concatenate([[0], np.cumsum(s_counts)])
+    out = np.zeros(int(s_counts.sum()), dtype=np.uint64)
+
+    tot_full = int(full.sum())
+    if tot_full:
+        full_cum = np.concatenate([[0], np.cumsum(full)[:-1]])
+        local = np.arange(tot_full) - np.repeat(full_cum, full)
+        starts = np.repeat(w_off[:-1], full) + local
+        with np.errstate(over="ignore"):
+            acc = np.zeros(tot_full, dtype=np.uint64)
+            for j in range(ngram):
+                acc = acc * _SHINGLE_P + wh[starts + j]
+        out[np.repeat(offsets[:-1], full) + local] = splitmix64(acc)
+    for i in np.where(short)[0]:
+        hw = wh[w_off[i] : w_off[i + 1]]
+        with np.errstate(over="ignore"):
+            a = np.zeros(1, dtype=np.uint64)
+            for j in range(len(hw)):
+                a = a * _SHINGLE_P + hw[j]
+        out[offsets[i + 1] - 1] = splitmix64(a)[0]
+    return out, offsets
+
+
+def batch_minhash_signatures(texts: list, ngram: int = 3) -> np.ndarray:
+    """(n_texts, k) MinHash signature matrix — equals
+    ``minhash_signature`` row-wise (equivalence-tested)."""
+    h, off = batch_shingle_hashes(texts, ngram)
+    sigs = np.zeros((len(texts), _MINHASH_K), dtype=np.uint64)
+    nonempty = np.where(np.diff(off) > 0)[0]
+    if len(nonempty):
+        with np.errstate(over="ignore"):
+            m = _A[:, None] * h[None, :] + _B[:, None]  # (k, total_shingles)
+        sigs[nonempty] = np.minimum.reduceat(m, off[nonempty], axis=1).T
+    return sigs
+
+
 def band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     """Split the signature into ``bands`` bands; hash each band
     (vectorized positional combine — one splitmix finish per band instead
@@ -164,23 +237,26 @@ def minhash_band_rows(
     batch: pa.Table, id_col: str, text_col: str, ngram: int = 3, bands: int = 16
 ) -> pa.Table:
     """Explode each row into ``bands`` (band_id, bucket, id) rows — the
-    shuffle-ready LSH table."""
-    ids = batch[id_col].to_pylist()
+    shuffle-ready LSH table.  Whole-batch numpy: signatures via
+    ``batch_minhash_signatures``, band keys via one polynomial combine
+    over the (n, bands, r) signature cube (same values as ``band_keys``
+    per row)."""
     texts = batch[text_col].to_pylist()
-    out_ids: list = []
-    out_band: list[int] = []
-    out_bucket: list[int] = []
-    for i, text in zip(ids, texts):
-        sig = minhash_signature(text or "", ngram)
-        for j, bk in enumerate(band_keys(sig, bands)):
-            out_ids.append(i)
-            out_band.append(j)
-            out_bucket.append(bk)
+    n = len(texts)
+    sigs = batch_minhash_signatures(texts, ngram)  # (n, k)
+    r = _MINHASH_K // bands
+    cube = sigs[:, : bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(r):
+            acc = acc * _SHINGLE_P + cube[:, :, j]
+    buckets = splitmix64(acc.ravel())  # row-major: text i, bands 0..bands-1
+    idx = np.repeat(np.arange(n), bands)
     return pa.table(
         {
-            "band_id": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(np.array(out_bucket, dtype=np.uint64).astype(np.int64)),
-            id_col: pa.array(out_ids),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.astype(np.int64)),
+            id_col: batch[id_col].take(pa.array(idx)),
         }
     )
 
@@ -577,19 +653,52 @@ def minhash_lsh_clusters(
 
 
 def simhash64(text: str, ngram: int = 2) -> int:
-    """64-bit SimHash over word n-grams, unit weights."""
+    """64-bit SimHash over word n-grams, unit weights.
+
+    Votes are SIGNED (+1/-1 per bit): rounds 1-2 summed in uint64, where
+    a negative vote wrapped above zero and set the bit — fingerprints
+    were ~all-ones except exact ties, compressing Hamming distances.
+    Fixed in round 3 (batch kernel equivalence surfaced it)."""
     h = _token_hashes(text, ngram)
     if h.size == 0:
         return 0
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 sums per bit)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - h.size  # (+1/-1 sums per bit)
     fp_bits = (votes > 0).astype(np.uint8)
     return int.from_bytes(np.packbits(fp_bits, bitorder="little").tobytes(), "little")
 
 
+def batch_simhash64(texts: list, ngram: int = 2) -> np.ndarray:
+    """(n_texts,) uint64 SimHash fingerprints — equals ``simhash64`` per
+    text (equivalence-tested).  Whole-batch numpy: one shingle-hash pass,
+    per-text unique via a lexsort + adjacent-dedupe, bit votes via one
+    add.reduceat."""
+    h, off = batch_shingle_hashes(texts, ngram)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if h.size == 0:
+        return out
+    tid = np.repeat(np.arange(n), np.diff(off))
+    order = np.lexsort((h, tid))
+    ts, hs = tid[order], h[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])
+    ts, hs = ts[keep], hs[keep]
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)
+    starts = np.concatenate([[0], np.where(ts[1:] != ts[:-1])[0] + 1])
+    votes = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+    counts = np.diff(np.concatenate([starts, [len(ts)]]))
+    fp_bits = ((votes * 2 - counts[:, None]) > 0).astype(np.uint8)
+    packed = np.packbits(fp_bits, axis=1, bitorder="little")
+    out[ts[starts]] = packed.view(np.uint64).ravel()
+    return out
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text", out: str = "simhash") -> pa.Table:
-    fps = [simhash64(t or "") for t in batch[text_col].to_pylist()]
-    return batch.append_column(out, pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)))
+    fps = batch_simhash64(batch[text_col].to_pylist())
+    return batch.append_column(out, pa.array(fps.astype(np.int64)))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -203,3 +203,30 @@ def test_cluster_assignments_driver_free_contract():
     assert all(cl[i] == i for i in range(50) if i not in (2, 3))
     out2 = D.cluster_assignments(ids, edges, id_col="doc_id", edge_label_limit=0)
     assert _cluster_dict(out2) == cl
+
+
+def test_batch_kernels_match_scalar_reference():
+    """Batched signature / simhash kernels must equal the per-text
+    reference functions on every edge shape (empty, short, dup-heavy)."""
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        batch_minhash_signatures,
+        batch_simhash64,
+    )
+
+    texts = [
+        BASE,
+        NEAR,
+        "",
+        "one two",
+        "a",
+        None,
+        FAR,
+        "dup dup dup dup dup words dup dup words dup",
+    ]
+    sigs = batch_minhash_signatures(texts)
+    for i, t in enumerate(texts):
+        ref = minhash_signature(t or "")
+        assert (sigs[i] == ref).all(), f"minhash mismatch at {i}"
+    fps = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        assert int(fps[i]) == simhash64(t or ""), f"simhash mismatch at {i}"
