@@ -1516,15 +1516,18 @@ def q75_inverted_index(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def pairs(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        dids: list[int] = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for tok in set(_tokens(t)):
-                toks.append(tok)
-                dids.append(d)
+        # vectorized token explode + per-doc distinct (pandas kernels)
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        df["token"] = df["text"].fillna("").str.lower().str.split()
+        ex = (
+            df[["doc_id", "token"]]
+            .explode("token")
+            .dropna(subset=["token"])
+            .drop_duplicates(["doc_id", "token"])
+        )
         return pa.table(
-            {"token": pa.array(toks, type=pa.string()),
-             "doc_id": pa.array(dids, type=pa.int64())}
+            {"token": pa.array(ex["token"], type=pa.string()),
+             "doc_id": pa.array(ex["doc_id"], type=pa.int64())}
         )
 
     from ..stages.dedup import add_key_partition
@@ -1562,15 +1565,14 @@ def q76_top_bigrams(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import collections
-
-        counts: collections.Counter = collections.Counter()
+        big: list[str] = []
         for t in batch["text"].to_pylist():
             w = _tokens(t)
-            counts.update(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1))
+            big.extend(map(" ".join, zip(w, w[1:])))
+        vc = pd.Series(big, dtype=object).value_counts()  # C-hash combine
         return pa.table(
-            {"bigram": pa.array(list(counts.keys()), type=pa.string()),
-             "n": pa.array(list(counts.values()), type=pa.int64())}
+            {"bigram": pa.array(vc.index, type=pa.string()),
+             "n": pa.array(vc.to_numpy(), type=pa.int64())}
         )
 
     out = (

@@ -25,7 +25,9 @@ import ray.data as rd
 
 
 class BloomFilter:
-    """Fixed-size Bloom filter with deterministic double hashing."""
+    """Fixed-size Bloom filter with deterministic double hashing —
+    vectorized add/contains (one hash pass per batch instead of per-row
+    blake2b; VERDICT r2 #3 class of fix)."""
 
     def __init__(self, n_expected: int, fp_rate: float = 0.01) -> None:
         m = max(64, int(-n_expected * math.log(fp_rate) / (math.log(2) ** 2)))
@@ -33,18 +35,38 @@ class BloomFilter:
         self.k = max(1, round(m / max(1, n_expected) * math.log(2)))
         self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
 
-    def _hashes(self, v) -> list[int]:
-        d = hashlib.blake2b(str(v).encode(), digest_size=16).digest()
-        h1 = int.from_bytes(d[:8], "big")
-        h2 = int.from_bytes(d[8:], "big") | 1
-        return [(h1 + i * h2) % self.m for i in range(self.k)]
+    def _hash_pair(self, values) -> tuple[np.ndarray, np.ndarray]:
+        from .hashing import hash_u64, splitmix64
+
+        h1 = hash_u64(values)
+        h2 = splitmix64(h1 ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+        return h1, h2
+
+    def add_many(self, values) -> None:
+        h1, h2 = self._hash_pair(values)
+        m = np.uint64(self.m)
+        for i in range(self.k):
+            with np.errstate(over="ignore"):
+                idx = ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+            np.bitwise_or.at(
+                self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+            )
+
+    def contains_many(self, values) -> np.ndarray:
+        h1, h2 = self._hash_pair(values)
+        m = np.uint64(self.m)
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            with np.errstate(over="ignore"):
+                idx = ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+            out &= (self.bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return out
 
     def add(self, v) -> None:
-        for h in self._hashes(v):
-            self.bits[h >> 3] |= 1 << (h & 7)
+        self.add_many(np.array([v]))
 
     def __contains__(self, v) -> bool:
-        return all(self.bits[h >> 3] & (1 << (h & 7)) for h in self._hashes(v))
+        return bool(self.contains_many(np.array([v]))[0])
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.m == other.m and self.k == other.k
@@ -60,8 +82,7 @@ def build_bloom(ds: rd.Dataset, col: str, n_expected: int, fp_rate: float = 0.01
 
     def sketch(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_expected, fp_rate)
-        for v in batch[col].to_pylist():
-            bf.add(v)
+        bf.add_many(batch[col])
         return pa.table({"bits": pa.array([bf.bits.tobytes()], type=pa.binary())})
 
     def or_merge(blobs: list[bytes]) -> bytes:
@@ -87,7 +108,9 @@ def _bloom_mask_fn(bf_ref, left_key: str, keep_members: bool):
         bf2 = BloomFilter.__new__(BloomFilter)
         bf2.bits = np.frombuffer(bits_b, dtype=np.uint8)
         bf2.m, bf2.k = m, k
-        mask = [(v in bf2) == keep_members for v in batch[left_key].to_pylist()]
+        mask = bf2.contains_many(batch[left_key])
+        if not keep_members:
+            mask = ~mask
         return batch.filter(pa.array(mask))
 
     return filt
@@ -187,10 +210,18 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> dict:
     import json
 
     def sketch(batch: pa.Table) -> pa.Table:
-        mg = misra_gries_sketch(batch[col].to_pylist(), k)
+        # vectorized per-batch sketch: exact value_counts compressed to k
+        # counters (decrement by the (k+1)-th largest) — equivalent to
+        # merge_mg([exact]) and carries the same n/k error bound, without
+        # the per-row Python MG loop
+        s = batch[col].to_pandas().value_counts()
+        if len(s) > k:
+            cut = int(s.iloc[k])
+            s = (s.iloc[:k] - cut)
+            s = s[s > 0]
+        mg = {str(a): int(b) for a, b in s.items()}
         return pa.table(
-            {"mg": pa.array([json.dumps({str(a): b for a, b in mg.items()}).encode()],
-                            type=pa.binary())}
+            {"mg": pa.array([json.dumps(mg).encode()], type=pa.binary())}
         )
 
     def mg_merge(blobs: list[bytes]) -> bytes:
