@@ -423,11 +423,24 @@ def verify_pairs_jaccard(
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        keep = [
-            ngram_jaccard(x or "", y or "", ngram) >= threshold
-            for x, y in zip(t["_ta"].to_pylist(), t["_tb"].to_pylist())
-        ]
-        return t.select(["a", "b"]).filter(pa.array(keep, type=pa.bool_()))
+        # batch the shingle hashing (the dominant verify cost); the
+        # per-pair set intersect stays per-row but over precomputed
+        # uint64 arrays — identical values to ngram_jaccard
+        ta = t["_ta"].to_pylist()
+        tb = t["_tb"].to_pylist()
+        ha, offa = batch_shingle_hashes(ta, ngram)
+        hb, offb = batch_shingle_hashes(tb, ngram)
+        keep = np.empty(len(ta), dtype=bool)
+        for i in range(len(ta)):
+            a = np.unique(ha[offa[i] : offa[i + 1]])
+            b = np.unique(hb[offb[i] : offb[i + 1]])
+            if a.size == 0 and b.size == 0:
+                keep[i] = 1.0 >= threshold
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            keep[i] = (inter / union if union else 0.0) >= threshold
+        return t.select(["a", "b"]).filter(pa.array(keep))
 
     return j2.map_batches(verify, batch_format="pyarrow")
 

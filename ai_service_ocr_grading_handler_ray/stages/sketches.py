@@ -15,7 +15,6 @@ pre-pass).
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
