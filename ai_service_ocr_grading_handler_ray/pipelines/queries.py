@@ -1812,6 +1812,58 @@ def q84_streaming_sessionize(sf_dir: str) -> pd.DataFrame:
     return _finalize(out)
 
 
+def q85_string_key_join(sf_dir: str) -> pd.DataFrame:
+    """Bucketed hash join on a STRING key — oracle coverage of the
+    siphash routing path end-to-end (q50/q83 exercise integer keys).
+    The right side is a derived language dimension (distinct langs with
+    a computed label), so DuckDB can reproduce the whole plan."""
+    from ..stages.joins import bucketed_inner_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    # dimension build: distinct langs (per-batch distinct → tiny driver
+    # distinct; a handful of languages — dimension-sized by construction)
+    import ray as _ray
+
+    blocks = _ray.get(
+        docs.map_batches(
+            lambda t: pa.table({"lang": pc.unique(t["lang"])}),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    langs = sorted({v for b in blocks for v in b["lang"].to_pylist()})
+    dim = rd.from_arrow(
+        pa.table(
+            {
+                "r_lang": pa.array(langs, type=pa.string()),
+                "lang_label": pa.array([f"{x.upper()}-LBL" for x in langs]),
+            }
+        )
+    )
+    joined = bucketed_inner_join(
+        docs, dim, left_key="lang", right_key="r_lang", n_buckets=8
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "lang_label"])
+            .to_pandas()
+            .groupby(["lang", "lang_label"], sort=False)
+            .size()
+            .reset_index(name="_n")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_label"])
+        .aggregate(Sum("_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return _finalize(out)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -1914,6 +1966,7 @@ QUERIES = {
     "q72_distinct_per_group": q72_distinct_per_group,
     "q73_split_priority": q73_split_priority,
     "q74_string_agg": q74_string_agg,
+    "q85_string_key_join": q85_string_key_join,
 }
 
 ORACLE_SQL = {
@@ -2339,6 +2392,11 @@ ORACLE_SQL = {
     "q77_hash_sample": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+    "q85_string_key_join": """
+        SELECT lang, upper(lang) || '-LBL' AS lang_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
     """,
     "q84_streaming_sessionize": """
         WITH o AS (
