@@ -109,6 +109,7 @@ def skewed_inner_join(
     n_buckets: int = 16,
     hot_keys: set | None = None,
     hot_k: int = 16,
+    broadcast_right_limit: int = 200_000,
 ) -> rd.Dataset:
     """Skew-aware inner equi-join.
 
@@ -116,8 +117,14 @@ def skewed_inner_join(
     their entire row set on one bucket reducer; instead the right-side
     rows for those keys — a dimension-sized fragment, ≤ hot_k keys —
     broadcast via ``ray.put`` and hot left rows join map-side with no
-    shuffle at all.  Cold keys take the bucketed path.  The union of the
-    two plans equals a plain inner join (equivalence-tested)."""
+    shuffle at all.  Cold keys adapt: when the right side is
+    dimension-sized (≤ ``broadcast_right_limit`` rows) the whole cold
+    fragment broadcasts too and the ENTIRE join is map-side — shuffling
+    10^12 fact rows to meet a 200k-row dimension is strictly worse than
+    shipping the dimension to every task; larger rights take the
+    bucketed large-large path.  The union of the plans equals a plain
+    inner join (equivalence-tested, including the forced-bucketed
+    branch)."""
     import pyarrow.compute as pc
     import ray
 
@@ -168,36 +175,64 @@ def skewed_inner_join(
         pa.field(f.name, f.type) for f in r_schema if f.name != right_key
     ]
     out_schema = pa.schema(out_fields)
-    # broadcast fragment: right rows whose key is hot (collected — bounded
-    # by hot_k dimension keys, independent of left's size)
-    frag_blocks = ray.get(
-        right.map_batches(
-            lambda t: t.filter(pc.is_in(t[right_key], value_set=hot_set)),
-            batch_format="pyarrow",
-        ).to_arrow_refs()
-    )
-    frag = pa.concat_tables([b for b in frag_blocks if b.num_rows]) if any(
-        b.num_rows for b in frag_blocks
-    ) else None
+    small_right = right.count() <= broadcast_right_limit
+    cold_tbl = None
+    if small_right:
+        # dimension-sized right: ONE collect, hot/cold split locally —
+        # no distributed filter jobs at all
+        rblocks = [b for b in ray.get(right.to_arrow_refs()) if b.num_rows]
+        rtbl = (
+            pa.concat_tables([b.cast(rblocks[0].schema) for b in rblocks])
+            if rblocks
+            else None
+        )
+        if rtbl is not None:
+            hot_mask = pc.fill_null(
+                pc.is_in(rtbl[right_key], value_set=hot_set), False
+            )
+            frag = rtbl.filter(hot_mask)
+            cold_tbl = rtbl.filter(pc.invert(hot_mask))
+            frag = frag if frag.num_rows else None
+            cold_tbl = cold_tbl if cold_tbl.num_rows else None
+        else:
+            frag = None
+    else:
+        # broadcast fragment: right rows whose key is hot (collected —
+        # bounded by hot_k dimension keys, independent of left's size)
+        frag_blocks = ray.get(
+            right.map_batches(
+                lambda t: t.filter(pc.is_in(t[right_key], value_set=hot_set)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        frag = pa.concat_tables([b for b in frag_blocks if b.num_rows]) if any(
+            b.num_rows for b in frag_blocks
+        ) else None
     frag_ref = ray.put(frag.to_pandas() if frag is not None else None)
 
-    def hot_join(t: pa.Table) -> pa.Table:
-        rf = ray.get(frag_ref)
-        mask = pc.fill_null(pc.is_in(t[left_key], value_set=hot_set), False)
-        lg = t.filter(mask).to_pandas()
-        if rf is None or lg.empty:
-            return out_schema.empty_table()
-        # int columns with genuine nulls arrive as float64 — move them to
-        # nullable Int64 so the cast back to int64 below can't hit NaN
-        for f in out_fields:
-            if pa.types.is_integer(f.type):
-                for df in (lg, rf):
-                    if f.name in df.columns and df[f.name].dtype.kind == "f":
-                        df[f.name] = df[f.name].astype("Int64")
-        merged = lg.merge(rf, left_on=left_key, right_on=right_key, how="inner")
-        return pa.Table.from_pandas(
-            merged.drop(columns=[right_key]), preserve_index=False
-        ).cast(out_schema)
+    def map_side_join(frame_ref, want_hot: bool):
+        """Map-side merge of one left scan against a broadcast right
+        frame; ``want_hot`` selects which half of the key space joins."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            rf = ray.get(frame_ref)
+            hot = pc.fill_null(pc.is_in(t[left_key], value_set=hot_set), False)
+            lg = t.filter(hot if want_hot else pc.invert(hot)).to_pandas()
+            if rf is None or lg.empty:
+                return out_schema.empty_table()
+            # int columns with genuine nulls arrive as float64 — move them
+            # to nullable Int64 so the cast back to int64 can't hit NaN
+            for f in out_fields:
+                if pa.types.is_integer(f.type):
+                    for df in (lg, rf):
+                        if f.name in df.columns and df[f.name].dtype.kind == "f":
+                            df[f.name] = df[f.name].astype("Int64")
+            merged = lg.merge(rf, left_on=left_key, right_on=right_key, how="inner")
+            return pa.Table.from_pandas(
+                merged.drop(columns=[right_key]), preserve_index=False
+            ).cast(out_schema)
+
+        return fn
 
     def keep_cold(key: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -206,16 +241,24 @@ def skewed_inner_join(
 
         return fn
 
-    hot_part = left.map_batches(hot_join, batch_format="pyarrow")
-    cold = bucketed_inner_join(
-        left.map_batches(keep_cold(left_key), batch_format="pyarrow"),
-        right.map_batches(keep_cold(right_key), batch_format="pyarrow"),
-        left_key=left_key,
-        right_key=right_key,
-        n_buckets=n_buckets,
-        _schemas=(l_schema, r_schema),  # filters don't change the schemas
-    )
-    # the bucketed path emits pandas blocks (map_groups); normalize to
-    # Arrow so the union is block-type homogeneous for downstream ops
-    cold_arrow = cold.map_batches(lambda t: t, batch_format="pyarrow")
+    hot_part = left.map_batches(map_side_join(frag_ref, True), batch_format="pyarrow")
+    if small_right:
+        # the cold fragment broadcasts too — the whole join is map-side,
+        # no shuffle at all
+        cold_ref = ray.put(cold_tbl.to_pandas() if cold_tbl is not None else None)
+        cold_arrow = left.map_batches(
+            map_side_join(cold_ref, False), batch_format="pyarrow"
+        )
+    else:
+        cold = bucketed_inner_join(
+            left.map_batches(keep_cold(left_key), batch_format="pyarrow"),
+            right.map_batches(keep_cold(right_key), batch_format="pyarrow"),
+            left_key=left_key,
+            right_key=right_key,
+            n_buckets=n_buckets,
+            _schemas=(l_schema, r_schema),  # filters don't change the schemas
+        )
+        # the bucketed path emits pandas blocks (map_groups); normalize to
+        # Arrow so the union is block-type homogeneous for downstream ops
+        cold_arrow = cold.map_batches(lambda t: t, batch_format="pyarrow")
     return hot_part.union(cold_arrow)

@@ -128,8 +128,10 @@ def test_skewed_join_equals_bucketed_join():
         .sort_values(["k", "v"])
         .reset_index(drop=True)
     )
-    pd.testing.assert_frame_equal(plain, skewed, check_like=True)
-    # dtype fidelity: int columns stay ints through both plans
+    # dtype flavor may differ (bucketed cold path restores ints as
+    # pandas nullable Int64; the all-broadcast path keeps arrow int64) —
+    # values and KIND must match (the driver hashes raw values)
+    pd.testing.assert_frame_equal(plain, skewed, check_like=True, check_dtype=False)
     assert plain["k"].dtype.kind == "i" and skewed["k"].dtype.kind == "i"
 
 
@@ -237,3 +239,40 @@ def test_skewed_join_rejects_unsupported_auto_detect_key():
         skewed_inner_join(
             rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="rk"
         )
+
+
+def test_skewed_join_bucketed_cold_branch_equals_broadcast_cold():
+    """Forcing the bucketed cold path (broadcast_right_limit=0) must
+    produce the same rows as the default dimension-broadcast cold path."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.joins import skewed_inner_join
+
+    n = 2000
+    keys = [7 if i % 5 < 2 else (i % 50) for i in range(n)]
+    left = pa.table(
+        {"k": pa.array(keys, type=pa.int64()),
+         "v": pa.array(list(range(n)), type=pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array(list(range(50)), type=pa.int64()),
+         "tag": [f"t{i}" for i in range(50)]}
+    )
+
+    def run(limit):
+        return (
+            skewed_inner_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_key="k", right_key="rk", hot_k=4,
+                broadcast_right_limit=limit,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(200_000), run(0)
+    pd.testing.assert_frame_equal(a, b, check_like=True, check_dtype=False)
+    assert a["k"].dtype.kind == "i" and b["k"].dtype.kind == "i"
