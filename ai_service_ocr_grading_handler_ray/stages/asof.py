@@ -38,11 +38,17 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     num_buckets: int = 32,
+    direction: str = "backward",
 ) -> rd.Dataset:
     """For every left row, attach the right row with the greatest
     ``right_ts`` ≤ ``left_ts`` for the same ``key`` (left join: no match →
     nulls).  Columns of both sides are preserved (right's ts column
-    included)."""
+    included).  ``direction`` widens the operator to the full merge_asof
+    family: "backward" (default), "forward" (smallest right_ts ≥
+    left_ts) and "nearest" — the partitioning plan is identical, only
+    the per-bucket vectorized merge changes."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     l_cols = [f.name for f in l_schema]
@@ -145,7 +151,7 @@ def asof_join_backward(
             left_on=left_ts,
             right_on=right_ts,
             by=key,
-            direction="backward",
+            direction=direction,
         )
         for c in r_int:
             merged[c] = merged[c].astype("Int64")

@@ -230,3 +230,17 @@ def test_batch_kernels_match_scalar_reference():
     fps = batch_simhash64(texts)
     for i, t in enumerate(texts):
         assert int(fps[i]) == simhash64(t or ""), f"simhash mismatch at {i}"
+
+
+def test_cluster_assignments_string_ids():
+    """String ids work through the union-find finish (url-keyed dedup);
+    the distributed finish is integer-only and must say so."""
+    from ai_service_ocr_grading_handler_ray.stages import dedup as D
+
+    ids = rd.from_arrow(pa.table({"u": ["a", "b", "c", "d"]}))
+    edges = pa.table({"a": ["a"], "b": ["b"]})
+    out = D.cluster_assignments(ids, edges, id_col="u")
+    cl = _cluster_dict(out, "u")
+    assert cl == {"a": "a", "b": "a", "c": "c", "d": "d"}
+    with pytest.raises(TypeError, match="integer ids"):
+        D.cluster_assignments(ids, edges, id_col="u", edge_label_limit=0).to_pandas()

@@ -276,3 +276,56 @@ def test_skewed_join_bucketed_cold_branch_equals_broadcast_cold():
     a, b = run(200_000), run(0)
     pd.testing.assert_frame_equal(a, b, check_like=True, check_dtype=False)
     assert a["k"].dtype.kind == "i" and b["k"].dtype.kind == "i"
+
+
+def test_asof_join_directions_match_pandas():
+    """forward / nearest directions must equal a single-node merge_asof
+    over the same frames (backward is oracle-covered by q47)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.asof import asof_join_backward
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500).astype("int64"),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, 500), unit="s").astype("datetime64[us]"),
+            "lv": np.arange(500, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 200).astype("int64"),
+            "rts": pd.to_datetime(rng.integers(0, 10**6, 200), unit="s").astype("datetime64[us]"),
+            "rv": np.arange(200, dtype="int64"),
+        }
+    )
+    # deterministic ties: one row per (k, rts)
+    right = right.drop_duplicates(["k", "rts"]).reset_index(drop=True)
+
+    for direction in ("forward", "nearest"):
+        got = (
+            asof_join_backward(
+                rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+                rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+                key="k", left_ts="ts", right_ts="rts", direction=direction,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ref = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("rts", kind="mergesort"),
+            left_on="ts", right_on="rts", by="k", direction=direction,
+        ).sort_values(["k", "ts", "lv"], kind="mergesort").reset_index(drop=True)
+        for c in ("rv",):
+            ref[c] = ref[c].astype("Int64")
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "lv", "rts", "rv"]],
+            ref[["k", "ts", "lv", "rts", "rv"]],
+            check_dtype=False,
+        )
