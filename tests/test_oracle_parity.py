@@ -1,7 +1,8 @@
 """Driver-style oracle parity: run every queries() entry that has an
 oracle_sql() entry and compare against DuckDB on the same parquet —
 row count + column names + order-insensitive values (SURVEY.md §5 item 3).
-Mirrors the driver's comparison (columns sorted by name, rows sorted)."""
+Mirrors the driver's comparison (columns sorted by name, rows sorted),
+at BOTH sf0.001 and sf0.01 (the driver's check scale)."""
 
 import duckdb
 import pandas as pd
@@ -34,19 +35,28 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+@pytest.fixture(
+    scope="module",
+    params=["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def parity_sf(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def con(sf_dir):
+def con(parity_sf):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{parity_sf}/{t}.parquet')"
         )
     return con
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
-def test_parity(name, sf_dir, con):
-    mine = _canon(_to_df(QUERIES[name](sf_dir)))
+def test_parity(name, parity_sf, con):
+    mine = _canon(_to_df(QUERIES[name](parity_sf)))
     ref = _canon(con.sql(ORACLE_SQL[name]).df())
     assert list(mine.columns) == list(ref.columns), (
         f"{name} column mismatch: {list(mine.columns)} vs {list(ref.columns)}"
@@ -65,6 +75,6 @@ def test_parity(name, sf_dir, con):
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
-def test_rows_only_queries_run(name, sf_dir):
-    df = _to_df(QUERIES[name](sf_dir))
+def test_rows_only_queries_run(name, parity_sf):
+    df = _to_df(QUERIES[name](parity_sf))
     assert len(df) >= 0 and len(df.columns) > 0
