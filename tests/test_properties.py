@@ -272,3 +272,35 @@ def test_session_actor_state_is_bounded():
         ray.get(actor.ingest.remote(keys, ts))
     assert ray.get(actor.state_size.remote()) <= 2
     ray.kill(actor)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from(list(string.ascii_lowercase) + [" ", "\t", "\n", "é", "☃"]),
+                max_size=60,
+            ),
+        ),
+        max_size=12,
+    )
+)
+def test_batch_kernels_equal_scalar_hypothesis(texts):
+    """Fuzz: batched MinHash/SimHash kernels equal the per-text reference
+    on arbitrary whitespace/unicode/None mixes (segment-offset bugs show
+    up here, not in happy-path fixtures)."""
+    import numpy as np
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        batch_minhash_signatures,
+        batch_simhash64,
+        simhash64,
+    )
+
+    sigs = batch_minhash_signatures(texts)
+    fps = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == minhash_signature(t or "")).all()
+        assert int(fps[i]) == simhash64(t or "")
