@@ -764,31 +764,43 @@ def q46_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
 
 def q47_asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event gets the latest order (by o_orderdate ≤ ts)
-    of the same customer; right side pre-aggregated to one row per
-    (custkey, date) for deterministic ties (oracle: DuckDB ASOF JOIN)."""
+    of the same customer; duplicate (custkey, date) orders resolved to
+    max(o_orderkey) by the operator's right_tiebreak — no pre-aggregate
+    shuffle of the right side (oracle: DuckDB ASOF JOIN over the same
+    max() pre-aggregate, which the tiebreak reproduces exactly)."""
     from ..stages.asof import asof_join_backward
-    from ..stages.skew import partitioned_groupby
 
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    orders = (
-        partitioned_groupby(
-            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
-            ["o_custkey", "o_orderdate"],
-            {"o_orderkey": ("o_orderkey", "max")},
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "user_id": pc.cast(t["o_custkey"], pa.int64()),
-                    "o_orderdate": t["o_orderdate"],
-                    "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
     joined = asof_join_backward(
-        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate"
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak=["o_orderkey"],
+        # known projections → skip the two limit-1 schema-probe executions
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderkey", pa.int64()),
+            ]
+        ),
     )
     df = joined.to_pandas()[["event_id", "user_id", "o_orderkey"]]
     df["o_orderkey"] = df["o_orderkey"].astype("int64")

@@ -39,6 +39,9 @@ def asof_join_backward(
     right_ts: str,
     num_buckets: int = 32,
     direction: str = "backward",
+    right_tiebreak: list[str] | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """For every left row, attach the right row with the greatest
     ``right_ts`` ≤ ``left_ts`` for the same ``key`` (left join: no match →
@@ -46,16 +49,34 @@ def asof_join_backward(
     included).  ``direction`` widens the operator to the full merge_asof
     family: "backward" (default), "forward" (smallest right_ts ≥
     left_ts) and "nearest" — the partitioning plan is identical, only
-    the per-bucket vectorized merge changes."""
+    the per-bucket vectorized merge changes.
+
+    ``right_tiebreak``: columns resolving duplicate (key, right_ts) rows
+    deterministically — the row with the LARGEST tiebreak tuple wins
+    (per-bucket sort by [right_ts, *tiebreak]; merge_asof takes the last
+    eligible row).  This replaces a whole pre-aggregate shuffle of the
+    right side (groupby(key, ts).max(...)) with an in-bucket sort the
+    merge needs anyway — at 10^12-row scale that is one fewer all-to-all
+    exchange.  Without it, duplicate (key, ts) right rows are resolved
+    arbitrarily (block order is nondeterministic under parallel
+    execution); callers needing byte-stable output must pass a tiebreak
+    that (with key and ts) uniquely determines the payload row."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    tiebreak = list(right_tiebreak or [])
+    # schema() on a lazy Dataset is a limit-1 Ray execution of the whole
+    # upstream chain — callers that already know their schemas (they
+    # built the projection) pass them and skip two executions
+    l_schema = left_schema or left.schema().base_schema
+    r_schema = right_schema or right.schema().base_schema
     l_cols = [f.name for f in l_schema]
     r_cols = [f.name for f in r_schema]
     overlap = (set(l_cols) & set(r_cols)) - {key}
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    missing = [c for c in tiebreak if c not in r_cols]
+    if missing:
+        raise ValueError(f"right_tiebreak columns not on right side: {missing}")
 
     # column -> Arrow type for typed null-widening (left wins on the key)
     types: dict[str, pa.DataType] = {f.name: f.type for f in r_schema}
@@ -144,7 +165,15 @@ def asof_join_backward(
             rg[c] = rg[c].astype("int64")
         rg[key] = rg[key].astype(lg[key].dtype)
         rg[right_ts] = pd.to_datetime(rg[right_ts]).astype("datetime64[us]")
-        rg = rg.sort_values(right_ts, kind="mergesort")
+        if tiebreak:
+            # largest tiebreak wins: backward/nearest take the LAST
+            # eligible row (tiebreak ascending); forward takes the FIRST
+            # row with ts >= left_ts (tiebreak descending) — right_ts
+            # stays monotonic either way, which merge_asof requires
+            asc = [True] + [direction != "forward"] * len(tiebreak)
+            rg = rg.sort_values([right_ts] + tiebreak, ascending=asc, kind="mergesort")
+        else:
+            rg = rg.sort_values(right_ts, kind="mergesort")
         merged = pd.merge_asof(
             lg,
             rg,

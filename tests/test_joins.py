@@ -329,3 +329,100 @@ def test_asof_join_directions_match_pandas():
             ref[["k", "ts", "lv", "rts", "rv"]],
             check_dtype=False,
         )
+
+
+def test_asof_join_right_tiebreak_deterministic():
+    """Duplicate (key, right_ts) rows: right_tiebreak picks the row with
+    the LARGEST tiebreak for backward (last eligible) and forward (first
+    eligible) — equivalent to the groupby(key, ts).max() pre-aggregate,
+    without its shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.asof import asof_join_backward
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 300).astype("int64"),
+            "ts": pd.to_datetime(rng.integers(0, 10**5, 300), unit="s").astype("datetime64[us]"),
+            "lv": np.arange(300, dtype="int64"),
+        }
+    )
+    # heavy duplication on (k, rts): ~4 rows per (k, ts) pair on average
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 400).astype("int64"),
+            "rts": pd.to_datetime(rng.integers(0, 10**5 // 100, 400) * 100, unit="s").astype("datetime64[us]"),
+            "rv": rng.permutation(400).astype("int64"),
+        }
+    )
+
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join_backward(
+                rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+                rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+                key="k", left_ts="ts", right_ts="rts",
+                direction=direction, right_tiebreak=["rv"],
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        # reference: pre-aggregate to max(rv) per (k, rts), plain merge_asof
+        agg = (
+            right.groupby(["k", "rts"], as_index=False)["rv"].max()
+            .sort_values("rts", kind="mergesort")
+        )
+        ref = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            agg,
+            left_on="ts", right_on="rts", by="k", direction=direction,
+        ).sort_values(["k", "ts", "lv"], kind="mergesort").reset_index(drop=True)
+        ref["rv"] = ref["rv"].astype("Int64")
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "lv", "rts", "rv"]],
+            ref[["k", "ts", "lv", "rts", "rv"]],
+            check_dtype=False,
+        )
+
+
+def test_asof_join_schema_hints_match_probed():
+    """Passing left_schema/right_schema (skipping the limit-1 probe
+    executions) must not change the output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.asof import asof_join_backward
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 100).astype("int64"),
+            "ts": pd.to_datetime(rng.integers(0, 10**4, 100), unit="s").astype("datetime64[us]"),
+            "lv": np.arange(100, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 50).astype("int64"),
+            "rts": pd.to_datetime(rng.integers(0, 10**4, 50), unit="s").astype("datetime64[us]"),
+            "rv": np.arange(50, dtype="int64"),
+        }
+    ).drop_duplicates(["k", "rts"])
+    lt = pa.Table.from_pandas(left, preserve_index=False)
+    rt = pa.Table.from_pandas(right, preserve_index=False)
+
+    probed = asof_join_backward(
+        rd.from_arrow(lt), rd.from_arrow(rt), key="k", left_ts="ts", right_ts="rts"
+    ).to_pandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    hinted = asof_join_backward(
+        rd.from_arrow(lt), rd.from_arrow(rt), key="k", left_ts="ts", right_ts="rts",
+        left_schema=lt.schema, right_schema=rt.schema,
+    ).to_pandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(probed, hinted)
