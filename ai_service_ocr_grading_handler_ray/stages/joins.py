@@ -113,28 +113,31 @@ def skewed_inner_join(
 ) -> rd.Dataset:
     """Skew-aware inner equi-join.
 
-    Hot left-side keys (Misra-Gries detected unless supplied) would land
-    their entire row set on one bucket reducer; instead the right-side
-    rows for those keys — a dimension-sized fragment, ≤ hot_k keys —
-    broadcast via ``ray.put`` and hot left rows join map-side with no
-    shuffle at all.  Cold keys adapt: when the right side is
-    dimension-sized (≤ ``broadcast_right_limit`` rows) the whole cold
-    fragment broadcasts too and the ENTIRE join is map-side — shuffling
-    10^12 fact rows to meet a 200k-row dimension is strictly worse than
-    shipping the dimension to every task; larger rights take the
-    bucketed large-large path.  The union of the plans equals a plain
-    inner join (equivalence-tested, including the forced-bucketed
-    branch)."""
+    Plan selection, cheapest first:
+
+    1. **Dimension-sized right** (≤ ``broadcast_right_limit`` rows): the
+       whole right table broadcasts via ``ray.put`` and the join runs
+       entirely map-side over ONE scan of the fact side.  Skew handling
+       is moot here — there are no reducers to overload; a hot key only
+       makes some map tasks emit more rows — so hot-key detection (a
+       full scan of the fact side) is skipped entirely.
+    2. **Large right**: hot left-side keys (Misra-Gries detected unless
+       supplied) would land their entire row set on one bucket reducer;
+       instead the right-side rows for those keys — ≤ hot_k keys —
+       broadcast and hot left rows join map-side, while cold keys take
+       the bucketed large-large hash join.
+
+    The union of the plans equals a plain inner join (equivalence-tested,
+    including the forced-bucketed branch via broadcast_right_limit=0)."""
     import pyarrow.compute as pc
     import ray
 
     from .sketches import heavy_hitters
 
-    # right (the dimension side) is consumed twice (hot-fragment collect +
-    # cold path) — materialize it.  left is the FACT side: materializing it
-    # would pin/spill the full table in the object store at scale, so its
-    # three consumers (hot-key detection reads only a key-column
-    # projection; hot and cold scans) each re-execute the upstream —
+    # right (the dimension side) is consumed more than once (count/collect
+    # or hot-fragment + cold path) — materialize it.  left is the FACT
+    # side: materializing it would pin/spill the full table in the object
+    # store at scale, so each of its consumers re-executes the upstream —
     # recompute is the right trade at 10^12 rows (ADVICE r2)
     right = right.materialize()
     # probe both schemas exactly once (a lazy Dataset's schema() is a
@@ -142,6 +145,54 @@ def skewed_inner_join(
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     key_type = next(f.type for f in l_schema if f.name == left_key)
+
+    out_fields = [pa.field(f.name, f.type) for f in l_schema] + [
+        pa.field(f.name, f.type) for f in r_schema if f.name != right_key
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def map_side_join(frame_ref, want_hot, hot_set):
+        """Map-side merge of one left scan against a broadcast right
+        frame.  ``want_hot`` selects which half of the key space joins
+        (None = no split: the whole batch joins)."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            rf = ray.get(frame_ref)
+            if want_hot is None:
+                lg = t.to_pandas()
+            else:
+                hot = pc.fill_null(pc.is_in(t[left_key], value_set=hot_set), False)
+                lg = t.filter(hot if want_hot else pc.invert(hot)).to_pandas()
+            if rf is None or lg.empty:
+                return out_schema.empty_table()
+            # int columns with genuine nulls arrive as float64 — move them
+            # to nullable Int64 so the cast back to int64 can't hit NaN
+            for f in out_fields:
+                if pa.types.is_integer(f.type):
+                    for df in (lg, rf):
+                        if f.name in df.columns and df[f.name].dtype.kind == "f":
+                            df[f.name] = df[f.name].astype("Int64")
+            merged = lg.merge(rf, left_on=left_key, right_on=right_key, how="inner")
+            return pa.Table.from_pandas(
+                merged.drop(columns=[right_key]), preserve_index=False
+            ).cast(out_schema)
+
+        return fn
+
+    if right.count() <= broadcast_right_limit:
+        # plan 1: broadcast the whole dimension, one fact scan, no
+        # detection, no shuffle
+        rblocks = [b for b in ray.get(right.to_arrow_refs()) if b.num_rows]
+        rtbl = (
+            pa.concat_tables([b.cast(rblocks[0].schema) for b in rblocks])
+            if rblocks
+            else None
+        )
+        full_ref = ray.put(rtbl.to_pandas() if rtbl is not None else None)
+        return left.map_batches(
+            map_side_join(full_ref, None, None), batch_format="pyarrow"
+        )
+
     if hot_keys is None:
         if not (
             pa.types.is_integer(key_type)
@@ -170,69 +221,18 @@ def skewed_inner_join(
     # per-row Python `v in set` comprehension (VERDICT r2 #4)
     hot_set = pa.array(sorted(hot_keys), type=key_type)
 
-    r_cols = [f.name for f in r_schema]
-    out_fields = [pa.field(f.name, f.type) for f in l_schema] + [
-        pa.field(f.name, f.type) for f in r_schema if f.name != right_key
-    ]
-    out_schema = pa.schema(out_fields)
-    small_right = right.count() <= broadcast_right_limit
-    cold_tbl = None
-    if small_right:
-        # dimension-sized right: ONE collect, hot/cold split locally —
-        # no distributed filter jobs at all
-        rblocks = [b for b in ray.get(right.to_arrow_refs()) if b.num_rows]
-        rtbl = (
-            pa.concat_tables([b.cast(rblocks[0].schema) for b in rblocks])
-            if rblocks
-            else None
-        )
-        if rtbl is not None:
-            hot_mask = pc.fill_null(
-                pc.is_in(rtbl[right_key], value_set=hot_set), False
-            )
-            frag = rtbl.filter(hot_mask)
-            cold_tbl = rtbl.filter(pc.invert(hot_mask))
-            frag = frag if frag.num_rows else None
-            cold_tbl = cold_tbl if cold_tbl.num_rows else None
-        else:
-            frag = None
-    else:
-        # broadcast fragment: right rows whose key is hot (collected —
-        # bounded by hot_k dimension keys, independent of left's size)
-        frag_blocks = ray.get(
-            right.map_batches(
-                lambda t: t.filter(pc.is_in(t[right_key], value_set=hot_set)),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
-        )
-        frag = pa.concat_tables([b for b in frag_blocks if b.num_rows]) if any(
-            b.num_rows for b in frag_blocks
-        ) else None
+    # broadcast fragment: right rows whose key is hot (collected —
+    # bounded by hot_k dimension keys, independent of left's size)
+    frag_blocks = ray.get(
+        right.map_batches(
+            lambda t: t.filter(pc.is_in(t[right_key], value_set=hot_set)),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    frag = pa.concat_tables([b for b in frag_blocks if b.num_rows]) if any(
+        b.num_rows for b in frag_blocks
+    ) else None
     frag_ref = ray.put(frag.to_pandas() if frag is not None else None)
-
-    def map_side_join(frame_ref, want_hot: bool):
-        """Map-side merge of one left scan against a broadcast right
-        frame; ``want_hot`` selects which half of the key space joins."""
-
-        def fn(t: pa.Table) -> pa.Table:
-            rf = ray.get(frame_ref)
-            hot = pc.fill_null(pc.is_in(t[left_key], value_set=hot_set), False)
-            lg = t.filter(hot if want_hot else pc.invert(hot)).to_pandas()
-            if rf is None or lg.empty:
-                return out_schema.empty_table()
-            # int columns with genuine nulls arrive as float64 — move them
-            # to nullable Int64 so the cast back to int64 can't hit NaN
-            for f in out_fields:
-                if pa.types.is_integer(f.type):
-                    for df in (lg, rf):
-                        if f.name in df.columns and df[f.name].dtype.kind == "f":
-                            df[f.name] = df[f.name].astype("Int64")
-            merged = lg.merge(rf, left_on=left_key, right_on=right_key, how="inner")
-            return pa.Table.from_pandas(
-                merged.drop(columns=[right_key]), preserve_index=False
-            ).cast(out_schema)
-
-        return fn
 
     def keep_cold(key: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -241,24 +241,18 @@ def skewed_inner_join(
 
         return fn
 
-    hot_part = left.map_batches(map_side_join(frag_ref, True), batch_format="pyarrow")
-    if small_right:
-        # the cold fragment broadcasts too — the whole join is map-side,
-        # no shuffle at all
-        cold_ref = ray.put(cold_tbl.to_pandas() if cold_tbl is not None else None)
-        cold_arrow = left.map_batches(
-            map_side_join(cold_ref, False), batch_format="pyarrow"
-        )
-    else:
-        cold = bucketed_inner_join(
-            left.map_batches(keep_cold(left_key), batch_format="pyarrow"),
-            right.map_batches(keep_cold(right_key), batch_format="pyarrow"),
-            left_key=left_key,
-            right_key=right_key,
-            n_buckets=n_buckets,
-            _schemas=(l_schema, r_schema),  # filters don't change the schemas
-        )
-        # the bucketed path emits pandas blocks (map_groups); normalize to
-        # Arrow so the union is block-type homogeneous for downstream ops
-        cold_arrow = cold.map_batches(lambda t: t, batch_format="pyarrow")
+    hot_part = left.map_batches(
+        map_side_join(frag_ref, True, hot_set), batch_format="pyarrow"
+    )
+    cold = bucketed_inner_join(
+        left.map_batches(keep_cold(left_key), batch_format="pyarrow"),
+        right.map_batches(keep_cold(right_key), batch_format="pyarrow"),
+        left_key=left_key,
+        right_key=right_key,
+        n_buckets=n_buckets,
+        _schemas=(l_schema, r_schema),  # filters don't change the schemas
+    )
+    # the bucketed path emits pandas blocks (map_groups); normalize to
+    # Arrow so the union is block-type homogeneous for downstream ops
+    cold_arrow = cold.map_batches(lambda t: t, batch_format="pyarrow")
     return hot_part.union(cold_arrow)

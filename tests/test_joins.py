@@ -226,7 +226,9 @@ def test_bucketed_join_tolerates_nullable_int_columns():
 def test_skewed_join_rejects_unsupported_auto_detect_key():
     """Float keys can't round-trip through the MG sketch's stringified
     counters — auto-detection must refuse instead of silently running
-    the whole plan with an empty hot set."""
+    the whole plan with an empty hot set.  Detection only runs on the
+    large-right path (a dimension-sized right broadcasts whole, no
+    detection needed), so force it with broadcast_right_limit=0."""
     import pyarrow as pa
     import pytest
     import ray.data as rd
@@ -237,8 +239,21 @@ def test_skewed_join_rejects_unsupported_auto_detect_key():
     right = pa.table({"rk": pa.array([1.5]), "tag": ["a"]})
     with pytest.raises(TypeError, match="pass hot_keys"):
         skewed_inner_join(
+            rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="rk",
+            broadcast_right_limit=0,
+        )
+
+    # the broadcast path needs no detection: same float key, small right —
+    # must succeed and equal a plain pandas merge
+    got = (
+        skewed_inner_join(
             rd.from_arrow(left), rd.from_arrow(right), left_key="k", right_key="rk"
         )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1.5] and got["tag"].tolist() == ["a"]
 
 
 def test_skewed_join_bucketed_cold_branch_equals_broadcast_cold():
