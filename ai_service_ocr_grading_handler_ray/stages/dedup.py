@@ -482,10 +482,12 @@ def cluster_assignments(
     Scale shape (VERDICT r2 #1): the driver holds at most the edge list.
     Edge-node labels come from union-find over the (tiny) edge table, or
     from distributed label propagation above ``edge_label_limit``; ids
-    that touch no edge NEVER reach the driver — the anti-membership test
-    runs inside ONE salted cogroup (ids ∪ labeled rows partitioned by
-    hash(id); a vectorized ``is_in`` inside each partition), all-Arrow so
-    int64 ids above 2^53 survive exactly."""
+    that touch no edge NEVER reach the driver.  Small edge tables finish
+    map-side (labels broadcast, vectorized ``index_in`` per batch — zero
+    shuffles); above the limit the anti-membership test runs inside ONE
+    salted cogroup (ids ∪ labeled rows partitioned by hash(id); a
+    vectorized ``is_in`` inside each partition).  All-Arrow either way,
+    so int64 ids above 2^53 survive exactly."""
     lim = EDGE_LABEL_LIMIT if edge_label_limit is None else edge_label_limit
     id_type = pa.int64()
     for f in ds.schema().base_schema:
@@ -500,9 +502,38 @@ def cluster_assignments(
         return all_ids.map_batches(ids_as_clusters, batch_format="pyarrow")
 
     if edges.num_rows <= lim:
-        labels_ds = rd.from_arrow(_edge_labels_unionfind(edges))
-    else:
-        labels_ds = propagate_min_labels_ds(edges, num_parts=num_parts)
+        # edge labels already live on the driver (union-find ran there) —
+        # broadcast them and finish map-side over ONE scan of the ids: a
+        # vectorized index_in assigns labels, unmatched ids become their
+        # own singleton cluster.  No shuffle at all; driver/broadcast
+        # footprint stays bounded by the edge list (≤ 2×edges label rows),
+        # never the id universe.  All-Arrow so int64 ids > 2^53 survive.
+        import ray as _ray
+
+        lab_tbl = _edge_labels_unionfind(edges)
+        lab_ref = _ray.put(
+            pa.table(
+                {
+                    "id": lab_tbl["id"].cast(id_type),
+                    "label": lab_tbl["label"].cast(id_type),
+                }
+            )
+        )
+
+        def finish_broadcast(t: pa.Table) -> pa.Table:
+            lab = _ray.get(lab_ref)
+            idx = pc.index_in(t[id_col], value_set=lab["id"].combine_chunks())
+            assigned = pc.take(lab["label"], idx)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "cluster_id": pc.coalesce(assigned, t[id_col].combine_chunks()),
+                }
+            )
+
+        return all_ids.map_batches(finish_broadcast, batch_format="pyarrow")
+
+    labels_ds = propagate_min_labels_ds(edges, num_parts=num_parts)
 
     def rename(t: pa.Table) -> pa.Table:
         out = pa.table(
