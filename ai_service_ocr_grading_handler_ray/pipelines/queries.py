@@ -838,6 +838,74 @@ def q48_ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q86_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (standard LLM-curation step): flag every
+    corpus doc sharing ≥1 word-8-gram with the benchmark slice
+    (doc_id % 97 == 0).  Contamination is injected deterministically —
+    docs ≡ 5 (mod 13) get a 12-word benchmark snippet appended — so the
+    flag column is non-trivial; the oracle replays the exact construction
+    in SQL (string grams; the engine's 64-bit gram hashes are
+    collision-free at this scale).  Scale shape: benchmark grams collect
+    once (eval sets are dimension-sized) and broadcast via ray.put; the
+    corpus is flagged in one map_batches scan — no shuffle."""
+    from ..stages.dedup import benchmark_gram_hashes, flag_contaminated
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    # snippet: first 12 lowercased words of the smallest benchmark doc
+    # (two tiny pulls — an id-only projection, then one row by equality)
+    id_blocks = ray.get(
+        docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"].filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))}
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    bench_ids = pa.concat_tables([b for b in id_blocks if b.num_rows])["doc_id"]
+    min_id = pc.min(bench_ids).as_py()
+    row_blocks = ray.get(
+        docs.map_batches(
+            lambda t: t.filter(pc.equal(t["doc_id"], min_id)), batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    src_text = pa.concat_tables([b for b in row_blocks if b.num_rows])["text"][0].as_py()
+    snippet = " ".join((src_text or "").lower().split()[:12])
+
+    def make_corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 13 == 5
+        if mask.any():
+            texts = t["text"].to_pylist()
+            new = [
+                ((x or "") + " " + snippet) if m else x
+                for x, m in zip(texts, mask)
+            ]
+            t = t.set_column(
+                t.column_names.index("text"), "text", pa.array(new, type=pa.string())
+            )
+        return t
+
+    corpus = docs.map_batches(make_corpus, batch_format="pyarrow")
+
+    def bench_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 != 0))
+
+    grams = benchmark_gram_hashes(
+        corpus.map_batches(bench_side, batch_format="pyarrow"), ngram=8
+    )
+    flagged = flag_contaminated(
+        corpus.map_batches(corpus_side, batch_format="pyarrow"), grams, ngram=8
+    )
+    df = flagged.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["contaminated"] = df["contaminated"].astype(bool)
+    return _finalize(df.sort_values("doc_id"))
+
+
 def q49_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF approximate ANN (deterministic k-means lists, n_probe nearest
     lists probed) — the scale path beside brute force (q20) and LSH (q36)."""
@@ -1924,7 +1992,9 @@ QUERIES = {
     "q78_tfidf_top_term": q78_tfidf_top_term,
     "q82_source_quota": q82_source_quota,
     # (b) queries whose implementation changed in round 3 (vectorized
-    # hashing, dedup finish, streaming actors, join paths) — re-verify:
+    # hashing, dedup finish, streaming actors, join paths) — re-verify —
+    # plus q86, new this round (benchmark decontamination):
+    "q86_decontaminate": q86_decontaminate,
     "q47_asof_join": q47_asof_join,
     "q83_skewed_join": q83_skewed_join,
     "q50_bucketed_join": q50_bucketed_join,
@@ -1941,10 +2011,10 @@ QUERIES = {
     "q32_minhash_dedup": q32_minhash_dedup,
     "q33_simhash_dedup": q33_simhash_dedup,
     "q37_embedding_dedup": q37_embedding_dedup,
-    "q52_curation": q52_curation,
     # --- position >50: driver-green in rounds 1/2 and unchanged (or
     # rows-only with r2 green rows); all still run in
     # tests/test_oracle_parity.py every session ---
+    "q52_curation": q52_curation,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
     "q34_fingerprint_docs": q34_fingerprint_docs,
@@ -2371,6 +2441,43 @@ ORACLE_SQL = {
                round(CAST(len(list_intersect(s1, s2)) AS DOUBLE)
                      / (len(s1) + len(s2) - len(list_intersect(s1, s2))), 4) AS jaccard
         FROM sh
+    """,
+    "q86_decontaminate": """
+        WITH bmin AS (
+          SELECT min(doc_id) AS id FROM documents WHERE doc_id % 97 = 0
+        ),
+        snip AS (
+          SELECT array_to_string(
+                   list_slice(
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                     1, 12),
+                   ' ') AS s
+          FROM documents, bmin WHERE doc_id = bmin.id
+        ),
+        corpus AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 5
+                      THEN coalesce(text, '') || ' ' || (SELECT s FROM snip)
+                      ELSE text END AS text
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+          FROM corpus
+        ),
+        g_rows AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 7),
+                                       i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS g
+          FROM words WHERE len(ws) >= 8
+        ),
+        bench AS (SELECT DISTINCT g FROM g_rows WHERE doc_id % 97 = 0)
+        SELECT r.doc_id, CAST(count(b.g) > 0 AS BOOLEAN) AS contaminated
+        FROM g_rows r LEFT JOIN bench b USING (g)
+        WHERE r.doc_id % 97 <> 0
+        GROUP BY r.doc_id
+        ORDER BY r.doc_id
     """,
     "q26_field_extractors": """
         SELECT doc_id,

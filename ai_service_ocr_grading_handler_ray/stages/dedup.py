@@ -158,12 +158,14 @@ def minhash_signature(text: str, ngram: int = 3) -> np.ndarray:
 
 
 def batch_shingle_hashes(
-    texts: list, ngram: int = 3
-) -> tuple[np.ndarray, np.ndarray]:
+    texts: list, ngram: int = 3, *, return_word_counts: bool = False
+) -> tuple:
     """Concatenated shingle hashes for every text + offsets (len n+1).
     Per text this equals ``_token_hashes`` as a MULTISET (no per-text
     unique — MinHash minima are duplicate-invariant; SimHash uniquifies
-    downstream)."""
+    downstream).  ``return_word_counts=True`` appends the per-text word
+    counts (already computed internally) as a third element — used by
+    decontamination to mask texts shorter than the gram width."""
     words_all: list[str] = []
     n_words: list[int] = []
     for t in texts:
@@ -204,6 +206,8 @@ def batch_shingle_hashes(
             for j in range(len(hw)):
                 a = a * _SHINGLE_P + hw[j]
         out[offsets[i + 1] - 1] = splitmix64(a)[0]
+    if return_word_counts:
+        return out, offsets, n
     return out, offsets
 
 
@@ -1078,3 +1082,87 @@ def minhash_lsh_clusters_distributed(
         threshold=threshold,
         edge_label_limit=0,
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+# Standard step in LLM training-data curation: drop/flag corpus documents
+# that share word n-grams with an evaluation benchmark (the reference has
+# no analogue — SURVEY.md §2.5 scopes the engine's dedup family; this is
+# the same shingle kernel pointed at a reference set instead of the
+# corpus itself).
+
+
+def benchmark_gram_hashes(
+    bench: rd.Dataset, *, text_col: str = "text", ngram: int = 8
+) -> np.ndarray:
+    """Distinct word-``ngram`` hashes of a benchmark/eval set.
+
+    Texts with fewer than ``ngram`` words contribute nothing (a short
+    text's all-words shingle is not a meaningful contamination probe).
+    Distributed shingle + per-block unique; the driver merge is bounded
+    by the benchmark's distinct gram count — eval sets are
+    dimension-sized by construction.  For a benchmark too large to
+    broadcast exactly, swap the sorted array for a Bloom filter from
+    ``stages.sketches`` (same plumbing; approximate membership errs
+    toward over-flagging, the safe direction for decontamination)."""
+    import ray
+
+    def grams(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
+        keep = np.repeat(nw >= ngram, np.diff(off))
+        return pa.table({"g": np.unique(h[keep])})
+
+    blocks = ray.get(bench.map_batches(grams, batch_format="pyarrow").to_arrow_refs())
+    arrs = [b["g"].to_numpy() for b in blocks if b.num_rows]
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
+def flag_contaminated(
+    ds: rd.Dataset,
+    gram_hashes: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    out_col: str = "contaminated",
+) -> rd.Dataset:
+    """(id, contaminated) per document: True iff the document shares at
+    least one word-``ngram`` with the benchmark gram set.
+
+    The sorted gram array broadcasts ONCE via ``ray.put`` (read per task
+    from the object store, never re-shipped per batch); membership is a
+    vectorized searchsorted per batch, per-doc any() via
+    ``logical_or.reduceat`` over the shingle offsets.  Documents with
+    fewer than ``ngram`` words are dropped from the output (they carry
+    no gram to test)."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(gram_hashes, dtype=np.uint64)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
+        hits = np.zeros(len(h), dtype=bool)
+        if bs.size and len(h):
+            idx = np.searchsorted(bs, h)
+            valid = idx < bs.size
+            hits[valid] = bs[idx[valid]] == h[valid]
+        flags = np.zeros(len(texts), dtype=bool)
+        seg = np.flatnonzero(np.diff(off) > 0)
+        if seg.size:
+            # starts of nonempty segments tile `hits` exactly (empty
+            # segments are zero-width), so reduceat is per-doc any()
+            flags[seg] = np.logical_or.reduceat(hits, off[seg])
+        keep = pa.array(nw >= ngram)
+        return pa.table(
+            {
+                id_col: t[id_col].filter(keep),
+                out_col: pa.array(flags[nw >= ngram]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

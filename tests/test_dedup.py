@@ -244,3 +244,79 @@ def test_cluster_assignments_string_ids():
     assert cl == {"a": "a", "b": "a", "c": "c", "d": "d"}
     with pytest.raises(TypeError, match="integer ids"):
         D.cluster_assignments(ids, edges, id_col="u", edge_label_limit=0).to_pandas()
+
+
+def test_benchmark_decontamination_flags():
+    """flag_contaminated: exact word-8-gram overlap with the benchmark
+    set; short docs (<8 words) are dropped; empty benchmark flags
+    nothing; null text handled."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        benchmark_gram_hashes,
+        flag_contaminated,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = rd.from_arrow(
+        pa.table({"doc_id": pa.array([100], type=pa.int64()), "text": [bench_text]})
+    )
+    grams = benchmark_gram_hashes(bench, ngram=8)
+    # 10 words -> 3 full 8-gram windows
+    assert grams.size == 3 and grams.dtype == np.uint64
+
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    # shares the first 8-gram (prefix overlap)
+                    "alpha beta gamma delta epsilon zeta eta theta UNRELATED TAIL HERE",
+                    # same words, shifted by one -> no shared 8-gram
+                    "beta gamma delta epsilon zeta eta theta X Y Z A B",
+                    "completely different words one two three four five six seven",
+                    "short doc",  # <8 words: dropped from output
+                    None,  # null text: dropped (<8 words)
+                ],
+            }
+        )
+    )
+    out = (
+        flag_contaminated(corpus, grams, ngram=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["contaminated"].tolist() == [True, False, False]
+
+    # empty benchmark: nothing flagged, same row universe
+    out2 = (
+        flag_contaminated(corpus, np.empty(0, dtype=np.uint64), ngram=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2["doc_id"].tolist() == [1, 2, 3]
+    assert not out2["contaminated"].any()
+
+
+def test_benchmark_grams_skip_short_docs():
+    """Benchmark texts shorter than the gram width contribute no grams
+    (their all-words shingle must not poison the probe set)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import benchmark_gram_hashes
+
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["tiny bench doc", ""],
+            }
+        )
+    )
+    assert benchmark_gram_hashes(bench, ngram=8).size == 0
