@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q80_sliding_window",
     "q83_skewed_join",
     "q84_streaming_sessionize",
+    "q86_decontaminate",
 ]
 
 
