@@ -1955,20 +1955,79 @@ def q85_string_key_join(sf_dir: str) -> pd.DataFrame:
 # queries whose implementation changed this round.  Everything parked
 # after position 50 already has a driver-green row from rounds 1/2 and
 # still runs in tests/test_oracle_parity.py every session.
+def q87_normalized_dedup(sf_dir: str) -> rd.Dataset:
+    """Case/whitespace-insensitive exact dedup keeping the best copy per
+    normalized text (most original characters, ties → smallest doc_id).
+    One coarse hash shuffle on the normalized key; the oracle replays
+    normalization with the same RE2 pattern in DuckDB."""
+    from ..stages.dedup import normalized_dedup_keep_best
+
+    return normalized_dedup_keep_best(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
+def q88_semantic_dedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup over the embeddings table: k-means buckets (deterministic
+    seeded training) then greedy in-cluster cosine pruning at tau=0.98.
+    Near-dup vectors are injected deterministically (every vec_id % 11
+    == 0 gains an identical copy at id+1M — cosine exactly 1, so the
+    copy must prune) to make the keep column non-trivial.  Not
+    SQL-expressible (iterative k-means + order-dependent greedy) —
+    rows-only driver check; determinism + keep-semantics pinned in
+    tests/test_dedup.py."""
+    from ..stages.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        vecs = batch["embedding"].to_pylist()
+        out_i, out_v = [], []
+        for i, v in zip(ids, vecs):
+            out_i.append(i)
+            out_v.append(v)
+            if i % 11 == 0:
+                out_i.append(i + 1_000_000)
+                out_v.append(v)
+        return pa.table(
+            {"vec_id": pa.array(out_i, type=pa.int64()),
+             "embedding": pa.array(out_v, type=batch["embedding"].type)}
+        )
+
+    return semantic_dedup(
+        ds.map_batches(expand, batch_format="pyarrow"), n_lists=16, tau=0.98
+    )
+
+
+def q89_remove_frequent_segments(sf_dir: str) -> rd.Dataset:
+    """CCNet-style boilerplate removal: drop every 2-word segment whose
+    document frequency ≥ 20 (~p90 of the test corpus, so removal is
+    non-trivial at every sf), reassemble survivors in order (docs left
+    empty are dropped).  Frequency pass is one segment-hash shuffle;
+    the frequent set broadcasts once and the rewrite is shuffle-free.
+    The oracle replays the segmentation with list slicing in SQL."""
+    from ..stages.clean import remove_frequent_segments
+
+    return remove_frequent_segments(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_docs=20,
+        words_per_seg=2,
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
-    # (a) the 33 queries the r2 driver window did not sample (VERDICT r2 #4):
+    # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
+    #     q02/q04/q08/q09 (r1-green, unchanged) ceded their slots to the
+    #     round-3-new q85-q89 which have never been driver-checked:
     "q26_field_extractors": q26_field_extractors,
     "q29_topk_per_group": q29_topk_per_group,
     "q44_train_split": q44_train_split,
     "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q57_group_zscore": q57_group_zscore,
     "q60_above_nation_avg": q60_above_nation_avg,
-    "q02_high_quantity_items": q02_high_quantity_items,
-    "q04_orders_by_status": q04_orders_by_status,
     "q05_orders_by_segment": q05_orders_by_segment,
-    "q08_top_customers": q08_top_customers,
-    "q09_distinct_segments": q09_distinct_segments,
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
     "q13_part_brand_stats": q13_part_brand_stats,
@@ -1995,6 +2054,10 @@ QUERIES = {
     # hashing, dedup finish, streaming actors, join paths) — re-verify —
     # plus q86, new this round (benchmark decontamination):
     "q86_decontaminate": q86_decontaminate,
+    "q85_string_key_join": q85_string_key_join,
+    "q87_normalized_dedup": q87_normalized_dedup,
+    "q88_semantic_dedup": q88_semantic_dedup,
+    "q89_remove_frequent_segments": q89_remove_frequent_segments,
     "q47_asof_join": q47_asof_join,
     "q83_skewed_join": q83_skewed_join,
     "q50_bucketed_join": q50_bucketed_join,
@@ -2048,7 +2111,10 @@ QUERIES = {
     "q72_distinct_per_group": q72_distinct_per_group,
     "q73_split_priority": q73_split_priority,
     "q74_string_agg": q74_string_agg,
-    "q85_string_key_join": q85_string_key_join,
+    "q02_high_quantity_items": q02_high_quantity_items,
+    "q04_orders_by_status": q04_orders_by_status,
+    "q08_top_customers": q08_top_customers,
+    "q09_distinct_segments": q09_distinct_segments,
 }
 
 ORACLE_SQL = {
@@ -2626,5 +2692,41 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
           FROM s
         ) WHERE rn = 1
+    """,
+    "q87_normalized_dedup": """
+        WITH n AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY norm) AS n_copies
+          FROM n
+        )
+        SELECT CAST(doc_id AS BIGINT) AS keep_id, n_chars,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM r WHERE rn = 1
+    """,
+    "q89_remove_frequent_segments": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), ex AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0, CAST(ceil(len(ws)/2.0) AS BIGINT)-1)) AS s
+          FROM w
+        ), seg AS (
+          SELECT doc_id, s, array_to_string(ws[(s*2+1):(s*2+2)], ' ') AS segment FROM ex
+        ), freq AS (
+          SELECT segment FROM seg GROUP BY segment
+          HAVING count(DISTINCT doc_id) >= 20
+        ), kept AS (
+          SELECT doc_id, s, segment FROM seg
+          WHERE segment NOT IN (SELECT segment FROM freq)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_agg(segment, ' ' ORDER BY s) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_segs_kept
+        FROM kept GROUP BY doc_id
     """,
 }

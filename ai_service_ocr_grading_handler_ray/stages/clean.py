@@ -95,3 +95,134 @@ def add_repetition_ratio(batch: pa.Table, text_col: str = "text") -> pa.Table:
         [repetition_ratio(t or "") for t in batch[text_col].to_pylist()], dtype=np.float64
     )
     return batch.append_column("repetition_ratio", pa.array(vals))
+
+
+# --- corpus-frequency segment removal (CCNet-style) -------------------------
+#
+# CCNet / RefinedWeb drop paragraphs that recur across many documents
+# (nav bars, cookie banners, license footers).  The test corpus has no
+# newlines, so "segment" here is a deterministic resegmentation: split
+# on single spaces, group ``words_per_seg`` consecutive words (the same
+# rule is replayable in SQL with list slicing, so the whole operator is
+# oracle-checkable).  Two passes:
+#
+#   pass 1: explode → distinct (doc, segment) per doc → hash-partition
+#           by segment → vectorized per-partition doc-frequency count
+#   pass 2: frequent set (df ≥ min_docs) broadcasts once via ray.put —
+#           at web scale it is the boilerplate vocabulary, orders of
+#           magnitude smaller than the corpus (cap enforced; for a
+#           frequent set too big to broadcast exactly, swap in a Bloom
+#           filter from stages.sketches — over-removal is the safe
+#           direction for boilerplate) — and one shuffle-free
+#           map_batches rewrites every document.
+
+_SEG_BROADCAST_CAP = 5_000_000
+
+
+def _doc_segments(text: str, words_per_seg: int) -> list:
+    ws = (text or "").split(" ")
+    return [
+        " ".join(ws[i : i + words_per_seg]) for i in range(0, len(ws), words_per_seg)
+    ]
+
+
+def segment_doc_frequency(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 2,
+    num_parts: int = 32,
+):
+    """Dataset of (segment, n_docs): how many distinct documents contain
+    each ``words_per_seg``-word segment."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_seg: list = []
+        for i, txt in zip(ids, texts):
+            # set(): distinct within doc — a doc counts once per segment
+            segs = set(_doc_segments(txt, words_per_seg))
+            out_id.extend([i] * len(segs))
+            out_seg.extend(segs)
+        return pa.table({id_col: out_id, "segment": out_seg})
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("segment", sort=False)[id_col].size().reset_index(name="n_docs")
+        r["n_docs"] = r["n_docs"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, "segment", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(count, batch_format="pandas")
+    )
+
+
+def remove_frequent_segments(
+    ds,
+    *,
+    min_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 2,
+    num_parts: int = 32,
+):
+    """Drop every segment whose document frequency ≥ ``min_docs``;
+    reassemble the survivors in order.  Documents left with zero
+    segments are dropped (fully-boilerplate pages).  Output:
+    (doc_id, text_clean, n_segs_kept)."""
+    import pandas as pd
+    import ray
+
+    freq = segment_doc_frequency(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        words_per_seg=words_per_seg,
+        num_parts=num_parts,
+    ).filter(lambda r: r["n_docs"] >= min_docs)
+    frequent = [
+        s
+        for b in ray.get(freq.to_arrow_refs())
+        if b.num_rows
+        for s in b.column("segment").to_pylist()
+    ]
+    if len(frequent) > _SEG_BROADCAST_CAP:
+        raise ValueError(
+            f"frequent-segment set ({len(frequent)}) exceeds broadcast cap "
+            f"{_SEG_BROADCAST_CAP}; raise min_docs or switch to the Bloom path"
+        )
+    freq_ref = ray.put(frozenset(frequent))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        fset = ray.get(freq_ref)
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_text: list = []
+        out_n: list = []
+        for i, txt in zip(ids, texts):
+            kept = [s for s in _doc_segments(txt, words_per_seg) if s not in fset]
+            if kept:
+                out_id.append(i)
+                out_text.append(" ".join(kept))
+                out_n.append(len(kept))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "text_clean": pa.array(out_text, type=pa.string()),
+                "n_segs_kept": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -125,6 +125,64 @@ def exact_dedup(
     )
 
 
+def normalized_dedup_keep_best(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Case/whitespace-insensitive exact dedup keeping the *best* copy.
+
+    Normalization: lowercase, collapse whitespace runs to one space,
+    trim — the standard canonical form for exact-dup detection over
+    webtext (two scrapes of the same page differ in case folding and
+    whitespace far more often than in words).  Winner per group: the
+    copy with the most original characters (ties → smallest id), i.e.
+    keep the least-mangled scrape.
+
+    One hash shuffle on a coarse partition of the normalized text (all
+    copies co-locate); inside each partition one vectorized pandas
+    sort + groupby handles every group.  Output:
+    (keep_id, n_chars, n_copies) — one row per distinct normalized text.
+    """
+
+    def norm_stage(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t[text_col], "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(s), pattern=r"\s+", replacement=" ")
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pc.utf8_length(s),
+                "_norm": norm,
+            }
+        )
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.sort_values(["_norm", "n_chars", id_col], ascending=[True, False, True],
+                          kind="mergesort")
+            .groupby("_norm", sort=False)
+            .agg(keep_id=(id_col, "first"), n_chars=("n_chars", "first"),
+                 n_copies=(id_col, "size"))
+            .reset_index(drop=True)
+        )
+        r["n_copies"] = r["n_copies"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(norm_stage, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, "_norm", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(best, batch_format="pandas")
+    )
+
+
 # --- MinHash ----------------------------------------------------------------
 
 _MINHASH_K = 64
@@ -909,6 +967,60 @@ def embedding_cosine_clusters(
     else:
         edges = pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
     return cluster_assignments(ds, edges, id_col=id_col)
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    tau: float = 0.95,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    greedily prune near-duplicates *within* each cluster — a vector is
+    dropped iff its cosine to an already-kept lower-id vector in the same
+    cluster is ≥ ``tau``.
+
+    Reuses the IVF k-means assignment from ``stages.similarity`` (seeded,
+    id-sorted training sample → deterministic no matter the input
+    order).  The greedy pass is per-cluster: one groupby(ivf_list) whose
+    group count is ``n_lists``; size ``n_lists`` ∝ corpus/expected
+    cluster size so each group stays worker-sized (the canonical
+    SemDeDup setting — clusters of ~10³ vectors).  Within a group the
+    scan is one row-loop over a unit matrix with a vectorized dot per
+    step (O(n·kept) flops, numpy).
+
+    Output: (id, ivf_list, keep) for every input vector.
+    """
+    from .similarity import _as_matrix, _normalize, build_ivf_assignments
+
+    _, assigned = build_ivf_assignments(
+        ds, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+    )
+
+    def prune(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g[id_col])
+        g = g.take(order)
+        unit = _normalize(_as_matrix(g[vec_col]))
+        n = unit.shape[0]
+        keep = np.zeros(n, dtype=bool)
+        kept = np.empty_like(unit)
+        k = 0
+        for i in range(n):
+            if k == 0 or float(np.max(kept[:k] @ unit[i])) < tau:
+                keep[i] = True
+                kept[k] = unit[i]
+                k += 1
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "ivf_list": g["ivf_list"],
+                "keep": pa.array(keep),
+            }
+        )
+
+    return assigned.groupby("ivf_list").map_groups(prune, batch_format="pyarrow")
 
 
 # --- distributed connected components (scale path) --------------------------

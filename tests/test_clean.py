@@ -66,3 +66,54 @@ class TestRepetition:
 
     def test_short_text(self):
         assert repetition_ratio("ab") == 0.0
+
+
+class TestFrequentSegments:
+    def _corpus(self):
+        import ray.data as rd
+
+        # "cookie banner" boilerplate segment in 4 of 5 docs
+        rows = {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "cookie banner unique one text here",
+                "cookie banner unique two more words",
+                "cookie banner unique three extra stuff",
+                "cookie banner",  # fully boilerplate -> dropped
+                "totally different document body",
+            ],
+        }
+        return rd.from_arrow(pa.table(rows))
+
+    def test_doc_frequency_counts(self):
+        from ai_service_ocr_grading_handler_ray.stages.clean import segment_doc_frequency
+
+        freq = (
+            segment_doc_frequency(self._corpus(), words_per_seg=2)
+            .to_pandas()
+            .set_index("segment")["n_docs"]
+        )
+        assert freq["cookie banner"] == 4
+        assert freq["totally different"] == 1
+
+    def test_remove_and_reassemble(self):
+        from ai_service_ocr_grading_handler_ray.stages.clean import remove_frequent_segments
+
+        out = (
+            remove_frequent_segments(self._corpus(), min_docs=4, words_per_seg=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 4 was pure boilerplate -> dropped entirely
+        assert sorted(out.index.tolist()) == [1, 2, 3, 5]
+        # surviving segments keep their order
+        assert out.loc[1, "text_clean"] == "unique one text here"
+        assert out.loc[1, "n_segs_kept"] == 2
+        assert out.loc[5, "text_clean"] == "totally different document body"
+
+    def test_segmentation_tail_and_empty(self):
+        from ai_service_ocr_grading_handler_ray.stages.clean import _doc_segments
+
+        assert _doc_segments("a b c d e", 2) == ["a b", "c d", "e"]
+        assert _doc_segments("", 2) == [""]  # matches SQL string_split('')
+        assert _doc_segments("one", 3) == ["one"]

@@ -320,3 +320,88 @@ def test_benchmark_grams_skip_short_docs():
         )
     )
     assert benchmark_gram_hashes(bench, ngram=8).size == 0
+
+
+def test_normalized_dedup_keep_best():
+    from ai_service_ocr_grading_handler_ray.stages.dedup import normalized_dedup_keep_best
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "Hello   World",   # 13 chars, norm "hello world"
+                    "hello world",     # 11 chars, same norm
+                    "  HELLO\tWORLD ", # 14 chars, same norm -> winner
+                    "other doc",
+                    None,              # -> norm "" singleton
+                ],
+            }
+        )
+    )
+    out = (
+        normalized_dedup_keep_best(ds)
+        .to_pandas()
+        .sort_values("keep_id")
+        .reset_index(drop=True)
+    )
+    # three groups: the hello-world trio, "other doc", and the null/empty
+    assert out["keep_id"].tolist() == [3, 4, 5]
+    trio = out[out["keep_id"] == 3].iloc[0]
+    assert trio["n_copies"] == 3 and trio["n_chars"] == 14
+
+
+def test_normalized_dedup_tiebreak_smallest_id():
+    from ai_service_ocr_grading_handler_ray.stages.dedup import normalized_dedup_keep_best
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [7, 2, 9], "text": ["Same Len", "same len", "SAME LEN"]})
+    )
+    out = normalized_dedup_keep_best(ds).to_pandas()
+    # equal n_chars everywhere -> smallest doc_id wins
+    assert out["keep_id"].tolist() == [2] and out["n_copies"].tolist() == [3]
+
+
+def test_semantic_dedup_prunes_in_cluster_duplicates():
+    from ai_service_ocr_grading_handler_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 8))
+    # ids 1000+ are exact copies of ids 0..9 -> must prune (cosine = 1)
+    ids = list(range(40)) + [1000 + i for i in range(10)]
+    vecs = np.vstack([base, base[:10]])
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()),
+             "embedding": pa.array([list(map(float, v)) for v in vecs])}
+        )
+    )
+    out = semantic_dedup(ds, n_lists=4, tau=0.999).to_pandas()
+    assert len(out) == 50
+    by_id = out.set_index("vec_id")
+    # greedy keeps the smallest id of each duplicate pair
+    for i in range(10):
+        assert bool(by_id.loc[i, "keep"])
+        assert not bool(by_id.loc[1000 + i, "keep"])
+    # copies land in the same kmeans list as their originals
+    for i in range(10):
+        assert by_id.loc[i, "ivf_list"] == by_id.loc[1000 + i, "ivf_list"]
+
+
+def test_semantic_dedup_deterministic_under_shuffled_input():
+    from ai_service_ocr_grading_handler_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 6))
+    ids = np.arange(30, dtype=np.int64)
+    perm = rng.permutation(30)
+    a = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array([list(map(float, v)) for v in vecs])})
+    )
+    b = rd.from_arrow(
+        pa.table({"vec_id": ids[perm],
+                  "embedding": pa.array([list(map(float, v)) for v in vecs[perm]])})
+    )
+    oa = semantic_dedup(a, n_lists=3, tau=0.9).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ob = semantic_dedup(b, n_lists=3, tau=0.9).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert oa.equals(ob)
