@@ -226,3 +226,39 @@ def remove_frequent_segments(
         )
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def filter_blocked_words(
+    ds,
+    blocklist,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """C4-style bad-word document filter: drop every document containing
+    at least one blocklisted token.  The blocklist is dimension-sized by
+    nature (C4's list is ~400 terms) and ships once in the task closure;
+    the scan is shuffle-free.  Membership is exact ``np.isin`` over the
+    batch's concatenated token array (vectorized; O(tokens × log b)),
+    with per-doc hit counts folded by ``reduceat`` — no per-row Python.
+    Output: the input columns (minus text) + n_tokens for surviving
+    documents."""
+    from .text_analysis import batch_words
+
+    blocked = np.array(sorted(set(blocklist)), dtype=object)
+
+    def keep(t: pa.Table) -> pa.Table:
+        words, lens = batch_words(t[text_col].to_pylist())
+        if len(words):
+            bad = np.isin(words, blocked)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            n_bad = np.add.reduceat(bad.astype(np.int64), starts)
+        else:
+            n_bad = np.empty(0, dtype=np.int64)
+        mask = pa.array(n_bad == 0)
+        kept = t.drop_columns([text_col]).append_column(
+            "n_tokens", pa.array(lens)
+        )
+        return kept.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

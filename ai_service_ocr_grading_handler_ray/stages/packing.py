@@ -1,0 +1,107 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (the example-assembly step between curation and tokenizer
+sharding in an LLM data pipeline).
+
+Offset packing semantics (deterministic, join-free): within each group
+(source / host / shard key), documents ordered by ``order_col`` fill a
+token tape; a document belongs to the sequence its FIRST token lands in,
+``seq_id = floor(prior_group_tokens / budget)``.  This is the
+concatenate-then-chunk packing used by GPT-style pretraining loaders
+(documents are not reordered to minimize padding — bin-packing
+reordering would destroy the deterministic doc→sequence mapping that
+makes packing resumable and oracle-checkable).
+
+Scale shape: the text column is pruned to an int token count BEFORE any
+movement, so the single coarse hash shuffle moves (id, group, n_tokens)
+triples only — never text.  Per-group ordered prefix sums need all rows
+of a group co-located: ``add_key_partition(group)`` routes each group to
+one of ``num_parts`` partitions (ONE groupby whose key has num_parts
+distinct values), and each partition computes sorted per-group exclusive
+cumsums with vectorized pandas.  Partitioning assumption (documented
+contract): a single group is host/source-sized — it must fit in one
+partition's memory as a (id, group, count) triple table, NOT as text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_ws_token_count(
+    batch: pa.Table, *, text_col: str = "text", out: str = "n_tokens"
+) -> pa.Table:
+    """Whitespace token count as one Arrow kernel: count(' ') + 1 —
+    exactly ``len(string_split(text, ' '))`` in SQL, including the
+    empty-text case ('' → 1)."""
+    n = pc.add(
+        pc.count_substring(pc.fill_null(batch[text_col], ""), " "),
+        pa.scalar(1, type=pa.int64()),
+    )
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def pack_sequences(
+    ds,
+    *,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    num_parts: int = 32,
+):
+    """Offset packing over a Dataset (see module docstring).
+
+    ``token_col``: use a precomputed token-count column; otherwise the
+    whitespace count of ``text_col`` is computed (and text dropped)
+    before the shuffle.  Output: (order_col, group_col, n_tokens,
+    tok_offset, seq_id), one row per input document.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    from .dedup import add_key_partition
+
+    if token_col is None:
+
+        def project(t: pa.Table) -> pa.Table:
+            t = add_ws_token_count(t, text_col=text_col, out="n_tokens")
+            return t.select([order_col, group_col, "n_tokens"])
+
+        slim = ds.map_batches(project, batch_format="pyarrow")
+    else:
+
+        def rename(t: pa.Table) -> pa.Table:
+            t = t.select([order_col, group_col, token_col])
+            return t.rename_columns([order_col, group_col, "n_tokens"])
+
+        slim = ds.map_batches(rename, batch_format="pyarrow")
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        # exclusive per-group cumsum: inclusive minus own
+        offset = g.groupby(group_col, sort=False)["n_tokens"].cumsum().to_numpy() - n
+        return pd.DataFrame(
+            {
+                order_col: g[order_col],
+                group_col: g[group_col],
+                "n_tokens": n,
+                "tok_offset": offset.astype(np.int64),
+                "seq_id": (offset // budget).astype(np.int64),
+            }
+        )
+
+    return (
+        slim.map_batches(
+            lambda t: add_key_partition(t, group_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -156,3 +156,147 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             hashlib.sha256(b"".join(v.to_bytes(8, "big") for v in fps)).hexdigest()
         )
     return batch.append_column("fingerprint", pa.array(digests, type=pa.string()))
+
+
+# --- unigram LM scoring (CCNet-style perplexity proxy) ----------------------
+
+# The LM vocabulary broadcasts to every scoring task: words, not
+# documents — a 10M-type web vocabulary is ~300 MB of hashes+logprobs,
+# fine for ray.put; beyond the cap the counts should stay a Dataset and
+# the probe become a bucketed join.
+_VOCAB_BROADCAST_CAP = 20_000_000
+
+
+def batch_words(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Single-space tokenize a whole batch in one pass: one join + one
+    split (C-speed) instead of a per-text split loop.  Returns
+    (words, lens) where ``lens[i]`` is text i's token count and ``words``
+    is the concatenation (``np.add.reduceat`` over cumsum(lens) recovers
+    per-text segments).  Matches SQL ``string_split(text, ' ')`` exactly,
+    including the empty-text case ('' → one empty token, so lens >= 1
+    always — reduceat never sees a zero-width segment)."""
+    if not texts:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    lens = np.array([(t or "").count(" ") + 1 for t in texts], dtype=np.int64)
+    words = np.array(" ".join(t or "" for t in texts).split(" "), dtype=object)
+    return words, lens
+
+
+def unigram_counts(ds, *, text_col: str = "text", num_parts: int = 32):
+    """Corpus unigram counts as a Dataset of (token, n): per-batch
+    ``np.unique`` partial counts (batch-sized → vocab-sized rows leave
+    each task), then ONE coarse token-hash shuffle with a vectorized
+    pandas sum per partition — the shuffled volume is bounded by
+    vocab × blocks, never corpus tokens."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, _ = batch_words(t[text_col].to_pylist())
+        toks, counts = np.unique(words, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("token", sort=False)["n"].sum().reset_index()
+        r["n"] = r["n"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, "token", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
+def score_unigram_logprob(
+    ds,
+    counts=None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "avg_logprob",
+    oov_logprob: float | None = None,
+    num_parts: int = 32,
+):
+    """Per-document mean unigram log-probability — the KenLM-free
+    perplexity proxy CCNet-style pipelines bucket quality by.  The LM is
+    the corpus' own unigram distribution unless ``counts`` (a Dataset of
+    (token, n), e.g. trained on a reference corpus) is supplied.
+
+    Scale shape: the vocabulary collects ONCE to the driver (vocab-sized,
+    capped at ``_VOCAB_BROADCAST_CAP``) and broadcasts via ``ray.put`` as
+    a sorted hash→logprob table; scoring is a single shuffle-free
+    ``map_batches`` scan — hash the batch's words (cython siphash),
+    ``searchsorted`` probe, ``reduceat`` per-doc mean.  Tokens absent
+    from the LM score ``oov_logprob`` (default ln(0.5 / total), an
+    add-half floor); self-trained scoring never hits it.  A 64-bit hash
+    collision between two distinct vocab tokens would conflate their
+    probabilities (~1e-6 at 10M types) — accepted for a scoring signal.
+
+    Output: (id_col, n_tokens, out_col).
+    """
+    import ray
+
+    from .hashing import hash_u64
+
+    if counts is None:
+        counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
+    blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
+    if blocks:
+        toks = np.concatenate(
+            [b.column("token").to_pandas().to_numpy(dtype=object) for b in blocks]
+        )
+        ns = np.concatenate(
+            [b.column("n").to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.float64)
+    else:
+        toks = np.empty(0, dtype=object)
+        ns = np.empty(0, dtype=np.float64)
+    if len(toks) > _VOCAB_BROADCAST_CAP:
+        raise ValueError(
+            f"vocabulary ({len(toks)} types) exceeds broadcast cap "
+            f"{_VOCAB_BROADCAST_CAP}; probe via bucketed join instead"
+        )
+    total = float(ns.sum())
+    h = hash_u64(toks)
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    logp_sorted = np.log(ns[order] / total) if total else np.empty(0)
+    oov = (
+        float(oov_logprob)
+        if oov_logprob is not None
+        else float(np.log(0.5 / max(total, 1.0)))
+    )
+    lm_ref = ray.put((h_sorted, logp_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        hs, lps = ray.get(lm_ref)
+        words, lens = batch_words(t[text_col].to_pylist())
+        if len(words):
+            wh = hash_u64(words)
+            idx = np.clip(np.searchsorted(hs, wh), 0, max(len(hs) - 1, 0))
+            hit = (hs[idx] == wh) if len(hs) else np.zeros(len(wh), dtype=bool)
+            lp = np.where(hit, lps[idx] if len(hs) else 0.0, oov)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            avg = np.add.reduceat(lp, starts) / lens
+        else:
+            avg = np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(lens),
+                out_col: pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,166 @@
+"""Sequence packing + the round-3 curation additions (unigram LM
+scoring, blocklist filter): semantics that the DuckDB oracle can't pin
+alone — budget boundaries, custom-LM scoring, OOV handling, empty text,
+the batch tokenizer's segment contract."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.clean import filter_blocked_words
+from ai_service_ocr_grading_handler_ray.stages.packing import (
+    add_ws_token_count,
+    pack_sequences,
+)
+from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+    batch_words,
+    score_unigram_logprob,
+    unigram_counts,
+)
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table(rows))
+
+
+# --- batch_words -------------------------------------------------------------
+
+
+def test_batch_words_segments_match_per_text_split():
+    texts = ["a b c", "", "single", "x  y"]  # note double space -> empty token
+    words, lens = batch_words(texts)
+    assert lens.tolist() == [3, 1, 1, 3]
+    assert words.tolist() == ["a", "b", "c", "", "single", "x", "", "y"]
+    # reduceat over cumsum(lens) recovers exact per-text segments
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    segs = [words[s : s + l].tolist() for s, l in zip(starts, lens)]
+    assert segs == [t.split(" ") for t in texts]
+
+
+def test_batch_words_empty_batch():
+    words, lens = batch_words([])
+    assert len(words) == 0 and len(lens) == 0
+
+
+# --- token count kernel ------------------------------------------------------
+
+
+def test_add_ws_token_count_matches_split_len():
+    t = pa.table({"text": ["a b", "", None, "one"]})
+    out = add_ws_token_count(t)
+    # SQL len(string_split(...)): '' -> 1; NULL fills to '' -> 1
+    assert out["n_tokens"].to_pylist() == [2, 1, 1, 1]
+
+
+# --- pack_sequences ----------------------------------------------------------
+
+
+def test_pack_sequences_budget_boundary():
+    # group g: doc 1 has 4 tokens, doc 2 has 4, doc 3 has 1; budget 4
+    # offsets: 0, 4, 8 -> seq ids 0, 1, 2 (doc starting exactly at the
+    # boundary opens the next sequence)
+    ds = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["g", "g", "g"],
+            "text": ["a b c d", "e f g h", "i"],
+        }
+    )
+    out = (
+        pack_sequences(ds, budget=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["tok_offset"].tolist() == [0, 4, 8]
+    assert out["seq_id"].tolist() == [0, 1, 2]
+
+
+def test_pack_sequences_groups_independent_and_order_col():
+    ds = _docs(
+        {
+            "doc_id": [10, 11, 20, 21],
+            "source": ["a", "a", "b", "b"],
+            "text": ["w x y", "z", "p q", "r s t u v"],
+        }
+    )
+    out = pack_sequences(ds, budget=3).to_pandas().set_index("doc_id")
+    # each group restarts at offset 0
+    assert out.loc[10, "tok_offset"] == 0 and out.loc[20, "tok_offset"] == 0
+    assert out.loc[11, "tok_offset"] == 3 and out.loc[11, "seq_id"] == 1
+    assert out.loc[21, "tok_offset"] == 2 and out.loc[21, "seq_id"] == 0
+
+
+def test_pack_sequences_precomputed_token_col():
+    ds = _docs({"doc_id": [1, 2], "source": ["g", "g"], "n_tok": [5, 7]})
+    out = (
+        pack_sequences(ds, budget=6, token_col="n_tok")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["n_tokens"].tolist() == [5, 7]
+    assert out["tok_offset"].tolist() == [0, 5]
+    assert out["seq_id"].tolist() == [0, 0]
+
+
+def test_pack_sequences_rejects_bad_budget():
+    ds = _docs({"doc_id": [1], "source": ["g"], "text": ["a"]})
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(ds, budget=0)
+
+
+# --- filter_blocked_words ----------------------------------------------------
+
+
+def test_filter_blocked_words_exact_token_match_only():
+    ds = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["s"] * 3,
+            "text": ["clean words here", "has badword inside", "badwords plural ok"],
+        }
+    )
+    out = filter_blocked_words(ds, ["badword"]).to_pandas()
+    # substring "badwords" must NOT match (token-exact semantics)
+    assert sorted(out["doc_id"].tolist()) == [1, 3]
+    assert "text" not in out.columns
+    assert out.set_index("doc_id").loc[3, "n_tokens"] == 3
+
+
+def test_filter_blocked_words_empty_blocklist_keeps_all():
+    ds = _docs({"doc_id": [1, 2], "source": ["s", "s"], "text": ["a", "b c"]})
+    out = filter_blocked_words(ds, []).to_pandas()
+    assert len(out) == 2
+
+
+# --- unigram LM scoring ------------------------------------------------------
+
+
+def test_unigram_counts_sum_to_corpus_tokens():
+    ds = _docs({"doc_id": [1, 2], "text": ["a b a", "b c"]})
+    counts = unigram_counts(ds).to_pandas().set_index("token")["n"]
+    assert counts.to_dict() == {"a": 2, "b": 2, "c": 1}
+
+
+def test_score_unigram_logprob_self_trained_exact():
+    ds = _docs({"doc_id": [1, 2], "text": ["a b a", "b c"]})
+    out = score_unigram_logprob(ds).to_pandas().set_index("doc_id")
+    # corpus: a=2, b=2, c=1, total=5
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out.loc[1, "avg_logprob"] == pytest.approx(exp1)
+    assert out.loc[2, "avg_logprob"] == pytest.approx(exp2)
+    assert out.loc[1, "n_tokens"] == 3
+
+
+def test_score_unigram_logprob_external_lm_and_oov():
+    ds = _docs({"doc_id": [1], "text": ["known unknown"]})
+    lm = rd.from_arrow(
+        pa.table({"token": ["known"], "n": pa.array([4], type=pa.int64())})
+    )
+    out = score_unigram_logprob(ds, counts=lm, oov_logprob=-9.0).to_pandas()
+    # known: ln(4/4)=0; unknown: -9.0 -> mean -4.5
+    assert out["avg_logprob"][0] == pytest.approx(-4.5)
