@@ -2061,6 +2061,39 @@ def q92_pack_sequences(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q93_repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Gopher/MassiveText within-doc repetition filter signals: top-word
+    fraction, duplicate-word fraction, duplicate-2-gram fraction — one
+    shuffle-free vectorized scan (batch-wide lexsort over token hashes,
+    no per-doc Python).  The oracle replays it relationally with zipped
+    unnests + a pos+1 self-join for the 2-grams."""
+    from ..stages.text_analysis import repetition_signals
+
+    out = repetition_signals(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).to_pandas()
+    return _finalize(
+        out,
+        {"frac_top_word": 4, "frac_dup_words": 4, "frac_dup_2grams": 4},
+    )
+
+
+def q94_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights: target LM = English documents, raw LM =
+    the whole corpus; weight = per-doc mean ln p_target - ln p_raw.
+    Two vocab-sized count reductions, one broadcast, one shuffle-free
+    scoring scan.  Non-English docs rank low (their tokens hit the
+    target LM's add-half OOV floor), giving the resampling signal."""
+    from ..stages.text_analysis import dsir_importance_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    out = dsir_importance_weights(docs, target).to_pandas()
+    return _finalize(out, {"dsir_weight": 4})
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2105,15 +2138,15 @@ QUERIES = {
     "q89_remove_frequent_segments": q89_remove_frequent_segments,
     "q47_asof_join": q47_asof_join,
     "q83_skewed_join": q83_skewed_join,
-    "q50_bucketed_join": q50_bucketed_join,
     "q25_salted_user_counts": q25_salted_user_counts,
     "q28_streaming_window": q28_streaming_window,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q90_unigram_logprob": q90_unigram_logprob,
     "q91_badword_filter": q91_badword_filter,
     "q92_pack_sequences": q92_pack_sequences,
+    "q93_repetition_signals": q93_repetition_signals,
+    "q94_dsir_weights": q94_dsir_weights,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
-    "q53_bloom_semi_join": q53_bloom_semi_join,
     "q67_bloom_anti_join": q67_bloom_anti_join,
     "q79_quantile_sketch": q79_quantile_sketch,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -2123,11 +2156,14 @@ QUERIES = {
     # rows-only with r2 green rows); all still run in
     # tests/test_oracle_parity.py every session.  q12/q16/q23 are green
     # in BOTH r1 and r2 and ceded their window slots to the new
-    # q90-q92; their changed routing primitive (add_key_partition
-    # hashing) stays window-covered by q25/q47/q50/q83/q87 ---
+    # q90-q94; their changed routing primitive (add_key_partition
+    # hashing / bloom double-hash) stays window-covered by
+    # q25/q28/q47/q67/q83/q87 ---
     "q12_sessionize": q12_sessionize,
     "q16_dedup_docs_exact": q16_dedup_docs_exact,
     "q23_events_user_first": q23_events_user_first,
+    "q50_bucketed_join": q50_bucketed_join,
+    "q53_bloom_semi_join": q53_bloom_semi_join,
     "q52_curation": q52_curation,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
@@ -2799,6 +2835,61 @@ ORACLE_SQL = {
         FROM documents
         WHERE NOT list_has_any(string_split(text, ' '),
                                ['spark', 'vector', 'stream'])
+    """,
+    "q93_repetition_signals": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(len(string_split(text, ' ')))) AS pos
+          FROM documents
+        ), wc AS (
+          SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok
+        ), ws AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 max(c) AS top_c,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+          FROM wc GROUP BY doc_id
+        ), g AS (
+          SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+          FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), gc AS (
+          SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        ), gs AS (
+          SELECT doc_id, sum(c) AS n2,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+          FROM gc GROUP BY doc_id
+        )
+        SELECT ws.doc_id, ws.n_tokens,
+               round(ws.top_c / ws.n_tokens, 4) AS frac_top_word,
+               round(ws.dup_c / ws.n_tokens, 4) AS frac_dup_words,
+               round(COALESCE(gs.dup2 / gs.n2, 0), 4) AS frac_dup_2grams
+        FROM ws LEFT JOIN gs USING (doc_id)
+    """,
+    "q94_dsir_weights": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), raw AS (
+          SELECT tok, count(*) AS n FROM w GROUP BY tok
+        ), rt AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS total FROM raw
+        ), tw AS (
+          SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE lang = 'en'
+        ), tgt AS (
+          SELECT tok, count(*) AS n FROM tw GROUP BY tok
+        ), tt AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS total FROM tgt
+        )
+        SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(
+                 COALESCE(ln(tgt.n / tt.total), ln(0.5 / tt.total))
+                 - ln(raw.n / rt.total)
+               ), 4) AS dsir_weight
+        FROM w
+        JOIN raw USING (tok) CROSS JOIN rt
+        LEFT JOIN tgt USING (tok) CROSS JOIN tt
+        GROUP BY w.doc_id
     """,
     "q92_pack_sequences": """
         WITH t AS (

@@ -218,6 +218,51 @@ def unigram_counts(ds, *, text_col: str = "text", num_parts: int = 32):
     )
 
 
+def _lm_arrays(counts) -> tuple[np.ndarray, np.ndarray, float]:
+    """Collect a (token, n) counts Dataset into broadcast-ready LM arrays:
+    (sorted token hashes, matching log-probabilities, total tokens).  The
+    collection is vocab-sized by construction (``unigram_counts`` already
+    reduced corpus tokens → types); the broadcast cap guards the driver."""
+    import ray
+
+    from .hashing import hash_u64
+
+    blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
+    if blocks:
+        toks = np.concatenate(
+            [b.column("token").to_pandas().to_numpy(dtype=object) for b in blocks]
+        )
+        ns = np.concatenate(
+            [b.column("n").to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.float64)
+    else:
+        toks = np.empty(0, dtype=object)
+        ns = np.empty(0, dtype=np.float64)
+    if len(toks) > _VOCAB_BROADCAST_CAP:
+        raise ValueError(
+            f"vocabulary ({len(toks)} types) exceeds broadcast cap "
+            f"{_VOCAB_BROADCAST_CAP}; probe via bucketed join instead"
+        )
+    total = float(ns.sum())
+    h = hash_u64(toks)
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    logp_sorted = np.log(ns[order] / total) if total else np.empty(0)
+    return h_sorted, logp_sorted, total
+
+
+def _lm_probe(
+    hs: np.ndarray, lps: np.ndarray, wh: np.ndarray, oov: float
+) -> np.ndarray:
+    """Per-token log-probabilities for hashed words ``wh`` against a
+    sorted-hash LM: binary-search probe, OOV fill for misses."""
+    if not len(hs):
+        return np.full(len(wh), oov, dtype=np.float64)
+    idx = np.clip(np.searchsorted(hs, wh), 0, len(hs) - 1)
+    hit = hs[idx] == wh
+    return np.where(hit, lps[idx], oov)
+
+
 def score_unigram_logprob(
     ds,
     counts=None,
@@ -247,31 +292,9 @@ def score_unigram_logprob(
     """
     import ray
 
-    from .hashing import hash_u64
-
     if counts is None:
         counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
-    blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
-    if blocks:
-        toks = np.concatenate(
-            [b.column("token").to_pandas().to_numpy(dtype=object) for b in blocks]
-        )
-        ns = np.concatenate(
-            [b.column("n").to_numpy(zero_copy_only=False) for b in blocks]
-        ).astype(np.float64)
-    else:
-        toks = np.empty(0, dtype=object)
-        ns = np.empty(0, dtype=np.float64)
-    if len(toks) > _VOCAB_BROADCAST_CAP:
-        raise ValueError(
-            f"vocabulary ({len(toks)} types) exceeds broadcast cap "
-            f"{_VOCAB_BROADCAST_CAP}; probe via bucketed join instead"
-        )
-    total = float(ns.sum())
-    h = hash_u64(toks)
-    order = np.argsort(h, kind="stable")
-    h_sorted = h[order]
-    logp_sorted = np.log(ns[order] / total) if total else np.empty(0)
+    h_sorted, logp_sorted, total = _lm_arrays(counts)
     oov = (
         float(oov_logprob)
         if oov_logprob is not None
@@ -280,13 +303,12 @@ def score_unigram_logprob(
     lm_ref = ray.put((h_sorted, logp_sorted))
 
     def score(t: pa.Table) -> pa.Table:
+        from .hashing import hash_u64
+
         hs, lps = ray.get(lm_ref)
         words, lens = batch_words(t[text_col].to_pylist())
         if len(words):
-            wh = hash_u64(words)
-            idx = np.clip(np.searchsorted(hs, wh), 0, max(len(hs) - 1, 0))
-            hit = (hs[idx] == wh) if len(hs) else np.zeros(len(wh), dtype=bool)
-            lp = np.where(hit, lps[idx] if len(hs) else 0.0, oov)
+            lp = _lm_probe(hs, lps, hash_u64(words), oov)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             avg = np.add.reduceat(lp, starts) / lens
         else:
@@ -300,3 +322,182 @@ def score_unigram_logprob(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_importance_weights(
+    ds,
+    target,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "dsir_weight",
+    raw_counts=None,
+    target_counts=None,
+    num_parts: int = 32,
+):
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document the
+    mean over tokens of ``ln p_target(tok) - ln p_raw(tok)``, where both
+    LMs are unigram distributions — ``p_raw`` trained on ``ds`` itself,
+    ``p_target`` on the ``target`` Dataset (the high-quality reference
+    corpus).  Downstream selection is a sort / threshold on the weight.
+
+    Scale shape: two vocab-sized count reductions (see
+    ``unigram_counts``), ONE ``ray.put`` broadcast carrying both LMs,
+    then a single shuffle-free scoring scan (two searchsorted probes per
+    token, one reduceat per doc).  Tokens absent from the target LM take
+    its add-half floor ``ln(0.5 / target_total)``; raw-LM misses cannot
+    happen when ``raw_counts`` is self-trained (supplying external
+    ``raw_counts`` gets the same floor).
+
+    Output: (id_col, n_tokens, out_col).
+    """
+    import ray
+
+    from .hashing import hash_u64
+
+    if raw_counts is None:
+        raw_counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
+    if target_counts is None:
+        target_counts = unigram_counts(
+            target, text_col=text_col, num_parts=num_parts
+        )
+    raw_hs, raw_lps, raw_total = _lm_arrays(raw_counts)
+    tgt_hs, tgt_lps, tgt_total = _lm_arrays(target_counts)
+    raw_oov = float(np.log(0.5 / max(raw_total, 1.0)))
+    tgt_oov = float(np.log(0.5 / max(tgt_total, 1.0)))
+    lm_ref = ray.put((raw_hs, raw_lps, tgt_hs, tgt_lps))
+
+    def score(t: pa.Table) -> pa.Table:
+        rhs, rlps, ths, tlps = ray.get(lm_ref)
+        words, lens = batch_words(t[text_col].to_pylist())
+        if len(words):
+            wh = hash_u64(words)
+            diff = _lm_probe(ths, tlps, wh, tgt_oov) - _lm_probe(
+                rhs, rlps, wh, raw_oov
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            avg = np.add.reduceat(diff, starts) / lens
+        else:
+            avg = np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(lens),
+                out_col: pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- within-document repetition signals (Gopher / MassiveText rules) --------
+
+
+def _per_doc_group_counts(
+    doc_idx: np.ndarray, keys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Group the (doc, key) pairs of a whole batch in one lexsort:
+    returns (group_doc, group_count) — for every distinct key within
+    every doc, which doc it belongs to and how often it occurs.  No
+    per-doc Python loop; cost is one O(n log n) sort per batch."""
+    order = np.lexsort((keys, doc_idx))
+    d, k = doc_idx[order], keys[order]
+    new = np.empty(len(d), dtype=bool)
+    new[0] = True
+    new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(d)))
+    return d[starts], counts
+
+
+def repetition_signals(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style within-document repetition quality signals
+    (Rae et al. 2021 §A1.1, adapted to single-line docs): per document,
+
+    - ``frac_top_word``    — occurrences of the most frequent word type
+      / total tokens (Gopher's "fraction of chars in top n-gram" family)
+    - ``frac_dup_words``   — tokens whose word type occurs >1 time
+      / total tokens (the duplicate-line fraction analogue)
+    - ``frac_dup_2grams``  — 2-gram occurrences whose 2-gram occurs >1
+      time / total 2-grams (0.0 for single-token docs)
+
+    Entirely shuffle-free: one vectorized ``map_batches`` scan; per-doc
+    type counting is a batch-wide lexsort + run-length pass over token
+    hashes (a 64-bit in-doc collision would perturb a fraction;
+    ~1e-13 per web doc — accepted for a quality signal).  Filtering is
+    the caller's threshold on the emitted fractions.
+
+    Output: (id_col, n_tokens, frac_top_word, frac_dup_words,
+    frac_dup_2grams).
+    """
+    from .hashing import hash_u64, splitmix64
+
+    def signals(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n_docs = len(texts)
+        words, lens = batch_words(texts)
+        if not n_docs:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "frac_top_word": pa.array([], type=pa.float64()),
+                    "frac_dup_words": pa.array([], type=pa.float64()),
+                    "frac_dup_2grams": pa.array([], type=pa.float64()),
+                }
+            )
+        wh = hash_u64(words)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+        # word-type counts per doc (every doc has >= 1 token: '' -> [''])
+        gdoc, gcnt = _per_doc_group_counts(doc_idx, wh)
+        top = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top, gdoc, gcnt)
+        dup = np.zeros(n_docs, dtype=np.int64)
+        dupsel = gcnt > 1
+        np.add.at(dup, gdoc[dupsel], gcnt[dupsel])
+
+        # 2-grams: consecutive word-hash pairs within a doc, combined by
+        # the same odd-multiplier + splitmix64 finish the shingle kernel
+        # uses (a bijection per position, so distinct grams stay distinct
+        # up to 64-bit collision)
+        n2 = np.zeros(n_docs, dtype=np.int64)
+        dup2 = np.zeros(n_docs, dtype=np.int64)
+        if len(wh) > 1:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            if same_doc.any():
+                with np.errstate(over="ignore"):
+                    gh = splitmix64(
+                        wh[:-1] * np.uint64(0x9E3779B97F4A7C15) + wh[1:]
+                    )
+                g_doc = doc_idx[:-1][same_doc]
+                g2doc, g2cnt = _per_doc_group_counts(g_doc, gh[same_doc])
+                np.add.at(n2, g2doc, g2cnt)
+                d2sel = g2cnt > 1
+                np.add.at(dup2, g2doc[d2sel], g2cnt[d2sel])
+
+        lens_f = lens.astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(lens),
+                "frac_top_word": pa.array(top / lens_f),
+                "frac_dup_words": pa.array(dup / lens_f),
+                "frac_dup_2grams": pa.array(
+                    np.divide(
+                        dup2,
+                        n2,
+                        out=np.zeros(n_docs, dtype=np.float64),
+                        where=n2 > 0,
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pyarrow")

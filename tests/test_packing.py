@@ -164,3 +164,85 @@ def test_score_unigram_logprob_external_lm_and_oov():
     out = score_unigram_logprob(ds, counts=lm, oov_logprob=-9.0).to_pandas()
     # known: ln(4/4)=0; unknown: -9.0 -> mean -4.5
     assert out["avg_logprob"][0] == pytest.approx(-4.5)
+
+
+# --- repetition signals (Gopher) ---------------------------------------------
+
+
+def test_repetition_signals_hand_computed():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        repetition_signals,
+    )
+
+    ds = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a a a b",      # top=3/4, dup=3/4; 2grams: [a a, a a, a b] -> dup 2/3
+                "x y z",         # no repetition at all
+                "solo",          # single token: no 2-grams -> 0.0
+            ],
+        }
+    )
+    out = repetition_signals(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "frac_top_word"] == pytest.approx(0.75)
+    assert out.loc[1, "frac_dup_words"] == pytest.approx(0.75)
+    assert out.loc[1, "frac_dup_2grams"] == pytest.approx(2 / 3)
+    assert out.loc[2, "frac_top_word"] == pytest.approx(1 / 3)
+    assert out.loc[2, "frac_dup_words"] == 0.0
+    assert out.loc[2, "frac_dup_2grams"] == 0.0
+    assert out.loc[3, "n_tokens"] == 1
+    assert out.loc[3, "frac_dup_2grams"] == 0.0
+
+
+def test_repetition_signals_batch_boundaries_do_not_leak():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        repetition_signals,
+    )
+
+    # two docs sharing vocabulary must not pollute each other's counts
+    # even inside one batch (per-doc grouping is keyed by doc position)
+    ds = _docs({"doc_id": [1, 2], "text": ["a b", "a b"]})
+    out = repetition_signals(ds).to_pandas()
+    assert (out["frac_dup_words"] == 0.0).all()
+    assert (out["frac_dup_2grams"] == 0.0).all()
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+
+def test_dsir_weights_hand_computed():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    # raw corpus: a=2, b=1, c=1 (total 4); target: a=1, b=1 (total 2)
+    docs = _docs({"doc_id": [1, 2], "text": ["a b", "a c"]})
+    target = _docs({"doc_id": [1], "text": ["a b"]})
+    out = dsir_importance_weights(docs, target).to_pandas().set_index("doc_id")
+    w1 = (
+        (math.log(1 / 2) - math.log(2 / 4)) + (math.log(1 / 2) - math.log(1 / 4))
+    ) / 2
+    # c is OOV in target -> ln(0.5/2)
+    w2 = (
+        (math.log(1 / 2) - math.log(2 / 4))
+        + (math.log(0.5 / 2) - math.log(1 / 4))
+    ) / 2
+    assert out.loc[1, "dsir_weight"] == pytest.approx(w1)
+    assert out.loc[2, "dsir_weight"] == pytest.approx(w2)
+
+
+def test_dsir_target_docs_rank_higher():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    docs = _docs(
+        {
+            "doc_id": [1, 2],
+            "text": ["shared english words here", "completamente otro idioma aqui"],
+        }
+    )
+    target = _docs({"doc_id": [1], "text": ["shared english words here"]})
+    out = dsir_importance_weights(docs, target).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dsir_weight"] > out.loc[2, "dsir_weight"]
