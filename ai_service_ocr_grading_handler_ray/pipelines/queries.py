@@ -2081,16 +2081,19 @@ def q93_repetition_signals(sf_dir: str) -> pd.DataFrame:
 def q94_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR importance weights: target LM = English documents, raw LM =
     the whole corpus; weight = per-doc mean ln p_target - ln p_raw.
-    Two vocab-sized count reductions, one broadcast, one shuffle-free
-    scoring scan.  Non-English docs rank low (their tokens hit the
-    target LM's add-half OOV floor), giving the resampling signal."""
+    The target is passed as a boolean mask column, so BOTH LM count
+    reductions fuse into one pass over the corpus text; then one
+    broadcast + one shuffle-free scoring scan.  Non-English docs rank
+    low (their tokens hit the target LM's add-half OOV floor), giving
+    the resampling signal."""
     from ..stages.text_analysis import dsir_importance_weights
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    target = docs.map_batches(
-        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    flagged = docs.map_batches(
+        lambda t: t.append_column("_is_en", pc.equal(t["lang"], "en")),
+        batch_format="pyarrow",
     )
-    out = dsir_importance_weights(docs, target).to_pandas()
+    out = dsir_importance_weights(flagged, "_is_en").to_pandas()
     return _finalize(out, {"dsir_weight": 4})
 
 

@@ -182,29 +182,51 @@ def batch_words(texts: list) -> tuple[np.ndarray, np.ndarray]:
     return words, lens
 
 
-def unigram_counts(ds, *, text_col: str = "text", num_parts: int = 32):
+def unigram_counts(
+    ds,
+    *,
+    text_col: str = "text",
+    num_parts: int = 32,
+    mask_col: str | None = None,
+):
     """Corpus unigram counts as a Dataset of (token, n): per-batch
     ``np.unique`` partial counts (batch-sized → vocab-sized rows leave
     each task), then ONE coarse token-hash shuffle with a vectorized
     pandas sum per partition — the shuffled volume is bounded by
-    vocab × blocks, never corpus tokens."""
+    vocab × blocks, never corpus tokens.
+
+    ``mask_col`` (a boolean column) adds a second count column
+    ``n_masked`` — token occurrences coming from masked rows — in the
+    SAME single pass over the text; at corpus scale that halves the
+    tokenize+count cost for two-LM consumers (DSIR) vs two passes."""
     import pandas as pd
 
     from .dedup import add_key_partition
 
+    count_cols = ["n"] + (["n_masked"] if mask_col else [])
+
     def partial(t: pa.Table) -> pa.Table:
-        words, _ = batch_words(t[text_col].to_pylist())
-        toks, counts = np.unique(words, return_counts=True)
-        return pa.table(
-            {
-                "token": pa.array(toks, type=pa.string()),
-                "n": pa.array(counts.astype(np.int64)),
-            }
+        words, lens = batch_words(t[text_col].to_pylist())
+        toks, inverse, counts = np.unique(
+            words, return_inverse=True, return_counts=True
         )
+        out = {
+            "token": pa.array(toks, type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+        if mask_col:
+            m = t[mask_col].to_numpy(zero_copy_only=False).astype(bool)
+            tok_masked = np.repeat(m, lens)
+            nm = np.bincount(
+                inverse[tok_masked], minlength=len(toks)
+            ).astype(np.int64)
+            out["n_masked"] = pa.array(nm)
+        return pa.table(out)
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.groupby("token", sort=False)["n"].sum().reset_index()
-        r["n"] = r["n"].astype("int64")
+        r = g.groupby("token", sort=False)[count_cols].sum().reset_index()
+        for c in count_cols:
+            r[c] = r[c].astype("int64")
         return r
 
     return (
@@ -218,37 +240,54 @@ def unigram_counts(ds, *, text_col: str = "text", num_parts: int = 32):
     )
 
 
-def _lm_arrays(counts) -> tuple[np.ndarray, np.ndarray, float]:
-    """Collect a (token, n) counts Dataset into broadcast-ready LM arrays:
-    (sorted token hashes, matching log-probabilities, total tokens).  The
+def _collect_counts(
+    counts, count_cols: tuple[str, ...] = ("n",)
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Collect a counts Dataset into (tokens, [count arrays]).  The
     collection is vocab-sized by construction (``unigram_counts`` already
     reduced corpus tokens → types); the broadcast cap guards the driver."""
     import ray
-
-    from .hashing import hash_u64
 
     blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
     if blocks:
         toks = np.concatenate(
             [b.column("token").to_pandas().to_numpy(dtype=object) for b in blocks]
         )
-        ns = np.concatenate(
-            [b.column("n").to_numpy(zero_copy_only=False) for b in blocks]
-        ).astype(np.float64)
+        cols = [
+            np.concatenate(
+                [b.column(c).to_numpy(zero_copy_only=False) for b in blocks]
+            ).astype(np.float64)
+            for c in count_cols
+        ]
     else:
         toks = np.empty(0, dtype=object)
-        ns = np.empty(0, dtype=np.float64)
+        cols = [np.empty(0, dtype=np.float64) for _ in count_cols]
     if len(toks) > _VOCAB_BROADCAST_CAP:
         raise ValueError(
             f"vocabulary ({len(toks)} types) exceeds broadcast cap "
             f"{_VOCAB_BROADCAST_CAP}; probe via bucketed join instead"
         )
+    return toks, cols
+
+
+def _build_lm(
+    toks: np.ndarray, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """(tokens, counts) → broadcast-ready (sorted token hashes, matching
+    log-probabilities, total tokens)."""
+    from .hashing import hash_u64
+
     total = float(ns.sum())
     h = hash_u64(toks)
     order = np.argsort(h, kind="stable")
     h_sorted = h[order]
     logp_sorted = np.log(ns[order] / total) if total else np.empty(0)
     return h_sorted, logp_sorted, total
+
+
+def _lm_arrays(counts) -> tuple[np.ndarray, np.ndarray, float]:
+    toks, (ns,) = _collect_counts(counts)
+    return _build_lm(toks, ns)
 
 
 def _lm_probe(
@@ -342,13 +381,19 @@ def dsir_importance_weights(
     ``p_target`` on the ``target`` Dataset (the high-quality reference
     corpus).  Downstream selection is a sort / threshold on the weight.
 
-    Scale shape: two vocab-sized count reductions (see
-    ``unigram_counts``), ONE ``ray.put`` broadcast carrying both LMs,
-    then a single shuffle-free scoring scan (two searchsorted probes per
-    token, one reduceat per doc).  Tokens absent from the target LM take
-    its add-half floor ``ln(0.5 / target_total)``; raw-LM misses cannot
-    happen when ``raw_counts`` is self-trained (supplying external
-    ``raw_counts`` gets the same floor).
+    ``target`` is either a Dataset (the reference corpus — may be
+    disjoint from ``ds``) or the NAME of a boolean column on ``ds``
+    marking in-target rows: the column form fuses both LM count
+    reductions into ONE pass over the corpus text (``unigram_counts``
+    with ``mask_col``), halving the dominant tokenize+count cost.
+
+    Scale shape: vocab-sized count reduction(s), ONE ``ray.put``
+    broadcast carrying both LMs, then a single shuffle-free scoring scan
+    (two searchsorted probes per token, one reduceat per doc).  Tokens
+    absent from the target LM take its add-half floor
+    ``ln(0.5 / target_total)``; raw-LM misses cannot happen when
+    ``raw_counts`` is self-trained (supplying external ``raw_counts``
+    gets the same floor).
 
     Output: (id_col, n_tokens, out_col).
     """
@@ -356,14 +401,29 @@ def dsir_importance_weights(
 
     from .hashing import hash_u64
 
-    if raw_counts is None:
-        raw_counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
-    if target_counts is None:
-        target_counts = unigram_counts(
-            target, text_col=text_col, num_parts=num_parts
+    if isinstance(target, str) and raw_counts is None and target_counts is None:
+        dual = unigram_counts(
+            ds, text_col=text_col, num_parts=num_parts, mask_col=target
         )
-    raw_hs, raw_lps, raw_total = _lm_arrays(raw_counts)
-    tgt_hs, tgt_lps, tgt_total = _lm_arrays(target_counts)
+        toks, (ns, nm) = _collect_counts(dual, ("n", "n_masked"))
+        raw_hs, raw_lps, raw_total = _build_lm(toks, ns)
+        in_tgt = nm > 0
+        tgt_hs, tgt_lps, tgt_total = _build_lm(toks[in_tgt], nm[in_tgt])
+    else:
+        if isinstance(target, str):
+            raise ValueError(
+                "column-name target cannot be combined with explicit counts"
+            )
+        if raw_counts is None:
+            raw_counts = unigram_counts(
+                ds, text_col=text_col, num_parts=num_parts
+            )
+        if target_counts is None:
+            target_counts = unigram_counts(
+                target, text_col=text_col, num_parts=num_parts
+            )
+        raw_hs, raw_lps, raw_total = _lm_arrays(raw_counts)
+        tgt_hs, tgt_lps, tgt_total = _lm_arrays(target_counts)
     raw_oov = float(np.log(0.5 / max(raw_total, 1.0)))
     tgt_oov = float(np.log(0.5 / max(tgt_total, 1.0)))
     lm_ref = ray.put((raw_hs, raw_lps, tgt_hs, tgt_lps))

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q83_skewed_join",
     "q84_streaming_sessionize",
     "q86_decontaminate",
+    "q92_pack_sequences",
+    "q93_repetition_signals",
 ]
 
 
