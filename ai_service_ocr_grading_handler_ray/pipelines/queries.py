@@ -2097,6 +2097,40 @@ def q94_dsir_weights(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"dsir_weight": 4})
 
 
+def q95_segment_dedup_keep_first(sf_dir: str) -> rd.Dataset:
+    """RefinedWeb-style global exact segment dedup, keep-first: a
+    2-word segment survives only in the lowest-doc_id document
+    containing it.  One segment-hash shuffle computes keepers; only
+    duplicated segments broadcast back; the rewrite is shuffle-free.
+    Oracle: min(doc_id) per segment via the q89 list-slicing
+    resegmentation."""
+    from ..stages.clean import dedup_segments_keep_first
+
+    return dedup_segments_keep_first(
+        _read(sf_dir, "documents", ["doc_id", "text"]), words_per_seg=2
+    )
+
+
+def q96_fused_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """FineWeb-style fused rule cascade: token bounds + duplicate-word
+    fraction + unigram-LM mean log-probability, all from ONE tokenize
+    +hash pass (shared by the repetition grouping and the LM probe),
+    emitting per-doc signals and a 0/1 keep verdict.  The oracle
+    replays the three rules relationally over the same unigram LM."""
+    from ..stages.text_analysis import fused_quality_filter
+
+    out = fused_quality_filter(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_tokens=30,
+        max_tokens=90,
+        max_frac_dup_words=0.9,
+        min_avg_logprob=-3.42,
+    ).to_pandas()
+    return _finalize(
+        out, {"frac_top_word": 4, "frac_dup_words": 4, "avg_logprob": 4}
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2112,10 +2146,10 @@ QUERIES = {
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
     "q13_part_brand_stats": q13_part_brand_stats,
-    "q17_lang_counts": q17_lang_counts,
     "q18_docs_en_long": q18_docs_en_long,
     "q19_events_type_stats": q19_events_type_stats,
-    "q21_label_counts": q21_label_counts,
+    "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
+    "q96_fused_quality_filter": q96_fused_quality_filter,
     "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
     "q27_props_json_extract": q27_props_json_extract,
     "q43_event_median": q43_event_median,
@@ -2167,6 +2201,8 @@ QUERIES = {
     "q23_events_user_first": q23_events_user_first,
     "q50_bucketed_join": q50_bucketed_join,
     "q53_bloom_semi_join": q53_bloom_semi_join,
+    "q17_lang_counts": q17_lang_counts,
+    "q21_label_counts": q21_label_counts,
     "q52_curation": q52_curation,
     "q30_flagship_extract": q30_flagship_extract,
     "q31_grading": q31_grading,
@@ -2838,6 +2874,58 @@ ORACLE_SQL = {
         FROM documents
         WHERE NOT list_has_any(string_split(text, ' '),
                                ['spark', 'vector', 'stream'])
+    """,
+    "q95_segment_dedup_keep_first": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), ex AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0, CAST(ceil(len(ws)/2.0) AS BIGINT)-1)) AS s
+          FROM w
+        ), seg AS (
+          SELECT doc_id, s, array_to_string(ws[(s*2+1):(s*2+2)], ' ') AS segment FROM ex
+        ), k AS (
+          SELECT segment, min(doc_id) AS keeper FROM seg GROUP BY segment
+        ), kept AS (
+          SELECT seg.doc_id, seg.s, seg.segment
+          FROM seg JOIN k USING (segment)
+          WHERE seg.doc_id = k.keeper
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_agg(segment, ' ' ORDER BY s) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_segs_kept
+        FROM kept GROUP BY doc_id
+    """,
+    "q96_fused_quality_filter": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), c AS (
+          SELECT tok, count(*) AS n FROM w GROUP BY tok
+        ), t AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS total FROM c
+        ), lp AS (
+          SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 avg(ln(c.n / t.total)) AS avg_lp
+          FROM w JOIN c USING (tok) CROSS JOIN t
+          GROUP BY w.doc_id
+        ), wc AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY doc_id, tok
+        ), rep AS (
+          SELECT doc_id,
+                 max(cnt) AS top_c,
+                 sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_c,
+                 sum(cnt) AS n_tok
+          FROM wc GROUP BY doc_id
+        )
+        SELECT lp.doc_id, lp.n_tokens,
+               round(rep.top_c / rep.n_tok, 4) AS frac_top_word,
+               round(rep.dup_c / rep.n_tok, 4) AS frac_dup_words,
+               round(lp.avg_lp, 4) AS avg_logprob,
+               CAST(CASE WHEN lp.n_tokens BETWEEN 30 AND 90
+                          AND rep.dup_c / rep.n_tok <= 0.9
+                          AND lp.avg_lp >= -3.42
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM lp JOIN rep USING (doc_id)
     """,
     "q93_repetition_signals": """
         WITH w AS (

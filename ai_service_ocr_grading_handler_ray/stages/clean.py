@@ -262,3 +262,125 @@ def filter_blocked_words(
         return kept.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def segment_keepers(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 2,
+    num_parts: int = 32,
+):
+    """Dataset of (segment, keeper_id, n_docs): for every distinct
+    segment, the smallest ``id_col`` of a document containing it and its
+    document frequency.  Same explode + ONE segment-hash shuffle shape
+    as ``segment_doc_frequency``."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_seg: list = []
+        for i, txt in zip(ids, texts):
+            segs = set(_doc_segments(txt, words_per_seg))
+            out_id.extend([i] * len(segs))
+            out_seg.extend(segs)
+        return pa.table({id_col: out_id, "segment": out_seg})
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.groupby("segment", sort=False)[id_col]
+            .agg(keeper_id="min", n_docs="size")
+            .reset_index()
+        )
+        r["keeper_id"] = r["keeper_id"].astype("int64")
+        r["n_docs"] = r["n_docs"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, "segment", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
+def dedup_segments_keep_first(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 2,
+    num_parts: int = 32,
+):
+    """RefinedWeb-style exact segment dedup across the corpus, keeping
+    the FIRST occurrence: a segment survives only inside the document
+    with the smallest ``id_col`` that contains it (one deterministic
+    rule: keep ⇔ doc_id == min doc_id over the segment).
+
+    Scale shape: ONE segment-hash shuffle computes (segment, keeper_id,
+    n_docs); only segments with ``n_docs ≥ 2`` ship back — the
+    duplicated-segment table is boilerplate-sized in web corpora, like
+    ``remove_frequent_segments``' frequent set (same broadcast cap; a
+    set too large means falling back to a join on segment hash — the
+    documented escape hatch).  The rewrite pass is shuffle-free.
+    Documents left with zero segments are dropped.  Output:
+    (doc_id, text_clean, n_segs_kept)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    keepers = segment_keepers(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        words_per_seg=words_per_seg,
+        num_parts=num_parts,
+    )
+    dup_map: dict = {}
+    for b in ray.get(keepers.to_arrow_refs()):
+        if b.num_rows:
+            dup = b.filter(pc.greater_equal(b["n_docs"], 2))
+            dup_map.update(
+                zip(dup.column("segment").to_pylist(), dup.column("keeper_id").to_pylist())
+            )
+    if len(dup_map) > _SEG_BROADCAST_CAP:
+        raise ValueError(
+            f"duplicated-segment set ({len(dup_map)}) exceeds broadcast cap "
+            f"{_SEG_BROADCAST_CAP}; switch to the segment-hash join path"
+        )
+    map_ref = ray.put(dup_map)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dmap = ray.get(map_ref)
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_text: list = []
+        out_n: list = []
+        for i, txt in zip(ids, texts):
+            kept = [
+                s
+                for s in _doc_segments(txt, words_per_seg)
+                if dmap.get(s, i) == i
+            ]
+            if kept:
+                out_id.append(i)
+                out_text.append(" ".join(kept))
+                out_n.append(len(kept))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "text_clean": pa.array(out_text, type=pa.string()),
+                "n_segs_kept": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

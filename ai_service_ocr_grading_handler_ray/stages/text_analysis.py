@@ -561,3 +561,81 @@ def repetition_signals(
         )
 
     return ds.map_batches(signals, batch_format="pyarrow")
+
+
+def fused_quality_filter(
+    ds,
+    *,
+    counts=None,
+    min_tokens: int = 1,
+    max_tokens: int = 1 << 62,
+    max_frac_dup_words: float = 1.0,
+    min_avg_logprob: float = float("-inf"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+):
+    """FineWeb-style rule cascade fused into ONE scan: token count
+    bounds + duplicate-word fraction (Gopher repetition) + unigram-LM
+    mean log-probability (CCNet quality), each a column plus a 0/1
+    ``keep`` verdict.  The corpus text is tokenized ONCE and the token
+    hashes are shared by the repetition grouping and the LM probe — at
+    100 TB the tokenize+hash pass dominates these signals, so fusing n
+    rules costs ~1 pass, not n.  The LM is self-trained unless
+    ``counts`` is given (one vocab-sized reduction + one broadcast,
+    as in ``score_unigram_logprob``).
+
+    Output: (id_col, n_tokens, frac_top_word, frac_dup_words,
+    avg_logprob, keep) — ``keep`` int64 0/1; filtering/selection is a
+    downstream ``filter`` on it (kept here as a column so rejected rows
+    remain auditable).
+    """
+    import ray
+
+    from .hashing import hash_u64
+
+    if counts is None:
+        counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
+    h_sorted, logp_sorted, total = _lm_arrays(counts)
+    oov = float(np.log(0.5 / max(total, 1.0)))
+    lm_ref = ray.put((h_sorted, logp_sorted))
+
+    def scan(t: pa.Table) -> pa.Table:
+        hs, lps = ray.get(lm_ref)
+        texts = t[text_col].to_pylist()
+        n_docs = len(texts)
+        words, lens = batch_words(texts)
+        top = np.zeros(n_docs, dtype=np.int64)
+        dup = np.zeros(n_docs, dtype=np.int64)
+        avg = np.empty(0, dtype=np.float64)
+        if len(words):
+            wh = hash_u64(words)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            gdoc, gcnt = _per_doc_group_counts(doc_idx, wh)
+            np.maximum.at(top, gdoc, gcnt)
+            dupsel = gcnt > 1
+            np.add.at(dup, gdoc[dupsel], gcnt[dupsel])
+            lp = _lm_probe(hs, lps, wh, oov)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            avg = np.add.reduceat(lp, starts) / lens
+        lens_f = lens.astype(np.float64) if n_docs else lens.astype(np.float64)
+        frac_top = top / lens_f if n_docs else np.empty(0)
+        frac_dup = dup / lens_f if n_docs else np.empty(0)
+        keep = (
+            (lens >= min_tokens)
+            & (lens <= max_tokens)
+            & (frac_dup <= max_frac_dup_words)
+            & (avg >= min_avg_logprob)
+        ).astype(np.int64) if n_docs else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(lens),
+                "frac_top_word": pa.array(frac_top, type=pa.float64()),
+                "frac_dup_words": pa.array(frac_dup, type=pa.float64()),
+                "avg_logprob": pa.array(avg, type=pa.float64()),
+                "keep": pa.array(keep, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

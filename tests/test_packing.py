@@ -246,3 +246,91 @@ def test_dsir_target_docs_rank_higher():
     target = _docs({"doc_id": [1], "text": ["shared english words here"]})
     out = dsir_importance_weights(docs, target).to_pandas().set_index("doc_id")
     assert out.loc[1, "dsir_weight"] > out.loc[2, "dsir_weight"]
+
+
+# --- keep-first segment dedup --------------------------------------------------
+
+
+def test_segment_dedup_keep_first_semantics():
+    from ai_service_ocr_grading_handler_ray.stages.clean import (
+        dedup_segments_keep_first,
+    )
+
+    ds = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d",       # segments: "a b", "c d" — doc 1 keeps both
+                "a b x y",       # "a b" lost to doc 1, keeps "x y"
+                "a b c d",       # both segments lost -> doc dropped
+            ],
+        }
+    )
+    out = dedup_segments_keep_first(ds, words_per_seg=2).to_pandas().set_index(
+        "doc_id"
+    )
+    assert sorted(out.index.tolist()) == [1, 2]
+    assert out.loc[1, "text_clean"] == "a b c d"
+    assert out.loc[2, "text_clean"] == "x y"
+    assert out.loc[2, "n_segs_kept"] == 1
+
+
+def test_segment_dedup_within_doc_duplicates_kept_in_keeper():
+    from ai_service_ocr_grading_handler_ray.stages.clean import (
+        dedup_segments_keep_first,
+    )
+
+    # "a b" twice inside the keeper doc: both occurrences stay
+    ds = _docs({"doc_id": [5, 9], "text": ["a b a b", "a b z z"]})
+    out = dedup_segments_keep_first(ds, words_per_seg=2).to_pandas().set_index(
+        "doc_id"
+    )
+    assert out.loc[5, "text_clean"] == "a b a b"
+    assert out.loc[9, "text_clean"] == "z z"
+
+
+# --- fused quality filter ------------------------------------------------------
+
+
+def test_fused_quality_filter_matches_component_ops():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        fused_quality_filter,
+        repetition_signals,
+        score_unigram_logprob,
+    )
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "x x x x", "one two three four five six"],
+    }
+    fused = fused_quality_filter(_docs(rows)).to_pandas().set_index("doc_id")
+    rep = repetition_signals(_docs(rows)).to_pandas().set_index("doc_id")
+    lm = score_unigram_logprob(_docs(rows)).to_pandas().set_index("doc_id")
+    for d in (1, 2, 3):
+        assert fused.loc[d, "frac_dup_words"] == pytest.approx(
+            rep.loc[d, "frac_dup_words"]
+        )
+        assert fused.loc[d, "frac_top_word"] == pytest.approx(
+            rep.loc[d, "frac_top_word"]
+        )
+        assert fused.loc[d, "avg_logprob"] == pytest.approx(
+            lm.loc[d, "avg_logprob"]
+        )
+
+
+def test_fused_quality_filter_verdict_thresholds():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        fused_quality_filter,
+    )
+
+    rows = {"doc_id": [1, 2], "text": ["a b c", "x x x x x"]}
+    out = (
+        fused_quality_filter(
+            _docs(rows), min_tokens=3, max_tokens=4, max_frac_dup_words=0.5
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "keep"] == 1          # 3 tokens, no dups
+    assert out.loc[2, "keep"] == 0          # 5 tokens > max AND all-dup
+    assert out["keep"].dtype.kind == "i"    # 0/1 int64, auditable column
