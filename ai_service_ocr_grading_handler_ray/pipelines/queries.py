@@ -2131,6 +2131,21 @@ def q96_fused_quality_filter(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q97_token_quota_mix(sf_dir: str) -> rd.Dataset:
+    """DoReMi-style static corpus mixing: per source, docs ordered by
+    doc_id fill a token tape; a doc is selected iff its first token
+    lands under the 800-token source quota.  Same slim-then-shuffle
+    shape as q92 packing.  Oracle: window prefix sum + WHERE."""
+    from ..stages.packing import select_token_quota
+
+    return select_token_quota(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        800,
+        group_col="source",
+        order_col="doc_id",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2145,7 +2160,7 @@ QUERIES = {
     "q05_orders_by_segment": q05_orders_by_segment,
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
-    "q13_part_brand_stats": q13_part_brand_stats,
+    "q97_token_quota_mix": q97_token_quota_mix,
     "q18_docs_en_long": q18_docs_en_long,
     "q19_events_type_stats": q19_events_type_stats,
     "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
@@ -2201,6 +2216,7 @@ QUERIES = {
     "q23_events_user_first": q23_events_user_first,
     "q50_bucketed_join": q50_bucketed_join,
     "q53_bloom_semi_join": q53_bloom_semi_join,
+    "q13_part_brand_stats": q13_part_brand_stats,
     "q17_lang_counts": q17_lang_counts,
     "q21_label_counts": q21_label_counts,
     "q52_curation": q52_curation,
@@ -2874,6 +2890,22 @@ ORACLE_SQL = {
         FROM documents
         WHERE NOT list_has_any(string_split(text, ' '),
                                ['spark', 'vector', 'stream'])
+    """,
+    "q97_token_quota_mix": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS tok_offset
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset
+        FROM o WHERE tok_offset < 800
     """,
     "q95_segment_dedup_keep_first": """
         WITH w AS (

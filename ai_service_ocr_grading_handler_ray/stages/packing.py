@@ -105,3 +105,81 @@ def pack_sequences(
         .groupby("_part")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def select_token_quota(
+    ds,
+    quota,
+    *,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    num_parts: int = 32,
+):
+    """Token-budget corpus mixing: within each group (source / domain /
+    shard), documents ordered by ``order_col`` fill a token tape and a
+    document is selected iff its FIRST token lands under the group's
+    quota (the deterministic greedy-prefix rule DoReMi-style static
+    mixtures reduce to once per-source weights are fixed).
+
+    ``quota`` is an int (same budget per group) or a dict
+    ``{group: budget}`` (dimension-sized — ships in the task closure;
+    groups absent from the dict get quota 0, i.e. excluded).
+
+    Same scale shape as ``pack_sequences``: text prunes to an int count
+    before the ONE coarse group-hash shuffle; per-group exclusive
+    cumsums + the quota filter are vectorized pandas.  Output:
+    (order_col, group_col, n_tokens, tok_offset) for selected docs.
+    """
+    from .dedup import add_key_partition
+
+    if isinstance(quota, dict):
+        quota_map, default_quota = dict(quota), 0
+    else:
+        quota_map, default_quota = {}, int(quota)
+
+    if token_col is None:
+
+        def project(t: pa.Table) -> pa.Table:
+            t = add_ws_token_count(t, text_col=text_col, out="n_tokens")
+            return t.select([order_col, group_col, "n_tokens"])
+
+        slim = ds.map_batches(project, batch_format="pyarrow")
+    else:
+
+        def rename(t: pa.Table) -> pa.Table:
+            t = t.select([order_col, group_col, token_col])
+            return t.rename_columns([order_col, group_col, "n_tokens"])
+
+        slim = ds.map_batches(rename, batch_format="pyarrow")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, order_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        offset = g.groupby(group_col, sort=False)["n_tokens"].cumsum().to_numpy() - n
+        lim = (
+            g[group_col].map(quota_map).fillna(default_quota).to_numpy(np.int64)
+            if quota_map
+            else np.full(len(g), default_quota, dtype=np.int64)
+        )
+        keep = offset < lim
+        return pd.DataFrame(
+            {
+                order_col: g[order_col][keep],
+                group_col: g[group_col][keep],
+                "n_tokens": n[keep],
+                "tok_offset": offset[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        slim.map_batches(
+            lambda t: add_key_partition(t, group_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -334,3 +334,42 @@ def test_fused_quality_filter_verdict_thresholds():
     assert out.loc[1, "keep"] == 1          # 3 tokens, no dups
     assert out.loc[2, "keep"] == 0          # 5 tokens > max AND all-dup
     assert out["keep"].dtype.kind == "i"    # 0/1 int64, auditable column
+
+
+# --- token-quota corpus mixing -------------------------------------------------
+
+
+def test_select_token_quota_uniform():
+    from ai_service_ocr_grading_handler_ray.stages.packing import select_token_quota
+
+    ds = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["g", "g", "g"],
+            "text": ["a b c", "d e f", "g h i"],  # 3 tokens each
+        }
+    )
+    # quota 6: offsets 0, 3, 6 -> doc 3 starts AT the quota -> excluded
+    out = select_token_quota(ds, 6).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["tok_offset"].tolist() == [0, 3]
+
+
+def test_select_token_quota_dict_and_missing_group_excluded():
+    from ai_service_ocr_grading_handler_ray.stages.packing import select_token_quota
+
+    ds = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["a", "a", "b"],
+            "text": ["w x", "y z", "p q"],
+        }
+    )
+    out = (
+        select_token_quota(ds, {"a": 3})
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # source b absent from dict -> quota 0 -> excluded entirely
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out[out["doc_id"] == 2]["tok_offset"].tolist() == [2]
