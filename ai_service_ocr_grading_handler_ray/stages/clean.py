@@ -319,23 +319,39 @@ def dedup_segments_keep_first(
     id_col: str = "doc_id",
     words_per_seg: int = 2,
     num_parts: int = 32,
+    method: str = "auto",
 ):
     """RefinedWeb-style exact segment dedup across the corpus, keeping
     the FIRST occurrence: a segment survives only inside the document
     with the smallest ``id_col`` that contains it (one deterministic
     rule: keep ⇔ doc_id == min doc_id over the segment).
 
-    Scale shape: ONE segment-hash shuffle computes (segment, keeper_id,
-    n_docs); only segments with ``n_docs ≥ 2`` ship back — the
-    duplicated-segment table is boilerplate-sized in web corpora, like
-    ``remove_frequent_segments``' frequent set (same broadcast cap; a
-    set too large means falling back to a join on segment hash — the
-    documented escape hatch).  The rewrite pass is shuffle-free.
+    Two scale regimes, selected by ``method``:
+
+    - ``"broadcast"`` — ONE segment-hash shuffle computes (segment,
+      keeper_id, n_docs); only segments with ``n_docs ≥ 2`` ship back
+      (the duplicated-segment table is boilerplate-sized in typical web
+      corpora) and the rewrite pass is shuffle-free.  Capped at
+      ``_SEG_BROADCAST_CAP`` duplicated segments.
+    - ``"join"`` — cap-free: every segment OCCURRENCE cogroups with the
+      keeper table by segment hash (vectorized pandas merge per
+      partition), then survivors regroup by document to reassemble
+      ordered text.  Three shuffles total (keepers, verdicts,
+      reassembly), each bounded by corpus segments — the honest cost of
+      a global rewrite whose duplicate set exceeds broadcast.
+    - ``"auto"`` (default) — counts duplicated segments with a
+      distributed Sum over the (materialized) keeper table and picks.
+
     Documents left with zero segments are dropped.  Output:
     (doc_id, text_clean, n_segs_kept)."""
+    import pandas as pd
+    import pyarrow.compute as pc
     import ray
 
-    import pyarrow.compute as pc
+    from .dedup import add_key_partition
+
+    if method not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown method {method!r}")
 
     keepers = segment_keepers(
         ds,
@@ -344,43 +360,148 @@ def dedup_segments_keep_first(
         words_per_seg=words_per_seg,
         num_parts=num_parts,
     )
-    dup_map: dict = {}
-    for b in ray.get(keepers.to_arrow_refs()):
-        if b.num_rows:
-            dup = b.filter(pc.greater_equal(b["n_docs"], 2))
-            dup_map.update(
-                zip(dup.column("segment").to_pylist(), dup.column("keeper_id").to_pylist())
-            )
-    if len(dup_map) > _SEG_BROADCAST_CAP:
-        raise ValueError(
-            f"duplicated-segment set ({len(dup_map)}) exceeds broadcast cap "
-            f"{_SEG_BROADCAST_CAP}; switch to the segment-hash join path"
-        )
-    map_ref = ray.put(dup_map)
 
-    def rewrite(t: pa.Table) -> pa.Table:
-        dmap = ray.get(map_ref)
+    if method == "auto":
+        keepers = keepers.materialize()
+        n_dup = keepers.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": pa.array(
+                        [
+                            pc.sum(
+                                pc.cast(
+                                    pc.greater_equal(t["n_docs"], 2), pa.int64()
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        method = "broadcast" if (n_dup or 0) <= _SEG_BROADCAST_CAP else "join"
+
+    if method == "broadcast":
+        dup_map: dict = {}
+        for b in ray.get(keepers.to_arrow_refs()):
+            if b.num_rows:
+                dup = b.filter(pc.greater_equal(b["n_docs"], 2))
+                dup_map.update(
+                    zip(
+                        dup.column("segment").to_pylist(),
+                        dup.column("keeper_id").to_pylist(),
+                    )
+                )
+        if len(dup_map) > _SEG_BROADCAST_CAP:
+            raise ValueError(
+                f"duplicated-segment set ({len(dup_map)}) exceeds broadcast "
+                f"cap {_SEG_BROADCAST_CAP}; use method='join'"
+            )
+        map_ref = ray.put(dup_map)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            dmap = ray.get(map_ref)
+            ids = t[id_col].to_pylist()
+            texts = t[text_col].to_pylist()
+            out_id: list = []
+            out_text: list = []
+            out_n: list = []
+            for i, txt in zip(ids, texts):
+                kept = [
+                    s
+                    for s in _doc_segments(txt, words_per_seg)
+                    if dmap.get(s, i) == i
+                ]
+                if kept:
+                    out_id.append(i)
+                    out_text.append(" ".join(kept))
+                    out_n.append(len(kept))
+            return pa.table(
+                {
+                    id_col: pa.array(out_id, type=pa.int64()),
+                    "text_clean": pa.array(out_text, type=pa.string()),
+                    "n_segs_kept": pa.array(out_n, type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(rewrite, batch_format="pyarrow")
+
+    # --- join path: occurrences ∪ keepers cogrouped by segment hash ---
+    def explode_occurrences(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
         texts = t[text_col].to_pylist()
         out_id: list = []
-        out_text: list = []
-        out_n: list = []
+        out_s: list = []
+        out_seg: list = []
         for i, txt in zip(ids, texts):
-            kept = [
-                s
-                for s in _doc_segments(txt, words_per_seg)
-                if dmap.get(s, i) == i
-            ]
-            if kept:
-                out_id.append(i)
-                out_text.append(" ".join(kept))
-                out_n.append(len(kept))
+            segs = _doc_segments(txt, words_per_seg)
+            out_id.extend([i] * len(segs))
+            out_s.extend(range(len(segs)))
+            out_seg.extend(segs)
         return pa.table(
             {
                 id_col: pa.array(out_id, type=pa.int64()),
-                "text_clean": pa.array(out_text, type=pa.string()),
-                "n_segs_kept": pa.array(out_n, type=pa.int64()),
+                "s": pa.array(out_s, type=pa.int64()),
+                "segment": pa.array(out_seg, type=pa.string()),
+                "keeper_id": pa.array([None] * len(out_id), type=pa.int64()),
             }
         )
 
-    return ds.map_batches(rewrite, batch_format="pyarrow")
+    def widen_keepers(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: pa.array([None] * n, type=pa.int64()),
+                "s": pa.array([None] * n, type=pa.int64()),
+                "segment": t["segment"],
+                "keeper_id": t["keeper_id"].cast(pa.int64()),
+            }
+        )
+
+    occurrences = ds.map_batches(explode_occurrences, batch_format="pyarrow")
+    keeper_rows = keepers.map_batches(widen_keepers, batch_format="pyarrow")
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        occ = g[g["keeper_id"].isna()][[id_col, "s", "segment"]]
+        kp = g[g["keeper_id"].notna()][["segment", "keeper_id"]]
+        m = occ.merge(kp, on="segment", how="inner")
+        m = m[m[id_col] == m["keeper_id"]]
+        return pd.DataFrame(
+            {
+                id_col: m[id_col].astype("int64"),
+                "s": m["s"].astype("int64"),
+                "segment": m["segment"].astype(str),
+            }
+        )
+
+    survivors = (
+        occurrences.union(keeper_rows)
+        .map_batches(
+            lambda t: add_key_partition(t, "segment", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(verdict, batch_format="pandas")
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "s"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False)["segment"].agg([" ".join, "size"])
+        return pd.DataFrame(
+            {
+                id_col: agg.index.to_numpy(dtype="int64"),
+                "text_clean": agg["join"].astype(str),
+                "n_segs_kept": agg["size"].astype("int64"),
+            }
+        )
+
+    return (
+        survivors.map_batches(
+            lambda t: add_key_partition(t, id_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(assemble, batch_format="pandas")
+    )

@@ -373,3 +373,44 @@ def test_select_token_quota_dict_and_missing_group_excluded():
     # source b absent from dict -> quota 0 -> excluded entirely
     assert out["doc_id"].tolist() == [1, 2]
     assert out[out["doc_id"] == 2]["tok_offset"].tolist() == [2]
+
+
+def test_segment_dedup_join_path_equivalent_to_broadcast():
+    from ai_service_ocr_grading_handler_ray.stages.clean import (
+        dedup_segments_keep_first,
+    )
+
+    rows = {
+        "doc_id": [3, 1, 7, 2, 9],
+        "text": [
+            "a b c d a b",
+            "c d e f",
+            "a b x y z w",
+            "e f e f",
+            "q r s t",
+        ],
+    }
+    got = {}
+    for method in ("broadcast", "join"):
+        got[method] = (
+            dedup_segments_keep_first(_docs(rows), words_per_seg=2, method=method)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert got["broadcast"].equals(got["join"])
+    # spot-check the rule itself: "c d" belongs to doc 1 (min id), so doc
+    # 3 keeps only its "a b ... a b" occurrences ("a b" min doc is 3)
+    b = got["broadcast"].set_index("doc_id")
+    assert b.loc[3, "text_clean"] == "a b a b"
+    assert b.loc[1, "text_clean"] == "c d e f"
+
+
+def test_segment_dedup_auto_picks_broadcast_under_cap():
+    from ai_service_ocr_grading_handler_ray.stages.clean import (
+        dedup_segments_keep_first,
+    )
+
+    ds = _docs({"doc_id": [1, 2], "text": ["a b", "a b"]})
+    out = dedup_segments_keep_first(ds, method="auto").to_pandas()
+    assert out["doc_id"].tolist() == [1]
