@@ -176,13 +176,27 @@ def remove_frequent_segments(
     id_col: str = "doc_id",
     words_per_seg: int = 2,
     num_parts: int = 32,
+    method: str = "broadcast",
+    bloom_fp_rate: float = 0.001,
 ):
     """Drop every segment whose document frequency ≥ ``min_docs``;
     reassemble the survivors in order.  Documents left with zero
     segments are dropped (fully-boilerplate pages).  Output:
-    (doc_id, text_clean, n_segs_kept)."""
-    import pandas as pd
+    (doc_id, text_clean, n_segs_kept).
+
+    ``method="broadcast"`` ships the exact frequent-segment set (capped
+    at ``_SEG_BROADCAST_CAP``).  ``method="bloom"`` is the cap-free
+    scale path: the frequent set folds into a Bloom filter
+    (distributed build + tree merge, ``stages.sketches.build_bloom``)
+    whose broadcast size is bits-per-segment, not strings — at the cost
+    of ``bloom_fp_rate`` over-removal of innocent segments (the safe
+    direction for boilerplate stripping; removal is a superset of the
+    exact path's, never a miss)."""
+    import pyarrow.compute as pc
     import ray
+
+    if method not in ("broadcast", "bloom"):
+        raise ValueError(f"unknown method {method!r}")
 
     freq = segment_doc_frequency(
         ds,
@@ -190,7 +204,49 @@ def remove_frequent_segments(
         id_col=id_col,
         words_per_seg=words_per_seg,
         num_parts=num_parts,
-    ).filter(lambda r: r["n_docs"] >= min_docs)
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
+        batch_format="pyarrow",
+    )
+
+    if method == "bloom":
+        from .sketches import build_bloom
+
+        freq = freq.materialize()
+        n_freq = freq.count()
+        bf_ref = ray.put(
+            build_bloom(freq, "segment", max(n_freq, 1), bloom_fp_rate)
+        )
+
+        def rewrite_bloom(t: pa.Table) -> pa.Table:
+            bf = ray.get(bf_ref)
+            ids = t[id_col].to_pylist()
+            texts = t[text_col].to_pylist()
+            seg_lists = [_doc_segments(txt, words_per_seg) for txt in texts]
+            flat = [s for segs in seg_lists for s in segs]
+            hit = bf.contains_many(flat) if flat else np.empty(0, dtype=bool)
+            out_id: list = []
+            out_text: list = []
+            out_n: list = []
+            pos = 0
+            for i, segs in zip(ids, seg_lists):
+                m = hit[pos : pos + len(segs)]
+                pos += len(segs)
+                kept = [s for s, h in zip(segs, m) if not h]
+                if kept:
+                    out_id.append(i)
+                    out_text.append(" ".join(kept))
+                    out_n.append(len(kept))
+            return pa.table(
+                {
+                    id_col: pa.array(out_id, type=pa.int64()),
+                    "text_clean": pa.array(out_text, type=pa.string()),
+                    "n_segs_kept": pa.array(out_n, type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(rewrite_bloom, batch_format="pyarrow")
+
     frequent = [
         s
         for b in ray.get(freq.to_arrow_refs())
@@ -200,7 +256,7 @@ def remove_frequent_segments(
     if len(frequent) > _SEG_BROADCAST_CAP:
         raise ValueError(
             f"frequent-segment set ({len(frequent)}) exceeds broadcast cap "
-            f"{_SEG_BROADCAST_CAP}; raise min_docs or switch to the Bloom path"
+            f"{_SEG_BROADCAST_CAP}; use method='bloom'"
         )
     freq_ref = ray.put(frozenset(frequent))
 

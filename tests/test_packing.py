@@ -414,3 +414,43 @@ def test_segment_dedup_auto_picks_broadcast_under_cap():
     ds = _docs({"doc_id": [1, 2], "text": ["a b", "a b"]})
     out = dedup_segments_keep_first(ds, method="auto").to_pandas()
     assert out["doc_id"].tolist() == [1]
+
+
+def test_remove_frequent_segments_bloom_superset_of_exact():
+    import pandas as pd
+
+    from ai_service_ocr_grading_handler_ray.stages.clean import (
+        remove_frequent_segments,
+    )
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "nav bar body one here",
+            "nav bar body two there",
+            "nav bar body three also",
+            "nav bar",
+            "unique standalone content piece",
+        ],
+    }
+    exact = (
+        remove_frequent_segments(_docs(rows), min_docs=4, words_per_seg=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    bloom = (
+        remove_frequent_segments(
+            _docs(rows), min_docs=4, words_per_seg=2, method="bloom"
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # bloom removal is a superset: every bloom survivor's segments
+    # appear in the exact survivor for the same doc, never vice versa
+    assert set(bloom.index) <= set(exact.index)
+    for d in bloom.index:
+        b_segs = bloom.loc[d, "text_clean"].split(" ")
+        e_segs = exact.loc[d, "text_clean"].split(" ")
+        assert set(b_segs) <= set(e_segs) | {""}
+    # at this corpus size + fp 0.001 the two are in fact identical
+    pd.testing.assert_frame_equal(exact, bloom)
