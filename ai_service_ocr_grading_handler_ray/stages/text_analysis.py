@@ -311,28 +311,51 @@ def score_unigram_logprob(
     out_col: str = "avg_logprob",
     oov_logprob: float | None = None,
     num_parts: int = 32,
+    method: str = "broadcast",
 ):
     """Per-document mean unigram log-probability — the KenLM-free
     perplexity proxy CCNet-style pipelines bucket quality by.  The LM is
     the corpus' own unigram distribution unless ``counts`` (a Dataset of
     (token, n), e.g. trained on a reference corpus) is supplied.
 
-    Scale shape: the vocabulary collects ONCE to the driver (vocab-sized,
-    capped at ``_VOCAB_BROADCAST_CAP``) and broadcasts via ``ray.put`` as
-    a sorted hash→logprob table; scoring is a single shuffle-free
-    ``map_batches`` scan — hash the batch's words (cython siphash),
-    ``searchsorted`` probe, ``reduceat`` per-doc mean.  Tokens absent
-    from the LM score ``oov_logprob`` (default ln(0.5 / total), an
-    add-half floor); self-trained scoring never hits it.  A 64-bit hash
-    collision between two distinct vocab tokens would conflate their
-    probabilities (~1e-6 at 10M types) — accepted for a scoring signal.
+    ``method="broadcast"`` (default): the vocabulary collects ONCE to
+    the driver (vocab-sized, capped at ``_VOCAB_BROADCAST_CAP``) and
+    broadcasts via ``ray.put`` as a sorted hash→logprob table; scoring
+    is a single shuffle-free ``map_batches`` scan — hash the batch's
+    words (cython siphash), ``searchsorted`` probe, ``reduceat`` per-doc
+    mean.
+
+    ``method="join"``: the cap-free path for vocabularies too large to
+    broadcast — the LM stays a Dataset; per-doc distinct (token-hash,
+    occurrence-count) pairs cogroup with LM rows by token hash
+    (vectorized pandas merge per partition), then partial per-doc sums
+    reduce in a doc-hash shuffle.  Two bounded shuffles; the corpus text
+    is still read once.
+
+    Tokens absent from the LM score ``oov_logprob`` (default
+    ln(0.5 / total), an add-half floor); self-trained scoring never hits
+    it.  A 64-bit hash collision between two distinct vocab tokens would
+    conflate their probabilities (~1e-6 at 10M types) — accepted for a
+    scoring signal.
 
     Output: (id_col, n_tokens, out_col).
     """
     import ray
 
+    if method not in ("broadcast", "join"):
+        raise ValueError(f"unknown method {method!r}")
     if counts is None:
         counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
+    if method == "join":
+        return _score_unigram_logprob_join(
+            ds,
+            counts,
+            text_col=text_col,
+            id_col=id_col,
+            out_col=out_col,
+            oov_logprob=oov_logprob,
+            num_parts=num_parts,
+        )
     h_sorted, logp_sorted, total = _lm_arrays(counts)
     oov = (
         float(oov_logprob)
@@ -451,16 +474,122 @@ def dsir_importance_weights(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _score_unigram_logprob_join(
+    ds,
+    counts,
+    *,
+    text_col: str,
+    id_col: str,
+    out_col: str,
+    oov_logprob: float | None,
+    num_parts: int,
+):
+    """Join-path scoring (see ``score_unigram_logprob(method="join")``).
+    The LM Dataset never collects; ``total`` is a distributed Sum."""
+    import pandas as pd
+    import ray  # noqa: F401  (parity with broadcast path; no driver refs here)
+
+    from .dedup import add_key_partition
+    from .hashing import hash_u64
+
+    counts = counts.materialize()
+    total = float(counts.sum("n") or 0)
+    oov = (
+        float(oov_logprob)
+        if oov_logprob is not None
+        else float(np.log(0.5 / max(total, 1.0)))
+    )
+
+    def lm_rows(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_pandas().to_numpy(dtype=object)
+        ns = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        th = hash_u64(toks).view(np.int64)
+        logp = np.log(ns / total) if total else np.zeros(len(ns))
+        n_rows = len(th)
+        return pa.table(
+            {
+                id_col: pa.array([None] * n_rows, type=pa.int64()),
+                "th": pa.array(th, type=pa.int64()),
+                "k": pa.array([None] * n_rows, type=pa.int64()),
+                "logp": pa.array(logp, type=pa.float64()),
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        words, lens = batch_words(texts)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(words):
+            wh = hash_u64(words).view(np.int64)
+            doc_pos = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            gdoc, gkey, gcnt = _per_doc_group_counts(doc_pos, wh)
+            out_ids, th, k = ids[gdoc], gkey, gcnt
+        else:
+            out_ids = th = k = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, type=pa.int64()),
+                "th": pa.array(th, type=pa.int64()),
+                "k": pa.array(k.astype(np.int64), type=pa.int64()),
+                "logp": pa.array([None] * len(th), type=pa.float64()),
+            }
+        )
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        occ = g[g["logp"].isna()][[id_col, "th", "k"]]
+        lm = g[g["logp"].notna()][["th", "logp"]]
+        m = occ.merge(lm, on="th", how="left")
+        lp = m["logp"].fillna(oov).to_numpy(np.float64)
+        k = m["k"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: m[id_col].astype("int64"),
+                "s_lp": lp * k,
+                "k": k,
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(id_col, sort=False)[["s_lp", "k"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                id_col: r[id_col].astype("int64"),
+                "n_tokens": r["k"].astype("int64"),
+                out_col: r["s_lp"] / r["k"],
+            }
+        )
+
+    partials = (
+        ds.map_batches(doc_rows, batch_format="pyarrow")
+        .union(counts.map_batches(lm_rows, batch_format="pyarrow"))
+        .map_batches(
+            lambda t: add_key_partition(t, "th", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(probe, batch_format="pandas")
+    )
+    return (
+        partials.map_batches(
+            lambda t: add_key_partition(t, id_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 # --- within-document repetition signals (Gopher / MassiveText rules) --------
 
 
 def _per_doc_group_counts(
     doc_idx: np.ndarray, keys: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Group the (doc, key) pairs of a whole batch in one lexsort:
-    returns (group_doc, group_count) — for every distinct key within
-    every doc, which doc it belongs to and how often it occurs.  No
-    per-doc Python loop; cost is one O(n log n) sort per batch."""
+    returns (group_doc, group_key, group_count) — for every distinct key
+    within every doc, which doc it belongs to, the key itself, and how
+    often it occurs.  No per-doc Python loop; cost is one O(n log n)
+    sort per batch."""
     order = np.lexsort((keys, doc_idx))
     d, k = doc_idx[order], keys[order]
     new = np.empty(len(d), dtype=bool)
@@ -468,7 +597,7 @@ def _per_doc_group_counts(
     new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
     starts = np.flatnonzero(new)
     counts = np.diff(np.append(starts, len(d)))
-    return d[starts], counts
+    return d[starts], k[starts], counts
 
 
 def repetition_signals(
@@ -516,7 +645,7 @@ def repetition_signals(
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
 
         # word-type counts per doc (every doc has >= 1 token: '' -> [''])
-        gdoc, gcnt = _per_doc_group_counts(doc_idx, wh)
+        gdoc, _, gcnt = _per_doc_group_counts(doc_idx, wh)
         top = np.zeros(n_docs, dtype=np.int64)
         np.maximum.at(top, gdoc, gcnt)
         dup = np.zeros(n_docs, dtype=np.int64)
@@ -537,7 +666,7 @@ def repetition_signals(
                         wh[:-1] * np.uint64(0x9E3779B97F4A7C15) + wh[1:]
                     )
                 g_doc = doc_idx[:-1][same_doc]
-                g2doc, g2cnt = _per_doc_group_counts(g_doc, gh[same_doc])
+                g2doc, _, g2cnt = _per_doc_group_counts(g_doc, gh[same_doc])
                 np.add.at(n2, g2doc, g2cnt)
                 d2sel = g2cnt > 1
                 np.add.at(dup2, g2doc[d2sel], g2cnt[d2sel])
@@ -611,7 +740,7 @@ def fused_quality_filter(
         if len(words):
             wh = hash_u64(words)
             doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            gdoc, gcnt = _per_doc_group_counts(doc_idx, wh)
+            gdoc, _, gcnt = _per_doc_group_counts(doc_idx, wh)
             np.maximum.at(top, gdoc, gcnt)
             dupsel = gcnt > 1
             np.add.at(dup, gdoc[dupsel], gcnt[dupsel])

@@ -454,3 +454,35 @@ def test_remove_frequent_segments_bloom_superset_of_exact():
         assert set(b_segs) <= set(e_segs) | {""}
     # at this corpus size + fp 0.001 the two are in fact identical
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_score_unigram_join_path_equivalent_to_broadcast(sf_dir):
+    out = {}
+    for method in ("broadcast", "join"):
+        out[method] = (
+            score_unigram_logprob(
+                rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+                method=method,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    b, j = out["broadcast"], out["join"]
+    assert b["doc_id"].tolist() == j["doc_id"].tolist()
+    assert b["n_tokens"].tolist() == j["n_tokens"].tolist()
+    # summation order differs between the two plans -> approx, not exact
+    np.testing.assert_allclose(
+        b["avg_logprob"].to_numpy(), j["avg_logprob"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_score_unigram_join_path_oov_floor():
+    lm = rd.from_arrow(
+        pa.table({"token": ["known"], "n": pa.array([4], type=pa.int64())})
+    )
+    ds = _docs({"doc_id": [1], "text": ["known unknown"]})
+    out = score_unigram_logprob(
+        ds, counts=lm, oov_logprob=-9.0, method="join"
+    ).to_pandas()
+    assert out["avg_logprob"][0] == pytest.approx(-4.5)
