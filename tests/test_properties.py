@@ -304,3 +304,117 @@ def test_batch_kernels_equal_scalar_hypothesis(texts):
     for i, t in enumerate(texts):
         assert (sigs[i] == minhash_signature(t or "")).all()
         assert int(fps[i]) == simhash64(t or "")
+
+
+# --- round-3 curation kernels ------------------------------------------------
+
+texts_strat = st.lists(
+    st.text(alphabet=string.printable, max_size=60), min_size=0, max_size=8
+)
+
+
+@given(texts_strat)
+@settings(max_examples=100, deadline=None)
+def test_batch_words_equals_per_text_split(texts):
+    import numpy as np
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import batch_words
+
+    # exclude texts containing the joiner-ambiguous newline-free corpus
+    # assumption? none: batch_words is defined for ANY strings
+    words, lens = batch_words(texts)
+    assert lens.sum() == len(words)
+    starts = [0]
+    for l in lens[:-1]:
+        starts.append(starts[-1] + l)
+    for i, t in enumerate(texts):
+        seg = words[starts[i] : starts[i] + lens[i]].tolist()
+        assert seg == (t or "").split(" ")
+    if not texts:
+        assert len(words) == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=25, deadline=None)
+def test_pack_sequences_matches_bruteforce(doc_specs, budget):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.packing import pack_sequences
+
+    ids = list(range(1, len(doc_specs) + 1))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ids,
+                "source": [g for g, _ in doc_specs],
+                "n_tok": [n for _, n in doc_specs],
+            }
+        )
+    )
+    got = (
+        pack_sequences(ds, budget=budget, token_col="n_tok")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute-force reference: running per-group tape
+    tape: dict = {}
+    exp_off, exp_seq = [], []
+    for (g, n), _id in sorted(
+        zip(doc_specs, ids), key=lambda p: (p[0][0], p[1])
+    ):
+        off = tape.get(g, 0)
+        exp_off.append((_id, off, off // budget))
+        tape[g] = off + n
+    exp = pd.DataFrame(
+        exp_off, columns=["doc_id", "tok_offset", "seq_id"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert got["tok_offset"].tolist() == exp["tok_offset"].tolist()
+    assert got["seq_id"].tolist() == exp["seq_id"].tolist()
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_repetition_signals_match_bruteforce(word_lists):
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        repetition_signals,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = repetition_signals(ds).to_pandas().set_index("doc_id")
+    for i, ws in enumerate(word_lists):
+        c = Counter(ws)
+        assert got.loc[i, "n_tokens"] == len(ws)
+        assert got.loc[i, "frac_top_word"] == max(c.values()) / len(ws)
+        dup = sum(v for v in c.values() if v > 1)
+        assert got.loc[i, "frac_dup_words"] == dup / len(ws)
+        grams = Counter(zip(ws, ws[1:]))
+        n2 = sum(grams.values())
+        dup2 = sum(v for v in grams.values() if v > 1)
+        assert got.loc[i, "frac_dup_2grams"] == (dup2 / n2 if n2 else 0.0)
