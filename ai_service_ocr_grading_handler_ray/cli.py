@@ -142,6 +142,71 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pack(args: argparse.Namespace) -> int:
+    """documents-style parquet → (doc_id, group, n_tokens, tok_offset,
+    seq_id) training-sequence assignment table."""
+    import ray.data as rd
+
+    from .stages.packing import pack_sequences
+
+    if _refuse_existing_out(args.out):
+        return 2
+    ds = rd.read_parquet(
+        args.input, columns=[args.id_col, args.group_col, args.text_col]
+    )
+    out = pack_sequences(
+        ds,
+        budget=args.budget,
+        group_col=args.group_col,
+        order_col=args.id_col,
+        text_col=args.text_col,
+    )
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet").count_rows()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
+def cmd_quality(args: argparse.Namespace) -> int:
+    """documents-style parquet → per-doc quality signals + keep verdict
+    (fused FineWeb-style cascade: token bounds, dup-word fraction,
+    unigram-LM logprob)."""
+    import ray.data as rd
+
+    from .stages.text_analysis import fused_quality_filter
+
+    if _refuse_existing_out(args.out):
+        return 2
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = fused_quality_filter(
+        ds,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        max_frac_dup_words=args.max_dup,
+        min_avg_logprob=args.min_logprob,
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(args.out, format="parquet").to_table(columns=["keep"])
+    import pyarrow.compute as pc
+
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "rows": t.num_rows,
+                "kept": pc.sum(t["keep"]).as_py() or 0,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     """Job-level metrics rollup over a resumable-extract output dir:
     per-partition lineage + docs/sec and the aggregate (the engine's
@@ -205,6 +270,26 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--text-col", default="text")
     pd_.add_argument("--threshold", type=float, default=0.7)
     pd_.set_defaults(fn=cmd_dedup)
+
+    pp = sub.add_parser("pack", help="documents parquet → training-sequence assignment parquet")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--budget", type=int, default=2048)
+    pp.add_argument("--group-col", default="source")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--text-col", default="text")
+    pp.set_defaults(fn=cmd_pack)
+
+    pql = sub.add_parser("quality", help="documents parquet → quality signals + keep verdict parquet")
+    pql.add_argument("--input", required=True)
+    pql.add_argument("--out", required=True)
+    pql.add_argument("--min-tokens", type=int, default=1)
+    pql.add_argument("--max-tokens", type=int, default=1 << 62)
+    pql.add_argument("--max-dup", type=float, default=1.0)
+    pql.add_argument("--min-logprob", type=float, default=float("-inf"))
+    pql.add_argument("--id-col", default="doc_id")
+    pql.add_argument("--text-col", default="text")
+    pql.set_defaults(fn=cmd_quality)
 
     pm = sub.add_parser("metrics", help="manifest rollup for an extract output dir")
     pm.add_argument("--out", required=True)

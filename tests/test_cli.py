@@ -110,3 +110,39 @@ def test_metrics_cli(tmp_path, sf_dir, capsys):
     assert m["docs_per_sec"] > 0
     # bad dir → exit 2
     assert main(["metrics", "--out", str(tmp_path / "nope")]) == 2
+
+
+def test_pack_and_quality_cli(tmp_path, sf_dir, capsys):
+    out_pack = tmp_path / "packed"
+    assert (
+        main(
+            [
+                "pack",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--out", str(out_pack),
+                "--budget", "256",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 500
+    t = pq.read_table(str(out_pack))
+    assert set(t.column_names) >= {"doc_id", "source", "n_tokens", "tok_offset", "seq_id"}
+
+    out_q = tmp_path / "quality"
+    assert (
+        main(
+            [
+                "quality",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--out", str(out_q),
+                "--min-tokens", "30",
+                "--max-tokens", "90",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 500
+    assert 0 < summary["kept"] < 500
