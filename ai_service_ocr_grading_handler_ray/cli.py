@@ -169,6 +169,40 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_build(args: argparse.Namespace) -> int:
+    """documents-style parquet → packed training-sequence assignment:
+    the full curation capstone (prefix dedup → frequent-segment removal
+    → fused quality cascade → offset packing) in one job."""
+    import ray.data as rd
+
+    from .pipelines.curate import corpus_build
+
+    if _refuse_existing_out(args.out):
+        return 2
+    ds = rd.read_parquet(
+        args.input, columns=[args.id_col, args.group_col, args.text_col]
+    )
+    out = corpus_build(
+        ds,
+        budget=args.budget,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        max_frac_dup_words=args.max_dup,
+        min_avg_logprob=args.min_logprob,
+        freq_frac=args.freq_frac,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        group_col=args.group_col,
+        seg_method=args.seg_method,
+    )
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet").count_rows()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
 def cmd_quality(args: argparse.Namespace) -> int:
     """documents-style parquet → per-doc quality signals + keep verdict
     (fused FineWeb-style cascade: token bounds, dup-word fraction,
@@ -290,6 +324,24 @@ def main(argv: list[str] | None = None) -> int:
     pql.add_argument("--id-col", default="doc_id")
     pql.add_argument("--text-col", default="text")
     pql.set_defaults(fn=cmd_quality)
+
+    pcb = sub.add_parser(
+        "corpus-build",
+        help="documents parquet → dedup+clean+quality+pack training-corpus parquet",
+    )
+    pcb.add_argument("--input", required=True)
+    pcb.add_argument("--out", required=True)
+    pcb.add_argument("--budget", type=int, default=2048)
+    pcb.add_argument("--min-tokens", type=int, default=20)
+    pcb.add_argument("--max-tokens", type=int, default=1 << 62)
+    pcb.add_argument("--max-dup", type=float, default=0.92)
+    pcb.add_argument("--min-logprob", type=float, default=float("-inf"))
+    pcb.add_argument("--freq-frac", type=float, default=0.05)
+    pcb.add_argument("--seg-method", choices=["broadcast", "bloom"], default="broadcast")
+    pcb.add_argument("--group-col", default="source")
+    pcb.add_argument("--id-col", default="doc_id")
+    pcb.add_argument("--text-col", default="text")
+    pcb.set_defaults(fn=cmd_corpus_build)
 
     pm = sub.add_parser("metrics", help="manifest rollup for an extract output dir")
     pm.add_argument("--out", required=True)

@@ -102,3 +102,113 @@ def curate_pages(
 
 def curation_pipeline(sf_dir: str, **kwargs) -> rd.Dataset:
     return curate_pages(build_pages_dataset(sf_dir), **kwargs)
+
+
+def corpus_build(
+    docs: rd.Dataset,
+    *,
+    prefix_chars: int = 30,
+    words_per_seg: int = 2,
+    freq_frac: float = 0.05,
+    min_docs_floor: int = 20,
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    max_frac_dup_words: float = 0.92,
+    min_avg_logprob: float = -3.41,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    num_parts: int = 32,
+    seg_method: str = "broadcast",
+    checkpoint: bool = True,
+) -> rd.Dataset:
+    """The training-corpus capstone — the curation operators composed
+    into one job, documents in → packed training sequences out:
+
+        docs
+          → prefix-fingerprint exact dedup   (first ``prefix_chars``
+            chars; keep lowest ``id_col``)                 [1 shuffle]
+          → frequent-segment removal          (CCNet boilerplate; the
+            doc-frequency cut scales with corpus size:
+            max(min_docs_floor, freq_frac × |docs|))       [1 shuffle]
+          → fused quality cascade             (token bounds + dup-word
+            fraction + self-trained unigram-LM logprob, ONE scan)
+                                               [1 vocab-sized shuffle]
+          → offset sequence packing           (per ``group_col``,
+            ``budget``-token sequences)        [1 coarse shuffle]
+
+    Output: (id_col, group_col, n_tokens, tok_offset, seq_id) — one row
+    per surviving document, its slot on the training-token tape.
+
+    ``checkpoint=True`` materializes the corpus after the dedup and
+    clean stages: both downstream stages consume their input TWICE
+    (a corpus-statistics pass + a rewrite pass), so without a
+    checkpoint the upstream shuffles re-execute.  At 100 TB the same
+    role is played by writing the slimmed corpus to partitioned
+    parquet between stages (resumable); in-memory materialize is the
+    single-job equivalent.
+    """
+    from ..stages.dedup import exact_dedup
+    from ..stages.packing import pack_sequences
+    from ..stages.text_analysis import fused_quality_filter
+
+    from ..stages.clean import remove_frequent_segments
+
+    # scale the boilerplate cut with corpus size (parquet metadata count)
+    n_docs = docs.count()
+    min_docs = max(min_docs_floor, int(round(freq_frac * n_docs)))
+
+    def add_pfx(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_pfx", pc.utf8_slice_codeunits(t[text_col], 0, prefix_chars)
+        )
+
+    deduped = exact_dedup(
+        docs.map_batches(add_pfx, batch_format="pyarrow"),
+        "_pfx",
+        id_col,
+        num_parts=num_parts,
+    ).map_batches(lambda t: t.drop_columns(["_pfx"]), batch_format="pyarrow")
+    if checkpoint:
+        deduped = deduped.materialize()
+
+    cleaned = remove_frequent_segments(
+        deduped,
+        min_docs=min_docs,
+        text_col=text_col,
+        id_col=id_col,
+        words_per_seg=words_per_seg,
+        num_parts=num_parts,
+        method=seg_method,
+        passthrough_cols=(group_col,),
+    )
+    if checkpoint:
+        cleaned = cleaned.materialize()
+
+    scored = fused_quality_filter(
+        cleaned,
+        text_col="text_clean",
+        id_col=id_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        max_frac_dup_words=max_frac_dup_words,
+        min_avg_logprob=min_avg_logprob,
+        num_parts=num_parts,
+        passthrough_cols=(group_col,),
+    )
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], 1)).select(
+            [id_col, group_col, "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    return pack_sequences(
+        kept,
+        budget=budget,
+        group_col=group_col,
+        order_col=id_col,
+        token_col="n_tokens",
+        num_parts=num_parts,
+    )

@@ -2146,6 +2146,19 @@ def q97_token_quota_mix(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q98_corpus_build(sf_dir: str) -> rd.Dataset:
+    """The training-corpus capstone: prefix-fingerprint exact dedup →
+    scale-proportional frequent-segment removal → fused quality cascade
+    (self-trained LM) → 256-token offset packing, composed end-to-end
+    from the curation operators (pipelines/curate.corpus_build).  Four
+    shuffles total; both statistics+rewrite stages read a checkpointed
+    slim corpus instead of re-executing upstream shuffles.  The oracle
+    replays all four stages as one CTE chain."""
+    from .curate import corpus_build
+
+    return corpus_build(_read(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2157,7 +2170,7 @@ QUERIES = {
     "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q57_group_zscore": q57_group_zscore,
     "q60_above_nation_avg": q60_above_nation_avg,
-    "q05_orders_by_segment": q05_orders_by_segment,
+    "q98_corpus_build": q98_corpus_build,
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
     "q97_token_quota_mix": q97_token_quota_mix,
@@ -2211,6 +2224,7 @@ QUERIES = {
     # q90-q94; their changed routing primitive (add_key_partition
     # hashing / bloom double-hash) stays window-covered by
     # q25/q28/q47/q67/q83/q87 ---
+    "q05_orders_by_segment": q05_orders_by_segment,  # r1-green, unchanged; ceded to q98
     "q12_sessionize": q12_sessionize,
     "q16_dedup_docs_exact": q16_dedup_docs_exact,
     "q23_events_user_first": q23_events_user_first,
@@ -3013,6 +3027,71 @@ ORACLE_SQL = {
         JOIN raw USING (tok) CROSS JOIN rt
         LEFT JOIN tgt USING (tok) CROSS JOIN tt
         GROUP BY w.doc_id
+    """,
+    "q98_corpus_build": """
+        WITH nn AS (
+          SELECT greatest(20, CAST(round(0.05 * count(*)) AS BIGINT)) AS min_docs
+          FROM documents
+        ), dd AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (
+                     PARTITION BY substr(text, 1, 30) ORDER BY doc_id
+                   ) AS rn
+            FROM documents) WHERE rn = 1
+        ), w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM dd
+        ), ex AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0, CAST(ceil(len(ws)/2.0) AS BIGINT)-1)) AS s
+          FROM w
+        ), seg AS (
+          SELECT doc_id, s, array_to_string(ws[(s*2+1):(s*2+2)], ' ') AS segment FROM ex
+        ), freq AS (
+          SELECT segment FROM seg GROUP BY segment
+          HAVING count(DISTINCT doc_id) >= (SELECT min_docs FROM nn)
+        ), kept AS (
+          SELECT doc_id, s, segment FROM seg
+          WHERE segment NOT IN (SELECT segment FROM freq)
+        ), clean AS (
+          SELECT doc_id, string_agg(segment, ' ' ORDER BY s) AS text_clean
+          FROM kept GROUP BY doc_id
+        ), cw AS (
+          SELECT doc_id, unnest(string_split(text_clean, ' ')) AS tok FROM clean
+        ), lmc AS (
+          SELECT tok, count(*) AS n FROM cw GROUP BY tok
+        ), t AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS total FROM lmc
+        ), lp AS (
+          SELECT cw.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 avg(ln(lmc.n / t.total)) AS avg_lp
+          FROM cw JOIN lmc USING (tok) CROSS JOIN t
+          GROUP BY cw.doc_id
+        ), wc AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM cw GROUP BY doc_id, tok
+        ), rep AS (
+          SELECT doc_id,
+                 sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_c,
+                 sum(cnt) AS n_tok
+          FROM wc GROUP BY doc_id
+        ), q AS (
+          SELECT lp.doc_id, dd.source, lp.n_tokens
+          FROM lp JOIN rep USING (doc_id) JOIN dd USING (doc_id)
+          WHERE lp.n_tokens BETWEEN 20 AND 80
+            AND rep.dup_c / rep.n_tok <= 0.92
+            AND lp.avg_lp >= -3.41
+        ), o AS (
+          SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS tok_offset
+          FROM q
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(tok_offset AS BIGINT) AS tok_offset,
+               CAST(floor(tok_offset / 256) AS BIGINT) AS seq_id
+        FROM o
     """,
     "q92_pack_sequences": """
         WITH t AS (

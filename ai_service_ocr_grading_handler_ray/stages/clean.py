@@ -178,11 +178,12 @@ def remove_frequent_segments(
     num_parts: int = 32,
     method: str = "broadcast",
     bloom_fp_rate: float = 0.001,
+    passthrough_cols: tuple = (),
 ):
     """Drop every segment whose document frequency ≥ ``min_docs``;
     reassemble the survivors in order.  Documents left with zero
     segments are dropped (fully-boilerplate pages).  Output:
-    (doc_id, text_clean, n_segs_kept).
+    (doc_id, *passthrough_cols, text_clean, n_segs_kept).
 
     ``method="broadcast"`` ships the exact frequent-segment set (capped
     at ``_SEG_BROADCAST_CAP``).  ``method="bloom"`` is the cap-free
@@ -220,30 +221,29 @@ def remove_frequent_segments(
 
         def rewrite_bloom(t: pa.Table) -> pa.Table:
             bf = ray.get(bf_ref)
-            ids = t[id_col].to_pylist()
             texts = t[text_col].to_pylist()
             seg_lists = [_doc_segments(txt, words_per_seg) for txt in texts]
             flat = [s for segs in seg_lists for s in segs]
             hit = bf.contains_many(flat) if flat else np.empty(0, dtype=bool)
-            out_id: list = []
+            keep_mask: list = []
             out_text: list = []
             out_n: list = []
             pos = 0
-            for i, segs in zip(ids, seg_lists):
+            for segs in seg_lists:
                 m = hit[pos : pos + len(segs)]
                 pos += len(segs)
                 kept = [s for s, h in zip(segs, m) if not h]
+                keep_mask.append(bool(kept))
                 if kept:
-                    out_id.append(i)
                     out_text.append(" ".join(kept))
                     out_n.append(len(kept))
-            return pa.table(
-                {
-                    id_col: pa.array(out_id, type=pa.int64()),
-                    "text_clean": pa.array(out_text, type=pa.string()),
-                    "n_segs_kept": pa.array(out_n, type=pa.int64()),
-                }
-            )
+            base = t.filter(pa.array(keep_mask, type=pa.bool_()))
+            cols = {id_col: base[id_col].cast(pa.int64())}
+            for c in passthrough_cols:
+                cols[c] = base[c]
+            cols["text_clean"] = pa.array(out_text, type=pa.string())
+            cols["n_segs_kept"] = pa.array(out_n, type=pa.int64())
+            return pa.table(cols)
 
         return ds.map_batches(rewrite_bloom, batch_format="pyarrow")
 
@@ -262,24 +262,23 @@ def remove_frequent_segments(
 
     def rewrite(t: pa.Table) -> pa.Table:
         fset = ray.get(freq_ref)
-        ids = t[id_col].to_pylist()
         texts = t[text_col].to_pylist()
-        out_id: list = []
+        keep_mask: list = []
         out_text: list = []
         out_n: list = []
-        for i, txt in zip(ids, texts):
+        for txt in texts:
             kept = [s for s in _doc_segments(txt, words_per_seg) if s not in fset]
+            keep_mask.append(bool(kept))
             if kept:
-                out_id.append(i)
                 out_text.append(" ".join(kept))
                 out_n.append(len(kept))
-        return pa.table(
-            {
-                id_col: pa.array(out_id, type=pa.int64()),
-                "text_clean": pa.array(out_text, type=pa.string()),
-                "n_segs_kept": pa.array(out_n, type=pa.int64()),
-            }
-        )
+        base = t.filter(pa.array(keep_mask, type=pa.bool_()))
+        cols = {id_col: base[id_col].cast(pa.int64())}
+        for c in passthrough_cols:
+            cols[c] = base[c]
+        cols["text_clean"] = pa.array(out_text, type=pa.string())
+        cols["n_segs_kept"] = pa.array(out_n, type=pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
 

@@ -703,6 +703,7 @@ def fused_quality_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_parts: int = 32,
+    passthrough_cols: tuple = (),
 ):
     """FineWeb-style rule cascade fused into ONE scan: token count
     bounds + duplicate-word fraction (Gopher repetition) + unigram-LM
@@ -756,9 +757,11 @@ def fused_quality_filter(
             & (frac_dup <= max_frac_dup_words)
             & (avg >= min_avg_logprob)
         ).astype(np.int64) if n_docs else np.empty(0, dtype=np.int64)
-        return pa.table(
+        cols = {id_col: t[id_col]}
+        for c in passthrough_cols:
+            cols[c] = t[c]
+        cols.update(
             {
-                id_col: t[id_col],
                 "n_tokens": pa.array(lens),
                 "frac_top_word": pa.array(frac_top, type=pa.float64()),
                 "frac_dup_words": pa.array(frac_dup, type=pa.float64()),
@@ -766,5 +769,6 @@ def fused_quality_filter(
                 "keep": pa.array(keep, type=pa.int64()),
             }
         )
+        return pa.table(cols)
 
     return ds.map_batches(scan, batch_format="pyarrow")

@@ -146,3 +146,24 @@ def test_pack_and_quality_cli(tmp_path, sf_dir, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 500
     assert 0 < summary["kept"] < 500
+
+
+def test_corpus_build_cli(tmp_path, sf_dir, capsys):
+    out = tmp_path / "corpus"
+    assert (
+        main(
+            [
+                "corpus-build",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--out", str(out),
+                "--budget", "256",
+                "--min-logprob", "-3.41",
+                "--max-tokens", "80",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < summary["rows"] < 500
+    t = pq.read_table(str(out))
+    assert set(t.column_names) == {"doc_id", "source", "n_tokens", "tok_offset", "seq_id"}

@@ -57,3 +57,58 @@ def test_no_raw_pii_survives(curated):
     email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     for t in curated["curated_text"].to_pylist()[:100]:
         assert not email.search(t)
+
+
+# ---------------------------------------------------------------- q98 capstone
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir) -> pa.Table:
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.pipelines.curate import corpus_build
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    ds = corpus_build(docs)
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables)
+
+
+def test_corpus_build_schema_and_rows(corpus):
+    assert corpus.column_names == [
+        "doc_id", "source", "n_tokens", "tok_offset", "seq_id",
+    ]
+    assert 0 < corpus.num_rows < 500  # every stage filtered something
+
+
+def test_corpus_build_packing_invariants(corpus):
+    import pandas as pd
+
+    df = corpus.to_pandas().sort_values(["source", "doc_id"])
+    for _, g in df.groupby("source"):
+        n = g["n_tokens"].to_numpy()
+        off = g["tok_offset"].to_numpy()
+        assert off[0] == 0
+        assert (off[1:] == off[:-1] + n[:-1]).all()  # exclusive prefix sum
+        assert (g["seq_id"].to_numpy() == off // 256).all()
+    assert (df["n_tokens"].between(20, 80)).all()  # quality bounds held
+
+
+def test_corpus_build_bloom_path_runs(sf_dir):
+    """The cap-free bloom segment path composes too (superset removal =>
+    no more rows than the exact path, schema identical)."""
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.pipelines.curate import corpus_build
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    out = corpus_build(docs, seg_method="bloom")
+    t = pa.concat_tables([b for b in ray.get(out.to_arrow_refs()) if b.num_rows])
+    assert t.column_names == [
+        "doc_id", "source", "n_tokens", "tok_offset", "seq_id",
+    ]
+    assert t.num_rows > 0
