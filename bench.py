@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q86_decontaminate",
     "q92_pack_sequences",
     "q93_repetition_signals",
+    "q98_corpus_build",
 ]
 
 
