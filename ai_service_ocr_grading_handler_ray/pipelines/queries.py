@@ -2159,6 +2159,18 @@ def q98_corpus_build(sf_dir: str) -> rd.Dataset:
     return corpus_build(_read(sf_dir, "documents", ["doc_id", "source", "text"]))
 
 
+def q99_perplexity_tiers(sf_dir: str) -> rd.Dataset:
+    """CCNet head/middle/tail tiering (Wenzek et al. 2020): per-language
+    EXACT terciles of the q90 unigram-LM score via distributed histogram
+    refinement (stages/selection.exact_group_quantiles — no sort, no
+    driver values), then a shuffle-free broadcast-threshold assign.
+    Oracle: window-function rank-at-ceil(n/3) thresholds over the same
+    rounded score."""
+    from ..stages.selection import perplexity_tiers
+
+    return perplexity_tiers(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2216,8 +2228,13 @@ QUERIES = {
     "q79_quantile_sketch": q79_quantile_sketch,
     "q32_minhash_dedup": q32_minhash_dedup,
     "q33_simhash_dedup": q33_simhash_dedup,
-    "q37_embedding_dedup": q37_embedding_dedup,
+    "q99_perplexity_tiers": q99_perplexity_tiers,
     # --- position >50: driver-green in rounds 1/2 and unchanged (or
+    # q37 (rows-only, r2-green) ceded its slot to the hash-checked q99;
+    # its changed cluster-finish path stays window-covered by q32/q33
+    # and its embedding bucketing by q88 ---
+    "q37_embedding_dedup": q37_embedding_dedup,
+    # --- driver-green in rounds 1/2 and unchanged (or
     # rows-only with r2 green rows); all still run in
     # tests/test_oracle_parity.py every session.  q12/q16/q23 are green
     # in BOTH r1 and r2 and ceded their window slots to the new
@@ -3110,5 +3127,39 @@ ORACLE_SQL = {
                CAST(tok_offset AS BIGINT) AS tok_offset,
                CAST(floor(tok_offset / 256) AS BIGINT) AS seq_id
         FROM o
+    """,
+    "q99_perplexity_tiers": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), c AS (
+          SELECT tok, count(*) AS n FROM w GROUP BY tok
+        ), t AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS total FROM c
+        ), scored AS (
+          SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(avg(ln(c.n / t.total)), 4) AS avg_logprob
+          FROM w JOIN c USING (tok) CROSS JOIN t
+          GROUP BY w.doc_id
+        ), sl AS (
+          SELECT s.doc_id, s.n_tokens, s.avg_logprob, d.lang
+          FROM scored s JOIN documents d USING (doc_id)
+        ), ranked AS (
+          SELECT sl.*,
+                 row_number() OVER (PARTITION BY lang ORDER BY avg_logprob) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM sl
+        ), th AS (
+          SELECT lang,
+                 max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                     THEN avg_logprob END) AS v1,
+                 max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                     THEN avg_logprob END) AS v2
+          FROM ranked GROUP BY lang
+        )
+        SELECT r.doc_id, r.n_tokens, r.avg_logprob, r.lang,
+               CASE WHEN r.avg_logprob > th.v2 THEN 'head'
+                    WHEN r.avg_logprob > th.v1 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM ranked r JOIN th USING (lang)
     """,
 }

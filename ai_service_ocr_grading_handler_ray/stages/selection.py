@@ -1,0 +1,433 @@
+"""Distributed exact order statistics + CCNet-style perplexity tiering.
+
+``exact_group_quantiles`` finds, for every group, the exact
+``ceil(frac * n)``-th smallest value of a column — without a distributed
+sort and without ever materializing group values on the driver.  It is
+the selection primitive behind ``perplexity_tiers`` (CCNet's
+head/middle/tail bucketing by per-language perplexity terciles, Wenzek
+et al. 2020) but works for any exact percentile/median need.
+
+Algorithm (histogram refinement, a.k.a. distributed quickselect):
+
+1. one scan computes per-group (count, min, max) — map-side combine via
+   ``pyarrow`` ``group_by`` per batch, then a tiny Ray groupby;
+2. each refinement round is ONE ``map_batches`` scan that histograms the
+   active (group, interval) candidates into ``bins`` buckets, emitting
+   sparse (interval, bin, count) partials summed by a hash-partitioned
+   groupby (driver receives ≤ intervals × bins rows); the bucket
+   containing the target rank becomes the next round's interval;
+3. when a candidate interval holds ≤ ``collect_cap`` values, the values
+   themselves are collected (bounded) and the rank is answered exactly.
+
+Each scan also reports per-bucket value min/max, so the next interval
+snaps to the ACTUAL value range inside the chosen bucket: the target
+bucket's population shrinks ≥ ``bins``× per round (values spread) or
+collapses to a point (tie run), so ``ceil(log_bins(n / collect_cap))``
+rounds suffice — 3 scans for 10^12 rows at the defaults — regardless of
+value distribution (a bucket of adjacent floats resolves via one exact
+equality count).  Driver state: #groups × #fracs targets + one
+bins-sized (count, min, max) triple per active interval.
+
+The reference engine (LearnSenseLabs/ai-service-ocr-grading-handler) has no
+quantile/tiering operator; this module is part of the added
+LLM-curation surface (SURVEY.md §2.5+).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+
+def round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    """DuckDB/SQL ROUND semantics (half away from zero) — numpy's .round
+    is half-to-even and would drift from a SQL oracle on exact halves."""
+    f = 10.0**nd
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+# --------------------------------------------------------------------------
+# exact k-th order statistic by histogram refinement
+# --------------------------------------------------------------------------
+
+@dataclass
+class _Target:
+    group: object
+    k: int            # 1-based rank within the group (k-th smallest)
+    lo: float
+    hi: float
+    inc: bool         # is `hi` inclusive? (True only while the interval
+                      # still ends at the group max)
+    before: int = 0   # values of the group strictly below the interval
+    state: str = "refine"   # refine | collect | twoval | done
+    rank_in: int = 0  # 1-based rank within the current interval
+    value: float = math.nan
+
+
+def _group_stats(ds: rd.Dataset, value_col: str, group_col: str) -> "dict":
+    """One scan → {group: (n, vmin, vmax)}; rows with a null group or a
+    null/NaN value are ignored (callers needing SQL null-group semantics
+    should fill_null first)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        if pa.types.is_floating(t[value_col].type):
+            t = t.filter(pc.invert(pc.is_nan(t[value_col])))
+        return t.group_by(group_col).aggregate(
+            [(value_col, "min"), (value_col, "max"), (value_col, "count")]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = (
+        parts.groupby(group_col)
+        .aggregate(
+            Min(f"{value_col}_min", alias_name="vmin"),
+            Max(f"{value_col}_max", alias_name="vmax"),
+            Sum(f"{value_col}_count", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    return {
+        row[group_col]: (int(row["n"]), float(row["vmin"]), float(row["vmax"]))
+        for _, row in agg.iterrows()
+    }
+
+
+def _interval_mask(v: np.ndarray, gidx: np.ndarray, gi: int,
+                   lo: float, hi: float, inc: bool) -> np.ndarray:
+    if lo == hi:
+        return (gidx == gi) & (v == lo)
+    m = (gidx == gi) & (v >= lo)
+    return m & ((v < hi) | (v == hi)) if inc else m & (v < hi)
+
+
+def _interval_counts(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    intervals: list[tuple],
+    bins: int,
+    num_parts: int,
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """One scan → per-interval (bin counts, bin value-min, bin value-max).
+    intervals: (group, lo, hi, inc); a degenerate lo == hi interval counts
+    v == lo into bin 0.  Partials are sparse (interval, bin, count, vmin,
+    vmax) rows combined per batch, merged in one tiny hash-partitioned
+    groupby — the scan's shuffle volume is ≤ batches × intervals ×
+    distinct-bins-per-batch rows, and the driver sees ≤ intervals × bins
+    rows.  The per-bin min/max let the driver snap the next interval to
+    the ACTUAL value range inside the chosen bucket, so tie runs resolve
+    in one round instead of bisecting down to 1 ulp."""
+    from .skew import partitioned_groupby
+
+    groups = list({iv[0] for iv in intervals})
+    gset = pa.array(groups)
+    gid_of = {g: i for i, g in enumerate(groups)}
+    edges = [
+        None if lo == hi else np.linspace(lo, hi, bins + 1)
+        for (_, lo, hi, _) in intervals
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        gidx = pc.fill_null(
+            pc.index_in(t[group_col], value_set=gset), -1
+        ).to_numpy(zero_copy_only=False)
+        ivs, bs, cs, mns, mxs = [], [], [], [], []
+        for i, (g, lo, hi, inc) in enumerate(intervals):
+            m = _interval_mask(v, gidx, gid_of[g], lo, hi, inc)
+            if not m.any():
+                continue
+            vm = v[m]
+            if edges[i] is None:
+                ivs.append(np.array([i], dtype=np.int64))
+                bs.append(np.array([0], dtype=np.int64))
+                cs.append(np.array([len(vm)], dtype=np.int64))
+                mns.append(np.array([lo], dtype=np.float64))
+                mxs.append(np.array([lo], dtype=np.float64))
+                continue
+            b = np.searchsorted(edges[i], vm, side="right") - 1
+            np.clip(b, 0, bins - 1, out=b)
+            cnt = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(cnt)
+            bmin = np.full(bins, np.inf)
+            bmax = np.full(bins, -np.inf)
+            np.minimum.at(bmin, b, vm)
+            np.maximum.at(bmax, b, vm)
+            ivs.append(np.full(len(nz), i, dtype=np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(cnt[nz].astype(np.int64))
+            mns.append(bmin[nz])
+            mxs.append(bmax[nz])
+        if not ivs:
+            return pa.table(
+                {"_iv": pa.array([], pa.int64()), "_bin": pa.array([], pa.int64()),
+                 "_cnt": pa.array([], pa.int64()),
+                 "_vmin": pa.array([], pa.float64()),
+                 "_vmax": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"_iv": pa.array(np.concatenate(ivs)),
+             "_bin": pa.array(np.concatenate(bs)),
+             "_cnt": pa.array(np.concatenate(cs)),
+             "_vmin": pa.array(np.concatenate(mns)),
+             "_vmax": pa.array(np.concatenate(mxs))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    summed = partitioned_groupby(
+        partials,
+        ["_iv", "_bin"],
+        {"n": ("_cnt", "sum"), "vmin": ("_vmin", "min"), "vmax": ("_vmax", "max")},
+        num_parts=num_parts,
+    ).to_pandas()
+    out = {
+        i: (np.zeros(bins, dtype=np.int64), np.full(bins, np.inf),
+            np.full(bins, -np.inf))
+        for i in range(len(intervals))
+    }
+    for _, row in summed.iterrows():
+        i, b = int(row["_iv"]), int(row["_bin"])
+        out[i][0][b] = int(row["n"])
+        out[i][1][b] = float(row["vmin"])
+        out[i][2][b] = float(row["vmax"])
+    return out
+
+
+def _collect_values(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    targets: list[_Target],
+) -> list[np.ndarray]:
+    """One scan gathering the (≤ collect_cap each) values inside every
+    collect-state target's interval; returns per-target sorted arrays."""
+    groups = list({t.group for t in targets})
+    gset = pa.array(groups)
+    gid_of = {g: i for i, g in enumerate(groups)}
+    specs = [(gid_of[t.group], t.lo, t.hi, t.inc) for t in targets]
+
+    def grab(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        gidx = pc.fill_null(
+            pc.index_in(t[group_col], value_set=gset), -1
+        ).to_numpy(zero_copy_only=False)
+        tid_out, val_out = [], []
+        for i, (gi, lo, hi, inc) in enumerate(specs):
+            m = _interval_mask(v, gidx, gi, lo, hi, inc)
+            if m.any():
+                vals = v[m]
+                tid_out.append(np.full(len(vals), i, dtype=np.int64))
+                val_out.append(vals)
+        if not tid_out:
+            return pa.table(
+                {"_tid": pa.array([], pa.int64()), "_v": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"_tid": pa.array(np.concatenate(tid_out)),
+             "_v": pa.array(np.concatenate(val_out))}
+        )
+
+    tbl = pa.concat_tables(_gather(ds, grab))
+    tid = tbl["_tid"].to_numpy(zero_copy_only=False)
+    vv = tbl["_v"].to_numpy(zero_copy_only=False)
+    return [np.sort(vv[tid == i]) for i in range(len(targets))]
+
+
+def _gather(ds: rd.Dataset, fn) -> list[pa.Table]:
+    import ray
+
+    refs = ds.map_batches(fn, batch_format="pyarrow", batch_size=65536).to_arrow_refs()
+    return ray.get(refs)
+
+
+def exact_group_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    fracs: Sequence[float | Fraction] = (Fraction(1, 2),),
+    *,
+    bins: int = 1024,
+    collect_cap: int = 100_000,
+    num_parts: int = 16,
+    max_rounds: int = 24,
+) -> dict:
+    """For each group, the EXACT ``ceil(frac * n)``-th smallest value of
+    ``value_col`` per frac (n = the group's non-null count) — identical
+    to the value at ``row_number() = ceil(frac*n)`` under any SQL
+    ``ORDER BY value`` (tiebreak-independent: the value at a rank is a
+    property of the multiset).
+
+    Pass ``fractions.Fraction`` fracs when the rank formula must match a
+    SQL ``ceil(n/3.0)`` exactly; float fracs are fine away from exact
+    multiples.  Returns {group: [v_frac0, v_frac1, ...]}; empty groups
+    are absent.  The input is scanned 1 + rounds (+1 collect) times —
+    materialize a slim (group, value) projection first when upstream is
+    expensive.
+
+    Scale: driver holds #groups × #fracs targets and ≤ intervals × bins
+    counts; per-round shuffle is sparse count triples; the final collect
+    is ≤ collect_cap values per target.  Values must be finite (floats
+    or ints; int |v| > 2^53 loses exactness in the float64 binning).
+    """
+    stats = _group_stats(ds, value_col, group_col)
+    targets: list[_Target] = []
+    order: dict[object, list[int]] = {}
+    for group, (n, vmin, vmax) in stats.items():
+        if not (math.isfinite(vmin) and math.isfinite(vmax)):
+            raise ValueError(f"non-finite values in group {group!r}")
+        order[group] = []
+        for f in fracs:
+            k = min(n, max(1, math.ceil(f * n)))
+            t = _Target(group, k, vmin, vmax, inc=True)
+            if vmin == vmax:
+                t.state, t.value = "done", vmin
+            elif n <= collect_cap:
+                t.state, t.rank_in = "collect", k
+            order[group].append(len(targets))
+            targets.append(t)
+
+    for _ in range(max_rounds):
+        active = [t for t in targets if t.state == "refine"]
+        if not active:
+            break
+        keys = sorted({(t.group, t.lo, t.hi, t.inc) for t in active},
+                      key=lambda x: (str(x[0]), x[1], x[2]))
+        idx_of = {kk: i for i, kk in enumerate(keys)}
+        counts = _interval_counts(ds, value_col, group_col, keys, bins, num_parts)
+        for t in active:
+            i = idx_of[(t.group, t.lo, t.hi, t.inc)]
+            cnt, bmn, bmx = counts[i]
+            cum = np.cumsum(cnt)
+            r = t.k - t.before
+            j = int(np.searchsorted(cum, r, side="left"))
+            before_bin = int(cum[j - 1]) if j > 0 else 0
+            t.before += before_bin
+            t.rank_in = r - before_bin
+            # snap to the ACTUAL value range inside the chosen bucket —
+            # tie runs collapse to a point in one round
+            blo, bhi = float(bmn[j]), float(bmx[j])
+            if blo == bhi:
+                # every value in the bucket IS blo
+                t.state, t.value = "done", blo
+            elif np.nextafter(blo, math.inf) >= bhi:
+                # adjacent floats: values are exactly {blo, bhi}
+                t.state, t.lo, t.hi, t.inc = "twoval", blo, bhi, True
+            elif int(cnt[j]) <= collect_cap:
+                t.state, t.lo, t.hi, t.inc = "collect", blo, bhi, True
+            else:
+                t.lo, t.hi, t.inc = blo, bhi, True
+    if any(t.state == "refine" for t in targets):
+        raise RuntimeError("histogram refinement did not converge "
+                           f"in {max_rounds} rounds")
+
+    twovals = [t for t in targets if t.state == "twoval"]
+    if twovals:
+        keys = [(t.group, t.lo, t.lo, True) for t in twovals]  # count v == lo
+        counts = _interval_counts(ds, value_col, group_col, keys, 1, num_parts)
+        for i, t in enumerate(twovals):
+            n_lo = int(counts[i][0][0])
+            t.state, t.value = "done", t.lo if t.rank_in <= n_lo else t.hi
+
+    collects = [t for t in targets if t.state == "collect"]
+    if collects:
+        sorted_vals = _collect_values(ds, value_col, group_col, collects)
+        for t, vals in zip(collects, sorted_vals):
+            if not 1 <= t.rank_in <= len(vals):
+                raise RuntimeError(
+                    f"rank bookkeeping out of range for group {t.group!r}: "
+                    f"rank {t.rank_in} of {len(vals)} collected values"
+                )
+            t.state, t.value = "done", float(vals[t.rank_in - 1])
+
+    return {g: [targets[i].value for i in idxs] for g, idxs in order.items()}
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail tiering
+# --------------------------------------------------------------------------
+
+def perplexity_tiers(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    fracs: Sequence = (Fraction(1, 3), Fraction(2, 3)),
+    labels: Sequence[str] = ("tail", "middle", "head"),
+    score_round: int | None = 4,
+    counts=None,
+    bins: int = 1024,
+    collect_cap: int = 100_000,
+) -> rd.Dataset:
+    """CCNet-style quality tiering (Wenzek et al. 2020): score every
+    document with the unigram-LM mean logprob (the KenLM-free perplexity
+    proxy, ``score_unigram_logprob``), find each language's exact
+    ``ceil(n/3)``/``ceil(2n/3)`` score terciles with
+    ``exact_group_quantiles``, and assign head/middle/tail in one final
+    shuffle-free scan (thresholds are dimension-sized → closure
+    broadcast).  Higher logprob = more fluent, so ``head`` is the top
+    tercile.
+
+    The slim scored projection (id, n_tokens, score, group — no text) is
+    materialized once: it is consumed by the stats scan, the refinement
+    scans and the final assign, and re-tokenizing the corpus per scan
+    would dominate.  ``score_round`` rounds scores (SQL half-away
+    semantics) before tiering so results are stable under summation-
+    order noise; thresholds are then drawn from the same rounded
+    multiset a SQL oracle sees.
+
+    Output: (id_col, n_tokens, avg_logprob, group_col, tier).
+    """
+    from .text_analysis import score_unigram_logprob
+
+    if len(labels) != len(fracs) + 1:
+        raise ValueError("need len(fracs) + 1 labels")
+    scored = score_unigram_logprob(
+        docs, counts, text_col=text_col, id_col=id_col, keep_cols=(group_col,)
+    )
+    if score_round is not None:
+        nd = int(score_round)
+
+        def rnd(t: pa.Table) -> pa.Table:
+            v = round_half_away(
+                t["avg_logprob"].to_numpy(zero_copy_only=False), nd
+            )
+            return t.set_column(
+                t.schema.get_field_index("avg_logprob"),
+                "avg_logprob",
+                pa.array(v, type=pa.float64()),
+            )
+
+        scored = scored.map_batches(rnd, batch_format="pyarrow")
+    scored = scored.materialize()
+
+    th = exact_group_quantiles(
+        scored, "avg_logprob", group_col, fracs,
+        bins=bins, collect_cap=collect_cap,
+    )
+    groups = list(th.keys())
+    gset = pa.array(groups)
+    th_mat = np.array([th[g] for g in groups], dtype=np.float64)  # G × F
+    lab = np.asarray(labels, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t["avg_logprob"].to_numpy(zero_copy_only=False)
+        gi = pc.fill_null(
+            pc.index_in(t[group_col], value_set=gset), -1
+        ).to_numpy(zero_copy_only=False)
+        tier_idx = np.zeros(len(s), dtype=np.int64)
+        for f in range(th_mat.shape[1]):
+            tier_idx += (s > th_mat[gi, f]).astype(np.int64)
+        return t.append_column("tier", pa.array(lab[tier_idx].tolist(),
+                                                type=pa.string()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")

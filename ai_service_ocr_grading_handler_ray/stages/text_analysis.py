@@ -312,6 +312,7 @@ def score_unigram_logprob(
     oov_logprob: float | None = None,
     num_parts: int = 32,
     method: str = "broadcast",
+    keep_cols: tuple[str, ...] = (),
 ):
     """Per-document mean unigram log-probability — the KenLM-free
     perplexity proxy CCNet-style pipelines bucket quality by.  The LM is
@@ -338,12 +339,17 @@ def score_unigram_logprob(
     conflate their probabilities (~1e-6 at 10M types) — accepted for a
     scoring signal.
 
-    Output: (id_col, n_tokens, out_col).
+    Output: (id_col, n_tokens, out_col) plus any ``keep_cols``
+    (passthrough columns carried alongside the score — e.g. ``lang`` for
+    per-language tiering; broadcast method only).
     """
     import ray
 
     if method not in ("broadcast", "join"):
         raise ValueError(f"unknown method {method!r}")
+    if keep_cols and method == "join":
+        raise ValueError("keep_cols requires method='broadcast' (the join "
+                         "path regroups rows and drops passthrough columns)")
     if counts is None:
         counts = unigram_counts(ds, text_col=text_col, num_parts=num_parts)
     if method == "join":
@@ -375,13 +381,14 @@ def score_unigram_logprob(
             avg = np.add.reduceat(lp, starts) / lens
         else:
             avg = np.empty(0, dtype=np.float64)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "n_tokens": pa.array(lens),
-                out_col: pa.array(avg, type=pa.float64()),
-            }
-        )
+        cols = {
+            id_col: t[id_col],
+            "n_tokens": pa.array(lens),
+            out_col: pa.array(avg, type=pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q92_pack_sequences",
     "q93_repetition_signals",
     "q98_corpus_build",
+    "q99_perplexity_tiers",
 ]
 
 
