@@ -122,6 +122,32 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tier(args: argparse.Namespace) -> int:
+    """pages parquet → extracted + CCNet head/middle/tail tier parquet,
+    partitioned by (lang, tier)."""
+    import ray.data as rd
+
+    from .pipelines.tiering import tier_extract, write_tiered
+
+    files = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [
+        args.input
+    ]
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    if _refuse_existing_out(args.out):
+        return 2
+    tiers = tier_extract(
+        rd.read_parquet(files), detect_lang=not args.page_lang
+    )
+    write_tiered(tiers, args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet", partitioning="hive").count_rows()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
 def cmd_dedup(args: argparse.Namespace) -> int:
     """documents-style parquet → (id, cluster_id) near-dup clusters."""
     import ray.data as rd
@@ -296,6 +322,19 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--min-quality", type=float, default=0.35)
     pc_.add_argument("--max-repetition", type=float, default=0.5)
     pc_.set_defaults(fn=cmd_curate)
+
+    pt = sub.add_parser(
+        "tier", help="pages parquet → per-language head/middle/tail tiers (CCNet)"
+    )
+    pt.add_argument("--input", required=True, help="parquet file or glob")
+    pt.add_argument("--out", required=True)
+    pt.add_argument(
+        "--page-lang",
+        action="store_true",
+        help="trust the page table's lang column instead of re-detecting "
+        "from the extracted text",
+    )
+    pt.set_defaults(fn=cmd_tier)
 
     pd_ = sub.add_parser("dedup", help="documents parquet → near-dup clusters parquet")
     pd_.add_argument("--input", required=True)

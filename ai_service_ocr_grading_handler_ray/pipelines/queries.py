@@ -2171,6 +2171,36 @@ def q99_perplexity_tiers(sf_dir: str) -> rd.Dataset:
     return perplexity_tiers(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
 
 
+def q100_temperature_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature (α=0.5) source mixing: per-source keep rate ∝
+    n_s^0.5 scaled to a 240-doc budget, selection by deterministic
+    md5-u32 threshold (stages/sampling.temperature_sample) — one tiny
+    count groupby + a shuffle-free filter scan.  Oracle replays the
+    rate formula and the hex-threshold cut in SQL."""
+    from ..stages.sampling import temperature_sample
+
+    sampled = temperature_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        group_col="source",
+        id_col="doc_id",
+        alpha=0.5,
+        budget=240.0,
+    )
+    return sampled
+
+
+def q101_tier_extract(sf_dir: str) -> rd.Dataset:
+    """The tier-extraction capstone (pipelines/tiering.tier_extract):
+    extraction → language ID on the extracted text → unigram-LM scoring
+    → per-language EXACT tercile tiers.  Not SQL-expressible (extraction
+    is the engine's own DOM/PDF/OCR surface) — rows-only under the
+    driver; the tiering math is oracle-checked by q99 and the extraction
+    by q56's fidelity audit."""
+    from .tiering import tier_extract_sf
+
+    return tier_extract_sf(sf_dir)
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2217,7 +2247,7 @@ QUERIES = {
     "q83_skewed_join": q83_skewed_join,
     "q25_salted_user_counts": q25_salted_user_counts,
     "q28_streaming_window": q28_streaming_window,
-    "q84_streaming_sessionize": q84_streaming_sessionize,
+    "q101_tier_extract": q101_tier_extract,
     "q90_unigram_logprob": q90_unigram_logprob,
     "q91_badword_filter": q91_badword_filter,
     "q92_pack_sequences": q92_pack_sequences,
@@ -2227,12 +2257,18 @@ QUERIES = {
     "q67_bloom_anti_join": q67_bloom_anti_join,
     "q79_quantile_sketch": q79_quantile_sketch,
     "q32_minhash_dedup": q32_minhash_dedup,
-    "q33_simhash_dedup": q33_simhash_dedup,
     "q99_perplexity_tiers": q99_perplexity_tiers,
+    "q100_temperature_mix": q100_temperature_mix,
     # --- position >50: driver-green in rounds 1/2 and unchanged (or
-    # q37 (rows-only, r2-green) ceded its slot to the hash-checked q99;
-    # its changed cluster-finish path stays window-covered by q32/q33
-    # and its embedding bucketing by q88 ---
+    # q33/q37 (rows-only, r2-green) ceded their slots to the
+    # hash-checked q99/q100; their changed cluster-finish path stays
+    # window-covered by q32, the simhash kernel is pytest-pinned
+    # (batch/scalar equivalence), and the embedding bucketing by q88.
+    # q84 ceded its slot to the q101 capstone: its r3 streaming rebuild
+    # stays window-covered by q28 and its exact SQL oracle runs at both
+    # sfs in tests/test_oracle_parity.py every session ---
+    "q84_streaming_sessionize": q84_streaming_sessionize,
+    "q33_simhash_dedup": q33_simhash_dedup,
     "q37_embedding_dedup": q37_embedding_dedup,
     # --- driver-green in rounds 1/2 and unchanged (or
     # rows-only with r2 green rows); all still run in
@@ -3161,5 +3197,26 @@ ORACLE_SQL = {
                     WHEN r.avg_logprob > th.v1 THEN 'middle'
                     ELSE 'tail' END AS tier
         FROM ranked r JOIN th USING (lang)
+    """,
+    "q100_temperature_mix": """
+        WITH ns AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS n
+          FROM documents GROUP BY source
+        ), z AS (
+          SELECT sum(pow(n, 0.5)) AS z FROM ns
+        ), r AS (
+          SELECT source, least(1.0, 240.0 * pow(n, 0.5) / z.z / n) AS rate
+          FROM ns CROSS JOIN z
+        ), t AS (
+          SELECT source,
+                 CASE WHEN rate >= 1.0 THEN 'g'
+                      ELSE lower(lpad(to_hex(CAST(floor(rate * 4294967296.0)
+                                                  AS BIGINT)), 8, '0'))
+                 END AS thr
+          FROM r
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN t USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
     """,
 }

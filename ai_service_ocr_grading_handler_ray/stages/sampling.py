@@ -60,6 +60,78 @@ def stratified_sample(
     )
 
 
+def temperature_rates(
+    counts: dict, alpha: float, budget: float
+) -> dict:
+    """Per-group keep rates for temperature (α) sampling: group share
+    p_g ∝ n_g^α (mT5/XLM-R corpus mixing), per-doc keep probability
+    min(1, budget·p_g / n_g).  α < 1 upweights small groups; α = 1 is
+    proportional (rate = budget/N for all); α = 0 is uniform-by-group.
+    Computed with the same float-op sequence a SQL oracle uses
+    (pow → sum → left-to-right divide) so thresholds replay exactly."""
+    w = {g: float(n) ** alpha for g, n in counts.items()}
+    z = sum(w[g] for g in sorted(w, key=str))
+    return {
+        g: min(1.0, budget * w[g] / z / float(counts[g])) for g in counts
+    }
+
+
+def _rate_to_hex_threshold(rate: float) -> str:
+    """Keep-iff md5hex[:8] < threshold.  'g' sorts above every hex char,
+    so rate ≥ 1 keeps all rows; otherwise the first 8 md5 nibbles are a
+    uniform u32 and the cut is floor(rate·2^32) in lowercase hex —
+    byte-identical to SQL's lower(lpad(to_hex(floor(rate*2^32)),8,'0'))."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 4294967296.0), "08x")
+
+
+def temperature_sample(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget: float = 1000.0,
+) -> rd.Dataset:
+    """Deterministic temperature-based corpus mixing (the multilingual
+    LM standard: sample source g at rate ∝ n_g^α, Xue et al. 2021 /
+    Conneau et al. 2020): ONE tiny count groupby (map-side partial
+    combine), per-group hash thresholds shipped in the closure
+    (dimension-sized), then a shuffle-free filter scan — a document is
+    kept iff its md5 u32 falls under its group's rate cut, so selection
+    is stable under data growth, cluster size and row order, and
+    replayable in SQL for the oracle check.
+
+    The reference engine has no sampling operators (SURVEY.md §2.5);
+    this complements ``select_token_quota`` (hard per-source caps) with
+    proportional-to-n^α mixing."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(group_col).aggregate([(id_col, "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(group_col)
+        .aggregate(_Sum(f"{id_col}_count", alias_name="n"))
+        .to_pandas()
+    )
+    counts = dict(zip(agg[group_col], agg["n"].astype(int)))
+    rates = temperature_rates(counts, alpha, budget)
+    thr = {g: _rate_to_hex_threshold(r) for g, r in rates.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        gs = t[group_col].to_pylist()
+        mask = pa.array(
+            [_md5_hex(i)[:8] < thr[g] for i, g in zip(ids, gs)]
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --- HyperLogLog ------------------------------------------------------------
 
 _HLL_P = 12  # 4096 registers → ~1.6% standard error

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q93_repetition_signals",
     "q98_corpus_build",
     "q99_perplexity_tiers",
+    "q101_tier_extract",
 ]
 
 

@@ -167,3 +167,20 @@ def test_corpus_build_cli(tmp_path, sf_dir, capsys):
     assert 0 < summary["rows"] < 500
     t = pq.read_table(str(out))
     assert set(t.column_names) == {"doc_id", "source", "n_tokens", "tok_offset", "seq_id"}
+
+
+def test_tier_cli(tmp_path, sf_dir, capsys):
+    pages = tmp_path / "pages"
+    out = tmp_path / "tiered"
+    assert main(["synth-pages", "--sf-dir", sf_dir, "--out", str(pages)]) == 0
+    capsys.readouterr()
+    assert main(["tier", "--input", f"{pages}/*.parquet", "--out", str(out)]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 481
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(str(out), format="parquet", partitioning="hive")
+    paths = {f.path for f in d.get_fragments()}
+    assert any("tier=head" in p for p in paths)
+    # refuses to append into a non-empty output dir
+    assert main(["tier", "--input", f"{pages}/*.parquet", "--out", str(out)]) == 2

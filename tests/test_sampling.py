@@ -103,3 +103,47 @@ def test_quantile_sketch_associative(sf_dir):
     c2, lo2, hi2 = quantile_sketch(ds2, "value")
     assert (lo1, hi1) == (lo2, hi2)
     assert np.array_equal(c1, c2)
+
+
+def test_temperature_rates_alpha_semantics():
+    from ai_service_ocr_grading_handler_ray.stages.sampling import temperature_rates
+
+    counts = {"big": 9000, "small": 1000}
+    # alpha=1: proportional -> identical per-doc rate for every group
+    r1 = temperature_rates(counts, 1.0, 500)
+    assert abs(r1["big"] - r1["small"]) < 1e-12
+    # alpha<1 upweights the small group's per-doc rate
+    r5 = temperature_rates(counts, 0.5, 500)
+    assert r5["small"] > r5["big"]
+    # alpha=0: equal group shares -> per-doc rate inversely prop. to n
+    r0 = temperature_rates(counts, 0.0, 500)
+    assert abs(r0["small"] / r0["big"] - 9.0) < 1e-9
+    # rates cap at 1
+    assert temperature_rates({"x": 2}, 0.5, 1e9)["x"] == 1.0
+
+
+def test_temperature_sample_deterministic_and_budget(sf_dir):
+    import pandas as pd
+
+    from ai_service_ocr_grading_handler_ray.stages.sampling import temperature_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    a = temperature_sample(
+        ds, group_col="source", id_col="doc_id", alpha=0.5, budget=240.0
+    ).to_pandas()
+    b = temperature_sample(
+        ds.repartition(5), group_col="source", id_col="doc_id",
+        alpha=0.5, budget=240.0,
+    ).to_pandas()
+    # selection independent of block layout
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    # realized count concentrates near the budget (binomial, n=500)
+    assert 0.6 * 240 <= len(a) <= 1.4 * 240
+    # a shrunk budget selects a strict subset (nested thresholds)
+    c = temperature_sample(
+        ds, group_col="source", id_col="doc_id", alpha=0.5, budget=120.0
+    ).to_pandas()
+    assert set(c["doc_id"]).issubset(set(a["doc_id"]))
