@@ -2201,6 +2201,21 @@ def q101_tier_extract(sf_dir: str) -> rd.Dataset:
     return tier_extract_sf(sf_dir)
 
 
+def q102_dup_ngram_coverage(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-proxy duplicate-span signal: fraction of each doc's
+    token positions covered by a word-8-gram occurring >1× in the
+    corpus.  One gram-hash count shuffle + one broadcast + a
+    shuffle-free difference-array coverage scan.  Oracle replays grams
+    relationally (list-slice grams → dup set → position unnest →
+    count distinct covered)."""
+    from ..stages.dedup import duplicate_ngram_coverage
+
+    out = duplicate_ngram_coverage(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).to_pandas()
+    return _finalize(out, {"frac_dup_ngrams": 4})
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2253,7 +2268,7 @@ QUERIES = {
     "q92_pack_sequences": q92_pack_sequences,
     "q93_repetition_signals": q93_repetition_signals,
     "q94_dsir_weights": q94_dsir_weights,
-    "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
+    "q102_dup_ngram_coverage": q102_dup_ngram_coverage,
     "q67_bloom_anti_join": q67_bloom_anti_join,
     "q79_quantile_sketch": q79_quantile_sketch,
     "q32_minhash_dedup": q32_minhash_dedup,
@@ -2266,8 +2281,12 @@ QUERIES = {
     # (batch/scalar equivalence), and the embedding bucketing by q88.
     # q84 ceded its slot to the q101 capstone: its r3 streaming rebuild
     # stays window-covered by q28 and its exact SQL oracle runs at both
-    # sfs in tests/test_oracle_parity.py every session ---
+    # sfs in tests/test_oracle_parity.py every session.  q48 ceded to
+    # q102: the changed shingle kernel is exercised by q102 itself
+    # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
+    # every pytest session ---
     "q84_streaming_sessionize": q84_streaming_sessionize,
+    "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q33_simhash_dedup": q33_simhash_dedup,
     "q37_embedding_dedup": q37_embedding_dedup,
     # --- driver-green in rounds 1/2 and unchanged (or
@@ -3218,5 +3237,37 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.source
         FROM documents d JOIN t USING (source)
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+    """,
+    "q102_dup_ngram_coverage": """
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), g_rows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(ws) - 7),
+                   i -> struct_pack(
+                          pos := i,
+                          g := array_to_string(list_slice(ws, i, i + 7), ' ')
+                        ))) AS pg
+          FROM words WHERE len(ws) >= 8
+        ), g2 AS (
+          SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g_rows
+        ), d AS (
+          SELECT g FROM g2 GROUP BY g HAVING count(*) > 1
+        ), hits AS (
+          SELECT r.doc_id, unnest(generate_series(r.pos, r.pos + 7)) AS p
+          FROM g2 r JOIN d USING (g)
+        ), cov AS (
+          SELECT doc_id, count(DISTINCT p) AS covered FROM hits GROUP BY doc_id
+        )
+        SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+               CASE WHEN len(w.ws) = 0 THEN 0.0
+                    ELSE round(coalesce(cov.covered, 0)
+                               / CAST(len(w.ws) AS DOUBLE), 4)
+               END AS frac_dup_ngrams
+        FROM words w LEFT JOIN cov USING (doc_id)
     """,
 }

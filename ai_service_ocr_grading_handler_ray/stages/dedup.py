@@ -1278,3 +1278,135 @@ def flag_contaminated(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- duplicate n-gram span coverage (ExactSubstr proxy) ----------------------
+
+def duplicate_gram_set(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    ngram: int = 8,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Dataset of (g) — word-``ngram`` hashes occurring MORE THAN ONCE
+    across the whole corpus (every occurrence counts, including repeats
+    inside one document).  Per-batch ``np.unique`` partial counts, then
+    ONE gram-hash shuffle (`partitioned_groupby`) — the shuffled volume
+    is distinct-grams-per-batch rows of two ints, never the corpus.
+    Texts shorter than ``ngram`` words contribute nothing (their
+    all-words shingle is not a meaningful span)."""
+    from .skew import partitioned_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
+        keep = np.repeat(nw >= ngram, np.diff(off))
+        g, c = np.unique(h[keep], return_counts=True)
+        return pa.table({"g": pa.array(g, type=pa.uint64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    summed = partitioned_groupby(parts, ["g"], {"n": ("c", "sum")},
+                                 num_parts=num_parts)
+
+    def duponly(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], 1)).select(["g"])
+
+    return summed.map_batches(duponly, batch_format="pyarrow")
+
+
+def _coverage_from_flags(
+    flags: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
+) -> np.ndarray:
+    """Per-text count of token positions covered by at least one flagged
+    full gram — vectorized over the whole batch with a difference array
+    on the concatenated token tape (no per-text loop).  ``flags`` is one
+    bool per shingle emitted by ``batch_shingle_hashes``; short texts'
+    all-words shingles must already be False."""
+    s_counts = np.diff(off)
+    total_tokens = int(nw.sum())
+    covered = np.zeros(len(nw), dtype=np.int64)
+    if total_tokens == 0 or not flags.any():
+        return covered
+    text_idx = np.repeat(np.arange(len(nw)), s_counts)
+    local = np.arange(len(flags)) - np.repeat(off[:-1], s_counts)
+    t_off = np.concatenate([[0], np.cumsum(nw)])
+    starts = t_off[text_idx[flags]] + local[flags]
+    diff = np.zeros(total_tokens + 1, dtype=np.int64)
+    np.add.at(diff, starts, 1)
+    np.add.at(diff, starts + ngram, -1)
+    cov = (np.cumsum(diff[:-1]) > 0).astype(np.int64)
+    ne = nw > 0
+    # zero-width texts add nothing to the tape, so the kept offsets
+    # still delimit exactly the nonempty texts' segments
+    covered[ne] = np.add.reduceat(cov, t_off[:-1][ne])
+    return covered
+
+
+def duplicate_ngram_coverage(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    num_parts: int = 32,
+    broadcast_cap: int = 50_000_000,
+) -> rd.Dataset:
+    """Per-document duplicate-span signal (the ExactSubstr/Dolma-style
+    dedup statistic, Lee et al. 2022 reduced to word ``ngram``
+    granularity): the fraction of a document's token positions covered
+    by at least one word-``ngram`` that occurs more than once in the
+    whole corpus.  Filtering on it removes boilerplate-heavy and
+    copy-heavy documents without a suffix array.
+
+    Plan: ONE gram-hash count shuffle builds the duplicated-gram set
+    (``duplicate_gram_set``); the set broadcasts once via ``ray.put``
+    (sorted uint64 membership — 8 bytes per duplicated gram; the cap
+    fails loudly rather than silently truncating, and a Bloom filter
+    from ``stages.sketches`` is the drop-in beyond it, erring toward
+    over-coverage, the safe direction for a removal signal); the scoring
+    scan is shuffle-free — searchsorted membership per gram, then a
+    batch-wide difference array turns flagged gram starts into covered
+    token positions (``_coverage_from_flags``, no per-text loop).
+
+    Output: (id_col, n_tokens, frac_dup_ngrams) for EVERY input row
+    (< ngram words → 0.0 coverage).  64-bit gram hashing: a collision
+    can only over-count coverage (two distinct grams sharing a hash);
+    at ~n²/2^64 it is negligible and errs toward removal."""
+    import ray
+
+    dup_tbls = ray.get(duplicate_gram_set(
+        ds, text_col=text_col, ngram=ngram, num_parts=num_parts
+    ).to_arrow_refs())
+    arrs = [t["g"].to_numpy(zero_copy_only=False) for t in dup_tbls if t.num_rows]
+    dup = np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+    if dup.size > broadcast_cap:
+        raise ValueError(
+            f"{dup.size} duplicated grams exceed broadcast_cap="
+            f"{broadcast_cap}; use a Bloom filter (stages.sketches) "
+            "for the membership side at this scale"
+        )
+    ref = ray.put(dup)
+
+    def score(t: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
+        flags = np.zeros(len(h), dtype=bool)
+        if bs.size and len(h):
+            idx = np.searchsorted(bs, h)
+            valid = idx < bs.size
+            flags[valid] = bs[idx[valid]] == h[valid]
+            flags &= np.repeat(nw >= ngram, np.diff(off))
+        covered = _coverage_from_flags(flags, off, nw, ngram)
+        frac = covered / np.maximum(nw, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(nw),
+                "frac_dup_ngrams": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

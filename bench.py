@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q98_corpus_build",
     "q99_perplexity_tiers",
     "q101_tier_extract",
+    "q102_dup_ngram_coverage",
 ]
 
 

@@ -405,3 +405,80 @@ def test_semantic_dedup_deterministic_under_shuffled_input():
     oa = semantic_dedup(a, n_lists=3, tau=0.9).to_pandas().sort_values("vec_id").reset_index(drop=True)
     ob = semantic_dedup(b, n_lists=3, tau=0.9).to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert oa.equals(ob)
+
+
+# --- duplicate n-gram span coverage ------------------------------------------
+
+def _coverage_replay(texts: list[str], ngram: int) -> list[tuple[int, float]]:
+    """Scalar reference: global gram counts over all occurrences, then
+    per-doc covered-position fraction."""
+    from collections import Counter
+
+    grams_per_doc = []
+    counts = Counter()
+    for t in texts:
+        ws = (t or "").lower().split()
+        gs = (
+            [tuple(ws[i : i + ngram]) for i in range(len(ws) - ngram + 1)]
+            if len(ws) >= ngram
+            else []
+        )
+        grams_per_doc.append((ws, gs))
+        counts.update(gs)
+    out = []
+    for ws, gs in grams_per_doc:
+        covered = set()
+        for i, g in enumerate(gs):
+            if counts[g] > 1:
+                covered.update(range(i, i + ngram))
+        out.append((len(ws), len(covered) / max(len(ws), 1)))
+    return out
+
+
+def test_duplicate_ngram_coverage_matches_scalar_replay():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import duplicate_ngram_coverage
+
+    texts = [
+        "a b c d e f",          # shares the 3-gram tape with doc 1
+        "a b c d x y",          # overlap: 'a b c' and 'b c d' both dup
+        "p q r s t u v w",      # unique → 0 coverage
+        "z z z z z z",          # within-doc repeats: 'z z z' ×4 → full cover
+        "short one",            # < ngram words → 0.0, n_tokens = 2
+        "",                     # empty → n_tokens 0, frac 0
+        "a b c d e f",          # exact dup of doc 0 → full cover both
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(3)
+    got = (
+        duplicate_ngram_coverage(ds, ngram=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _coverage_replay(texts, 3)
+    assert list(got["n_tokens"]) == [w[0] for w in want]
+    assert list(got["frac_dup_ngrams"]) == pytest.approx([w[1] for w in want])
+    # spans, not grams: doc 0 and 6 fully covered; doc 1 covered on 'a b c d'
+    assert got.loc[0, "frac_dup_ngrams"] == 1.0
+    assert got.loc[6, "frac_dup_ngrams"] == 1.0
+    assert got.loc[1, "frac_dup_ngrams"] == pytest.approx(4 / 6)
+    assert got.loc[2, "frac_dup_ngrams"] == 0.0
+    assert got.loc[3, "frac_dup_ngrams"] == 1.0
+    assert got.loc[4, "frac_dup_ngrams"] == 0.0
+
+
+def test_duplicate_ngram_coverage_broadcast_cap():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import duplicate_ngram_coverage
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "a b c d"]})
+    )
+    with pytest.raises(ValueError, match="broadcast_cap"):
+        duplicate_ngram_coverage(ds, ngram=3, broadcast_cap=1).to_pandas()
