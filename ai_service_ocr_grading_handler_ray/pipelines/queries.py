@@ -2216,6 +2216,23 @@ def q102_dup_ngram_coverage(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"frac_dup_ngrams": 4})
 
 
+def q103_remove_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL: every document
+    rewritten with all word-8-grams occurring >1× corpus-wide excised
+    (every occurrence — the Dolma convention for cross-page
+    boilerplate).  Same plan shape as q102 (one gram-count shuffle +
+    one broadcast + a shuffle-free rewrite scan); the rewrite gathers
+    kept original-case tokens on the batch token tape and reassembles
+    text with one vectorized binary_join.  Oracle replays it
+    relationally: dup grams → covered positions → string_agg of the
+    uncovered tokens in position order."""
+    from ..stages.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).to_pandas()
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2228,7 +2245,7 @@ QUERIES = {
     "q57_group_zscore": q57_group_zscore,
     "q60_above_nation_avg": q60_above_nation_avg,
     "q98_corpus_build": q98_corpus_build,
-    "q10_customers_per_region": q10_customers_per_region,
+    "q103_remove_dup_spans": q103_remove_dup_spans,
     "q11_events_hourly": q11_events_hourly,
     "q97_token_quota_mix": q97_token_quota_mix,
     "q18_docs_en_long": q18_docs_en_long,
@@ -2285,6 +2302,11 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
+    # q10 (r1-HASH-green trivial 3-way dim join + count, unchanged)
+    # ceded its slot to the never-checked q103; its join primitive stays
+    # window-covered by q22/q85 and its oracle runs in every pytest
+    # session ---
+    "q10_customers_per_region": q10_customers_per_region,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q33_simhash_dedup": q33_simhash_dedup,
@@ -3269,5 +3291,48 @@ ORACLE_SQL = {
                                / CAST(len(w.ws) AS DOUBLE), 4)
                END AS frac_dup_ngrams
         FROM words w LEFT JOIN cov USING (doc_id)
+    """,
+    "q103_remove_dup_spans": """
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS lws,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), g_rows AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(lws) - 7),
+                   i -> struct_pack(
+                          pos := i,
+                          g := array_to_string(list_slice(lws, i, i + 7), ' ')
+                        ))) AS pg
+          FROM words WHERE len(lws) >= 8
+        ), g2 AS (
+          SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g_rows
+        ), d AS (
+          SELECT g FROM g2 GROUP BY g HAVING count(*) > 1
+        ), hits AS (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT r.doc_id, unnest(generate_series(r.pos, r.pos + 7)) AS p
+            FROM g2 r JOIN d USING (g)
+          )
+        ), toks AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p
+          FROM words
+        ), kept AS (
+          SELECT t.doc_id,
+                 coalesce(string_agg(t.w, ' ' ORDER BY t.p)
+                          FILTER (WHERE h.p IS NULL), '') AS text,
+                 count(*) FILTER (WHERE h.p IS NULL) AS n_kept
+          FROM toks t
+          LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.p = h.p
+          GROUP BY t.doc_id
+        )
+        SELECT w.doc_id, coalesce(k.text, '') AS text,
+               CAST(len(w.ws) AS BIGINT) AS n_tokens,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM words w LEFT JOIN kept k USING (doc_id)
     """,
 }

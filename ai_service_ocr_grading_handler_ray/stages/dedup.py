@@ -1316,19 +1316,64 @@ def duplicate_gram_set(
     return summed.map_batches(duponly, batch_format="pyarrow")
 
 
-def _coverage_from_flags(
+def _broadcast_dup_grams(
+    ds: rd.Dataset,
+    *,
+    text_col: str,
+    ngram: int,
+    num_parts: int,
+    broadcast_cap: int,
+):
+    """Build the corpus-wide duplicated-gram set (``duplicate_gram_set``)
+    and broadcast it ONCE via ``ray.put`` as a sorted uint64 membership
+    array (8 bytes per duplicated gram).  The cap fails loudly rather
+    than silently truncating; a Bloom filter from ``stages.sketches`` is
+    the drop-in beyond it (over-coverage — the safe direction for a
+    removal signal)."""
+    import ray
+
+    dup_tbls = ray.get(duplicate_gram_set(
+        ds, text_col=text_col, ngram=ngram, num_parts=num_parts
+    ).to_arrow_refs())
+    arrs = [t["g"].to_numpy(zero_copy_only=False) for t in dup_tbls if t.num_rows]
+    dup = np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
+    if dup.size > broadcast_cap:
+        raise ValueError(
+            f"{dup.size} duplicated grams exceed broadcast_cap="
+            f"{broadcast_cap}; use a Bloom filter (stages.sketches) "
+            "for the membership side at this scale"
+        )
+    return ray.put(dup)
+
+
+def _dup_gram_flags(
+    bs: np.ndarray, h: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
+) -> np.ndarray:
+    """One bool per shingle: gram hash is in the sorted membership array
+    ``bs`` AND comes from a text with at least ``ngram`` words (short
+    texts' all-words shingles are not full-width spans)."""
+    flags = np.zeros(len(h), dtype=bool)
+    if bs.size and len(h):
+        idx = np.searchsorted(bs, h)
+        valid = idx < bs.size
+        flags[valid] = bs[idx[valid]] == h[valid]
+        flags &= np.repeat(nw >= ngram, np.diff(off))
+    return flags
+
+
+def _covered_tape(
     flags: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
 ) -> np.ndarray:
-    """Per-text count of token positions covered by at least one flagged
-    full gram — vectorized over the whole batch with a difference array
-    on the concatenated token tape (no per-text loop).  ``flags`` is one
-    bool per shingle emitted by ``batch_shingle_hashes``; short texts'
-    all-words shingles must already be False."""
-    s_counts = np.diff(off)
+    """Boolean tape over the batch's concatenated token positions
+    (length ``nw.sum()``): True where the position is covered by at
+    least one flagged full gram — a difference array over flagged gram
+    starts, no per-text loop.  ``flags`` is one bool per shingle emitted
+    by ``batch_shingle_hashes``; short texts' all-words shingles must
+    already be False."""
     total_tokens = int(nw.sum())
-    covered = np.zeros(len(nw), dtype=np.int64)
     if total_tokens == 0 or not flags.any():
-        return covered
+        return np.zeros(total_tokens, dtype=bool)
+    s_counts = np.diff(off)
     text_idx = np.repeat(np.arange(len(nw)), s_counts)
     local = np.arange(len(flags)) - np.repeat(off[:-1], s_counts)
     t_off = np.concatenate([[0], np.cumsum(nw)])
@@ -1336,11 +1381,23 @@ def _coverage_from_flags(
     diff = np.zeros(total_tokens + 1, dtype=np.int64)
     np.add.at(diff, starts, 1)
     np.add.at(diff, starts + ngram, -1)
-    cov = (np.cumsum(diff[:-1]) > 0).astype(np.int64)
+    return np.cumsum(diff[:-1]) > 0
+
+
+def _coverage_from_flags(
+    flags: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
+) -> np.ndarray:
+    """Per-text count of token positions covered by at least one flagged
+    full gram (``_covered_tape`` folded per text)."""
+    covered = np.zeros(len(nw), dtype=np.int64)
+    cov = _covered_tape(flags, off, nw, ngram)
+    if cov.size == 0:
+        return covered
+    t_off = np.concatenate([[0], np.cumsum(nw)])
     ne = nw > 0
     # zero-width texts add nothing to the tape, so the kept offsets
     # still delimit exactly the nonempty texts' segments
-    covered[ne] = np.add.reduceat(cov, t_off[:-1][ne])
+    covered[ne] = np.add.reduceat(cov.astype(np.int64), t_off[:-1][ne])
     return covered
 
 
@@ -1376,29 +1433,16 @@ def duplicate_ngram_coverage(
     at ~n²/2^64 it is negligible and errs toward removal."""
     import ray
 
-    dup_tbls = ray.get(duplicate_gram_set(
-        ds, text_col=text_col, ngram=ngram, num_parts=num_parts
-    ).to_arrow_refs())
-    arrs = [t["g"].to_numpy(zero_copy_only=False) for t in dup_tbls if t.num_rows]
-    dup = np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
-    if dup.size > broadcast_cap:
-        raise ValueError(
-            f"{dup.size} duplicated grams exceed broadcast_cap="
-            f"{broadcast_cap}; use a Bloom filter (stages.sketches) "
-            "for the membership side at this scale"
-        )
-    ref = ray.put(dup)
+    ref = _broadcast_dup_grams(
+        ds, text_col=text_col, ngram=ngram, num_parts=num_parts,
+        broadcast_cap=broadcast_cap,
+    )
 
     def score(t: pa.Table) -> pa.Table:
         bs = ray.get(ref)
         texts = t[text_col].to_pylist()
         h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
-        flags = np.zeros(len(h), dtype=bool)
-        if bs.size and len(h):
-            idx = np.searchsorted(bs, h)
-            valid = idx < bs.size
-            flags[valid] = bs[idx[valid]] == h[valid]
-            flags &= np.repeat(nw >= ngram, np.diff(off))
+        flags = _dup_gram_flags(bs, h, off, nw, ngram)
         covered = _coverage_from_flags(flags, off, nw, ngram)
         frac = covered / np.maximum(nw, 1)
         return pa.table(
@@ -1410,3 +1454,80 @@ def duplicate_ngram_coverage(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    num_parts: int = 32,
+    broadcast_cap: int = 50_000_000,
+) -> rd.Dataset:
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022 reduced
+    to word-``ngram`` granularity): rewrite every document keeping only
+    the token positions NOT covered by a word-``ngram`` that occurs more
+    than once corpus-wide.  Unlike the keep-first segment dedup
+    (``stages.clean.dedup_segments_keep_first``) this removes EVERY
+    occurrence of a duplicated span — the Dolma/ExactSubstr convention
+    for boilerplate shared across many pages, where no single occurrence
+    is canonical.
+
+    Plan — same shape as ``duplicate_ngram_coverage``: ONE gram-hash
+    count shuffle builds the duplicated set, it broadcasts once
+    (``ray.put``, sorted uint64, loud cap), and the rewrite scan is
+    shuffle-free: flagged gram starts become a covered-position tape via
+    a batch-wide difference array, the kept original-case tokens are
+    gathered on the concatenated token tape and reassembled per document
+    with ONE vectorized ``pc.binary_join`` (no per-text loop).
+
+    Duplicate detection is case-insensitive (grams hash lowercased
+    words, matching the coverage statistic); the REWRITTEN text keeps
+    the original casing — lowercasing never creates or removes
+    whitespace, so the two token tapes align position-for-position.
+
+    Output: (id_col, text_col rewritten, n_tokens before, n_kept) for
+    EVERY input row; texts shorter than ``ngram`` words pass through
+    whitespace-normalized (single-space joined), which is also what the
+    coverage statistic's tokenization assumes."""
+    import ray
+
+    ref = _broadcast_dup_grams(
+        ds, text_col=text_col, ngram=ngram, num_parts=num_parts,
+        broadcast_cap=broadcast_cap,
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
+        flags = _dup_gram_flags(bs, h, off, nw, ngram)
+        cov = _covered_tape(flags, off, nw, ngram)
+        words_all: list[str] = []
+        for s in texts:
+            words_all.extend((s or "").split())
+        words = np.array(words_all, dtype=object)
+        kept_words = words[~cov] if cov.size else words
+        t_off = np.concatenate([[0], np.cumsum(nw)])
+        covered = np.zeros(len(nw), dtype=np.int64)
+        ne = nw > 0
+        if cov.size:
+            covered[ne] = np.add.reduceat(cov.astype(np.int64), t_off[:-1][ne])
+        n_kept = nw - covered
+        k_off = np.concatenate([[0], np.cumsum(n_kept)])
+        lst = pa.ListArray.from_arrays(
+            pa.array(k_off, type=pa.int32()),
+            pa.array(kept_words, type=pa.string()),
+        )
+        cleaned = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: cleaned,
+                "n_tokens": pa.array(nw),
+                "n_kept": pa.array(n_kept),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

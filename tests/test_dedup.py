@@ -482,3 +482,57 @@ def test_duplicate_ngram_coverage_broadcast_cap():
     )
     with pytest.raises(ValueError, match="broadcast_cap"):
         duplicate_ngram_coverage(ds, ngram=3, broadcast_cap=1).to_pandas()
+
+
+def test_remove_duplicate_spans_rewrite():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import remove_duplicate_spans
+
+    span = "a b c"  # duplicated 3-gram across docs
+    texts = [
+        f"U1 U2 {span} T1 T2",    # interior span excised, tails kept
+        f"{span} only here once more words",  # prefix span excised
+        "p q r s",                # unique → untouched
+        "short",                  # < ngram words → passes through
+        "",                       # empty → stays empty
+        "A B C",                  # case-insensitive dup, fully covered
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(3)
+    got = (
+        remove_duplicate_spans(ds, ngram=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["text"]) == [
+        "U1 U2 T1 T2",
+        "only here once more words",
+        "p q r s",
+        "short",
+        "",
+        "",  # original-case tokens removed via lowercased gram match
+    ]
+    assert list(got["n_tokens"]) == [7, 8, 4, 1, 0, 3]
+    assert list(got["n_kept"]) == [4, 5, 4, 1, 0, 0]
+
+
+def test_remove_duplicate_spans_preserves_original_case():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import remove_duplicate_spans
+
+    # 'x y z' duplicated (lowercased); the kept tokens keep their casing
+    texts = ["KEEP Me x y z", "x y z Other CASE kept"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": texts}))
+    got = (
+        remove_duplicate_spans(ds, ngram=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["text"]) == ["KEEP Me", "Other CASE kept"]
