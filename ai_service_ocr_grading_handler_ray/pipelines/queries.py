@@ -2233,6 +2233,30 @@ def q103_remove_dup_spans(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
 
 
+def q104_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """Distributed k-means (stages/clustering): ONE Lloyd iteration from
+    the deterministic smallest-4-id seed, then nearest-centroid
+    assignment — per iteration: one (k,d) broadcast, one shuffle-free
+    partial-sums scan (argmin over a matmul Gram term +
+    sort/add.reduceat), a k×blocks-bounded driver fold.  Output is ids
+    only (vec_id, cluster), so the oracle compares integers — the SQL
+    replays seed → assign → per-dimension means → reassign
+    relationally over CAST(embedding AS DOUBLE[])."""
+    from ..stages.clustering import (
+        assign_clusters,
+        kmeans_iterate,
+        smallest_k_vectors,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = smallest_k_vectors(ds, id_col="vec_id", vec_col="embedding", k=4)
+    c1 = kmeans_iterate(ds, seeds, vec_col="embedding", n_iter=1)
+    out = assign_clusters(
+        ds, c1, vec_col="embedding", keep_cols=["vec_id"]
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2246,7 +2270,7 @@ QUERIES = {
     "q60_above_nation_avg": q60_above_nation_avg,
     "q98_corpus_build": q98_corpus_build,
     "q103_remove_dup_spans": q103_remove_dup_spans,
-    "q11_events_hourly": q11_events_hourly,
+    "q104_kmeans_assign": q104_kmeans_assign,
     "q97_token_quota_mix": q97_token_quota_mix,
     "q18_docs_en_long": q18_docs_en_long,
     "q19_events_type_stats": q19_events_type_stats,
@@ -2302,11 +2326,12 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
-    # q10 (r1-HASH-green trivial 3-way dim join + count, unchanged)
-    # ceded its slot to the never-checked q103; its join primitive stays
-    # window-covered by q22/q85 and its oracle runs in every pytest
-    # session ---
+    # q10/q11 (r1-HASH-green trivial dim-join count / hourly groupby,
+    # unchanged) ceded their slots to the never-checked q103/q104; their
+    # primitives stay window-covered by q22/q85/q19 and their oracles
+    # run in every pytest session ---
     "q10_customers_per_region": q10_customers_per_region,
+    "q11_events_hourly": q11_events_hourly,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q33_simhash_dedup": q33_simhash_dedup,
@@ -3334,5 +3359,44 @@ ORACLE_SQL = {
                CAST(len(w.ws) AS BIGINT) AS n_tokens,
                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
         FROM words w LEFT JOIN kept k USING (doc_id)
+    """,
+    "q104_kmeans_assign": """
+        WITH c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+                 CAST(embedding AS DOUBLE[]) AS cen
+          FROM embeddings ORDER BY vec_id LIMIT 4
+        ), a0 AS (
+          SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cen),
+                              c.cl
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c0 c
+          ) WHERE rn = 1
+        ), dims AS (
+          SELECT a0.cl, generate_subscripts(e.embedding, 1) AS dim,
+                 unnest(CAST(e.embedding AS DOUBLE[])) AS val
+          FROM embeddings e JOIN a0 USING (vec_id)
+        ), m AS (
+          SELECT cl, dim, avg(val) AS mu FROM dims GROUP BY cl, dim
+        ), c1 AS (
+          SELECT c0.cl,
+                 CASE WHEN count(m.mu) = 0 THEN any_value(c0.cen)
+                      ELSE list(m.mu ORDER BY m.dim) END AS cen
+          FROM c0 LEFT JOIN m ON c0.cl = m.cl
+          GROUP BY c0.cl
+        )
+        SELECT vec_id, cl AS cluster FROM (
+          SELECT e.vec_id, c.cl,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cen),
+                            c.cl
+                 ) AS rn
+          FROM embeddings e CROSS JOIN c1 c
+        ) WHERE rn = 1
+        ORDER BY vec_id
     """,
 }

@@ -1,0 +1,178 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The iterative clustering primitive large-scale curation pipelines need
+(SemDeDup cluster assignment, IVF coarse quantizer training, cluster-
+balanced sampling).  Reference parity note: the reference repo has no
+clustering surface — this is part of the "operations a large-scale
+training-data pipeline would need" mandate, built on the same embedding
+tables as stages/similarity.py.
+
+Scale shape — per Lloyd iteration:
+
+- centroids broadcast ONCE via ``ray.put`` ((k, d) float64 — dimension-
+  sized), never re-shipped per batch;
+- ONE shuffle-free ``map_batches`` scan assigns each vector to its
+  nearest centroid (vectorized ``argmin`` over a matmul Gram term) and
+  emits ONE partial row per (batch, cluster): the per-cluster vector sum
+  (stable-sort + ``add.reduceat``, no per-row loop) and count;
+- the driver folds k × n_blocks partial rows (bounded by block count,
+  never by corpus size) into new centroids — the same bounded-merge
+  pattern as the brute-force kNN top-k finish.
+
+Empty clusters keep their previous centroid (the deterministic
+convention DuckDB's relational replay can coalesce).
+
+Determinism: seeding is by smallest-id rows (order-independent), each
+scan's partials are summed in cluster order per batch, and the driver
+folds partials in sorted (block, cluster) order — bit-stable across runs
+of the same input regardless of block layout, up to float addition
+order across blocks (pinned by sorting partial rows before the fold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .similarity import _as_matrix
+
+
+def smallest_k_vectors(
+    ds: rd.Dataset, *, id_col: str, vec_col: str, k: int
+) -> np.ndarray:
+    """(k, d) float64 matrix of the vectors with the k SMALLEST ids —
+    the deterministic, order-independent k-means seed.  Per-batch
+    partial top-k (k smallest ids leave each task), driver merge sees
+    k × n_blocks rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            keep = np.argsort(ids, kind="stable")[:k]
+            t = t.take(pa.array(np.sort(keep)))
+        return t
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    tbls = [t for t in ray.get(parts) if t.num_rows]
+    if not tbls:
+        raise ValueError("empty dataset: cannot seed centroids")
+    merged = pa.concat_tables(tbls)
+    ids = merged[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) < k:
+        raise ValueError(f"only {len(ids)} rows for k={k} seed centroids")
+    keep = np.argsort(ids, kind="stable")[:k]
+    return _as_matrix(merged[vec_col])[keep]
+
+
+def _assign(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index per row of V (squared L2, ties → lowest
+    cluster index via argmin's first-minimum rule)."""
+    # ||v-c||² = ||v||² - 2 v·c + ||c||²; the ||v||² term is constant
+    # per row, so argmin over (||c||² - 2 v·c) matches exactly.
+    d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (V @ C.T)
+    return np.argmin(d2, axis=1)
+
+
+def _partial_sums(V: np.ndarray, a: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cluster vector sums + counts for one batch — stable sort by
+    assignment then ``add.reduceat`` (vectorized; no per-row loop)."""
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    sums = np.zeros((k, V.shape[1]), dtype=np.float64)
+    if len(a):
+        order = np.argsort(a, kind="stable")
+        present = np.flatnonzero(counts)
+        starts = np.concatenate([[0], np.cumsum(counts[present])[:-1]])
+        sums[present] = np.add.reduceat(V[order], starts, axis=0)
+    return sums, counts
+
+
+def kmeans_iterate(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    n_iter: int = 1,
+) -> np.ndarray:
+    """Run ``n_iter`` Lloyd iterations from ``centroids``; returns the
+    updated (k, d) float64 centroid matrix.  Each iteration is one
+    broadcast + one shuffle-free scan + a bounded driver fold."""
+    C = np.asarray(centroids, dtype=np.float64)
+    k, d = C.shape
+    for _ in range(n_iter):
+        ref = ray.put(C)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            Ci = ray.get(_ref)
+            V = _as_matrix(t[vec_col])
+            sums, counts = _partial_sums(V, _assign(V, Ci), k)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+                }
+            )
+
+        tbls = [
+            t for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        # fold in sorted order so cross-block float addition order is
+        # pinned (bit-stable across runs / block layouts)
+        rows = pa.concat_tables(tbls)
+        cl = rows["cluster"].to_numpy(zero_copy_only=False)
+        n = rows["n"].to_numpy(zero_copy_only=False)
+        S = _as_matrix(rows["s"])
+        order = np.argsort(cl, kind="stable")
+        cl_s = cl[order]
+        present, first = np.unique(cl_s, return_index=True)
+        sums[present] = np.add.reduceat(S[order], first, axis=0)
+        counts[present] = np.add.reduceat(n[order], first)
+        nonempty = counts > 0
+        C = C.copy()
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return C
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    *,
+    k: int,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seed by smallest-id rows, then ``n_iter`` Lloyd iterations."""
+    seeds = smallest_k_vectors(ds, id_col=id_col, vec_col=vec_col, k=k)
+    return kmeans_iterate(ds, seeds, vec_col=vec_col, n_iter=n_iter)
+
+
+def assign_clusters(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    keep_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Add the nearest-centroid index per row — one broadcast + one
+    shuffle-free scan.  ``keep_cols`` prunes the output (e.g. drop the
+    vector column once assigned)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    ref = ray.put(C)
+
+    def fn(t: pa.Table) -> pa.Table:
+        Ci = ray.get(ref)
+        a = _assign(_as_matrix(t[vec_col]), Ci)
+        if keep_cols is not None:
+            t = t.select(keep_cols)
+        return t.append_column(out_col, pa.array(a, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
