@@ -2257,6 +2257,28 @@ def q104_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q105_cluster_prune(sf_dir: str) -> pd.DataFrame:
+    """Cluster-based density pruning (SSL-prototypes / SemDeDup
+    selection): q104's k-means assignment, then keep each cluster's
+    most-prototypical half — squared distance ≤ the cluster's exact
+    ceil(n/2)-th smallest (distributed histogram-refinement quantiles;
+    ties at the threshold all kept).  One assignment scan + bounded
+    refinement scans over the materialized slim projection + one
+    shuffle-free threshold filter.  Ids-only output; the oracle ranks
+    the same |v|²+|c|²−2v·c expansion with window functions."""
+    from ..stages.clustering import (
+        cluster_prune,
+        kmeans_iterate,
+        smallest_k_vectors,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = smallest_k_vectors(ds, id_col="vec_id", vec_col="embedding", k=4)
+    c1 = kmeans_iterate(ds, seeds, vec_col="embedding", n_iter=1)
+    out = cluster_prune(ds, c1, id_col="vec_id", vec_col="embedding").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2272,7 +2294,7 @@ QUERIES = {
     "q103_remove_dup_spans": q103_remove_dup_spans,
     "q104_kmeans_assign": q104_kmeans_assign,
     "q97_token_quota_mix": q97_token_quota_mix,
-    "q18_docs_en_long": q18_docs_en_long,
+    "q105_cluster_prune": q105_cluster_prune,
     "q19_events_type_stats": q19_events_type_stats,
     "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
     "q96_fused_quality_filter": q96_fused_quality_filter,
@@ -2326,12 +2348,13 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
-    # q10/q11 (r1-HASH-green trivial dim-join count / hourly groupby,
-    # unchanged) ceded their slots to the never-checked q103/q104; their
-    # primitives stay window-covered by q22/q85/q19 and their oracles
-    # run in every pytest session ---
+    # q10/q11/q18 (r1-HASH-green trivial dim-join count / hourly groupby
+    # / filter, unchanged) ceded their slots to the never-checked
+    # q103/q104/q105; their primitives stay window-covered by
+    # q22/q85/q19 and their oracles run in every pytest session ---
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
+    "q18_docs_en_long": q18_docs_en_long,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q33_simhash_dedup": q33_simhash_dedup,
@@ -3398,5 +3421,64 @@ ORACLE_SQL = {
           FROM embeddings e CROSS JOIN c1 c
         ) WHERE rn = 1
         ORDER BY vec_id
+    """,
+    "q105_cluster_prune": """
+        WITH c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+                 CAST(embedding AS DOUBLE[]) AS cen
+          FROM embeddings ORDER BY vec_id LIMIT 4
+        ), a0 AS (
+          SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cen),
+                              c.cl
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c0 c
+          ) WHERE rn = 1
+        ), dims AS (
+          SELECT a0.cl, generate_subscripts(e.embedding, 1) AS dim,
+                 unnest(CAST(e.embedding AS DOUBLE[])) AS val
+          FROM embeddings e JOIN a0 USING (vec_id)
+        ), m AS (
+          SELECT cl, dim, avg(val) AS mu FROM dims GROUP BY cl, dim
+        ), c1 AS (
+          SELECT c0.cl,
+                 CASE WHEN count(m.mu) = 0 THEN any_value(c0.cen)
+                      ELSE list(m.mu ORDER BY m.dim) END AS cen
+          FROM c0 LEFT JOIN m ON c0.cl = m.cl
+          GROUP BY c0.cl
+        ), ad AS (
+          SELECT vec_id, cl, d2 FROM (
+            SELECT e.vec_id, c.cl,
+                   list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))
+                   + list_inner_product(c.cen, c.cen)
+                   - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            c.cen) AS d2,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_inner_product(c.cen, c.cen)
+                              - 2 * list_inner_product(
+                                      CAST(e.embedding AS DOUBLE[]), c.cen),
+                              c.cl
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c1 c
+          ) WHERE rn = 1
+        ), ranked AS (
+          SELECT ad.*,
+                 row_number() OVER (PARTITION BY cl ORDER BY d2) AS rn,
+                 count(*) OVER (PARTITION BY cl) AS n
+          FROM ad
+        ), th AS (
+          SELECT cl, max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                         THEN d2 END) AS thr
+          FROM ranked GROUP BY cl
+        )
+        SELECT r.vec_id, r.cl AS cluster
+        FROM ranked r JOIN th USING (cl)
+        WHERE r.d2 <= th.thr
+        ORDER BY r.vec_id
     """,
 }

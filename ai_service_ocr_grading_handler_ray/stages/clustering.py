@@ -161,18 +161,80 @@ def assign_clusters(
     vec_col: str = "embedding",
     out_col: str = "cluster",
     keep_cols: list[str] | None = None,
+    dist_col: str | None = None,
 ) -> rd.Dataset:
     """Add the nearest-centroid index per row — one broadcast + one
     shuffle-free scan.  ``keep_cols`` prunes the output (e.g. drop the
-    vector column once assigned)."""
+    vector column once assigned); ``dist_col`` additionally emits the
+    full squared L2 distance to the assigned centroid
+    (|v|² + |c|² − 2 v·c — the expansion a SQL replay over
+    ``list_inner_product`` computes term-for-term)."""
     C = np.asarray(centroids, dtype=np.float64)
     ref = ray.put(C)
 
     def fn(t: pa.Table) -> pa.Table:
         Ci = ray.get(ref)
-        a = _assign(_as_matrix(t[vec_col]), Ci)
+        V = _as_matrix(t[vec_col])
+        d2p = (Ci * Ci).sum(axis=1)[None, :] - 2.0 * (V @ Ci.T)
+        a = np.argmin(d2p, axis=1)
         if keep_cols is not None:
             t = t.select(keep_cols)
-        return t.append_column(out_col, pa.array(a, type=pa.int64()))
+        t = t.append_column(out_col, pa.array(a, type=pa.int64()))
+        if dist_col is not None:
+            d2 = (V * V).sum(axis=1) + d2p[np.arange(len(a)), a]
+            t = t.append_column(dist_col, pa.array(d2, type=pa.float64()))
+        return t
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_prune(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_frac=None,
+    out_col: str = "cluster",
+    bins: int = 1024,
+    collect_cap: int = 100_000,
+) -> rd.Dataset:
+    """Cluster-based density pruning (the SemDeDup / SSL-prototypes
+    selection shape, Sorscher et al. 2022 / Abbas et al. 2023): assign
+    every vector to its nearest centroid, then KEEP only the rows whose
+    squared distance is ≤ the cluster's exact ``ceil(keep_frac · n)``-th
+    smallest distance — the most prototypical ``keep_frac`` of every
+    cluster, ties at the threshold value all kept (a multiset property,
+    deterministic under any block layout).
+
+    Plan: one assignment scan (centroid broadcast; the slim
+    (id, cluster, d²) projection materializes ONCE — the quantile
+    refinement scans re-read it, not the embedding table), per-cluster
+    thresholds via the distributed histogram-refinement quickselect
+    (``stages.selection.exact_group_quantiles`` — no sort, driver holds
+    bins-sized counts), then a shuffle-free broadcast-threshold filter.
+
+    Returns (id_col, out_col) for the kept rows."""
+    from fractions import Fraction
+
+    from .selection import exact_group_quantiles
+
+    if keep_frac is None:
+        keep_frac = Fraction(1, 2)
+    slim = assign_clusters(
+        ds, centroids, vec_col=vec_col, out_col=out_col,
+        keep_cols=[id_col], dist_col="_d2",
+    ).materialize()
+    thr = exact_group_quantiles(
+        slim, "_d2", out_col, [keep_frac], bins=bins, collect_cap=collect_cap
+    )
+    ks = np.array(sorted(thr), dtype=np.int64)
+    vs = np.array([thr[g][0] for g in ks], dtype=np.float64)
+
+    def filt(t: pa.Table) -> pa.Table:
+        cl = t[out_col].to_numpy(zero_copy_only=False)
+        d2 = t["_d2"].to_numpy(zero_copy_only=False)
+        keep = d2 <= vs[np.searchsorted(ks, cl)]
+        return t.filter(pa.array(keep)).drop_columns(["_d2"])
+
+    return slim.map_batches(filt, batch_format="pyarrow")

@@ -87,3 +87,46 @@ def test_kmeans_fit_rejects_too_few_rows():
     with pytest.raises(ValueError, match="k="):
         kmeans_fit(_ds(np.zeros((2, 3)), 1), k=5, n_iter=1,
                    id_col="vec_id", vec_col="embedding")
+
+
+def _prune_replay(V, C, keep_frac=0.5):
+    import math
+
+    d2p = (C * C).sum(axis=1)[None, :] - 2.0 * (V @ C.T)
+    a = np.argmin(d2p, axis=1)
+    d2 = (V * V).sum(axis=1) + d2p[np.arange(len(a)), a]
+    kept = []
+    for j in np.unique(a):
+        idx = np.flatnonzero(a == j)
+        vals = np.sort(d2[idx])
+        thr = vals[max(1, math.ceil(keep_frac * len(idx))) - 1]
+        kept.extend(idx[d2[idx] <= thr])
+    return sorted(kept)
+
+
+def test_cluster_prune_matches_replay():
+    from ai_service_ocr_grading_handler_ray.stages.clustering import cluster_prune
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(size=(200, 6))
+    C = V[:3].copy()
+    got = (
+        cluster_prune(_ds(V, 5), C, id_col="vec_id", vec_col="embedding")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert list(got["vec_id"]) == _prune_replay(V, C)
+    # pruning keeps roughly half of each cluster (ties can exceed)
+    assert 90 <= len(got) <= 120
+
+
+def test_cluster_prune_keeps_all_threshold_ties():
+    from ai_service_ocr_grading_handler_ray.stages.clustering import cluster_prune
+
+    # 4 points at distance 0 and 4 at equal distance 1 → threshold is 0
+    # at ceil(8/2)=4th smallest → only the 4 zero-distance rows survive;
+    # with 5 zeros the tie group at the threshold value is kept whole
+    V = np.array([[0.0]] * 5 + [[1.0]] * 3)
+    C = np.array([[0.0]])
+    got = cluster_prune(_ds(V, 2), C, id_col="vec_id", vec_col="embedding").to_pandas()
+    assert sorted(got["vec_id"]) == [0, 1, 2, 3, 4]
