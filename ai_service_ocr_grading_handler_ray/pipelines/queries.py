@@ -2279,6 +2279,24 @@ def q105_cluster_prune(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q106_shuffle_positions(sf_dir: str) -> pd.DataFrame:
+    """Reproducible global shuffle (stages/shuffle): every document's
+    dense 0-based position under the seeded splitmix64 order — a pure
+    function of (doc_id, seed), independent of block layout and cluster
+    size, so shard N of the training order can be regenerated alone.
+    One tiny hash-range count pass (driver holds 64 bucket counts) +
+    ONE bucket shuffle + per-bucket vectorized rank.  Oracle replays
+    splitmix64 exactly in SQL (HUGEINT mod-2^64 arithmetic, multiplies
+    split at 32 bits) and ranks with row_number()."""
+    from ..stages.shuffle import shuffle_positions
+
+    out = shuffle_positions(
+        _read(sf_dir, "documents", ["doc_id"]),
+        key_col="doc_id", seed=42, num_buckets=64,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2295,7 +2313,7 @@ QUERIES = {
     "q104_kmeans_assign": q104_kmeans_assign,
     "q97_token_quota_mix": q97_token_quota_mix,
     "q105_cluster_prune": q105_cluster_prune,
-    "q19_events_type_stats": q19_events_type_stats,
+    "q106_shuffle_positions": q106_shuffle_positions,
     "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
     "q96_fused_quality_filter": q96_fused_quality_filter,
     "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
@@ -2348,13 +2366,14 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
-    # q10/q11/q18 (r1-HASH-green trivial dim-join count / hourly groupby
-    # / filter, unchanged) ceded their slots to the never-checked
-    # q103/q104/q105; their primitives stay window-covered by
-    # q22/q85/q19 and their oracles run in every pytest session ---
+    # q10/q11/q18/q19 (r1-HASH-green trivial dim-join count / hourly
+    # groupby / filter / type stats, unchanged) ceded their slots to the
+    # never-checked q103-q106; their primitives stay window-covered by
+    # q22/q85/q58/q59 and their oracles run in every pytest session ---
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
     "q18_docs_en_long": q18_docs_en_long,
+    "q19_events_type_stats": q19_events_type_stats,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q33_simhash_dedup": q33_simhash_dedup,
@@ -3480,5 +3499,44 @@ ORACLE_SQL = {
         FROM ranked r JOIN th USING (cl)
         WHERE r.d2 <= th.thr
         ORDER BY r.vec_id
+    """,
+    "q106_shuffle_positions": """
+        WITH u AS (
+          SELECT doc_id,
+                 ((CAST(doc_id AS HUGEINT) + 42) % 18446744073709551616
+                  + 18446744073709551616) % 18446744073709551616 AS z
+          FROM documents
+        ), s0 AS (
+          SELECT doc_id,
+                 (z + 11400714819323198485) % 18446744073709551616 AS z
+          FROM u
+        ), x0 AS (
+          SELECT doc_id, CAST(xor(CAST(z AS UBIGINT),
+                                  CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+          FROM s0
+        ), s1 AS (
+          SELECT doc_id,
+                 ((z * 484763065) % 18446744073709551616
+                  + ((z * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z
+          FROM x0
+        ), x1 AS (
+          SELECT doc_id, CAST(xor(CAST(z AS UBIGINT),
+                                  CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+          FROM s1
+        ), s2 AS (
+          SELECT doc_id,
+                 ((z * 321982955) % 18446744073709551616
+                  + ((z * 2496678331) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z
+          FROM x1
+        ), h AS (
+          SELECT doc_id,
+                 xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h
+          FROM s2
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY doc_id
     """,
 }

@@ -1,0 +1,120 @@
+"""Reproducible global shuffle for training-data ordering.
+
+Training pipelines need the corpus in a SHUFFLED, REPRODUCIBLE order:
+the same (input, seed) must yield the same global permutation on any
+cluster size or block layout, and a resumed/re-run job must be able to
+regenerate shard N alone.  ``ray.data.Dataset.random_shuffle`` is
+neither seeded-stably across layouts nor cheap (full materialized
+permutation); the standard scale answer is a KEYED shuffle: order by a
+deterministic 64-bit hash of (key, seed).
+
+``shuffle_positions`` additionally assigns each row its DENSE global
+position (0..n-1) under that order — the piece Ray Data lacks — with a
+distributed rank: one tiny count pass over 2^B hash-range buckets
+(bucket offsets fold on the driver: num_buckets ints, never rows), ONE
+bucket shuffle, then per-bucket vectorized sort + arange.  Positions
+make the output directly writable as range-partitioned training shards
+(`pos // shard_size` is the shard id) and joinable back to any table.
+
+Determinism: the permutation is a pure function of (key values, seed) —
+independent of row order, block layout, parallelism, and cluster size.
+Hash ties (distinct keys colliding in 64 bits) break by key, so the
+order is total even then.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .hashing import splitmix64
+
+
+def shuffle_hash(col, seed: int) -> np.ndarray:
+    """splitmix64 over (int64 key + seed) — the shuffle order key.
+    Requires an integer key column (stable document ids); the +seed is
+    mod-2^64 wraparound, replayable in SQL via HUGEINT arithmetic."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(over="ignore"):
+        return splitmix64((v + np.int64(seed)).view(np.uint64))
+
+
+def shuffle_positions(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    seed: int = 0,
+    num_buckets: int = 256,
+    out_col: str = "pos",
+) -> rd.Dataset:
+    """All input columns + ``out_col``: the row's dense global position
+    (0-based) under the seeded shuffle order (hash asc, key asc on
+    ties).  Two scans of the input (count pass + regroup pass —
+    materialize a slim projection upstream if it is expensive) and ONE
+    bucket shuffle; the driver holds only ``num_buckets`` counts."""
+    if num_buckets < 2 or num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two >= 2")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = (shuffle_hash(t[key_col], seed) >> shift).astype(np.int64)
+        c = np.bincount(b, minlength=num_buckets)
+        nz = np.flatnonzero(c)
+        return pa.table({"b": pa.array(nz), "c": pa.array(c[nz])})
+
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    for t in ray.get(
+        ds.map_batches(count_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            counts[t["b"].to_numpy(zero_copy_only=False)] += t[
+                "c"
+            ].to_numpy(zero_copy_only=False)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = shuffle_hash(t[key_col], seed)
+        t = t.append_column("_h", pa.array(h, type=pa.uint64()))
+        return t.append_column(
+            "_bucket", pa.array((h >> shift).astype(np.int64))
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", key_col], kind="mergesort")
+        base = int(offsets[int(g["_bucket"].iloc[0])])
+        g[out_col] = base + np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["_h", "_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+def splitmix64_sql(expr: str, seed: int = 0) -> str:
+    """The exact SQL replay of ``shuffle_hash`` for DuckDB oracles:
+    splitmix64 over ((expr + seed) mod 2^64) via HUGEINT arithmetic
+    (64×64-bit multiplies split at 32 bits so INT128 never overflows).
+    Returns a scalar SQL expression producing a UBIGINT."""
+    M = 18446744073709551616  # 2^64
+
+    def mulmod(a: str, b: int) -> str:
+        lo, hi = b % 4294967296, b // 4294967296
+        return (
+            f"((({a}) * {lo}) % {M} + ((({a}) * {hi}) % 4294967296) * 4294967296) % {M}"
+        )
+
+    def xsh(a: str, s: int) -> str:
+        return f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({a}) AS UBIGINT) >> {s}) AS HUGEINT)"
+
+    z = f"(((CAST({expr} AS HUGEINT) + {seed}) % {M} + {M}) % {M})"
+    z = f"(({z} + 11400714819323198485) % {M})"
+    z = mulmod(xsh(z, 30), 13787848793156543929)
+    z = mulmod(xsh(z, 27), 10723151780598845931)
+    return f"xor(CAST(({z}) AS UBIGINT), CAST(({z}) AS UBIGINT) >> 31)"

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "q99_perplexity_tiers",
     "q101_tier_extract",
     "q102_dup_ngram_coverage",
+    "q103_remove_dup_spans",
+    "q104_kmeans_assign",
+    "q105_cluster_prune",
 ]
 
 

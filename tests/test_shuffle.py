@@ -1,0 +1,72 @@
+"""Reproducible global shuffle (stages/shuffle): dense positions,
+layout/seed determinism, SQL-replay parity of the splitmix64 helper."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.shuffle import (
+    shuffle_hash,
+    shuffle_positions,
+    splitmix64_sql,
+)
+
+
+def _ds(ids, nparts=4, extra=None):
+    df = pd.DataFrame({"doc_id": ids})
+    if extra:
+        for k, v in extra.items():
+            df[k] = v
+    return rd.from_pandas(df).repartition(nparts)
+
+
+def test_positions_are_a_dense_permutation():
+    out = shuffle_positions(
+        _ds(np.arange(1000)), key_col="doc_id", seed=7, num_buckets=16
+    ).to_pandas()
+    assert sorted(out["pos"]) == list(range(1000))
+    # and NOT the identity order (it's a shuffle)
+    assert list(out.sort_values("doc_id")["pos"])[:10] != list(range(10))
+
+
+def test_positions_layout_invariant_and_seeded():
+    ids = np.arange(500)
+    a = shuffle_positions(_ds(ids, 1), key_col="doc_id", seed=3, num_buckets=8)
+    b = shuffle_positions(_ds(ids[::-1], 11), key_col="doc_id", seed=3, num_buckets=32)
+    pa_ = a.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa_.equals(pb)  # block layout, row order, bucket count: no effect
+    c = shuffle_positions(_ds(ids), key_col="doc_id", seed=4, num_buckets=8)
+    assert not pa_["pos"].equals(
+        c.to_pandas().sort_values("doc_id").reset_index(drop=True)["pos"]
+    )
+
+
+def test_positions_carry_all_input_columns():
+    out = shuffle_positions(
+        _ds(np.arange(20), extra={"text": [f"t{i}" for i in range(20)]}),
+        key_col="doc_id", seed=1, num_buckets=4,
+    ).to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == [f"t{i}" for i in range(20)]
+
+
+def test_rejects_bad_bucket_counts():
+    with pytest.raises(ValueError, match="power of two"):
+        shuffle_positions(_ds([1, 2]), key_col="doc_id", num_buckets=3)
+    with pytest.raises(ValueError, match="power of two"):
+        shuffle_positions(_ds([1, 2]), key_col="doc_id", num_buckets=1)
+
+
+def test_splitmix64_sql_matches_numpy():
+    import duckdb
+    import pyarrow as pa
+
+    ids = np.array([0, 1, 42, -7, 2**62, -(2**62)], dtype=np.int64)
+    for seed in (0, 42, 123456789):
+        want = shuffle_hash(pa.array(ids), seed)
+        expr = splitmix64_sql("x", seed)
+        got = duckdb.sql(
+            f"SELECT {expr} AS h FROM (SELECT unnest({ids.tolist()}) AS x)"
+        ).fetchnumpy()["h"].astype(np.uint64)
+        assert np.array_equal(want, got)
