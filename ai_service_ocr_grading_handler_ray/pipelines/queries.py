@@ -2297,6 +2297,24 @@ def q106_shuffle_positions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q107_epoch_mix(sf_dir: str) -> pd.DataFrame:
+    """Fractional-epoch mixture materialization (LLaMA-style static
+    mixtures): source src_i repeats 1 + (i mod 4)·0.5 epochs — full
+    copies for everyone, plus a deterministic splitmix64-threshold
+    half-sample for the fractional part.  Shuffle-free: the epoch table
+    ships in the closure; expansion is one vectorized take per batch.
+    Oracle replays the hash threshold bit-exactly (same splitmix64 CTE
+    as q106, seed 7) and expands copies with generate_series."""
+    from ..stages.sampling import epoch_mix
+
+    epochs = {f"src{i}": 1 + (i % 4) * 0.5 for i in range(20)}
+    out = epoch_mix(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        epochs, source_col="source", id_col="doc_id", seed=7,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2316,7 +2334,7 @@ QUERIES = {
     "q106_shuffle_positions": q106_shuffle_positions,
     "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
     "q96_fused_quality_filter": q96_fused_quality_filter,
-    "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
+    "q107_epoch_mix": q107_epoch_mix,
     "q27_props_json_extract": q27_props_json_extract,
     "q43_event_median": q43_event_median,
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
@@ -2366,14 +2384,16 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
-    # q10/q11/q18/q19 (r1-HASH-green trivial dim-join count / hourly
-    # groupby / filter / type stats, unchanged) ceded their slots to the
-    # never-checked q103-q106; their primitives stay window-covered by
-    # q22/q85/q58/q59 and their oracles run in every pytest session ---
+    # q10/q11/q18/q19/q22 (r1-HASH-green trivial dim-join count / hourly
+    # groupby / filter / type stats / rollup, unchanged) ceded their
+    # slots to the never-checked q103-q107; their primitives stay
+    # window-covered by q85/q58/q59 and their oracles run in every
+    # pytest session ---
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
     "q18_docs_en_long": q18_docs_en_long,
     "q19_events_type_stats": q19_events_type_stats,
+    "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
     "q33_simhash_dedup": q33_simhash_dedup,
@@ -3538,5 +3558,51 @@ ORACLE_SQL = {
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM h ORDER BY doc_id
+    """,
+    "q107_epoch_mix": """
+        WITH u AS (
+          SELECT doc_id, source,
+                 ((CAST(doc_id AS HUGEINT) + 7) % 18446744073709551616
+                  + 18446744073709551616) % 18446744073709551616 AS z
+          FROM documents
+        ), s0 AS (
+          SELECT doc_id, source,
+                 (z + 11400714819323198485) % 18446744073709551616 AS z
+          FROM u
+        ), x0 AS (
+          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
+                                  CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+          FROM s0
+        ), s1 AS (
+          SELECT doc_id, source,
+                 ((z * 484763065) % 18446744073709551616
+                  + ((z * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z
+          FROM x0
+        ), x1 AS (
+          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
+                                  CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+          FROM s1
+        ), s2 AS (
+          SELECT doc_id, source,
+                 ((z * 321982955) % 18446744073709551616
+                  + ((z * 2496678331) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z
+          FROM x1
+        ), hh AS (
+          SELECT doc_id, source,
+                 xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h,
+                 CAST(substr(source, 4) AS INTEGER) % 4 AS m
+          FROM s2
+        ), n AS (
+          SELECT doc_id, source,
+                 CASE WHEN m >= 2 THEN 2 ELSE 1 END
+                 + CASE WHEN (m % 2) = 1 AND h < 9223372036854775808
+                        THEN 1 ELSE 0 END AS reps
+          FROM hh
+        )
+        SELECT doc_id, source,
+               unnest(generate_series(0, reps - 1)) AS epoch
+        FROM n
     """,
 }

@@ -267,3 +267,55 @@ def quantile_estimate(
 def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> list[float]:
     counts, lo, hi = quantile_sketch(ds, col)
     return quantile_estimate(counts, lo, hi, qs)
+
+
+def epoch_mix(
+    ds: rd.Dataset,
+    epochs: dict,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "epoch",
+) -> rd.Dataset:
+    """Fractional-epoch mixture materialization (the LLaMA/GPT-3-style
+    static data mixture: each source s repeats ``epochs[s]`` times, e.g.
+    2.5 epochs = 2 full copies + a deterministic half-sample third
+    copy).  Every row of source s is emitted with ``out_col`` copy
+    indices 0..floor(e_s)-1; copy floor(e_s) is added iff
+    splitmix64(id + seed) < frac(e_s)·2^64 — the same hash-threshold
+    rule as the engine's other deterministic samplers, so selection is
+    independent of row order, block layout and cluster size, and larger
+    budgets select supersets.  Sources absent from ``epochs`` are
+    dropped (budget 0).
+
+    Shuffle-free: the epoch table is dimension-sized and ships in the
+    closure; the expansion is one vectorized ``take`` per batch (repeat
+    indices + concatenated per-row aranges, no Python loop)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import shuffle_hash
+
+    srcs = sorted(epochs)
+    full = np.array([int(np.floor(epochs[s])) for s in srcs], dtype=np.int64)
+    frac = np.array([float(epochs[s]) - int(np.floor(epochs[s])) for s in srcs])
+    thr = np.array([min(int(f * 2.0**64), 2**64 - 1) for f in frac],
+                   dtype=np.uint64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        codes = pc.index_in(
+            t[source_col], options=pc.SetLookupOptions(value_set=pa.array(srcs))
+        ).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(codes.astype(np.float64)) if codes.dtype.kind == "f" \
+            else codes != -1
+        codes = np.where(known, codes, 0).astype(np.int64)
+        h = shuffle_hash(t[id_col], seed)
+        reps = full[codes] + (h < thr[codes]).astype(np.int64)
+        reps[~known] = 0
+        idx = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        epoch = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        out = t.take(pa.array(idx))
+        return out.append_column(out_col, pa.array(epoch))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

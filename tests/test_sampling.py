@@ -147,3 +147,55 @@ def test_temperature_sample_deterministic_and_budget(sf_dir):
         ds, group_col="source", id_col="doc_id", alpha=0.5, budget=120.0
     ).to_pandas()
     assert set(c["doc_id"]).issubset(set(a["doc_id"]))
+
+
+def test_epoch_mix_integer_and_fractional_epochs():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.sampling import epoch_mix
+
+    n = 400
+    df = pd.DataFrame(
+        {"doc_id": range(n), "source": ["a"] * (n // 2) + ["b"] * (n // 2)}
+    )
+    out = epoch_mix(
+        rd.from_pandas(df).repartition(4), {"a": 2.0, "b": 1.5}, seed=3
+    ).to_pandas()
+    a = out[out["source"] == "a"]
+    b = out[out["source"] == "b"]
+    # integer epochs: every 'a' doc appears exactly twice (epochs 0,1)
+    assert len(a) == n and set(a["epoch"]) == {0, 1}
+    assert a.groupby("doc_id").size().eq(2).all()
+    # fractional: every 'b' doc >= 1 copy; ~half get a second
+    counts = b.groupby("doc_id").size()
+    assert counts.ge(1).all() and counts.le(2).all()
+    assert abs(counts.eq(2).mean() - 0.5) < 0.15
+
+
+def test_epoch_mix_deterministic_and_unknown_sources_dropped():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.sampling import epoch_mix
+
+    df = pd.DataFrame({"doc_id": range(60), "source": ["a", "b", "zz"] * 20})
+    cfg = {"a": 1.2, "b": 0.4}
+    one = epoch_mix(rd.from_pandas(df), cfg, seed=9).to_pandas()
+    two = epoch_mix(
+        rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(7),
+        cfg, seed=9,
+    ).to_pandas()
+    key = ["doc_id", "source", "epoch"]
+    assert one.sort_values(key).reset_index(drop=True).equals(
+        two.sort_values(key).reset_index(drop=True)
+    )
+    assert not (one["source"] == "zz").any()
+    # budget 0.4 < 1: source b is a strict subsample at epoch 0 only
+    assert set(one[one["source"] == "b"]["epoch"]) == {0}
+    # nested budgets: the 0.4 selection is a subset of the 0.9 selection
+    big = epoch_mix(rd.from_pandas(df), {"a": 1.2, "b": 0.9}, seed=9).to_pandas()
+    small_b = set(one[one["source"] == "b"]["doc_id"])
+    big_b = set(big[big["source"] == "b"]["doc_id"])
+    assert small_b <= big_b
