@@ -1346,19 +1346,70 @@ def _broadcast_dup_grams(
     return ray.put(dup)
 
 
-def _dup_gram_flags(
-    bs: np.ndarray, h: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
-) -> np.ndarray:
-    """One bool per shingle: gram hash is in the sorted membership array
-    ``bs`` AND comes from a text with at least ``ngram`` words (short
-    texts' all-words shingles are not full-width spans)."""
-    flags = np.zeros(len(h), dtype=bool)
-    if bs.size and len(h):
-        idx = np.searchsorted(bs, h)
-        valid = idx < bs.size
-        flags[valid] = bs[idx[valid]] == h[valid]
-        flags &= np.repeat(nw >= ngram, np.diff(off))
-    return flags
+def _dup_gram_probe(
+    ds: rd.Dataset,
+    *,
+    text_col: str,
+    ngram: int,
+    num_parts: int,
+    broadcast_cap: int,
+    method: str,
+    bloom_fp_rate: float,
+):
+    """Membership probe over the corpus-wide duplicated-gram set: a
+    picklable callable (uint64 gram hashes → bool array).
+
+    ``method="broadcast"``: exact — sorted uint64 array broadcast once,
+    searchsorted per batch; loud ``broadcast_cap``.
+    ``method="bloom"``: cap-free — the set folds into a Bloom filter
+    (distributed build + tree merge, ``stages.sketches.build_bloom``),
+    so the broadcast is bits per gram instead of 8 bytes; false
+    positives over-flag at ``bloom_fp_rate`` (over-coverage /
+    over-removal — the safe direction for a dedup signal)."""
+    import ray
+
+    if method == "broadcast":
+        ref = _broadcast_dup_grams(
+            ds, text_col=text_col, ngram=ngram, num_parts=num_parts,
+            broadcast_cap=broadcast_cap,
+        )
+
+        def probe(h: np.ndarray) -> np.ndarray:
+            bs = ray.get(ref)
+            out = np.zeros(len(h), dtype=bool)
+            if bs.size and len(h):
+                idx = np.searchsorted(bs, h)
+                valid = idx < bs.size
+                out[valid] = bs[idx[valid]] == h[valid]
+            return out
+
+        return probe
+
+    if method == "bloom":
+        from .sketches import BloomFilter, build_bloom
+
+        dup = duplicate_gram_set(
+            ds, text_col=text_col, ngram=ngram, num_parts=num_parts
+        ).materialize()
+        bf = build_bloom(dup, "g", max(dup.count(), 1), bloom_fp_rate)
+        blob, m, k = ray.put(bf.bits), bf.m, bf.k
+
+        def probe(h: np.ndarray, _m=m, _k=k) -> np.ndarray:
+            if not len(h):
+                return np.zeros(0, dtype=bool)
+            f = BloomFilter.__new__(BloomFilter)
+            f.m, f.k, f.bits = _m, _k, ray.get(blob)
+            return f.contains_many(h)
+
+        return probe
+
+    raise ValueError(f"unknown method {method!r} (broadcast|bloom)")
+
+
+def _full_width_mask(off: np.ndarray, nw: np.ndarray, ngram: int) -> np.ndarray:
+    """One bool per shingle: the text has at least ``ngram`` words
+    (short texts' all-words shingles are not full-width spans)."""
+    return np.repeat(nw >= ngram, np.diff(off))
 
 
 def _covered_tape(
@@ -1409,6 +1460,8 @@ def duplicate_ngram_coverage(
     ngram: int = 8,
     num_parts: int = 32,
     broadcast_cap: int = 50_000_000,
+    method: str = "broadcast",
+    bloom_fp_rate: float = 1e-4,
 ) -> rd.Dataset:
     """Per-document duplicate-span signal (the ExactSubstr/Dolma-style
     dedup statistic, Lee et al. 2022 reduced to word ``ngram``
@@ -1418,12 +1471,11 @@ def duplicate_ngram_coverage(
     copy-heavy documents without a suffix array.
 
     Plan: ONE gram-hash count shuffle builds the duplicated-gram set
-    (``duplicate_gram_set``); the set broadcasts once via ``ray.put``
-    (sorted uint64 membership — 8 bytes per duplicated gram; the cap
-    fails loudly rather than silently truncating, and a Bloom filter
-    from ``stages.sketches`` is the drop-in beyond it, erring toward
+    (``duplicate_gram_set``); membership broadcasts once per
+    ``method`` — ``"broadcast"`` = exact sorted uint64 (8 B/gram, loud
+    cap), ``"bloom"`` = cap-free Bloom bits (``bloom_fp_rate``
     over-coverage, the safe direction for a removal signal); the scoring
-    scan is shuffle-free — searchsorted membership per gram, then a
+    scan is shuffle-free — vectorized membership per gram, then a
     batch-wide difference array turns flagged gram starts into covered
     token positions (``_coverage_from_flags``, no per-text loop).
 
@@ -1431,18 +1483,16 @@ def duplicate_ngram_coverage(
     (< ngram words → 0.0 coverage).  64-bit gram hashing: a collision
     can only over-count coverage (two distinct grams sharing a hash);
     at ~n²/2^64 it is negligible and errs toward removal."""
-    import ray
-
-    ref = _broadcast_dup_grams(
+    probe = _dup_gram_probe(
         ds, text_col=text_col, ngram=ngram, num_parts=num_parts,
-        broadcast_cap=broadcast_cap,
+        broadcast_cap=broadcast_cap, method=method,
+        bloom_fp_rate=bloom_fp_rate,
     )
 
     def score(t: pa.Table) -> pa.Table:
-        bs = ray.get(ref)
         texts = t[text_col].to_pylist()
         h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
-        flags = _dup_gram_flags(bs, h, off, nw, ngram)
+        flags = probe(h) & _full_width_mask(off, nw, ngram)
         covered = _coverage_from_flags(flags, off, nw, ngram)
         frac = covered / np.maximum(nw, 1)
         return pa.table(
@@ -1464,6 +1514,8 @@ def remove_duplicate_spans(
     ngram: int = 8,
     num_parts: int = 32,
     broadcast_cap: int = 50_000_000,
+    method: str = "broadcast",
+    bloom_fp_rate: float = 1e-4,
 ) -> rd.Dataset:
     """ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022 reduced
     to word-``ngram`` granularity): rewrite every document keeping only
@@ -1476,11 +1528,13 @@ def remove_duplicate_spans(
 
     Plan — same shape as ``duplicate_ngram_coverage``: ONE gram-hash
     count shuffle builds the duplicated set, it broadcasts once
-    (``ray.put``, sorted uint64, loud cap), and the rewrite scan is
-    shuffle-free: flagged gram starts become a covered-position tape via
-    a batch-wide difference array, the kept original-case tokens are
-    gathered on the concatenated token tape and reassembled per document
-    with ONE vectorized ``pc.binary_join`` (no per-text loop).
+    (``method="broadcast"`` = exact sorted uint64 with a loud cap,
+    ``method="bloom"`` = cap-free Bloom bits with ``bloom_fp_rate``
+    over-removal), and the rewrite scan is shuffle-free: flagged gram
+    starts become a covered-position tape via a batch-wide difference
+    array, the kept original-case tokens are gathered on the
+    concatenated token tape and reassembled per document with ONE
+    vectorized ``pc.binary_join`` (no per-text loop).
 
     Duplicate detection is case-insensitive (grams hash lowercased
     words, matching the coverage statistic); the REWRITTEN text keeps
@@ -1491,18 +1545,16 @@ def remove_duplicate_spans(
     EVERY input row; texts shorter than ``ngram`` words pass through
     whitespace-normalized (single-space joined), which is also what the
     coverage statistic's tokenization assumes."""
-    import ray
-
-    ref = _broadcast_dup_grams(
+    probe = _dup_gram_probe(
         ds, text_col=text_col, ngram=ngram, num_parts=num_parts,
-        broadcast_cap=broadcast_cap,
+        broadcast_cap=broadcast_cap, method=method,
+        bloom_fp_rate=bloom_fp_rate,
     )
 
     def rewrite(t: pa.Table) -> pa.Table:
-        bs = ray.get(ref)
         texts = t[text_col].to_pylist()
         h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
-        flags = _dup_gram_flags(bs, h, off, nw, ngram)
+        flags = probe(h) & _full_width_mask(off, nw, ngram)
         cov = _covered_tape(flags, off, nw, ngram)
         words_all: list[str] = []
         for s in texts:

@@ -536,3 +536,55 @@ def test_remove_duplicate_spans_preserves_original_case():
         .reset_index(drop=True)
     )
     assert list(got["text"]) == ["KEEP Me", "Other CASE kept"]
+
+
+def test_dup_gram_bloom_path_matches_broadcast():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        duplicate_ngram_coverage,
+        remove_duplicate_spans,
+    )
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog again today"] * 3
+        + [f"unique document number {i} with distinct words here" for i in range(40)]
+        + ["", "short one"]
+    )
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for fn in (duplicate_ngram_coverage, remove_duplicate_spans):
+        ds = rd.from_pandas(df).repartition(3)
+        exact = fn(ds, ngram=4).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        bloom = (
+            fn(rd.from_pandas(df).repartition(3), ngram=4, method="bloom",
+               bloom_fp_rate=1e-6)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # at 1e-6 fp on a tiny gram set the Bloom path is exact here;
+        # in general it may only OVER-flag (checked structurally below)
+        assert exact.equals(bloom)
+
+
+def test_dup_gram_bloom_only_overflags():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import duplicate_ngram_coverage
+
+    texts = ["w%d x%d y%d z%d q%d" % (i, i, i, i, i) for i in range(300)]
+    texts += [texts[0]]  # one real duplicate
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    exact = (
+        duplicate_ngram_coverage(rd.from_pandas(df), ngram=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # a deliberately coarse filter to force false positives
+    loose = (
+        duplicate_ngram_coverage(rd.from_pandas(df), ngram=3, method="bloom",
+                                 bloom_fp_rate=0.2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (loose["frac_dup_ngrams"] >= exact["frac_dup_ngrams"] - 1e-12).all()
+    assert exact.loc[0, "frac_dup_ngrams"] == 1.0 and loose.loc[0, "frac_dup_ngrams"] == 1.0
