@@ -2315,6 +2315,21 @@ def q107_epoch_mix(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
 
 
+def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
+    """Intra-document segment dedup (Dolma's within-doc rule): keep the
+    first occurrence of every distinct 2-word segment inside each
+    document, order preserved.  Shuffle-FREE — one scan, vectorized
+    drop_duplicates over the batch's exploded (row, segment) table.
+    Oracle replays the q95 resegmentation with min(s) firsts + ordered
+    string_agg."""
+    from ..stages.clean import dedup_segments_within_doc
+
+    out = dedup_segments_within_doc(
+        _read(sf_dir, "documents", ["doc_id", "text"]), words_per_seg=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round ---
     # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
@@ -2335,7 +2350,7 @@ QUERIES = {
     "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
     "q96_fused_quality_filter": q96_fused_quality_filter,
     "q107_epoch_mix": q107_epoch_mix,
-    "q27_props_json_extract": q27_props_json_extract,
+    "q108_within_doc_segment_dedup": q108_within_doc_segment_dedup,
     "q43_event_median": q43_event_median,
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q49_knn_ivf": q49_knn_ivf,
@@ -2384,11 +2399,12 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
-    # q10/q11/q18/q19/q22 (r1-HASH-green trivial dim-join count / hourly
-    # groupby / filter / type stats / rollup, unchanged) ceded their
-    # slots to the never-checked q103-q107; their primitives stay
-    # window-covered by q85/q58/q59 and their oracles run in every
-    # pytest session ---
+    # q10/q11/q18/q19/q22/q27 (r1-HASH-green trivial dim-join count /
+    # hourly groupby / filter / type stats / rollup / json extract,
+    # unchanged) ceded their slots to the never-checked q103-q108; their
+    # primitives stay window-covered by q85/q58/q59/q68 and their
+    # oracles run in every pytest session ---
+    "q27_props_json_extract": q27_props_json_extract,
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
     "q18_docs_en_long": q18_docs_en_long,
@@ -3604,5 +3620,22 @@ ORACLE_SQL = {
         SELECT doc_id, source,
                unnest(generate_series(0, reps - 1)) AS epoch
         FROM n
+    """,
+    "q108_within_doc_segment_dedup": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), ex AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0, CAST(ceil(len(ws)/2.0) AS BIGINT)-1)) AS s
+          FROM w
+        ), seg AS (
+          SELECT doc_id, s, array_to_string(ws[(s*2+1):(s*2+2)], ' ') AS segment FROM ex
+        ), firsts AS (
+          SELECT doc_id, segment, min(s) AS s0 FROM seg GROUP BY doc_id, segment
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_agg(segment, ' ' ORDER BY s0) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_segs_kept
+        FROM firsts GROUP BY doc_id
     """,
 }

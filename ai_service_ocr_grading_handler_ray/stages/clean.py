@@ -560,3 +560,49 @@ def dedup_segments_keep_first(
         .groupby("_part")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def dedup_segments_within_doc(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 20,
+    out_col: str = "text_clean",
+):
+    """Intra-document segment dedup (Dolma's within-doc paragraph rule):
+    inside each document, keep only the FIRST occurrence of every
+    distinct segment (the ``_doc_segments`` resegmentation — the same
+    rule as the corpus-level q95, so the two compose), preserving
+    segment order.  Repeated nav blocks / chorus-style repetition
+    collapse without touching cross-document state.
+
+    Shuffle-FREE: purely per-document — one map_batches scan, the
+    dedup itself a single vectorized pandas ``drop_duplicates`` over the
+    batch's exploded (row, segment) table.  Output: (id_col, out_col,
+    n_segs_kept) for every input row."""
+    import pandas as pd
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        rows: list[int] = []
+        segs: list[str] = []
+        for i, txt in enumerate(texts):
+            ss = _doc_segments(txt, words_per_seg)
+            rows.extend([i] * len(ss))
+            segs.extend(ss)
+        df = pd.DataFrame({"r": np.array(rows, dtype=np.int64), "seg": segs})
+        kept = df.drop_duplicates(subset=["r", "seg"], keep="first")
+        g = kept.groupby("r", sort=True)["seg"]
+        # every text yields >= 1 segment ('' -> ['']), so reindex is total
+        joined = g.agg(" ".join).reindex(range(len(texts)))
+        n_kept = g.size().reindex(range(len(texts))).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: pa.array(joined.to_numpy(dtype=object), type=pa.string()),
+                "n_segs_kept": pa.array(n_kept),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -117,3 +117,26 @@ class TestFrequentSegments:
         assert _doc_segments("a b c d e", 2) == ["a b", "c d", "e"]
         assert _doc_segments("", 2) == [""]  # matches SQL string_split('')
         assert _doc_segments("one", 3) == ["one"]
+
+
+def test_within_doc_segment_dedup():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.clean import dedup_segments_within_doc
+
+    texts = [
+        "a b a b c d a b",   # segs(2): 'a b','a b','c d','a b' → keep 'a b','c d'
+        "x y z",             # segs: 'x y','z' → unchanged
+        "",                  # '' → one empty segment kept
+        "p p p p",           # 'p p','p p' → one kept
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(2)
+    got = (
+        dedup_segments_within_doc(ds, words_per_seg=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["text_clean"]) == ["a b c d", "x y z", "", "p p"]
+    assert list(got["n_segs_kept"]) == [2, 2, 1, 1]
