@@ -118,3 +118,37 @@ def splitmix64_sql(expr: str, seed: int = 0) -> str:
     z = mulmod(xsh(z, 30), 13787848793156543929)
     z = mulmod(xsh(z, 27), 10723151780598845931)
     return f"xor(CAST(({z}) AS UBIGINT), CAST(({z}) AS UBIGINT) >> 31)"
+
+
+def write_training_shards(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    key_col: str,
+    seed: int = 0,
+    shard_size: int = 1_000_000,
+    num_buckets: int = 256,
+) -> None:
+    """Materialize the seeded training order as shard-partitioned
+    parquet: ``shard_id = pos // shard_size`` under the
+    ``shuffle_positions`` order, written with
+    ``write_parquet(partition_cols=["shard_id"])`` so a trainer streams
+    shard directories in order (sorting by ``pos`` within a shard
+    restores the exact global order) and a failed run can resume by
+    skipping shard directories that already exist.  Because positions
+    are a pure function of (key, seed), re-running after input growth
+    re-shuffles deterministically — shard N is always regenerable
+    alone."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard_id", pa.array((pos // shard_size).astype(np.int64))
+        )
+
+    with_pos = shuffle_positions(
+        ds, key_col=key_col, seed=seed, num_buckets=num_buckets
+    )
+    with_pos.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard_id"]
+    )

@@ -70,3 +70,25 @@ def test_splitmix64_sql_matches_numpy():
             f"SELECT {expr} AS h FROM (SELECT unnest({ids.tolist()}) AS x)"
         ).fetchnumpy()["h"].astype(np.uint64)
         assert np.array_equal(want, got)
+
+
+def test_write_training_shards(tmp_path):
+    import pyarrow.dataset as pads
+
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        _ds(np.arange(100), extra={"text": [f"t{i}" for i in range(100)]}),
+        out, key_col="doc_id", seed=5, shard_size=32, num_buckets=8,
+    )
+    t = pads.dataset(out, format="parquet", partitioning="hive").to_table()
+    df = t.to_pandas()
+    assert len(df) == 100 and sorted(df["pos"]) == list(range(100))
+    # shard assignment is pos // 32 and every row kept its payload
+    assert (df["shard_id"].astype(int) == df["pos"] // 32).all()
+    assert set(df["shard_id"].astype(int)) == {0, 1, 2, 3}
+    got = df.sort_values("doc_id")["text"].tolist()
+    assert got == [f"t{i}" for i in range(100)]
