@@ -195,6 +195,31 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shard(args: argparse.Namespace) -> int:
+    """documents-style parquet → seeded reproducible training order
+    written as hive shard-partitioned parquet (shard_id = pos //
+    shard_size; shard N regenerable alone from the same seed)."""
+    import ray.data as rd
+
+    from .stages.shuffle import write_training_shards
+
+    if _refuse_existing_out(args.out):
+        return 2
+    ds = rd.read_parquet(args.input)
+    write_training_shards(
+        ds,
+        args.out,
+        key_col=args.key_col,
+        seed=args.seed,
+        shard_size=args.shard_size,
+    )
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet", partitioning="hive").count_rows()
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
 def cmd_corpus_build(args: argparse.Namespace) -> int:
     """documents-style parquet → packed training-sequence assignment:
     the full curation capstone (prefix dedup → frequent-segment removal
@@ -381,6 +406,16 @@ def main(argv: list[str] | None = None) -> int:
     pcb.add_argument("--id-col", default="doc_id")
     pcb.add_argument("--text-col", default="text")
     pcb.set_defaults(fn=cmd_corpus_build)
+
+    psh = sub.add_parser(
+        "shard", help="documents parquet → seeded training-order shards (hive parquet)"
+    )
+    psh.add_argument("--input", required=True)
+    psh.add_argument("--out", required=True)
+    psh.add_argument("--key-col", default="doc_id")
+    psh.add_argument("--seed", type=int, default=0)
+    psh.add_argument("--shard-size", type=int, default=1_000_000)
+    psh.set_defaults(fn=cmd_shard)
 
     pm = sub.add_parser("metrics", help="manifest rollup for an extract output dir")
     pm.add_argument("--out", required=True)

@@ -184,3 +184,29 @@ def test_tier_cli(tmp_path, sf_dir, capsys):
     assert any("tier=head" in p for p in paths)
     # refuses to append into a non-empty output dir
     assert main(["tier", "--input", f"{pages}/*.parquet", "--out", str(out)]) == 2
+
+
+def test_shard_cli(tmp_path, sf_dir, capsys):
+    import pyarrow.dataset as pads
+
+    out = tmp_path / "shards"
+    assert (
+        main(
+            [
+                "shard",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--out", str(out),
+                "--seed", "5",
+                "--shard-size", "128",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 500
+    df = (
+        pads.dataset(str(out), format="parquet", partitioning="hive")
+        .to_table().to_pandas()
+    )
+    assert sorted(df["pos"]) == list(range(500))
+    assert (df["shard_id"].astype(int) == df["pos"] // 128).all()
