@@ -418,3 +418,75 @@ def test_repetition_signals_match_bruteforce(word_lists):
         n2 = sum(grams.values())
         dup2 = sum(v for v in grams.values() if v > 1)
         assert got.loc[i, "frac_dup_2grams"] == (dup2 / n2 if n2 else 0.0)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_covered_tape_matches_scalar_replay(texts, ngram):
+    """The batch difference-array coverage tape equals a per-text scalar
+    replay on arbitrary small-alphabet corpora (dup-heavy by design)."""
+    import numpy as np
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        _covered_tape,
+        batch_shingle_hashes,
+    )
+
+    h, off, nw = batch_shingle_hashes(texts, ngram, return_word_counts=True)
+    # flag every shingle whose hash occurs more than once in the batch
+    vals, cnt = np.unique(h, return_counts=True)
+    dupset = set(vals[cnt > 1].tolist())
+    flags = np.array([x in dupset for x in h], dtype=bool)
+    flags &= np.repeat(nw >= ngram, np.diff(off))
+    tape = _covered_tape(flags, off, nw, ngram)
+
+    want = []
+    k = 0
+    for t in texts:
+        ws = (t or "").lower().split()
+        cov = [False] * len(ws)
+        if len(ws) >= ngram:
+            n_sh = len(ws) - ngram + 1
+            for i in range(n_sh):
+                if flags[k + i]:
+                    for j in range(i, i + ngram):
+                        cov[j] = True
+            k += n_sh
+        elif len(ws) > 0:
+            k += 1  # the all-words shingle (always unflagged here)
+        want.extend(cov)
+    assert tape.tolist() == want
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                min_size=1, max_size=50, unique=True),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=100, deadline=None)
+def test_shuffle_hash_is_injective_sqlexact_and_seeded(ids, seed):
+    """shuffle_hash: no collisions observed on unique keys, exact match
+    with the pure-python splitmix64 replay, seed changes the order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import shuffle_hash
+
+    def sm64(x: int) -> int:
+        M = (1 << 64) - 1
+        z = (x + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    got = shuffle_hash(pa.array(ids, type=pa.int64()), seed)
+    want = np.array([sm64(((i + seed) % (1 << 64))) for i in ids], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    assert len(set(got.tolist())) == len(ids)
