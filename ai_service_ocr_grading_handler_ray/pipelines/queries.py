@@ -2315,6 +2315,22 @@ def q107_epoch_mix(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
 
 
+def q109_cap_per_source(sf_dir: str) -> pd.DataFrame:
+    """Per-group cap (FineWeb per-domain rule): keep at most 7 docs per
+    source, selected by seeded splitmix64 hash order — uniform and
+    layout-independent, not first-k-by-position.  Per-batch partial
+    head-k bounds the one finishing cogroup at k×blocks rows per group
+    (hot groups cannot overload a reducer).  Oracle ranks the bit-exact
+    hash replay with a window function."""
+    from ..stages.sampling import cap_per_group
+
+    out = cap_per_group(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        group_col="source", id_col="doc_id", k=7, seed=11,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
     """Intra-document segment dedup (Dolma's within-doc rule): keep the
     first occurrence of every distinct 2-word segment inside each
@@ -2351,7 +2367,7 @@ QUERIES = {
     "q96_fused_quality_filter": q96_fused_quality_filter,
     "q107_epoch_mix": q107_epoch_mix,
     "q108_within_doc_segment_dedup": q108_within_doc_segment_dedup,
-    "q43_event_median": q43_event_median,
+    "q109_cap_per_source": q109_cap_per_source,
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q49_knn_ivf": q49_knn_ivf,
     "q54_heavy_hitters": q54_heavy_hitters,
@@ -2399,11 +2415,13 @@ QUERIES = {
     # q102: the changed shingle kernel is exercised by q102 itself
     # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
     # every pytest session ---
-    # q10/q11/q18/q19/q22/q27 (r1-HASH-green trivial dim-join count /
-    # hourly groupby / filter / type stats / rollup / json extract,
-    # unchanged) ceded their slots to the never-checked q103-q108; their
-    # primitives stay window-covered by q85/q58/q59/q68 and their
-    # oracles run in every pytest session ---
+    # q10/q11/q18/q19/q22/q27/q43 (r1-HASH-green trivial dim-join count
+    # / hourly groupby / filter / type stats / rollup / json extract /
+    # group median, unchanged) ceded their slots to the never-checked
+    # q103-q109; their primitives stay window-covered by
+    # q85/q58/q59/q68/q63 and their oracles run in every pytest
+    # session ---
+    "q43_event_median": q43_event_median,
     "q27_props_json_extract": q27_props_json_extract,
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
@@ -3637,5 +3655,46 @@ ORACLE_SQL = {
                string_agg(segment, ' ' ORDER BY s0) AS text_clean,
                CAST(count(*) AS BIGINT) AS n_segs_kept
         FROM firsts GROUP BY doc_id
+    """,
+    "q109_cap_per_source": """
+        WITH u AS (
+          SELECT doc_id, source,
+                 ((CAST(doc_id AS HUGEINT) + 11) % 18446744073709551616
+                  + 18446744073709551616) % 18446744073709551616 AS z
+          FROM documents
+        ), s0 AS (
+          SELECT doc_id, source,
+                 (z + 11400714819323198485) % 18446744073709551616 AS z
+          FROM u
+        ), x0 AS (
+          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
+                                  CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
+          FROM s0
+        ), s1 AS (
+          SELECT doc_id, source,
+                 ((z * 484763065) % 18446744073709551616
+                  + ((z * 3210233709) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z
+          FROM x0
+        ), x1 AS (
+          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
+                                  CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
+          FROM s1
+        ), s2 AS (
+          SELECT doc_id, source,
+                 ((z * 321982955) % 18446744073709551616
+                  + ((z * 2496678331) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z
+          FROM x1
+        ), hh AS (
+          SELECT doc_id, source,
+                 xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h
+          FROM s2
+        )
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+          FROM hh
+        ) WHERE rn <= 7 ORDER BY doc_id
     """,
 }

@@ -319,3 +319,60 @@ def epoch_mix(
         return out.append_column(out_col, pa.array(epoch))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def cap_per_group(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Per-group cap (the FineWeb-style per-domain URL cap): keep at
+    most ``k`` rows of every group, selected by seeded splitmix64 hash
+    order (hash asc, id asc on ties) — a uniform, layout-independent
+    sample of each group, NOT the first-k by position (which would
+    depend on block order and cluster size).
+
+    Scale shape: per batch, a vectorized sort + ``groupby.head(k)``
+    keeps each group's k smallest-hash rows (a superset of the global
+    winners — the global k smallest of a group are each the k smallest
+    of their own batch), so the ONE group-hash cogroup that finishes the
+    selection shuffles at most k × blocks rows per group, never the
+    group's full membership.  Hot groups (giant hosts) therefore cannot
+    overload a reducer beyond k × blocks."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+    from .shuffle import shuffle_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = shuffle_hash(t[id_col], seed)
+        df = t.to_pandas()
+        df["_h"] = h
+        kept = (
+            df.sort_values([group_col, "_h", id_col], kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([group_col, "_h", id_col], kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+            .drop(columns=["_h", "_part"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, group_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -199,3 +199,38 @@ def test_epoch_mix_deterministic_and_unknown_sources_dropped():
     small_b = set(one[one["source"] == "b"]["doc_id"])
     big_b = set(big[big["source"] == "b"]["doc_id"])
     assert small_b <= big_b
+
+
+def test_cap_per_group_uniform_and_layout_independent():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.sampling import cap_per_group
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "source": ["big"] * 280 + ["small"] * 15 + ["tiny"] * 5,
+        }
+    )
+    a = cap_per_group(
+        rd.from_pandas(df).repartition(1),
+        group_col="source", id_col="doc_id", k=10, seed=2,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = cap_per_group(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(9),
+        group_col="source", id_col="doc_id", k=10, seed=2,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # layout/row-order independent
+    sizes = a.groupby("source").size()
+    assert sizes["big"] == 10 and sizes["small"] == 10 and sizes["tiny"] == 5
+    # selection is hash-ordered, not first-k by position
+    assert list(a[a["source"] == "big"]["doc_id"]) != list(range(10))
+    # different seed → different winners in the capped group
+    c = cap_per_group(
+        rd.from_pandas(df), group_col="source", id_col="doc_id", k=10, seed=5
+    ).to_pandas()
+    assert set(c[c["source"] == "big"]["doc_id"]) != set(
+        a[a["source"] == "big"]["doc_id"]
+    )
