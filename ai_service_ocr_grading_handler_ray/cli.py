@@ -149,13 +149,27 @@ def cmd_tier(args: argparse.Namespace) -> int:
 
 
 def cmd_dedup(args: argparse.Namespace) -> int:
-    """documents-style parquet → (id, cluster_id) near-dup clusters."""
+    """documents-style parquet → (id, cluster_id) near-dup clusters, or
+    (--emit deduped) the surviving full rows with non-canonical
+    near-duplicates removed."""
     import ray.data as rd
 
-    from .stages.dedup import minhash_lsh_clusters
+    from .stages.dedup import minhash_lsh_clusters, near_dedup_keep_one
 
     if _refuse_existing_out(args.out):
         return 2
+    if getattr(args, "emit", "clusters") == "deduped":
+        out = near_dedup_keep_one(
+            rd.read_parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold,
+        )
+        out.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.out, format="parquet").count_rows()
+        print(json.dumps({"out": args.out, "rows": n}))
+        return 0
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     out = minhash_lsh_clusters(
         ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
@@ -367,6 +381,7 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--id-col", default="doc_id")
     pd_.add_argument("--text-col", default="text")
     pd_.add_argument("--threshold", type=float, default=0.7)
+    pd_.add_argument("--emit", choices=["clusters", "deduped"], default="clusters")
     pd_.set_defaults(fn=cmd_dedup)
 
     pp = sub.add_parser("pack", help="documents parquet → training-sequence assignment parquet")

@@ -98,6 +98,25 @@ def add_key_partition(
     return batch.append_column(out, pa.array(bucket_ids(batch[key], num_parts)))
 
 
+def _column_type(ds: rd.Dataset, col: str, default: pa.DataType) -> pa.DataType:
+    """Arrow type of ``col`` from a Dataset schema probe — handles both
+    Arrow schemas (parquet/Arrow-block datasets) and pandas-block
+    schemas (``from_pandas`` inputs, whose ``base_schema`` is a
+    names/dtypes pair, not a ``pa.Schema``); falls back to ``default``
+    when the dtype has no direct Arrow equivalent (e.g. numpy object
+    strings)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base.field(col).type if col in base.names else default
+    try:
+        names = list(base.names)
+        if col in names:
+            return pa.from_numpy_dtype(list(base.types)[names.index(col)])
+    except (TypeError, AttributeError, pa.ArrowNotImplementedError):
+        pass
+    return default
+
+
 def exact_dedup(
     ds: rd.Dataset, key: str, order_by: str | list[str], *, num_parts: int = 32
 ) -> rd.Dataset:
@@ -551,10 +570,7 @@ def cluster_assignments(
     vectorized ``is_in`` inside each partition).  All-Arrow either way,
     so int64 ids above 2^53 survive exactly."""
     lim = EDGE_LABEL_LIMIT if edge_label_limit is None else edge_label_limit
-    id_type = pa.int64()
-    for f in ds.schema().base_schema:
-        if f.name == id_col:
-            id_type = f.type
+    id_type = _column_type(ds, id_col, pa.int64())
 
     def ids_as_clusters(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t[id_col], "cluster_id": t[id_col]})
@@ -677,10 +693,7 @@ def minhash_lsh_edges(
     def band_stage(batch: pa.Table) -> pa.Table:
         return minhash_band_rows(batch, id_col, text_col, ngram, bands)
 
-    id_type = pa.int64()
-    for f in ds.schema().base_schema:
-        if f.name == id_col:
-            id_type = f.type
+    id_type = _column_type(ds, id_col, pa.int64())
     empty = pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
 
     band_ds = ds.map_batches(band_stage, batch_format="pyarrow")
@@ -1583,3 +1596,48 @@ def remove_duplicate_spans(
         )
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def near_dedup_keep_one(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    bands: int = 16,
+    threshold: float = 0.7,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """One-call MinHash near-dup REMOVAL: the full input minus every
+    non-canonical near-duplicate (canonical = min id per cluster, the
+    ``cluster_assignments`` convention).  Returns the surviving rows
+    with ALL their input columns.
+
+    Scale shape: the LOSER set (cluster members with id != cluster_id)
+    is dup-count-sized — tiny next to the corpus — so the finish is a
+    ``bloom_anti_join`` of the input against it: definite non-losers
+    (almost every row) pass map-side on the Bloom fast path; only the
+    false-positive-bounded maybe-set shuffles for the exact verify.  No
+    full-corpus semi join, no driver id set."""
+    from .sketches import bloom_anti_join
+
+    ds = ds.materialize()  # consumed by the cluster build AND the final join
+    clusters = minhash_lsh_clusters(
+        ds, id_col=id_col, text_col=text_col, ngram=ngram, bands=bands,
+        threshold=threshold,
+    )
+
+    def losers_only(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t[id_col], t["cluster_id"]))
+        return t.filter(keep).select([id_col])
+
+    losers = clusters.map_batches(
+        losers_only, batch_format="pyarrow"
+    ).rename_columns({id_col: "_loser_id"}).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    return bloom_anti_join(
+        ds, losers, left_key=id_col, right_key="_loser_id",
+        n_expected=n_losers, num_partitions=num_partitions,
+    )

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q103_remove_dup_spans",
     "q104_kmeans_assign",
     "q105_cluster_prune",
+    "q106_shuffle_positions",
+    "q109_cap_per_source",
 ]
 
 

@@ -210,3 +210,26 @@ def test_shard_cli(tmp_path, sf_dir, capsys):
     )
     assert sorted(df["pos"]) == list(range(500))
     assert (df["shard_id"].astype(int) == df["pos"] // 128).all()
+
+
+def test_dedup_emit_deduped_cli(tmp_path, sf_dir, capsys):
+    out = tmp_path / "deduped"
+    assert (
+        main(
+            [
+                "dedup",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--out", str(out),
+                "--emit", "deduped",
+                "--threshold", "0.5",
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < summary["rows"] <= 500
+    t = pq.read_table(str(out))
+    # full rows survive (all document columns), ids unique
+    assert {"doc_id", "text", "lang", "source"} <= set(t.column_names)
+    ids = t["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids))

@@ -588,3 +588,54 @@ def test_dup_gram_bloom_only_overflags():
     )
     assert (loose["frac_dup_ngrams"] >= exact["frac_dup_ngrams"] - 1e-12).all()
     assert exact.loc[0, "frac_dup_ngrams"] == 1.0 and loose.loc[0, "frac_dup_ngrams"] == 1.0
+
+
+def test_near_dedup_keep_one_removes_non_canonical_members():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        minhash_lsh_clusters,
+        near_dedup_keep_one,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    texts = {
+        0: base,
+        1: base + " extra",             # near-dup of 0
+        2: base.replace("quick", "quik"),  # near-dup of 0
+        3: "completely different content about distributed query engines and arrow",
+        4: "another unrelated document discussing tokenizers and sampling theory",
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values()), "extra": range(5)}
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    cl = minhash_lsh_clusters(
+        rd.from_pandas(df), threshold=0.5
+    ).to_pandas().set_index("id" if "id" in [] else "doc_id")["cluster_id"]
+    expected_keep = sorted(i for i in texts if cl[i] == i)
+    got = (
+        near_dedup_keep_one(ds, threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == expected_keep
+    assert 0 in set(got["doc_id"])                   # canonical survives
+    assert {3, 4} <= set(got["doc_id"])              # singletons survive
+    assert list(got.columns) == ["doc_id", "text", "extra"]  # full rows
+
+
+def test_near_dedup_keep_one_no_duplicates_is_identity():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import near_dedup_keep_one
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [f"totally unique document number {i} about topic {i*7}" for i in range(6)],
+        }
+    )
+    got = near_dedup_keep_one(rd.from_pandas(df)).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(6))
