@@ -34,11 +34,23 @@ from .hashing import splitmix64
 
 
 def shuffle_hash(col, seed: int) -> np.ndarray:
-    """splitmix64 over (int64 key + seed) — the shuffle order key.
-    Requires an integer key column (stable document ids); the +seed is
-    mod-2^64 wraparound, replayable in SQL via HUGEINT arithmetic."""
+    """The shuffle order key.  Integer keys (stable document ids):
+    splitmix64 over (int64 key + seed) — mod-2^64 wraparound, replayable
+    in SQL via HUGEINT arithmetic (``splitmix64_sql``).  String/other
+    keys (urls): the engine's deterministic siphash (``hash_u64``)
+    reseeded through splitmix64 — same determinism and layout
+    independence, not SQL-replayable (DuckDB has no siphash)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col, pa.Array) and not (
+        pa.types.is_integer(col.type)
+        or pa.types.is_timestamp(col.type)
+        or pa.types.is_date(col.type)
+    ):
+        from .hashing import hash_u64
+
+        with np.errstate(over="ignore"):
+            return splitmix64(hash_u64(col) + np.uint64(seed % (1 << 64)))
     v = col.to_numpy(zero_copy_only=False).astype(np.int64)
     with np.errstate(over="ignore"):
         return splitmix64((v + np.int64(seed)).view(np.uint64))

@@ -92,3 +92,26 @@ def test_write_training_shards(tmp_path):
     assert set(df["shard_id"].astype(int)) == {0, 1, 2, 3}
     got = df.sort_values("doc_id")["text"].tolist()
     assert got == [f"t{i}" for i in range(100)]
+
+
+def test_shuffle_positions_string_keys():
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import shuffle_hash
+
+    urls = [f"https://h{i % 7}.example/p/{i}" for i in range(200)]
+    df = pd.DataFrame({"url": urls})
+    a = shuffle_positions(
+        rd.from_pandas(df).repartition(3), key_col="url", seed=9, num_buckets=8
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+    b = shuffle_positions(
+        rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(5),
+        key_col="url", seed=9, num_buckets=32,
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert sorted(a["pos"]) == list(range(200))
+    # seed changes the order; hash is deterministic per (key, seed)
+    h1 = shuffle_hash(pa.array(urls), 9)
+    h2 = shuffle_hash(pa.array(urls), 9)
+    h3 = shuffle_hash(pa.array(urls), 10)
+    assert (h1 == h2).all() and (h1 != h3).any()
