@@ -108,11 +108,16 @@ def kmeans_iterate(
             Ci = ray.get(_ref)
             V = _as_matrix(t[vec_col])
             sums, counts = _partial_sums(V, _assign(V, Ci), k)
+            # sparse partials: only clusters PRESENT in this batch leave
+            # the task (at SemDeDup-scale k most clusters are absent
+            # from any one batch; emitting all k rows per batch would
+            # make the fold k × blocks dense)
+            present = np.flatnonzero(counts)
             return pa.table(
                 {
-                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                    "n": pa.array(counts),
-                    "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "cluster": pa.array(present.astype(np.int64)),
+                    "n": pa.array(counts[present]),
+                    "s": pa.array(list(sums[present]), type=pa.list_(pa.float64())),
                 }
             )
 
