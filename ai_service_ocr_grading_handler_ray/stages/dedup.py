@@ -1641,3 +1641,30 @@ def near_dedup_keep_one(
         ds, losers, left_key=id_col, right_key="_loser_id",
         n_expected=n_losers, num_partitions=num_partitions,
     )
+
+
+def lsh_params(threshold: float, n_perm: int = 64) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing the LSH S-curve's deviation
+    from a step at ``threshold`` (the standard false-positive +
+    false-negative integral criterion from the MinHash-LSH literature,
+    equal weights): candidate-pair probability at similarity s is
+    1 - (1 - s^r)^b.  Only divisors of ``n_perm`` are considered —
+    ``band_keys`` requires bands × rows == signature length.
+
+    Use to pick ``bands`` for ``minhash_lsh_edges`` from a target
+    Jaccard threshold instead of hand-tuning."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best, best_err = None, None
+    for b in range(1, n_perm + 1):
+        if n_perm % b:
+            continue
+        r = n_perm // b
+        s = np.linspace(0.0, 1.0, 201)
+        p = 1.0 - (1.0 - s**r) ** b
+        fp = np.trapz(p[s < threshold], s[s < threshold])
+        fn = np.trapz(1.0 - p[s >= threshold], s[s >= threshold])
+        err = fp + fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best

@@ -639,3 +639,17 @@ def test_near_dedup_keep_one_no_duplicates_is_identity():
     )
     got = near_dedup_keep_one(rd.from_pandas(df)).to_pandas()
     assert sorted(got["doc_id"]) == list(range(6))
+
+
+def test_lsh_params_monotone_in_threshold():
+    from ai_service_ocr_grading_handler_ray.stages.dedup import lsh_params
+
+    b_low, r_low = lsh_params(0.3)
+    b_mid, r_mid = lsh_params(0.7)
+    b_high, r_high = lsh_params(0.9)
+    assert b_low * r_low == b_mid * r_mid == b_high * r_high == 64
+    # higher thresholds want longer rows (fewer bands): steeper curve
+    assert r_low <= r_mid <= r_high
+    assert b_low >= b_mid >= b_high
+    with pytest.raises(ValueError):
+        lsh_params(1.5)
