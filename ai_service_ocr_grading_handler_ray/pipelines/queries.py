@@ -2331,6 +2331,29 @@ def q109_cap_per_source(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q110_subtract_corpus(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus exact subtraction (held-out decontamination by
+    exact content match): documents minus every row whose text appears
+    in the held-out set (doc_id % 10 == 0) — exact dups of held-out
+    text drop even under different ids.  Both sides hash text
+    vectorized; the finish is a bloom_anti_join on the hash (map-side
+    fast path for definite non-members).  Oracle: NOT IN over raw
+    text."""
+    from ..stages.dedup import subtract_exact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def held(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    heldout = docs.map_batches(held, batch_format="pyarrow")
+    out = subtract_exact(docs, heldout, col="text").to_pandas()
+    return (
+        out[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
     """Intra-document segment dedup (Dolma's within-doc rule): keep the
     first occurrence of every distinct 2-word segment inside each
@@ -2368,7 +2391,7 @@ QUERIES = {
     "q107_epoch_mix": q107_epoch_mix,
     "q108_within_doc_segment_dedup": q108_within_doc_segment_dedup,
     "q109_cap_per_source": q109_cap_per_source,
-    "q46_approx_distinct_parts": q46_approx_distinct_parts,
+    "q110_subtract_corpus": q110_subtract_corpus,
     "q49_knn_ivf": q49_knn_ivf,
     "q54_heavy_hitters": q54_heavy_hitters,
     "q58_pivot_events": q58_pivot_events,
@@ -2422,6 +2445,10 @@ QUERIES = {
     # q85/q58/q59/q68/q63 and their oracles run in every pytest
     # session ---
     "q43_event_median": q43_event_median,
+    # q46 (r1-HASH-green HLL approx-distinct, unchanged) ceded to the
+    # never-checked q110; the sketch family stays window-covered by
+    # q54/q67/q79 and its oracle runs in every pytest session ---
+    "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q27_props_json_extract": q27_props_json_extract,
     "q10_customers_per_region": q10_customers_per_region,
     "q11_events_hourly": q11_events_hourly,
@@ -3696,5 +3723,12 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
           FROM hh
         ) WHERE rn <= 7 ORDER BY doc_id
+    """,
+    "q110_subtract_corpus": """
+        SELECT doc_id, source FROM documents
+        WHERE text NOT IN (
+          SELECT text FROM documents WHERE doc_id % 10 = 0
+        )
+        ORDER BY doc_id
     """,
 }

@@ -1673,3 +1673,54 @@ def lsh_params(threshold: float, n_perm: int = 64) -> tuple[int, int]:
         if best_err is None or err < best_err:
             best, best_err = (b, r), err
     return best
+
+
+def subtract_exact(
+    ds: rd.Dataset,
+    other: rd.Dataset,
+    *,
+    col: str = "text",
+    other_col: str | None = None,
+    num_partitions: int = 8,
+    fp_rate: float = 0.01,
+) -> rd.Dataset:
+    """Cross-corpus EXACT subtraction: drop every row of ``ds`` whose
+    ``col`` value appears anywhere in ``other`` (eval-set/held-out
+    decontamination by exact content match; the complement of the q86
+    n-gram flagger).  Returns surviving rows with all input columns.
+
+    Scale shape: both sides hash ``col`` vectorized (fixed-key siphash)
+    and the finish is a ``bloom_anti_join`` on the hash — definite
+    non-members (almost every row when the subtrahend is eval-sized)
+    pass map-side on the Bloom fast path; only Bloom maybes shuffle for
+    the exact verify.  64-bit equality stands in for content equality
+    (collisions over-drop at ~n²/2^64 — the safe direction)."""
+    from .hashing import hash_u64
+    from .sketches import bloom_anti_join
+
+    oc = other_col or col
+
+    def add_hash(colname):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_ch", pa.array(hash_u64(t[colname]), type=pa.uint64())
+            )
+        return fn
+
+    right = (
+        other.map_batches(add_hash(oc), batch_format="pyarrow")
+        .select_columns(["_ch"])
+        .rename_columns({"_ch": "_ch_r"})
+        .materialize()
+    )
+    n_right = right.count()
+    if n_right == 0:
+        return ds  # nothing to subtract (and an empty Arrow join side
+        # would lose the key type)
+    left = ds.map_batches(add_hash(col), batch_format="pyarrow")
+    out = bloom_anti_join(
+        left, right, left_key="_ch", right_key="_ch_r",
+        n_expected=n_right, fp_rate=fp_rate,
+        num_partitions=num_partitions,
+    )
+    return out.drop_columns(["_ch"])

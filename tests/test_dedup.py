@@ -653,3 +653,38 @@ def test_lsh_params_monotone_in_threshold():
     assert b_low >= b_mid >= b_high
     with pytest.raises(ValueError):
         lsh_params(1.5)
+
+
+def test_subtract_exact_cross_corpus():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import subtract_exact
+
+    a = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["keep one", "drop me", "keep two", "drop me", "DROP me", "keep three"],
+        }
+    )
+    b = pd.DataFrame({"doc_id": [100], "text": ["drop me"]})
+    got = (
+        subtract_exact(rd.from_pandas(a).repartition(3), rd.from_pandas(b))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # exact match only: case-different 'DROP me' survives; both exact
+    # copies drop regardless of id
+    assert list(got["doc_id"]) == [0, 2, 4, 5]
+    assert list(got.columns) == ["doc_id", "text"]
+
+
+def test_subtract_exact_empty_subtrahend_is_identity():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import subtract_exact
+
+    a = pd.DataFrame({"doc_id": range(4), "text": ["w", "x", "y", "z"]})
+    b = pd.DataFrame({"doc_id": [], "text": []}).astype({"doc_id": "int64", "text": "str"})
+    got = subtract_exact(rd.from_pandas(a), rd.from_pandas(b)).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 2, 3]
