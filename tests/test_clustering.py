@@ -130,3 +130,17 @@ def test_cluster_prune_keeps_all_threshold_ties():
     C = np.array([[0.0]])
     got = cluster_prune(_ds(V, 2), C, id_col="vec_id", vec_col="embedding").to_pandas()
     assert sorted(got["vec_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_kmeans_iterate_empty_input_keeps_centroids():
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.clustering import kmeans_iterate
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                      "embedding": pd.Series([], dtype="object")})
+    )
+    C = np.array([[1.0, 2.0], [3.0, 4.0]])
+    out = kmeans_iterate(empty, C, vec_col="embedding", n_iter=2)
+    np.testing.assert_allclose(out, C)
