@@ -2515,6 +2515,12 @@ QUERIES = {
     "q09_distinct_segments": q09_distinct_segments,
 }
 
+# The splitmix64-keyed oracles (q106/q107/q109) replay the engine's hash
+# via ONE generator — stages/shuffle.splitmix64_sql, itself
+# equivalence-tested against numpy bit-for-bit — instead of hand-copied
+# HUGEINT CTE chains whose constants could silently desync.
+from ..stages.shuffle import splitmix64_sql as _sm_sql
+
 ORACLE_SQL = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -3493,7 +3499,9 @@ ORACLE_SQL = {
             SELECT e.vec_id, c.cl,
                    row_number() OVER (
                      PARTITION BY e.vec_id
-                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cen),
+                     ORDER BY list_inner_product(c.cen, c.cen)
+                              - 2 * list_inner_product(
+                                      CAST(e.embedding AS DOUBLE[]), c.cen),
                               c.cl
                    ) AS rn
             FROM embeddings e CROSS JOIN c0 c
@@ -3515,7 +3523,9 @@ ORACLE_SQL = {
           SELECT e.vec_id, c.cl,
                  row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cen),
+                   ORDER BY list_inner_product(c.cen, c.cen)
+                            - 2 * list_inner_product(
+                                    CAST(e.embedding AS DOUBLE[]), c.cen),
                             c.cl
                  ) AS rn
           FROM embeddings e CROSS JOIN c1 c
@@ -3532,7 +3542,9 @@ ORACLE_SQL = {
             SELECT e.vec_id, c.cl,
                    row_number() OVER (
                      PARTITION BY e.vec_id
-                     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cen),
+                     ORDER BY list_inner_product(c.cen, c.cen)
+                              - 2 * list_inner_product(
+                                      CAST(e.embedding AS DOUBLE[]), c.cen),
                               c.cl
                    ) AS rn
             FROM embeddings e CROSS JOIN c0 c
@@ -3581,80 +3593,19 @@ ORACLE_SQL = {
         WHERE r.d2 <= th.thr
         ORDER BY r.vec_id
     """,
-    "q106_shuffle_positions": """
-        WITH u AS (
-          SELECT doc_id,
-                 ((CAST(doc_id AS HUGEINT) + 42) % 18446744073709551616
-                  + 18446744073709551616) % 18446744073709551616 AS z
-          FROM documents
-        ), s0 AS (
-          SELECT doc_id,
-                 (z + 11400714819323198485) % 18446744073709551616 AS z
-          FROM u
-        ), x0 AS (
-          SELECT doc_id, CAST(xor(CAST(z AS UBIGINT),
-                                  CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
-          FROM s0
-        ), s1 AS (
-          SELECT doc_id,
-                 ((z * 484763065) % 18446744073709551616
-                  + ((z * 3210233709) % 4294967296) * 4294967296)
-                 % 18446744073709551616 AS z
-          FROM x0
-        ), x1 AS (
-          SELECT doc_id, CAST(xor(CAST(z AS UBIGINT),
-                                  CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
-          FROM s1
-        ), s2 AS (
-          SELECT doc_id,
-                 ((z * 321982955) % 18446744073709551616
-                  + ((z * 2496678331) % 4294967296) * 4294967296)
-                 % 18446744073709551616 AS z
-          FROM x1
-        ), h AS (
-          SELECT doc_id,
-                 xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h
-          FROM s2
+    "q106_shuffle_positions": f"""
+        WITH h AS (
+          SELECT doc_id, {_sm_sql('doc_id', 42)} AS h FROM documents
         )
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         FROM h ORDER BY doc_id
     """,
-    "q107_epoch_mix": """
-        WITH u AS (
-          SELECT doc_id, source,
-                 ((CAST(doc_id AS HUGEINT) + 7) % 18446744073709551616
-                  + 18446744073709551616) % 18446744073709551616 AS z
-          FROM documents
-        ), s0 AS (
-          SELECT doc_id, source,
-                 (z + 11400714819323198485) % 18446744073709551616 AS z
-          FROM u
-        ), x0 AS (
-          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
-                                  CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
-          FROM s0
-        ), s1 AS (
-          SELECT doc_id, source,
-                 ((z * 484763065) % 18446744073709551616
-                  + ((z * 3210233709) % 4294967296) * 4294967296)
-                 % 18446744073709551616 AS z
-          FROM x0
-        ), x1 AS (
-          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
-                                  CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
-          FROM s1
-        ), s2 AS (
-          SELECT doc_id, source,
-                 ((z * 321982955) % 18446744073709551616
-                  + ((z * 2496678331) % 4294967296) * 4294967296)
-                 % 18446744073709551616 AS z
-          FROM x1
-        ), hh AS (
-          SELECT doc_id, source,
-                 xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h,
+    "q107_epoch_mix": f"""
+        WITH hh AS (
+          SELECT doc_id, source, {_sm_sql('doc_id', 7)} AS h,
                  CAST(substr(source, 4) AS INTEGER) % 4 AS m
-          FROM s2
+          FROM documents
         ), n AS (
           SELECT doc_id, source,
                  CASE WHEN m >= 2 THEN 2 ELSE 1 END
@@ -3683,40 +3634,9 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_segs_kept
         FROM firsts GROUP BY doc_id
     """,
-    "q109_cap_per_source": """
-        WITH u AS (
-          SELECT doc_id, source,
-                 ((CAST(doc_id AS HUGEINT) + 11) % 18446744073709551616
-                  + 18446744073709551616) % 18446744073709551616 AS z
-          FROM documents
-        ), s0 AS (
-          SELECT doc_id, source,
-                 (z + 11400714819323198485) % 18446744073709551616 AS z
-          FROM u
-        ), x0 AS (
-          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
-                                  CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z
-          FROM s0
-        ), s1 AS (
-          SELECT doc_id, source,
-                 ((z * 484763065) % 18446744073709551616
-                  + ((z * 3210233709) % 4294967296) * 4294967296)
-                 % 18446744073709551616 AS z
-          FROM x0
-        ), x1 AS (
-          SELECT doc_id, source, CAST(xor(CAST(z AS UBIGINT),
-                                  CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z
-          FROM s1
-        ), s2 AS (
-          SELECT doc_id, source,
-                 ((z * 321982955) % 18446744073709551616
-                  + ((z * 2496678331) % 4294967296) * 4294967296)
-                 % 18446744073709551616 AS z
-          FROM x1
-        ), hh AS (
-          SELECT doc_id, source,
-                 xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS h
-          FROM s2
+    "q109_cap_per_source": f"""
+        WITH hh AS (
+          SELECT doc_id, source, {_sm_sql('doc_id', 11)} AS h FROM documents
         )
         SELECT doc_id, source FROM (
           SELECT doc_id, source,

@@ -127,8 +127,8 @@ def kmeans_iterate(
             )
             if t.num_rows
         ]
-        if not tbls:  # empty input: every cluster keeps its centroid
-            continue
+        if not tbls:  # empty input: no iteration can change C — stop
+            break
         sums = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
         # fold in sorted order so cross-block float addition order is

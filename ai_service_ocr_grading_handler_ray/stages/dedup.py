@@ -111,7 +111,13 @@ def _column_type(ds: rd.Dataset, col: str, default: pa.DataType) -> pa.DataType:
     try:
         names = list(base.names)
         if col in names:
-            return pa.from_numpy_dtype(list(base.types)[names.index(col)])
+            dtype = list(base.types)[names.index(col)]
+            if getattr(dtype, "kind", None) == "O":
+                # pandas object dtype is (almost always) strings — the
+                # int64 default would make string-id edge tables
+                # unbuildable (ArrowInvalid on the first id)
+                return pa.string()
+            return pa.from_numpy_dtype(dtype)
     except (TypeError, AttributeError, pa.ArrowNotImplementedError):
         pass
     return default
@@ -1453,13 +1459,9 @@ def _covered_tape(
     return np.cumsum(diff[:-1]) > 0
 
 
-def _coverage_from_flags(
-    flags: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
-) -> np.ndarray:
-    """Per-text count of token positions covered by at least one flagged
-    full gram (``_covered_tape`` folded per text)."""
+def _fold_tape_per_text(cov: np.ndarray, nw: np.ndarray) -> np.ndarray:
+    """Fold a boolean token-position tape into per-text counts."""
     covered = np.zeros(len(nw), dtype=np.int64)
-    cov = _covered_tape(flags, off, nw, ngram)
     if cov.size == 0:
         return covered
     t_off = np.concatenate([[0], np.cumsum(nw)])
@@ -1468,6 +1470,14 @@ def _coverage_from_flags(
     # still delimit exactly the nonempty texts' segments
     covered[ne] = np.add.reduceat(cov.astype(np.int64), t_off[:-1][ne])
     return covered
+
+
+def _coverage_from_flags(
+    flags: np.ndarray, off: np.ndarray, nw: np.ndarray, ngram: int
+) -> np.ndarray:
+    """Per-text count of token positions covered by at least one flagged
+    full gram (``_covered_tape`` folded per text)."""
+    return _fold_tape_per_text(_covered_tape(flags, off, nw, ngram), nw)
 
 
 def duplicate_ngram_coverage(
@@ -1579,12 +1589,7 @@ def remove_duplicate_spans(
             words_all.extend((s or "").split())
         words = np.array(words_all, dtype=object)
         kept_words = words[~cov] if cov.size else words
-        t_off = np.concatenate([[0], np.cumsum(nw)])
-        covered = np.zeros(len(nw), dtype=np.int64)
-        ne = nw > 0
-        if cov.size:
-            covered[ne] = np.add.reduceat(cov.astype(np.int64), t_off[:-1][ne])
-        n_kept = nw - covered
+        n_kept = nw - _fold_tape_per_text(cov, nw)
         k_off = np.concatenate([[0], np.cumsum(n_kept)])
         lst = pa.ListArray.from_arrays(
             pa.array(k_off, type=pa.int32()),

@@ -53,7 +53,10 @@ def shuffle_hash(col, seed: int) -> np.ndarray:
             return splitmix64(hash_u64(col) + np.uint64(seed % (1 << 64)))
     v = col.to_numpy(zero_copy_only=False).astype(np.int64)
     with np.errstate(over="ignore"):
-        return splitmix64((v + np.int64(seed)).view(np.uint64))
+        # mod-2^64 seed normalization: two's-complement uint64 addition
+        # equals (key + seed) mod 2^64 for ANY Python int seed (np.int64
+        # would overflow at 2^63)
+        return splitmix64(v.view(np.uint64) + np.uint64(seed % (1 << 64)))
 
 
 def shuffle_positions(

@@ -613,7 +613,7 @@ def test_near_dedup_keep_one_removes_non_canonical_members():
     ds = rd.from_pandas(df).repartition(2)
     cl = minhash_lsh_clusters(
         rd.from_pandas(df), threshold=0.5
-    ).to_pandas().set_index("id" if "id" in [] else "doc_id")["cluster_id"]
+    ).to_pandas().set_index("doc_id")["cluster_id"]
     expected_keep = sorted(i for i in texts if cl[i] == i)
     got = (
         near_dedup_keep_one(ds, threshold=0.5)
@@ -688,3 +688,24 @@ def test_subtract_exact_empty_subtrahend_is_identity():
     b = pd.DataFrame({"doc_id": [], "text": []}).astype({"doc_id": "int64", "text": "str"})
     got = subtract_exact(rd.from_pandas(a), rd.from_pandas(b)).to_pandas()
     assert sorted(got["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_minhash_clusters_string_ids_from_pandas():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import minhash_lsh_clusters
+
+    # pandas-block schema: string ids previously probed as int64 and the
+    # edge-table build crashed with ArrowInvalid (review finding)
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"u{i}" for i in range(4)],
+            "text": [base, base + " tail", "totally different words here now", "more unrelated content again"],
+        }
+    )
+    out = minhash_lsh_clusters(rd.from_pandas(df), threshold=0.5).to_pandas()
+    assert set(out["doc_id"]) == {"u0", "u1", "u2", "u3"}
+    cl = out.set_index("doc_id")["cluster_id"]
+    assert cl["u0"] == cl["u1"]

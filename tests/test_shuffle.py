@@ -115,3 +115,12 @@ def test_shuffle_positions_string_keys():
     h2 = shuffle_hash(pa.array(urls), 9)
     h3 = shuffle_hash(pa.array(urls), 10)
     assert (h1 == h2).all() and (h1 != h3).any()
+
+
+def test_shuffle_hash_huge_seed_int_keys():
+    import pyarrow as pa
+
+    ids = np.arange(10, dtype=np.int64)
+    a = shuffle_hash(pa.array(ids), 2**63)       # previously OverflowError
+    b = shuffle_hash(pa.array(ids), 2**63 + 2**64)  # seed acts mod 2^64
+    assert np.array_equal(a, b)
