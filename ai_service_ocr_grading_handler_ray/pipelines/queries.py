@@ -2354,6 +2354,24 @@ def q110_subtract_corpus(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q111_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance of the embedding table (the whitening
+    moment pass, stages/linalg): ONE shuffle-free scan emits a (n, Σx,
+    X'X) moment row per batch — d+d² floats, never row-count-sized — and
+    the driver folds blocks-many rows.  Output: upper-triangle (i, j,
+    cov).  Oracle replays E[xy] − μμ' relationally over unnested
+    dimension pairs."""
+    from ..stages.linalg import covariance
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, cov = covariance(ds, vec_col="embedding")
+    iu = np.triu_indices(cov.shape[0])
+    out = pd.DataFrame(
+        {"i": iu[0].astype(np.int64), "j": iu[1].astype(np.int64), "cov": cov[iu]}
+    )
+    return _finalize(out, {"cov": 6})
+
+
 def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
     """Intra-document segment dedup (Dolma's within-doc rule): keep the
     first occurrence of every distinct 2-word segment inside each
@@ -2379,7 +2397,7 @@ QUERIES = {
     "q44_train_split": q44_train_split,
     "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q57_group_zscore": q57_group_zscore,
-    "q60_above_nation_avg": q60_above_nation_avg,
+    "q111_covariance": q111_covariance,
     "q98_corpus_build": q98_corpus_build,
     "q103_remove_dup_spans": q103_remove_dup_spans,
     "q104_kmeans_assign": q104_kmeans_assign,
@@ -2445,6 +2463,11 @@ QUERIES = {
     # q85/q58/q59/q68/q63 and their oracles run in every pytest
     # session ---
     "q43_event_median": q43_event_median,
+    # q60 (r1-HASH-green correlated-subquery filter, unchanged) ceded to
+    # the never-checked q111; grouped-average-filter semantics stay
+    # window-covered by q57 and its oracle runs in every pytest
+    # session ---
+    "q60_above_nation_avg": q60_above_nation_avg,
     # q46 (r1-HASH-green HLL approx-distinct, unchanged) ceded to the
     # never-checked q110; the sketch family stays window-covered by
     # q54/q67/q79 and its oracle runs in every pytest session ---
@@ -3643,6 +3666,23 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
           FROM hh
         ) WHERE rn <= 7 ORDER BY doc_id
+    """,
+    "q111_covariance": """
+        WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 unnest(CAST(embedding AS DOUBLE[])) AS v
+          FROM embeddings
+        ), m AS (
+          SELECT i, avg(v) AS mu FROM e GROUP BY i
+        ), p AS (
+          SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i
+        )
+        SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+               round(p.exy - ma.mu * mb.mu, 6) AS cov
+        FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
+        ORDER BY i, j
     """,
     "q110_subtract_corpus": """
         SELECT doc_id, source FROM documents
