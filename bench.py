@@ -56,7 +56,10 @@ BENCH_QUERIES = [
     "q104_kmeans_assign",
     "q105_cluster_prune",
     "q106_shuffle_positions",
+    "q107_epoch_mix",
     "q109_cap_per_source",
+    "q110_subtract_corpus",
+    "q111_covariance",
 ]
 
 
