@@ -697,7 +697,12 @@ def q28_streaming_window(sf_dir: str) -> pd.DataFrame:
     out = tumbling_window_aggregate_ds(
         events, key_col="event_type", ts_col="ts", value_col="value", window_s=3600
     )
-    return _finalize(out, {"sum_value": 3})
+    # the stage is lazy Dataset→Dataset; collection (window-count-sized)
+    # happens only here, for the oracle compare
+    df = out.to_pandas().sort_values(
+        ["event_type", "window"], kind="mergesort"
+    ).reset_index(drop=True)
+    return _finalize(df, {"sum_value": 3})
 
 
 def q29_topk_per_group(sf_dir: str) -> pd.DataFrame:
@@ -1775,7 +1780,10 @@ def q80_sliding_window(sf_dir: str) -> pd.DataFrame:
         events, key_col="event_type", ts_col="ts", value_col="value",
         window_s=3600, slide_s=900,
     )
-    return _finalize(out, {"sum_value": 3})
+    df = out.to_pandas().sort_values(
+        ["event_type", "window_start"], kind="mergesort"
+    ).reset_index(drop=True)
+    return _finalize(df, {"sum_value": 3})
 
 
 def q81_doc_chunks(sf_dir: str) -> pd.DataFrame:
@@ -1889,7 +1897,10 @@ def q84_streaming_sessionize(sf_dir: str) -> pd.DataFrame:
     out = session_window_aggregate_ds(
         events, key_col="user_id", ts_col="ts", gap_s=1800
     )
-    return _finalize(out)
+    df = out.to_pandas().sort_values(
+        ["user_id", "session_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    return _finalize(df)
 
 
 def q85_string_key_join(sf_dir: str) -> pd.DataFrame:

@@ -210,11 +210,19 @@ def test_streaming_window_ds_equals_driver_version(sf_dir):
         rd.from_arrow(events), key_col="event_type", ts_col="ts",
         value_col="value", window_s=3600,
     )
+    # the scale path returns a LAZY Dataset — the stage itself never
+    # collects on the driver (VERDICT r3 #1); collection is the caller's
+    assert isinstance(a, rd.Dataset)
+    a_df = (
+        a.to_pandas()
+        .sort_values(["event_type", "window"], kind="mergesort")
+        .reset_index(drop=True)
+    )
     b = tumbling_window_aggregate(
         events.to_pandas(), key_col="event_type", ts_col="ts",
         value_col="value", window_s=3600,
     )
-    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a_df, b)
 
 
 def test_streaming_sessionize_edges():
@@ -235,7 +243,7 @@ def test_streaming_sessionize_edges():
     out = session_window_aggregate_ds(
         rd.from_arrow(empty), key_col="user_id", ts_col="ts", gap_s=1800
     )
-    assert len(out) == 0
+    assert out.count() == 0
 
     ts = pd.to_datetime(
         ["2024-01-01 00:00:00", "2024-01-01 00:30:00",  # +1800s: SAME session
@@ -246,10 +254,48 @@ def test_streaming_sessionize_edges():
     out = session_window_aggregate_ds(
         rd.from_arrow(t), key_col="user_id", ts_col="ts", gap_s=1800
     )
-    assert out.to_dict("records") == [
+    assert out.to_pandas().to_dict("records") == [
         {"user_id": 1, "session_id": 1, "n_events": 2},
         {"user_id": 1, "session_id": 2, "n_events": 1},
     ]
+
+
+def test_streaming_ds_stages_are_lazy_datasets():
+    """Contract (VERDICT r3 #1): the streaming window/session aggregates
+    are Dataset→Dataset stages — constructing them executes NOTHING and
+    collects NOTHING on the driver.  We pin laziness by feeding a
+    pipeline whose map stage would raise on execution: building the
+    windowed plan must succeed; only consumption may fail."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.streaming import (
+        session_window_aggregate_ds,
+        sliding_window_aggregate,
+        tumbling_window_aggregate_ds,
+    )
+
+    ts = pa.array([0, 1_000_000], type=pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array([1, 2], type=pa.int64()),
+                  "ts": ts, "value": pa.array([1.0, 2.0])})
+
+    def boom(batch: pa.Table) -> pa.Table:
+        raise RuntimeError("executed eagerly")
+
+    poisoned = rd.from_arrow(t).map_batches(boom, batch_format="pyarrow")
+    for build in (
+        lambda: tumbling_window_aggregate_ds(
+            poisoned, key_col="user_id", ts_col="ts", value_col="value"),
+        lambda: session_window_aggregate_ds(
+            poisoned, key_col="user_id", ts_col="ts"),
+        lambda: sliding_window_aggregate(
+            poisoned, key_col="user_id", ts_col="ts", value_col="value"),
+    ):
+        ds = build()  # lazy: must not raise
+        assert isinstance(ds, rd.Dataset)
+        with pytest.raises(Exception):
+            ds.materialize()  # consumption surfaces the poison
 
 
 def test_session_actor_state_is_bounded():
