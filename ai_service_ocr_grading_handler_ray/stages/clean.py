@@ -238,7 +238,7 @@ def remove_frequent_segments(
                     out_text.append(" ".join(kept))
                     out_n.append(len(kept))
             base = t.filter(pa.array(keep_mask, type=pa.bool_()))
-            cols = {id_col: base[id_col].cast(pa.int64())}
+            cols = {id_col: base[id_col]}  # id type flows through (string ids work)
             for c in passthrough_cols:
                 cols[c] = base[c]
             cols["text_clean"] = pa.array(out_text, type=pa.string())
@@ -273,7 +273,7 @@ def remove_frequent_segments(
                 out_text.append(" ".join(kept))
                 out_n.append(len(kept))
         base = t.filter(pa.array(keep_mask, type=pa.bool_()))
-        cols = {id_col: base[id_col].cast(pa.int64())}
+        cols = {id_col: base[id_col]}  # id type flows through (string ids work)
         for c in passthrough_cols:
             cols[c] = base[c]
         cols["text_clean"] = pa.array(out_text, type=pa.string())

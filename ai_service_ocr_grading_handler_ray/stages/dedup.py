@@ -33,6 +33,7 @@ expansion to bound the O(n²) blowup; hits are logged, not silent.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -1139,7 +1140,16 @@ def propagate_min_labels_ds(
         return g.groupby("id", sort=False)["label"].min().reset_index()
 
     prev_sig = None
-    for _ in range(max_rounds):
+    converged = False
+    # chain-shaped components (templated pages with drifting content) can
+    # exceed max_rounds hops; rather than silently emitting SPLIT clusters
+    # (ADVICE r3), extend the budget up to 4× with loud warnings, then
+    # refuse — mirroring exact_group_quantiles' non-convergence error
+    budget = max_rounds
+    hard_cap = max_rounds * 4
+    rounds = 0
+    while rounds < budget:
+        rounds += 1
         lab_in = labels.map_batches(to_msg_input, batch_format="pyarrow")
         msgs = (
             lab_in.union(half)
@@ -1160,8 +1170,22 @@ def propagate_min_labels_ds(
         # huge ids is a vanishing false-converge risk, documented)
         sig = labels.sum("label")
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+        if rounds == budget and budget < hard_cap:
+            budget = min(budget * 2, hard_cap)
+            logging.getLogger(__name__).warning(
+                "propagate_min_labels_ds: no convergence after %d rounds; "
+                "extending budget to %d (component diameter exceeds "
+                "max_rounds=%d)", rounds, budget, max_rounds,
+            )
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels_ds did not converge in {rounds} rounds "
+            f"(max_rounds={max_rounds}, extended to {budget}): a connected "
+            "component's diameter exceeds the budget — raise max_rounds"
+        )
     return labels
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -51,6 +52,10 @@ def shuffle_hash(col, seed: int) -> np.ndarray:
 
         with np.errstate(over="ignore"):
             return splitmix64(hash_u64(col) + np.uint64(seed % (1 << 64)))
+    # null keys → the fixed key-0 sentinel, matching hash_u64's null
+    # handling (unfilled nulls became NaN → undefined int64 casts)
+    if isinstance(col, (pa.Array, pa.ChunkedArray)) and col.null_count:
+        col = pc.fill_null(pc.cast(col, pa.int64()), 0)
     v = col.to_numpy(zero_copy_only=False).astype(np.int64)
     with np.errstate(over="ignore"):
         # mod-2^64 seed normalization: two's-complement uint64 addition

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -213,12 +214,14 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> dict:
         # counters (decrement by the (k+1)-th largest) — equivalent to
         # merge_mg([exact]) and carries the same n/k error bound, without
         # the per-row Python MG loop
-        s = batch[col].to_pandas().value_counts()
+        # dropna=False: a null-heavy key column must still surface null
+        # as a hot key (the per-row MG loop counted None as "None")
+        s = batch[col].to_pandas().value_counts(dropna=False)
         if len(s) > k:
             cut = int(s.iloc[k])
             s = (s.iloc[:k] - cut)
             s = s[s > 0]
-        mg = {str(a): int(b) for a, b in s.items()}
+        mg = {("None" if pd.isna(a) else str(a)): int(b) for a, b in s.items()}
         return pa.table(
             {"mg": pa.array([json.dumps(mg).encode()], type=pa.binary())}
         )

@@ -26,10 +26,12 @@ from .hashing import bucket_ids
 
 
 def host_of_url(url: str) -> str:
+    # urlsplit netloc semantics: the authority ends at '/', '?' or '#'
     try:
-        return url.split("/", 3)[2]
+        auth = url.split("/", 3)[2]
     except IndexError:
         return ""
+    return auth.split("?", 1)[0].split("#", 1)[0]
 
 
 def hosts_of_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -37,7 +39,9 @@ def hosts_of_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     regex kernel instead of a per-row Python split.  Non-matching rows
     (no ``//``) map to "" like the scalar fallback."""
     s = pc.fill_null(urls, "")
-    m = pc.extract_regex(s, pattern="^[^/]*//(?P<h>[^/]*)")
+    # authority ends at '/', '?' or '#' — urlsplit netloc semantics, so
+    # 'http://host?q=1' yields 'host' exactly like the scalar host_of_url
+    m = pc.extract_regex(s, pattern="^[^/]*//(?P<h>[^/?#]*)")
     host = pc.struct_field(m, "h")
     return pc.fill_null(host, "")
 

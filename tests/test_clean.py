@@ -140,3 +140,32 @@ def test_within_doc_segment_dedup():
     )
     assert list(got["text_clean"]) == ["a b c d", "x y z", "", "p p"]
     assert list(got["n_segs_kept"]) == [2, 2, 1, 1]
+
+
+def test_remove_frequent_segments_string_ids():
+    """String doc ids flow through both rewrite paths unchanged — the
+    rewriters force-cast the id column to int64 (ADVICE r3) even though
+    the rest of the dedup surface is string-id aware."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.clean import remove_frequent_segments
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [f"url://{i}" for i in range(5)],
+            "text": [
+                "cookie banner unique one text here",
+                "cookie banner unique two more words",
+                "cookie banner unique three extra stuff",
+                "cookie banner",
+                "totally different document body",
+            ],
+        }
+    )
+    for method in ("broadcast", "bloom"):
+        out = remove_frequent_segments(
+            rd.from_pandas(rows), min_docs=4, words_per_seg=2, method=method
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [f"url://{i}" for i in [0, 1, 2, 4]]
+        assert out["doc_id"].dtype == object

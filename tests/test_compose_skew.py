@@ -136,9 +136,16 @@ def test_hosts_of_urls_matches_scalar():
         "http://a.b/x",
         "//bare.host/q",
         "https://no-path.example.com",
+        # authority ends at '?'/'#' even with no path (ADVICE r3) —
+        # urlsplit netloc semantics in both the scalar and the kernel
+        "http://host?q=1",
+        "http://host#frag",
+        "http://host?q=1#frag",
         "",
         None,
     ]
     vec = hosts_of_urls(pa.array(urls, type=pa.string())).to_pylist()
     ref = [host_of_url(u or "") for u in urls]
     assert vec == ref
+    assert host_of_url("http://host?q=1") == "host"
+    assert host_of_url("http://host#f") == "host"

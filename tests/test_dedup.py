@@ -709,3 +709,26 @@ def test_minhash_clusters_string_ids_from_pandas():
     assert set(out["doc_id"]) == {"u0", "u1", "u2", "u3"}
     cl = out.set_index("doc_id")["cluster_id"]
     assert cl["u0"] == cl["u1"]
+
+
+def test_label_propagation_extends_budget_then_raises():
+    """A chain whose diameter exceeds max_rounds must NOT silently emit
+    split clusters (ADVICE r3): the budget extends up to 4× with a
+    warning, and a still-unconverged run raises."""
+    import pytest
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        propagate_min_labels_ds,
+    )
+
+    # 12-node chain: needs ~11 propagation hops + 1 probe round
+    n = 12
+    edges = pa.table(
+        {"a": list(range(1, n)), "b": list(range(2, n + 1))}
+    )
+    # budget 4 → extends 8 → 16: converges inside the extension
+    out = propagate_min_labels_ds(edges, max_rounds=4).to_pandas()
+    assert set(out["label"]) == {1}
+    # budget 1 → hard cap 4: cannot converge → loud failure
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels_ds(edges, max_rounds=1)

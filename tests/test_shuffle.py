@@ -124,3 +124,19 @@ def test_shuffle_hash_huge_seed_int_keys():
     a = shuffle_hash(pa.array(ids), 2**63)       # previously OverflowError
     b = shuffle_hash(pa.array(ids), 2**63 + 2**64)  # seed acts mod 2^64
     assert np.array_equal(a, b)
+
+
+def test_shuffle_hash_null_int_keys_fixed_sentinel():
+    """Null integer/timestamp keys hash to the fixed key-0 sentinel
+    (hash_u64 semantics) instead of NaN→undefined int64 casts (ADVICE r3)."""
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import shuffle_hash
+
+    ids = pa.array([1, None, 0, None], type=pa.int64())
+    h = shuffle_hash(ids, 7)
+    assert np.array_equal(h, shuffle_hash(ids, 7))  # deterministic
+    assert h[1] == h[2] == h[3]  # nulls co-locate with the key-0 sentinel
+    ts = pa.array([0, None], type=pa.timestamp("us"))
+    ht = shuffle_hash(ts, 7)
+    assert ht[1] == ht[0] == h[2]

@@ -125,3 +125,16 @@ def test_tree_merge_equals_direct_merge(sf_dir):
     top_direct = sorted(hh_direct, key=lambda x: -hh_direct[x])[:2]
     top_treed = sorted(hh_treed, key=lambda x: -hh_treed[x])[:2]
     assert set(top_direct) == set(top_treed) == {"1", "2"}
+
+
+def test_heavy_hitters_counts_null_keys():
+    """A null-heavy key column must surface null as a hot key — the
+    vectorized per-batch sketch dropped NaN via value_counts() default
+    (ADVICE r3); the per-row MG loop counted None as "None"."""
+    import pandas as pd
+    import ray.data as rd
+
+    rows = pd.DataFrame({"k": [None] * 50 + ["a"] * 30 + ["b"] * 5})
+    hh = heavy_hitters(rd.from_pandas(rows), "k", k=4)
+    assert hh.get("None", 0) >= 40  # MG counts are lower bounds within n/k
+    assert "a" in hh
