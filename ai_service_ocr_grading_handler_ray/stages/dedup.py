@@ -1064,9 +1064,42 @@ def propagate_min_labels_ds(
     O(component diameter) rounds.  ``edges``: (a, b), integer ids."""
     id_type = edges["a"].type
     if not pa.types.is_integer(id_type):
-        # min-label semantics + the sum-of-labels convergence probe are
-        # integer-only; hash non-integer ids to int64 upstream
-        raise TypeError(f"propagate_min_labels requires integer ids, got {id_type}")
+        # Non-integer (url/string) ids: rank-encode the EDGE-NODE universe
+        # to dense int64 surrogates and recurse.  Rank beats 64-bit
+        # hashing here on both axes: it is collision-free by construction
+        # (a hash collision would silently MERGE two clusters), and rank
+        # order == sort order, so the min-int label maps back to the
+        # lexicographic-min id — exactly the union-find branch's
+        # representative, keeping the branches equivalence-testable.
+        # Cost: one driver-side unique+sort over the edge nodes (the
+        # driver already holds the edge list — VERDICT r2 #1 contract)
+        # and one broadcast take per output batch; no extra shuffle.
+        import ray as _ray
+
+        nodes = pa.concat_arrays(
+            [edges["a"].combine_chunks(), edges["b"].combine_chunks()]
+        )
+        if nodes.null_count:
+            raise TypeError("propagate_min_labels: null ids are not clusterable")
+        uniq = pc.unique(nodes).sort()
+        int_edges = pa.table(
+            {
+                "a": pc.index_in(edges["a"], value_set=uniq).cast(pa.int64()),
+                "b": pc.index_in(edges["b"], value_set=uniq).cast(pa.int64()),
+            }
+        )
+        labels_int = propagate_min_labels_ds(
+            int_edges, max_rounds=max_rounds, num_parts=num_parts
+        )
+        uniq_ref = _ray.put(uniq)
+
+        def decode(t: pa.Table) -> pa.Table:
+            u = _ray.get(uniq_ref)
+            return pa.table(
+                {"id": pc.take(u, t["id"]), "label": pc.take(u, t["label"])}
+            )
+
+        return labels_int.map_batches(decode, batch_format="pyarrow")
 
     # half-edges (key, other, label=null, _part) never change between
     # rounds: built once, shipped into the object store once
@@ -1199,8 +1232,6 @@ def propagate_min_labels(
     if edges.num_rows == 0:
         return pa.table({"id": pa.array(ids), "cluster_id": pa.array(ids)})
     id_type = edges["a"].type
-    if not pa.types.is_integer(id_type):
-        raise TypeError(f"propagate_min_labels requires integer ids, got {id_type}")
     labels = propagate_min_labels_ds(
         edges, max_rounds=max_rounds, num_parts=num_partitions
     ).to_pandas()
@@ -1209,7 +1240,7 @@ def propagate_min_labels(
         {
             "id": pa.array(ids, type=id_type),
             "cluster_id": pa.array(
-                [int(by_id.get(i, i)) for i in ids], type=id_type
+                [by_id.get(i, i) for i in ids], type=id_type
             ),
         }
     )

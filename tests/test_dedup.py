@@ -172,14 +172,24 @@ def test_label_propagation_exact_above_2_53():
     assert got == {base: base, base + 1: base, base + 2: base, base + 4: base + 4}
 
 
-def test_label_propagation_rejects_non_integer_ids():
-    import pytest
-
+def test_label_propagation_string_ids():
+    """String (url) ids work end-to-end in the distributed propagation:
+    the edge-node universe is rank-encoded to dense int64 surrogates
+    (collision-free by construction — a 64-bit hash collision would
+    silently merge clusters) and decoded back; the representative is the
+    lexicographic-min id, matching the union-find branch."""
     from ai_service_ocr_grading_handler_ray.stages.dedup import propagate_min_labels
 
-    edges = pa.table({"a": ["x"], "b": ["y"]})
-    with pytest.raises(TypeError, match="integer ids"):
-        propagate_min_labels(edges, ["x", "y"])
+    edges = pa.table(
+        {"a": ["u://b", "u://c", "u://x"], "b": ["u://c", "u://a", "u://y"]}
+    )
+    out = propagate_min_labels(edges, ["u://a", "u://b", "u://c", "u://x", "u://y", "u://z"])
+    got = dict(zip(out["id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert got == {
+        "u://a": "u://a", "u://b": "u://a", "u://c": "u://a",
+        "u://x": "u://x", "u://y": "u://x", "u://z": "u://z",
+    }
+    assert out["id"].type == pa.string()
 
 
 def test_cluster_assignments_driver_free_contract():
@@ -233,8 +243,9 @@ def test_batch_kernels_match_scalar_reference():
 
 
 def test_cluster_assignments_string_ids():
-    """String ids work through the union-find finish (url-keyed dedup);
-    the distributed finish is integer-only and must say so."""
+    """String ids work through BOTH finishes (url-keyed dedup): the
+    union-find branch natively, and the distributed branch via dense-rank
+    int64 surrogates (round 4 — previously a TypeError)."""
     from ai_service_ocr_grading_handler_ray.stages import dedup as D
 
     ids = rd.from_arrow(pa.table({"u": ["a", "b", "c", "d"]}))
@@ -242,8 +253,8 @@ def test_cluster_assignments_string_ids():
     out = D.cluster_assignments(ids, edges, id_col="u")
     cl = _cluster_dict(out, "u")
     assert cl == {"a": "a", "b": "a", "c": "c", "d": "d"}
-    with pytest.raises(TypeError, match="integer ids"):
-        D.cluster_assignments(ids, edges, id_col="u", edge_label_limit=0).to_pandas()
+    forced = D.cluster_assignments(ids, edges, id_col="u", edge_label_limit=0)
+    assert _cluster_dict(forced, "u") == cl
 
 
 def test_benchmark_decontamination_flags():
@@ -732,3 +743,50 @@ def test_label_propagation_extends_budget_then_raises():
     # budget 1 → hard cap 4: cannot converge → loud failure
     with pytest.raises(RuntimeError, match="did not converge"):
         propagate_min_labels_ds(edges, max_rounds=1)
+
+
+def _url_docs() -> rd.Dataset:
+    rows = {
+        "url": [f"https://h{i}.example/p/{i}" for i in range(1, 6)],
+        "text": [BASE, NEAR, FAR, BASE, "short text"],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_minhash_clusters_string_ids_end_to_end():
+    """id_col='url' (the north-rule page key) works through the full
+    near-dup surface, and the forced distributed finish agrees with the
+    union-find branch (VERDICT r3 missing #2)."""
+    out = minhash_lsh_clusters(_url_docs(), id_col="url", threshold=0.5)
+    cl = _cluster_dict(out, "url")
+    u = [f"https://h{i}.example/p/{i}" for i in range(1, 6)]
+    assert cl[u[0]] == cl[u[1]] == cl[u[3]] == u[0]  # lexicographic-min url
+    assert cl[u[2]] == u[2] and cl[u[4]] == u[4]
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import (
+        cluster_assignments,
+        minhash_lsh_edges,
+    )
+
+    edges = minhash_lsh_edges(_url_docs(), id_col="url", threshold=0.5)
+    forced = cluster_assignments(
+        _url_docs(), edges, id_col="url", edge_label_limit=0
+    )
+    assert _cluster_dict(forced, "url") == cl
+
+
+def test_simhash_and_embedding_clusters_string_ids():
+    out = simhash_clusters(_url_docs(), id_col="url", max_hamming=10)
+    cl = _cluster_dict(out, "url")
+    u = [f"https://h{i}.example/p/{i}" for i in range(1, 6)]
+    assert cl[u[0]] == cl[u[3]]  # the two BASE copies agree
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    vecs = [base, base + 0.001, rng.normal(size=8), base - 0.001, rng.normal(size=8)]
+    ds = rd.from_arrow(
+        pa.table({"url": u, "vec": pa.array([v.tolist() for v in vecs])})
+    )
+    out2 = embedding_cosine_clusters(ds, id_col="url", vec_col="vec", threshold=0.99)
+    cl2 = _cluster_dict(out2, "url")
+    assert cl2[u[0]] == cl2[u[1]] == cl2[u[3]] == u[0]
