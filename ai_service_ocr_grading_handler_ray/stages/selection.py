@@ -41,6 +41,7 @@ from fractions import Fraction
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -431,3 +432,30 @@ def perplexity_tiers(
                                                 type=pa.string()))
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def global_top_k(
+    ds: "rd.Dataset",
+    *,
+    k: int,
+    by: list[str],
+    descending: list[bool],
+) -> pd.DataFrame:
+    """Total-order top-k WITHOUT a global sort: every block emits its own
+    top-k inside ``map_batches`` (so at most k × blocks rows exist
+    anywhere), and the driver merge is one k×blocks-sized sort — the
+    q77/q29 partial pattern generalized (VERDICT r3 #2 replaced
+    ``ds.sort(...).limit(k)``, an all-to-all shuffle for k rows).
+    Ties must be broken by the trailing ``by`` columns for a
+    deterministic result."""
+    asc = [not d for d in descending]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    out = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(by, ascending=asc, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
