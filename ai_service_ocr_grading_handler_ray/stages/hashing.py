@@ -99,3 +99,16 @@ def bucket_of(v, n_buckets: int) -> int:
     """Scalar twin of ``bucket_ids`` (same hash family — a scalar and a
     column of the same value land in the same bucket)."""
     return int(bucket_ids(np.array([v]), n_buckets)[0])
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy 1.x has no
+    ``bitwise_count``.  Input any shape of uint64; returns uint64 counts."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)

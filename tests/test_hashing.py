@@ -93,3 +93,20 @@ def test_bucket_distribution_roughly_uniform():
     counts = np.bincount(bucket_ids(ids, 32), minlength=32)
     assert counts.min() > 100_000 / 32 * 0.8
     assert counts.max() < 100_000 / 32 * 1.2
+
+
+def test_popcount64_matches_python_bitcount():
+    import numpy as np
+
+    from ai_service_ocr_grading_handler_ray.stages.hashing import popcount64
+
+    rng = np.random.default_rng(42)
+    v = rng.integers(0, 1 << 63, size=4096, dtype=np.int64).astype(np.uint64)
+    v[:3] = [0, 1, np.uint64(0xFFFFFFFFFFFFFFFF)]
+    ref = np.array([bin(int(x)).count("1") for x in v], dtype=np.uint64)
+    assert (popcount64(v) == ref).all()
+    # 2-D (the XOR-matrix shape used by the simhash bucket verify)
+    m = v[:64]
+    x = m[:, None] ^ m[None, :]
+    assert popcount64(x).shape == (64, 64)
+    assert (np.diagonal(popcount64(x)) == 0).all()
