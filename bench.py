@@ -5,9 +5,14 @@ documents table, replicated deterministically → classify → extract →
 write parquet), measured end-to-end over $GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
-   "docs": N, "docs_per_sec": N}
+  {"metric": ..., "value": <headline sec (median of GRAFT_REPS)>,
+   "unit": "sec", "queries": {...per-query MEDIAN sec...},
+   "queries_spread": {...per-query min/max...}, "value_spread": {...},
+   "sf": ..., "num_cpus": N, "docs": N, "docs_per_sec": N}
+
+Medians-of-3 with reported spread (GRAFT_REPS, default 3): this VM has
+±15% machine phases (BASELINE.md), which made round-over-round single
+runs unattributable to code (VERDICT r3 #3).
 
 --scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
 on the same input and prints throughput at both plus scaling efficiency
@@ -27,6 +32,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "144"))
+REPS = max(1, int(os.environ.get("GRAFT_REPS", "3")))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -60,6 +66,7 @@ BENCH_QUERIES = [
     "q109_cap_per_source",
     "q110_subtract_corpus",
     "q111_covariance",
+    "q112_url_near_dup",
 ]
 
 
@@ -127,7 +134,13 @@ def ensure_pages_input(sf_dir: str, replicate: int) -> str:
     return cache
 
 
-def run_headline() -> tuple[float, int]:
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def run_headline() -> tuple[float, int, dict]:
     import ray.data as rd
 
     from ai_service_ocr_grading_handler_ray.pipelines.extract import extract_pages
@@ -148,28 +161,41 @@ def run_headline() -> tuple[float, int]:
     warm = rd.read_parquet(files[: max(1, len(files) // 4)])
     extract_pages(warm, batch_size=128).count()
 
-    t0 = time.perf_counter()
-    pages = rd.read_parquet(pages_dir, columns=["url", "warc_ts", "html", "text", "lang"])
-    result = extract_pages(pages, batch_size=128)
-    result.write_parquet(out_dir)
-    elapsed = time.perf_counter() - t0
+    times: list[float] = []
+    n_docs = 0
+    for _ in range(REPS):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        pages = rd.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        result = extract_pages(pages, batch_size=128)
+        result.write_parquet(out_dir)
+        times.append(time.perf_counter() - t0)
 
-    import pyarrow.dataset as pads
+        import pyarrow.dataset as pads
 
-    n_docs = pads.dataset(out_dir, format="parquet").count_rows()
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return elapsed, n_docs
+        n_docs = pads.dataset(out_dir, format="parquet").count_rows()
+        shutil.rmtree(out_dir, ignore_errors=True)
+    spread = {"min": round(min(times), 3), "max": round(max(times), 3),
+              "runs": [round(t, 3) for t in times]}
+    return _median(times), n_docs, spread
 
 
-def run_queries() -> dict[str, float]:
+def run_queries() -> tuple[dict[str, float], dict[str, dict]]:
     from ai_service_ocr_grading_handler_ray.pipelines.queries import QUERIES
 
     out: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        ts: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(_median(ts), 3)
+        spread[name] = {"min": round(min(ts), 3), "max": round(max(ts), 3)}
+    return out, spread
 
 
 def _silence_empty_schema_warnings() -> None:
@@ -209,8 +235,11 @@ def main() -> None:
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
 
-    headline_sec, n_docs = run_headline()
-    queries = {} if "--headline-only" in sys.argv else run_queries()
+    headline_sec, n_docs, value_spread = run_headline()
+    if "--headline-only" in sys.argv:
+        queries, queries_spread = {}, {}
+    else:
+        queries, queries_spread = run_queries()
 
     print(
         json.dumps(
@@ -218,7 +247,10 @@ def main() -> None:
                 "metric": "flagship extraction wall time (read pages parquet -> classify -> extract -> write)",
                 "value": round(headline_sec, 3),
                 "unit": "sec",
+                "reps": REPS,
+                "value_spread": value_spread,
                 "queries": queries,
+                "queries_spread": queries_spread,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "docs": n_docs,
