@@ -632,6 +632,23 @@ def q32_minhash_dedup(sf_dir: str) -> rd.Dataset:
     return minhash_lsh_clusters(_docs_with_near_dups(sf_dir), threshold=0.55)
 
 
+def q113_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM perplexity proxy: per-doc mean ln P(w_i | w_{i-1}) under
+    the corpus' own bigram distribution (prefix-conditional counts) —
+    one Markov order above q90.  Count pass = per-batch factorize
+    partials + one pair-vocab shuffle; score pass = broadcast sorted
+    hash LM + shuffle-free searchsorted/reduceat scan.  Docs with < 2
+    tokens drop (no bigrams).  Oracle replays both passes relationally
+    (pair unnest → counts → prefix totals → join → avg ln)."""
+    from ..stages.text_analysis import score_bigram_logprob
+
+    out = (
+        score_bigram_logprob(_read(sf_dir, "documents", ["doc_id", "text"]))
+        .to_pandas()
+    )
+    return _finalize(out, {"avg_logprob2": 4})
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2474,6 +2491,7 @@ QUERIES = {
     "q109_cap_per_source": q109_cap_per_source,
     "q110_subtract_corpus": q110_subtract_corpus,
     "q112_url_near_dup": q112_url_near_dup,
+    "q113_bigram_logprob": q113_bigram_logprob,
     "q49_knn_ivf": q49_knn_ivf,
     "q54_heavy_hitters": q54_heavy_hitters,
     "q58_pivot_events": q58_pivot_events,
@@ -3232,6 +3250,27 @@ ORACLE_SQL = {
                round(avg(ln(c.n / t.total)), 4) AS avg_logprob
         FROM w JOIN c USING (tok) CROSS JOIN t
         GROUP BY w.doc_id
+    """,
+    "q113_bigram_logprob": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+          FROM w WHERE len(ws) >= 2
+        ), pairs AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b
+        ), c AS (
+          SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n
+          FROM pairs GROUP BY w1, w2
+        ), pfx AS (
+          SELECT w1, sum(n) AS cp FROM c GROUP BY w1
+        )
+        SELECT pairs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(c.n / pfx.cp)), 4) AS avg_logprob2
+        FROM pairs JOIN c USING (w1, w2) JOIN pfx USING (w1)
+        GROUP BY pairs.doc_id
     """,
     "q91_badword_filter": """
         SELECT doc_id, source,

@@ -792,3 +792,158 @@ def fused_quality_filter(
         return pa.table(cols)
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --- bigram LM scoring (round 4) ---------------------------------------------
+
+_PAIR_P = np.uint64(1099511628211)  # FNV prime: positional pair combine
+
+
+def _pair_hashes(w1, w2) -> np.ndarray:
+    """Order-sensitive 64-bit hash of word pairs — one combine of the
+    per-word siphashes (``hash_u64``), so LM build and probe agree
+    without materializing joined 'w1 w2' strings on the probe side."""
+    from .hashing import hash_u64, splitmix64
+
+    with np.errstate(over="ignore"):
+        return splitmix64(hash_u64(w1) * _PAIR_P + hash_u64(w2))
+
+
+def _batch_bigrams(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(w1 tape, w2 tape, per-text bigram counts) for a batch — adjacent
+    word pairs WITHIN each text (never across boundaries); texts with
+    < 2 tokens contribute zero bigrams."""
+    words, lens = batch_words(texts)
+    off = np.cumsum(lens)
+    keep = np.ones(len(words), dtype=bool)
+    keep[off - 1] = False  # last word of each text starts no bigram
+    i1 = np.flatnonzero(keep)
+    return words[i1], words[i1 + 1], np.maximum(lens - 1, 0)
+
+
+def bigram_counts(ds, *, text_col: str = "text", num_parts: int = 32):
+    """Corpus bigram counts as a Dataset of (w1, w2, n) — the unigram
+    recipe one order up: per-batch hash-factorized partial counts
+    (batch-sized → pair-vocab-sized rows leave each task), then ONE
+    coarse w1-hash shuffle with a vectorized pandas sum per partition."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def partial(t: pa.Table) -> pa.Table:
+        w1, w2, _ = _batch_bigrams(t[text_col].to_pylist())
+        inverse, uniq = pd.factorize(_pair_hashes(w1, w2), sort=False)
+        counts = np.bincount(inverse, minlength=len(uniq)).astype(np.int64)
+        # first-occurrence index per unique pair recovers the strings
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inverse[::-1]] = np.arange(len(inverse) - 1, -1, -1)
+        return pa.table(
+            {
+                "w1": pa.array(w1[first], type=pa.string()),
+                "w2": pa.array(w2[first], type=pa.string()),
+                "n": pa.array(counts),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        r["n"] = r["n"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .map_batches(
+            lambda t: add_key_partition(t, "w1", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
+def score_bigram_logprob(
+    ds,
+    counts=None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "avg_logprob2",
+    oov_logprob: float | None = None,
+    keep_cols: tuple[str, ...] = (),
+    num_parts: int = 32,
+):
+    """Per-document mean bigram log-probability — one Markov order above
+    ``score_unigram_logprob``: avg over positions i≥2 of
+    ``ln(c(w_{i-1} w_i) / c(w_{i-1} ·))`` where the denominator is the
+    prefix total (sum of bigram counts sharing w1).  The LM is the
+    corpus' own bigram distribution unless ``counts`` (a (w1, w2, n)
+    Dataset, e.g. from a reference corpus) is supplied; out-of-LM pairs
+    fill with ``oov_logprob`` (default ln(1/total)).  Documents with
+    fewer than 2 tokens are dropped (they have no bigrams).
+
+    Shape: count pass = per-batch factorize partials + one pair-vocab-
+    sized shuffle; LM collects once (pair-vocab-sized, broadcast cap) to
+    a sorted hash→logprob table shipped via ``ray.put``; score pass is a
+    shuffle-free searchsorted + reduceat scan per batch."""
+    import ray
+
+    if counts is None:
+        counts = bigram_counts(ds, text_col=text_col, num_parts=num_parts)
+
+    blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
+    if blocks:
+        w1 = np.concatenate(
+            [b.column("w1").to_pandas().to_numpy(dtype=object) for b in blocks]
+        )
+        w2 = np.concatenate(
+            [b.column("w2").to_pandas().to_numpy(dtype=object) for b in blocks]
+        )
+        ns = np.concatenate(
+            [b.column("n").to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.float64)
+    else:
+        w1 = w2 = np.empty(0, dtype=object)
+        ns = np.empty(0, dtype=np.float64)
+    if len(w1) > _VOCAB_BROADCAST_CAP:
+        raise ValueError(
+            f"bigram vocabulary ({len(w1)} pairs) exceeds broadcast cap "
+            f"{_VOCAB_BROADCAST_CAP}"
+        )
+    import pandas as pd
+
+    prefix_tot = pd.Series(ns).groupby(pd.Series(w1), sort=False).transform("sum")
+    keys = _pair_hashes(w1, w2)
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    # division INSIDE the log: matches the SQL oracle's ln(n / cp) to the
+    # last ulp (ln(n) - ln(cp) can differ in the final bit)
+    logp_sorted = (
+        np.log(ns[order] / prefix_tot.to_numpy()[order])
+        if len(ns)
+        else np.empty(0)
+    )
+    total = float(ns.sum())
+    oov = float(oov_logprob) if oov_logprob is not None else (
+        -np.log(total) if total else 0.0
+    )
+    lm_ref = ray.put((keys_sorted, logp_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        hs, lps = ray.get(lm_ref)
+        w1b, w2b, nb = _batch_bigrams(t[text_col].to_pylist())
+        lp = _lm_probe(hs, lps, _pair_hashes(w1b, w2b), oov)
+        has = nb > 0
+        starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        sums = (
+            np.add.reduceat(lp, starts[has]) if has.any() else np.empty(0)
+        )
+        avg = sums / nb[has] if has.any() else np.empty(0)
+        base = t.filter(pa.array(has))
+        cols = {id_col: base[id_col]}
+        for c in keep_cols:
+            cols[c] = base[c]
+        cols["n_bigrams"] = pa.array(nb[has].astype(np.int64))
+        cols[out_col] = pa.array(avg, type=pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

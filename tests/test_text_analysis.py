@@ -74,3 +74,70 @@ def test_language_id_batch(sf_dir):
     out = add_language_id(docs)
     assert len(out) == len(docs)
     assert set(out["lang_pred"].to_pylist()) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_bigram_logprob_matches_numpy_reference():
+    """Distributed bigram LM == a driver-side numpy/pandas reference on
+    the same texts (prefix-conditional probabilities, per-position avg,
+    <2-token docs dropped)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        score_bigram_logprob,
+    )
+
+    texts = ["a b a b c", "a b", "x", "", "b c a b"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(5), "text": texts}))
+    out = (
+        score_bigram_logprob(ds.repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # reference
+    from collections import Counter
+
+    pairs = []
+    for t in texts:
+        w = t.split(" ")
+        pairs.append(list(zip(w, w[1:])))
+    c = Counter(p for ps in pairs for p in ps)
+    pfx = Counter()
+    for (w1, _), n in c.items():
+        pfx[w1] += n
+    ref = {
+        i: sum(math.log(c[p] / pfx[p[0]]) for p in ps) / len(ps)
+        for i, ps in enumerate(pairs)
+        if ps
+    }
+    assert out["doc_id"].tolist() == sorted(ref)
+    for _, r in out.iterrows():
+        assert abs(r["avg_logprob2"] - ref[r["doc_id"]]) < 1e-12
+    assert out.set_index("doc_id")["n_bigrams"].to_dict() == {
+        i: len(ps) for i, ps in enumerate(pairs) if ps
+    }
+
+
+def test_bigram_logprob_external_counts_and_oov():
+    """External (reference-corpus) counts: pairs absent from the LM fill
+    with ln(1/total)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        bigram_counts,
+        score_bigram_logprob,
+    )
+
+    lm_ds = rd.from_pandas(pd.DataFrame({"text": ["a b a b"]}))  # pairs: ab, ba, ab
+    counts = bigram_counts(lm_ds)
+    target = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b z z"]}))
+    out = score_bigram_logprob(target, counts).to_pandas()
+    # P(b|a)=2/2 -> ln 1; 'b z' and 'z z' OOV -> ln(1/3) each
+    exp = (math.log(1.0) + 2 * math.log(1 / 3)) / 3
+    assert abs(out["avg_logprob2"].iloc[0] - exp) < 1e-12
