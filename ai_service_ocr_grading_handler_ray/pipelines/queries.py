@@ -649,6 +649,28 @@ def q113_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"avg_logprob2": 4})
 
 
+def q114_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Per-group winsorization at EXACT group quantiles: event values
+    clip to [p05, p95] of their event_type, where p_f is the
+    ceil(f*n)-th smallest value (exact_group_quantiles histogram
+    refinement — no sort, driver holds #groups x 2 values).  Oracle
+    replays the rank convention with row_number over a per-group
+    ORDER BY."""
+    from fractions import Fraction
+
+    from ..stages.selection import winsorize_by_group
+
+    out = winsorize_by_group(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        value_col="value",
+        group_col="event_type",
+        lo=Fraction(1, 20),
+        hi=Fraction(19, 20),
+        keep_cols=("event_id",),
+    ).to_pandas()
+    return _finalize(out, {"value_w": 3})
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2492,6 +2514,7 @@ QUERIES = {
     "q110_subtract_corpus": q110_subtract_corpus,
     "q112_url_near_dup": q112_url_near_dup,
     "q113_bigram_logprob": q113_bigram_logprob,
+    "q114_winsorize": q114_winsorize,
     "q49_knn_ivf": q49_knn_ivf,
     "q54_heavy_hitters": q54_heavy_hitters,
     "q58_pivot_events": q58_pivot_events,
@@ -3271,6 +3294,24 @@ ORACLE_SQL = {
                round(avg(ln(c.n / pfx.cp)), 4) AS avg_logprob2
         FROM pairs JOIN c USING (w1, w2) JOIN pfx USING (w1)
         GROUP BY pairs.doc_id
+    """,
+    "q114_winsorize": """
+        WITH r AS (
+          SELECT event_id, event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), q AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = CAST(ceil(n / 20.0) AS BIGINT)
+                          THEN value END) AS qlo,
+                 max(CASE WHEN rn = CAST(ceil(19 * n / 20.0) AS BIGINT)
+                          THEN value END) AS qhi
+          FROM r GROUP BY event_type
+        )
+        SELECT r.event_id, r.event_type,
+               round(least(greatest(r.value, q.qlo), q.qhi), 3) AS value_w
+        FROM r JOIN q USING (event_type)
     """,
     "q91_badword_filter": """
         SELECT doc_id, source,

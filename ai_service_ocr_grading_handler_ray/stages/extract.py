@@ -133,11 +133,18 @@ class ExtractActor:
             statuses[i] = st
             digests[i] = sha256_hex(text)
         is_blank = np.array([not t.strip() for t in texts], dtype=bool)
+        # real crawls (WARC sources) carry no page-level lang column —
+        # pass nulls through; downstream re-derives from extracted text
+        lang_col = (
+            batch["lang"]
+            if "lang" in batch.column_names
+            else pa.nulls(n, type=pa.string())
+        )
         return pa.table(
             {
                 "url": batch["url"],
                 "warc_ts": batch["warc_ts"],
-                "lang": batch["lang"],
+                "lang": lang_col,
                 "payload_kind": batch["payload_kind"],
                 "title": pa.array(titles, type=pa.string()),
                 "extracted_text": pa.array(texts, type=pa.large_string()),

@@ -459,3 +459,45 @@ def global_top_k(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def winsorize_by_group(
+    ds: "rd.Dataset",
+    *,
+    value_col: str,
+    group_col: str,
+    lo: "Fraction | float" = Fraction(1, 20),
+    hi: "Fraction | float" = Fraction(19, 20),
+    out_col: str = "value_w",
+    keep_cols: Sequence[str] = (),
+) -> "rd.Dataset":
+    """Per-group winsorization (outlier clipping) at EXACT group
+    quantiles: values clip to [q_lo, q_hi] where q_f is the
+    ``ceil(f·n)``-th smallest value of the group (``exact_group_quantiles``
+    — histogram refinement, no sort, driver holds #groups × 2 values).
+    One quantile pass + one shuffle-free clip scan; the quantile dict
+    broadcasts once via ``ray.put``."""
+    import pandas as pd
+    import ray
+
+    q = exact_group_quantiles(ds, value_col, group_col, (lo, hi))
+    lo_d = {g: v[0] for g, v in q.items()}
+    hi_d = {g: v[1] for g, v in q.items()}
+    qref = ray.put((lo_d, hi_d))
+
+    def clip(t: pa.Table) -> pa.Table:
+        lod, hid = ray.get(qref)
+        g = pd.Series(t[group_col].to_pylist())
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.minimum(
+            np.maximum(v, g.map(lod).to_numpy(dtype=np.float64)),
+            g.map(hid).to_numpy(dtype=np.float64),
+        )
+        cols = {}
+        for c in keep_cols:
+            cols[c] = t[c]
+        cols[group_col] = t[group_col]
+        cols[out_col] = pa.array(w, type=pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -104,3 +104,80 @@ def test_read_pages_any_rejects_unknown_format():
 
     with pytest.raises(ValueError, match="unsupported pages format"):
         read_pages_any("/tmp/x.avro", fmt="avro")
+
+
+class TestWarcLite:
+    def _pages(self):
+        import pyarrow.parquet as pq
+
+        from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        )
+        return docs_to_pages(docs.slice(0, 40))
+
+    def test_roundtrip_gzip_and_plain(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            pages_to_warc_bytes,
+            read_warc,
+        )
+
+        pages = self._pages()
+        for compress, name in ((True, "a.warc.gz"), (False, "b.warc")):
+            (tmp_path / name).write_bytes(
+                pages_to_warc_bytes(pages, compress=compress)
+            )
+            got = (
+                read_warc(str(tmp_path / name))
+                .to_pandas()
+                .sort_values("url")
+                .reset_index(drop=True)
+            )
+            ref = (
+                pages.select(["url", "warc_ts", "html"])
+                .to_pandas()
+                .sort_values("url")
+                .reset_index(drop=True)
+            )
+            assert got["url"].tolist() == ref["url"].tolist()
+            assert got["html"].tolist() == ref["html"].tolist()  # byte-exact payloads
+            assert (got["warc_ts"] == ref["warc_ts"]).all()
+
+    def test_payload_containing_warc_literal(self):
+        import pyarrow as pa
+
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            pages_to_warc_bytes,
+            parse_warc_records,
+        )
+
+        # Content-Length framing must survive adversarial payload bytes
+        evil = b"x\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\n" + b"\x00" * 10
+        t = pa.table(
+            {
+                "url": ["https://e.example/x"],
+                "warc_ts": pa.array([0], type=pa.timestamp("us")),
+                "html": pa.array([evil], type=pa.binary()),
+            }
+        )
+        urls, ts, payloads = parse_warc_records(pages_to_warc_bytes(t))
+        assert urls == ["https://e.example/x"] and payloads == [evil]
+
+    def test_warc_feeds_extraction(self, tmp_path):
+        """read_warc output drives the flagship extractor directly —
+        html-only pages (no text/lang columns) are the real-crawl shape."""
+        from ai_service_ocr_grading_handler_ray.pipelines.extract import extract_pages
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            pages_to_warc_bytes,
+            read_warc,
+        )
+
+        (tmp_path / "c.warc.gz").write_bytes(pages_to_warc_bytes(self._pages()))
+        out = extract_pages(read_warc(str(tmp_path / "c.warc.gz"))).to_pandas()
+        assert len(out) == 40
+        assert (out["status"] == "ok").sum() > 30
