@@ -2490,56 +2490,70 @@ def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES = {
-    # --- first 50 = the driver's oracle window this round ---
-    # (a) the queries the r2 driver window did not sample (VERDICT r2 #4);
-    #     q02/q04/q08/q09 (r1-green, unchanged) ceded their slots to the
-    #     round-3-new q85-q89 which have never been driver-checked:
+    # --- first 50 = the driver's oracle window this round (round 4) ---
+    # (a) never driver-checked: the round-4-new q112/q113/q114;
+    # (b) implementation changed in round 4 — re-verify: streaming
+    #     rewrite (q28/q84/q80), partial top-k (q08/q76), simhash
+    #     popcount verify + string-id finish (q32/q33/q37/q112),
+    #     heavy-hitters nulls (q54), host semantics (q40), clean id
+    #     passthrough (q89), shuffle-hash null path (q106/q107/q109),
+    #     corpus_build checkpoint plumbing (q98), tier invariants (q101);
+    # (c) the rest of the r3 window retained for breadth.  Ceded this
+    #     round (double-green r3, unchanged code): q92/q93/q94/q102/
+    #     q67/q79/q99/q100 — their oracles still run at both sfs in
+    #     tests/test_oracle_parity.py every session.
+    "q112_url_near_dup": q112_url_near_dup,
+    "q113_bigram_logprob": q113_bigram_logprob,
+    "q114_winsorize": q114_winsorize,
+    "q28_streaming_window": q28_streaming_window,
+    "q84_streaming_sessionize": q84_streaming_sessionize,
+    "q80_sliding_window": q80_sliding_window,
+    "q08_top_customers": q08_top_customers,
+    "q76_top_bigrams": q76_top_bigrams,
+    "q33_simhash_dedup": q33_simhash_dedup,
+    "q37_embedding_dedup": q37_embedding_dedup,
+    "q54_heavy_hitters": q54_heavy_hitters,
+    "q40_host_stats": q40_host_stats,
+    "q32_minhash_dedup": q32_minhash_dedup,
+    "q89_remove_frequent_segments": q89_remove_frequent_segments,
+    "q106_shuffle_positions": q106_shuffle_positions,
+    "q107_epoch_mix": q107_epoch_mix,
+    "q109_cap_per_source": q109_cap_per_source,
+    "q98_corpus_build": q98_corpus_build,
+    "q101_tier_extract": q101_tier_extract,
     "q26_field_extractors": q26_field_extractors,
     "q29_topk_per_group": q29_topk_per_group,
     "q44_train_split": q44_train_split,
     "q45_stratified_sample_counts": q45_stratified_sample_counts,
     "q57_group_zscore": q57_group_zscore,
     "q111_covariance": q111_covariance,
-    "q98_corpus_build": q98_corpus_build,
     "q103_remove_dup_spans": q103_remove_dup_spans,
     "q104_kmeans_assign": q104_kmeans_assign,
     "q97_token_quota_mix": q97_token_quota_mix,
     "q105_cluster_prune": q105_cluster_prune,
-    "q106_shuffle_positions": q106_shuffle_positions,
     "q95_segment_dedup_keep_first": q95_segment_dedup_keep_first,
     "q96_fused_quality_filter": q96_fused_quality_filter,
-    "q107_epoch_mix": q107_epoch_mix,
     "q108_within_doc_segment_dedup": q108_within_doc_segment_dedup,
-    "q109_cap_per_source": q109_cap_per_source,
     "q110_subtract_corpus": q110_subtract_corpus,
-    "q112_url_near_dup": q112_url_near_dup,
-    "q113_bigram_logprob": q113_bigram_logprob,
-    "q114_winsorize": q114_winsorize,
     "q49_knn_ivf": q49_knn_ivf,
-    "q54_heavy_hitters": q54_heavy_hitters,
     "q58_pivot_events": q58_pivot_events,
     "q59_rollup_orders": q59_rollup_orders,
     "q61_set_ops": q61_set_ops,
     "q62_weighted_avg": q62_weighted_avg,
     "q63_percentiles": q63_percentiles,
-    "q76_top_bigrams": q76_top_bigrams,
     "q77_hash_sample": q77_hash_sample,
     "q78_tfidf_top_term": q78_tfidf_top_term,
     "q82_source_quota": q82_source_quota,
-    # (b) queries whose implementation changed in round 3 (vectorized
-    # hashing, dedup finish, streaming actors, join paths) — re-verify —
-    # plus q86, new this round (benchmark decontamination):
     "q86_decontaminate": q86_decontaminate,
     "q85_string_key_join": q85_string_key_join,
     "q87_normalized_dedup": q87_normalized_dedup,
     "q88_semantic_dedup": q88_semantic_dedup,
-    "q89_remove_frequent_segments": q89_remove_frequent_segments,
     "q47_asof_join": q47_asof_join,
     "q83_skewed_join": q83_skewed_join,
     "q25_salted_user_counts": q25_salted_user_counts,
-    "q28_streaming_window": q28_streaming_window,
-    "q101_tier_extract": q101_tier_extract,
     "q90_unigram_logprob": q90_unigram_logprob,
+    # --- position >50: driver-green in earlier rounds and unchanged;
+    # all still run in tests/test_oracle_parity.py every session ---
     "q91_badword_filter": q91_badword_filter,
     "q92_pack_sequences": q92_pack_sequences,
     "q93_repetition_signals": q93_repetition_signals,
@@ -2547,35 +2561,10 @@ QUERIES = {
     "q102_dup_ngram_coverage": q102_dup_ngram_coverage,
     "q67_bloom_anti_join": q67_bloom_anti_join,
     "q79_quantile_sketch": q79_quantile_sketch,
-    "q32_minhash_dedup": q32_minhash_dedup,
     "q99_perplexity_tiers": q99_perplexity_tiers,
     "q100_temperature_mix": q100_temperature_mix,
-    # --- position >50: driver-green in rounds 1/2 and unchanged (or
-    # q33/q37 (rows-only, r2-green) ceded their slots to the
-    # hash-checked q99/q100; their changed cluster-finish path stays
-    # window-covered by q32, the simhash kernel is pytest-pinned
-    # (batch/scalar equivalence), and the embedding bucketing by q88.
-    # q84 ceded its slot to the q101 capstone: its r3 streaming rebuild
-    # stays window-covered by q28 and its exact SQL oracle runs at both
-    # sfs in tests/test_oracle_parity.py every session.  q48 ceded to
-    # q102: the changed shingle kernel is exercised by q102 itself
-    # (same batch_shingle_hashes) and q48's Jaccard oracle runs in
-    # every pytest session ---
-    # q10/q11/q18/q19/q22/q27/q43 (r1-HASH-green trivial dim-join count
-    # / hourly groupby / filter / type stats / rollup / json extract /
-    # group median, unchanged) ceded their slots to the never-checked
-    # q103-q109; their primitives stay window-covered by
-    # q85/q58/q59/q68/q63 and their oracles run in every pytest
-    # session ---
     "q43_event_median": q43_event_median,
-    # q60 (r1-HASH-green correlated-subquery filter, unchanged) ceded to
-    # the never-checked q111; grouped-average-filter semantics stay
-    # window-covered by q57 and its oracle runs in every pytest
-    # session ---
     "q60_above_nation_avg": q60_above_nation_avg,
-    # q46 (r1-HASH-green HLL approx-distinct, unchanged) ceded to the
-    # never-checked q110; the sketch family stays window-covered by
-    # q54/q67/q79 and its oracle runs in every pytest session ---
     "q46_approx_distinct_parts": q46_approx_distinct_parts,
     "q27_props_json_extract": q27_props_json_extract,
     "q10_customers_per_region": q10_customers_per_region,
@@ -2583,18 +2572,8 @@ QUERIES = {
     "q18_docs_en_long": q18_docs_en_long,
     "q19_events_type_stats": q19_events_type_stats,
     "q22_supplier_nation_rollup": q22_supplier_nation_rollup,
-    "q84_streaming_sessionize": q84_streaming_sessionize,
     "q48_ngram_jaccard_pairs": q48_ngram_jaccard_pairs,
-    "q33_simhash_dedup": q33_simhash_dedup,
-    "q37_embedding_dedup": q37_embedding_dedup,
-    # --- driver-green in rounds 1/2 and unchanged (or
-    # rows-only with r2 green rows); all still run in
-    # tests/test_oracle_parity.py every session.  q12/q16/q23 are green
-    # in BOTH r1 and r2 and ceded their window slots to the new
-    # q90-q94; their changed routing primitive (add_key_partition
-    # hashing / bloom double-hash) stays window-covered by
-    # q25/q28/q47/q67/q83/q87 ---
-    "q05_orders_by_segment": q05_orders_by_segment,  # r1-green, unchanged; ceded to q98
+    "q05_orders_by_segment": q05_orders_by_segment,
     "q12_sessionize": q12_sessionize,
     "q16_dedup_docs_exact": q16_dedup_docs_exact,
     "q23_events_user_first": q23_events_user_first,
@@ -2611,7 +2590,6 @@ QUERIES = {
     "q36_knn_lsh": q36_knn_lsh,
     "q38_question_generation": q38_question_generation,
     "q39_number_predict": q39_number_predict,
-    "q40_host_stats": q40_host_stats,
     "q41_flagship_deduped": q41_flagship_deduped,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_revenue_orders": q03_top_revenue_orders,
@@ -2625,7 +2603,6 @@ QUERIES = {
     "q55_range_join": q55_range_join,
     "q56_extraction_fidelity": q56_extraction_fidelity,
     "q75_inverted_index": q75_inverted_index,
-    "q80_sliding_window": q80_sliding_window,
     "q81_doc_chunks": q81_doc_chunks,
     "q64_string_functions": q64_string_functions,
     "q65_orders_by_year": q65_orders_by_year,
@@ -2639,7 +2616,6 @@ QUERIES = {
     "q74_string_agg": q74_string_agg,
     "q02_high_quantity_items": q02_high_quantity_items,
     "q04_orders_by_status": q04_orders_by_status,
-    "q08_top_customers": q08_top_customers,
     "q09_distinct_segments": q09_distinct_segments,
 }
 
