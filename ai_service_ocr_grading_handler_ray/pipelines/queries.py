@@ -671,6 +671,38 @@ def q114_winsorize(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"value_w": 3})
 
 
+def q115_curriculum_order(sf_dir: str) -> pd.DataFrame:
+    """Curriculum ordering: dense global training positions under
+    ORDER BY (difficulty tier ASC, splitmix64(doc_id) ASC, doc_id ASC)
+    — short/easy docs first, reproducibly shuffled within each tier
+    (curriculum learning).  Tier = n_chars bucket (<600 / <900 / rest).
+    Two scans + ONE compound (tier x hash-bucket) shuffle; the driver
+    holds n_tiers x num_buckets counts.  Oracle replays the hash
+    bit-exactly via splitmix64_sql and the order via row_number."""
+    from ..stages.shuffle import curriculum_positions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def add_tier(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        tier = np.where(n < 600, 0, np.where(n < 900, 1, 2)).astype(np.int64)
+        return t.append_column("tier", pa.array(tier))
+
+    out = (
+        curriculum_positions(
+            ds.map_batches(add_tier, batch_format="pyarrow"),
+            key_col="doc_id",
+            tier_col="tier",
+            n_tiers=3,
+            seed=7,
+        )
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    return _finalize(out[["doc_id", "n_chars", "tier", "pos"]])
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2505,6 +2537,7 @@ QUERIES = {
     "q112_url_near_dup": q112_url_near_dup,
     "q113_bigram_logprob": q113_bigram_logprob,
     "q114_winsorize": q114_winsorize,
+    "q115_curriculum_order": q115_curriculum_order,
     "q28_streaming_window": q28_streaming_window,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q80_sliding_window": q80_sliding_window,
@@ -3288,6 +3321,19 @@ ORACLE_SQL = {
         SELECT r.event_id, r.event_type,
                round(least(greatest(r.value, q.qlo), q.qhi), 3) AS value_w
         FROM r JOIN q USING (event_type)
+    """,
+    "q115_curriculum_order": f"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN n_chars < 600 THEN 0
+                      WHEN n_chars < 900 THEN 1 ELSE 2 END AS tier,
+                 {_sm_sql("doc_id", 7)} AS h
+          FROM documents
+        )
+        SELECT doc_id, n_chars, CAST(tier AS BIGINT) AS tier,
+               CAST(row_number() OVER (ORDER BY tier, h, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM t
     """,
     "q91_badword_filter": """
         SELECT doc_id, source,

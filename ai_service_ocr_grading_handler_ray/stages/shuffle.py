@@ -172,3 +172,68 @@ def write_training_shards(
     with_pos.map_batches(add_shard, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["shard_id"]
     )
+
+
+def curriculum_positions(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    tier_col: str,
+    n_tiers: int,
+    seed: int = 0,
+    num_buckets: int = 256,
+    out_col: str = "pos",
+) -> rd.Dataset:
+    """Curriculum ordering: dense global positions (0-based) under
+    ``ORDER BY (tier ASC, shuffle_hash ASC, key ASC)`` — easy tiers
+    first, reproducibly shuffled WITHIN each tier (curriculum-learning
+    batch order; Bengio et al. 2009).  Same two-scan shape as
+    ``shuffle_positions`` with a (tier × bucket) count grid: the driver
+    holds ``n_tiers × num_buckets`` ints, one compound-bucket shuffle,
+    rank inside each (tier, bucket) group.  ``tier_col`` must hold ints
+    in [0, n_tiers); positions are layout-independent and SQL-replayable
+    (``splitmix64_sql``)."""
+    if num_buckets < 2 or num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two >= 2")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+    grid = n_tiers * num_buckets
+
+    def tb_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        h = shuffle_hash(t[key_col], seed)
+        tier = t[tier_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(tier) and (tier.min() < 0 or tier.max() >= n_tiers):
+            raise ValueError(f"{tier_col} values must lie in [0, {n_tiers})")
+        return h, tier * num_buckets + (h >> shift).astype(np.int64)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, tb = tb_of(t)
+        c = np.bincount(tb, minlength=grid)
+        nz = np.flatnonzero(c)
+        return pa.table({"b": pa.array(nz), "c": pa.array(c[nz])})
+
+    counts = np.zeros(grid, dtype=np.int64)
+    for t in ray.get(
+        ds.map_batches(count_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            counts[t["b"].to_numpy(zero_copy_only=False)] += t["c"].to_numpy(
+                zero_copy_only=False
+            )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def add_tb(t: pa.Table) -> pa.Table:
+        h, tb = tb_of(t)
+        t = t.append_column("_h", pa.array(h, type=pa.uint64()))
+        return t.append_column("_tb", pa.array(tb))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", key_col], kind="mergesort")
+        base = int(offsets[int(g["_tb"].iloc[0])])
+        g[out_col] = base + np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["_h", "_tb"])
+
+    return (
+        ds.map_batches(add_tb, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(rank, batch_format="pandas")
+    )

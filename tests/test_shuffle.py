@@ -140,3 +140,52 @@ def test_shuffle_hash_null_int_keys_fixed_sentinel():
     ts = pa.array([0, None], type=pa.timestamp("us"))
     ht = shuffle_hash(ts, 7)
     assert ht[1] == ht[0] == h[2]
+
+
+def test_curriculum_positions_order_and_invariance():
+    """Positions are a dense permutation ordered by (tier, hash, key),
+    invariant to layout/bucket count; tiers are contiguous position
+    ranges (easy first)."""
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import (
+        curriculum_positions,
+        shuffle_hash,
+    )
+
+    n = 300
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "tier": (np.arange(n) % 3).astype(np.int64)})
+    a = curriculum_positions(
+        rd.from_pandas(df).repartition(3), key_col="k", tier_col="tier",
+        n_tiers=3, seed=5, num_buckets=8,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    b = curriculum_positions(
+        rd.from_pandas(df.sample(frac=1.0, random_state=9)).repartition(5),
+        key_col="k", tier_col="tier", n_tiers=3, seed=5, num_buckets=64,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
+    assert sorted(a["pos"]) == list(range(n))
+    # tier blocks are contiguous and ordered: all tier-0 positions come
+    # before all tier-1, etc.
+    s = a.sort_values("pos")
+    assert (np.diff(s["tier"].to_numpy()) >= 0).all()
+    # within a tier the order is (hash, key)
+    t0 = s[s["tier"] == 0]
+    h = shuffle_hash(pa.array(t0["k"].to_numpy()), 5)
+    assert (np.argsort(np.argsort(h, kind="stable")) ==
+            np.argsort(np.argsort(t0["pos"].to_numpy()))).all()
+
+
+def test_curriculum_positions_rejects_bad_tiers():
+    import pytest
+
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import (
+        curriculum_positions,
+    )
+
+    df = pd.DataFrame({"k": [1, 2], "tier": [0, 5]})
+    with pytest.raises(Exception, match="lie in"):
+        curriculum_positions(
+            rd.from_pandas(df), key_col="k", tier_col="tier", n_tiers=3
+        ).to_pandas()
