@@ -69,6 +69,13 @@ class ImageDecodeActor:
 
             img = self._pil.open(io.BytesIO(payload))
             return img.width, img.height, img.format or "", "ok"
+        if payload.startswith(PNG_MAGIC):
+            # REAL decode, stdlib-only (stages/png.py): full inflate +
+            # unfilter, not just a header sniff — corrupt data → 'error'
+            from .png import decode_png
+
+            arr = decode_png(payload)
+            return arr.shape[1], arr.shape[0], "png", "ok"
         return 0, 0, "", "error"
 
     def __call__(self, batch: pa.Table, column: str = "payload") -> pa.Table:
@@ -115,10 +122,11 @@ class PilImageDecoder:
 
 class ImageResizeActor:
     """Resize-to-max-dimension stage.  Synthetic images 'resize' by
-    truncating lines/columns proportionally (deterministic); real images
-    resize through Pillow when it is importable (optional — absent in
-    this container, where real bytes raise a clearly-marked
-    NotImplementedError instead)."""
+    truncating lines/columns proportionally (deterministic); real PNGs
+    resize for real via the stdlib codec (decode → nearest-neighbor →
+    re-encode, stages/png.py); other real formats go through Pillow when
+    importable (optional — absent in this container, where such bytes
+    raise a clearly-marked NotImplementedError instead)."""
 
     def __init__(self, max_dim: int = 64) -> None:
         self.max_dim = max_dim
@@ -148,11 +156,18 @@ class ImageResizeActor:
             try:
                 text = decode_image_text(payload)
             except ValueError:
+                if payload.startswith(PNG_MAGIC):
+                    from .png import decode_png, encode_png, resize_nearest
+
+                    out.append(
+                        encode_png(resize_nearest(decode_png(payload), self.max_dim))
+                    )
+                    continue
                 if self._pil is not None:  # pragma: no cover
                     out.append(self._resize_real(payload))
                     continue
                 raise NotImplementedError(
-                    "real image resize requires PIL (absent in container)"
+                    "real non-PNG image resize requires PIL (absent in container)"
                 )
             max_cols = self.max_dim // CHAR_W
             max_rows = self.max_dim // CHAR_H
