@@ -703,6 +703,27 @@ def q115_curriculum_order(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["doc_id", "n_chars", "tier", "pos"]])
 
 
+def q116_snapshot_dedup(sf_dir: str) -> pd.DataFrame:
+    """Crawl-snapshot dedup: keep the EARLIEST event per (user, 1-day
+    tumbling window) — the per-url-per-snapshot keep-one a Common-Crawl
+    ingest runs before extraction.  One salted key shuffle; vectorized
+    keep-first inside partitions.  Oracle: row_number over
+    (key, window ORDER BY ts, id)."""
+    from ..stages.dedup import dedup_snapshots
+
+    out = (
+        dedup_snapshots(
+            _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+            key_col="user_id",
+            ts_col="ts",
+            window_s=86400,
+            tiebreak="event_id",
+        )
+        .to_pandas()
+    )
+    return _finalize(out[["event_id", "user_id", "snapshot_window"]])
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2538,6 +2559,7 @@ QUERIES = {
     "q113_bigram_logprob": q113_bigram_logprob,
     "q114_winsorize": q114_winsorize,
     "q115_curriculum_order": q115_curriculum_order,
+    "q116_snapshot_dedup": q116_snapshot_dedup,
     "q28_streaming_window": q28_streaming_window,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q80_sliding_window": q80_sliding_window,
@@ -2583,10 +2605,11 @@ QUERIES = {
     "q88_semantic_dedup": q88_semantic_dedup,
     "q47_asof_join": q47_asof_join,
     "q83_skewed_join": q83_skewed_join,
-    "q25_salted_user_counts": q25_salted_user_counts,
-    "q90_unigram_logprob": q90_unigram_logprob,
     # --- position >50: driver-green in earlier rounds and unchanged;
     # all still run in tests/test_oracle_parity.py every session ---
+    # (q25/q90 ceded their round-4 slots to the new q115/q116)
+    "q25_salted_user_counts": q25_salted_user_counts,
+    "q90_unigram_logprob": q90_unigram_logprob,
     "q91_badword_filter": q91_badword_filter,
     "q92_pack_sequences": q92_pack_sequences,
     "q93_repetition_signals": q93_repetition_signals,
@@ -3334,6 +3357,18 @@ ORACLE_SQL = {
                CAST(row_number() OVER (ORDER BY tier, h, doc_id) - 1
                     AS BIGINT) AS pos
         FROM t
+    """,
+    "q116_snapshot_dedup": """
+        SELECT event_id, user_id, snapshot_window FROM (
+          SELECT event_id, user_id,
+                 CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                   AS snapshot_window,
+                 row_number() OVER (
+                   PARTITION BY user_id,
+                                CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                   ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
     """,
     "q91_badword_filter": """
         SELECT doc_id, source,

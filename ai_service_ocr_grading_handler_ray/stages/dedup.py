@@ -1786,3 +1786,51 @@ def subtract_exact(
         num_partitions=num_partitions,
     )
     return out.drop_columns(["_ch"])
+
+
+def dedup_snapshots(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    window_s: int,
+    tiebreak: str | None = None,
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Keep the EARLIEST row per (key, tumbling window) — the crawl-side
+    snapshot dedup (Common-Crawl revisits the same url across a snapshot;
+    keep one page per url per month without collapsing history across
+    windows).  One salted hash shuffle on ``key_col`` (all windows of a
+    key co-locate), vectorized sort + drop_duplicates inside each
+    partition; output keeps all input columns plus ``snapshot_window``
+    (the window ordinal floor(ts / window_s))."""
+    w_us = window_s * 1_000_000
+
+    def add_win(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        t = t.append_column(
+            "snapshot_window", pa.array(ts_us // w_us, type=pa.int64())
+        )
+        return add_key_partition(t, key_col, num_parts=num_parts)
+
+    order_cols = [key_col, "snapshot_window", ts_col] + (
+        [tiebreak] if tiebreak else []
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(order_cols, kind="mergesort")
+            .drop_duplicates(subset=[key_col, "snapshot_window"], keep="first")
+            .drop(columns=["_part"])
+        )
+
+    return (
+        ds.map_batches(add_win, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(first, batch_format="pandas")
+    )

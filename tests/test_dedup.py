@@ -790,3 +790,36 @@ def test_simhash_and_embedding_clusters_string_ids():
     out2 = embedding_cosine_clusters(ds, id_col="url", vec_col="vec", threshold=0.99)
     cl2 = _cluster_dict(out2, "url")
     assert cl2[u[0]] == cl2[u[1]] == cl2[u[3]] == u[0]
+
+
+def test_dedup_snapshots_keep_earliest_per_window():
+    import pandas as pd
+
+    from ai_service_ocr_grading_handler_ray.stages.dedup import dedup_snapshots
+
+    ts = pd.to_datetime([
+        "2024-01-01 05:00", "2024-01-01 09:00",  # same day, same key → keep 1st
+        "2024-01-02 01:00",                      # next day → kept
+        "2024-01-01 07:00",                      # other key → kept
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({"event_id": [10, 11, 12, 13],
+                       "user_id": [1, 1, 1, 2], "ts": ts})
+    out = (
+        dedup_snapshots(
+            rd.from_pandas(df).repartition(2),
+            key_col="user_id", ts_col="ts", window_s=86400,
+            tiebreak="event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["event_id"].tolist() == [10, 12, 13]
+    assert "snapshot_window" in out.columns
+    # exact-tie timestamps break by the tiebreak column
+    df2 = pd.DataFrame({"event_id": [5, 4], "user_id": [9, 9],
+                        "ts": [ts[0], ts[0]]})
+    out2 = dedup_snapshots(
+        rd.from_pandas(df2), key_col="user_id", ts_col="ts",
+        window_s=86400, tiebreak="event_id",
+    ).to_pandas()
+    assert out2["event_id"].tolist() == [4]
