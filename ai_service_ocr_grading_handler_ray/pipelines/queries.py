@@ -2555,11 +2555,11 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
-    "q112_url_near_dup": q112_url_near_dup,
+    "q116_snapshot_dedup": q116_snapshot_dedup,
     "q113_bigram_logprob": q113_bigram_logprob,
     "q114_winsorize": q114_winsorize,
     "q115_curriculum_order": q115_curriculum_order,
-    "q116_snapshot_dedup": q116_snapshot_dedup,
+    "q112_url_near_dup": q112_url_near_dup,
     "q28_streaming_window": q28_streaming_window,
     "q84_streaming_sessionize": q84_streaming_sessionize,
     "q80_sliding_window": q80_sliding_window,
