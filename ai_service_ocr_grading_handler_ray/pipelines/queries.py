@@ -724,6 +724,22 @@ def q116_snapshot_dedup(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["event_id", "user_id", "snapshot_window"]])
 
 
+def q117_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021): word-count bounds,
+    mean word length, symbol-to-word ratio, alpha-word fraction,
+    distinct-stop-word floor — one fused shuffle-free scan emitting the
+    signals AND the keep verdict.  Oracle replays every rule with list
+    kernels (the repetition half of Gopher is q93)."""
+    from ..stages.text_analysis import gopher_quality_rules
+
+    out = gopher_quality_rules(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).to_pandas()
+    return _finalize(
+        out, {"mean_word_len": 4, "frac_alpha_words": 4, "symbol_word_ratio": 4}
+    )
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2559,6 +2575,7 @@ QUERIES = {
     "q113_bigram_logprob": q113_bigram_logprob,
     "q114_winsorize": q114_winsorize,
     "q115_curriculum_order": q115_curriculum_order,
+    "q117_gopher_quality": q117_gopher_quality,
     "q112_url_near_dup": q112_url_near_dup,
     "q28_streaming_window": q28_streaming_window,
     "q84_streaming_sessionize": q84_streaming_sessionize,
@@ -3369,6 +3386,41 @@ ORACLE_SQL = {
                    ORDER BY ts, event_id) AS rn
           FROM events
         ) WHERE rn = 1
+    """,
+    "q117_gopher_quality": """
+        WITH w AS (
+          SELECT doc_id, coalesce(text, '') AS text,
+                 string_split(coalesce(text, ''), ' ') AS ws
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 list_sum(list_transform(ws, x -> length(x))) * 1.0
+                   / len(ws) AS mean_word_len,
+                 list_sum(list_transform(ws, x ->
+                   CASE WHEN regexp_matches(x, '[A-Za-z]')
+                        THEN 1 ELSE 0 END)) * 1.0 / len(ws)
+                   AS frac_alpha_words,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3)
+                   * 1.0 / len(ws) AS symbol_word_ratio,
+                 CAST(len(list_intersect(list_distinct(ws),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS BIGINT) AS n_stop_words
+          FROM w
+        )
+        SELECT doc_id, n_words,
+               round(mean_word_len, 4) AS mean_word_len,
+               round(frac_alpha_words, 4) AS frac_alpha_words,
+               round(symbol_word_ratio, 4) AS symbol_word_ratio,
+               n_stop_words,
+               CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                         AND symbol_word_ratio < 0.1
+                         AND frac_alpha_words > 0.8
+                         AND n_stop_words >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m
     """,
     "q91_badword_filter": """
         SELECT doc_id, source,

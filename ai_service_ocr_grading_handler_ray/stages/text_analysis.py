@@ -947,3 +947,79 @@ def score_bigram_logprob(
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --- Gopher quality rules (round 4) ------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_frac_alpha_words: float = 0.8,
+    min_stop_words: int = 2,
+    keep_cols: tuple[str, ...] = (),
+):
+    """Gopher quality heuristics (Rae et al. 2021 §A1.1) as ONE fused
+    vectorized scan — the word-level rule battery complementing the
+    repetition signals (``repetition_signals``): word-count bounds, mean
+    word length in [3, 10], symbol-to-word ratio ('#' and '...'), the
+    fraction of words containing an alphabetic character, and the
+    distinct-stop-word floor.  Emits the per-doc signals AND the fused
+    ``keep`` verdict so downstream mixes can re-threshold without a
+    second scan.  Shuffle-free."""
+    import pandas as pd
+
+    def scan(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        words, lens = batch_words(texts)
+        n_docs = len(texts)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        ws = pd.Series(words, dtype=object)
+        char_lens = ws.str.len().to_numpy(dtype=np.float64)
+        alpha = ws.str.contains("[A-Za-z]", regex=True).to_numpy(dtype=np.float64)
+        mean_len = np.add.reduceat(char_lens, starts) / lens if n_docs else np.empty(0)
+        frac_alpha = np.add.reduceat(alpha, starts) / lens if n_docs else np.empty(0)
+        n_stop = np.zeros(n_docs, dtype=np.int64)
+        for sw in _GOPHER_STOPWORDS:
+            hit = (words == sw).astype(np.float64)
+            if n_docs:
+                n_stop += (np.add.reduceat(hit, starts) > 0).astype(np.int64)
+        ts = pd.Series(texts, dtype=object).fillna("")
+        symbols = (
+            ts.str.count("#") + ts.str.count(r"\.\.\.")
+        ).to_numpy(dtype=np.float64)
+        sym_ratio = symbols / lens
+        keep = (
+            (lens >= min_words)
+            & (lens <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (sym_ratio < max_symbol_word_ratio)
+            & (frac_alpha > min_frac_alpha_words)
+            & (n_stop >= min_stop_words)
+        ).astype(np.int64)
+        cols = {id_col: t[id_col]}
+        for c in keep_cols:
+            cols[c] = t[c]
+        cols.update(
+            {
+                "n_words": pa.array(lens),
+                "mean_word_len": pa.array(mean_len, type=pa.float64()),
+                "frac_alpha_words": pa.array(frac_alpha, type=pa.float64()),
+                "symbol_word_ratio": pa.array(sym_ratio, type=pa.float64()),
+                "n_stop_words": pa.array(n_stop),
+                "keep": pa.array(keep),
+            }
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -153,20 +153,25 @@ def _real_png_1x1() -> bytes:
     )
 
 
-def test_real_png_without_pil_is_poison_pill():
-    """A genuine PNG in a container without Pillow must become a
+def test_real_png_without_pil_decodes_via_stdlib():
+    """A genuine PNG decodes through the stdlib codec (stages/png.py)
+    even without Pillow — round 4 upgraded the old poison-pill policy to
+    a REAL decode; non-PNG real media still becomes a
     decode_status='error' row (never a raised batch)."""
     import pyarrow as pa
 
     from ai_service_ocr_grading_handler_ray.stages.multimodal import ImageDecodeActor
 
     actor = ImageDecodeActor()
-    if actor._pil is not None:
-        import pytest
-
-        pytest.skip("Pillow installed: covered by test_real_png_with_pil")
-    out = actor(pa.table({"payload": pa.array([_real_png_1x1()], type=pa.binary())}))
-    assert out["decode_status"].to_pylist() == ["error"]
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # no JPEG codec in stdlib
+    out = actor(
+        pa.table(
+            {"payload": pa.array([_real_png_1x1(), jpeg_ish], type=pa.binary())}
+        )
+    )
+    assert out["decode_status"].to_pylist() == ["ok", "error"]
+    meta = out["image_meta"].to_pylist()[0]
+    assert (meta["width"], meta["height"]) == (1, 1)
 
 
 def test_real_png_with_pil():
