@@ -340,8 +340,9 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--out", required=True)
     pe.add_argument("--partition-size", type=int, default=4)
     pe.add_argument(
-        "--format", choices=["parquet", "jsonl", "csv"], default="parquet",
-        help="input format (jsonl/csv carry html base64-encoded)",
+        "--format", choices=["parquet", "jsonl", "csv", "warc"], default="parquet",
+        help="input format (jsonl/csv carry html base64-encoded; warc = "
+        "Common-Crawl archive framing, gzip member-per-record supported)",
     )
     pe.set_defaults(fn=cmd_extract)
 

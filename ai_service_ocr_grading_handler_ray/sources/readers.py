@@ -83,6 +83,10 @@ def read_pages_any(
     string; both decode inside map_batches into the native schema."""
     if fmt == "parquet":
         return read_pages(paths, columns=columns)
+    if fmt == "warc":
+        from .warc import read_warc
+
+        return read_warc(paths)
     if fmt not in ("jsonl", "json", "csv"):
         raise ValueError(f"unsupported pages format: {fmt}")
     ds = rd.read_json(paths) if fmt in ("jsonl", "json") else rd.read_csv(paths)

@@ -131,3 +131,42 @@ def test_shrunken_input_with_orphan_partitions_refuses(tmp_path, sf_dir):
 
     with pytest.raises(RuntimeError, match="beyond the current input"):
         resumable_extract(files[:2], out_dir, partition_size=1)
+
+
+def test_resumable_extract_warc_inputs(tmp_path):
+    """The resumable CLI path works over WARC archives: partitioned by
+    archive file, committed with manifests, exact resume."""
+    import pyarrow.parquet as pq
+
+    from ai_service_ocr_grading_handler_ray.state.manifest import (
+        completed_partitions,
+        resumable_extract,
+    )
+    from ai_service_ocr_grading_handler_ray.sources.warc import pages_to_warc_bytes
+    from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    files = []
+    for i in range(4):
+        pages = docs_to_pages(docs.slice(i * 25, 25))
+        f = tmp_path / f"crawl-{i}.warc.gz"
+        f.write_bytes(pages_to_warc_bytes(pages))
+        files.append(str(f))
+
+    out_dir = str(tmp_path / "out")
+    first = resumable_extract(
+        files, out_dir, partition_size=2, max_partitions=1, input_format="warc"
+    )
+    assert len(first) == 1 and completed_partitions(out_dir) == {0}
+    rest = resumable_extract(
+        files, out_dir, partition_size=2, input_format="warc"
+    )
+    assert len(rest) == 1 and completed_partitions(out_dir) == {0, 1}
+    import pyarrow.dataset as pads
+
+    total = pads.dataset(out_dir + "/part=0000", format="parquet").count_rows()
+    total += pads.dataset(out_dir + "/part=0001", format="parquet").count_rows()
+    assert total == 100
