@@ -740,6 +740,43 @@ def q117_gopher_quality(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q118_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Damped PageRank over a deterministic 97-host link graph (the
+    web-graph ranking primitive crawl prioritization / domain-quality
+    scoring needs; cf. Common-Crawl host ranks in CCNet/RefinedWeb
+    curation).  Edges derive row-locally from doc_id arithmetic (two
+    rotation edges + a hub edge every 4th doc), so the oracle replays
+    the generator in pure SQL and unrolls the 3 power iterations as
+    CTEs.  Scale shape: one groupby(src,dst) edge-reduce shuffle, then
+    per-iteration ONE rank-vector broadcast + ONE shuffle-free sparse-
+    bincount scan + a node-sized driver fold (stages/graph.py)."""
+    from ..stages.graph import pagerank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    out = (
+        pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                 damping=0.85, n_iter=3)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    return _finalize(out[["host", "pagerank"]], {"pagerank": 8})
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2571,6 +2608,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q118_host_pagerank": q118_host_pagerank,
     "q116_snapshot_dedup": q116_snapshot_dedup,
     "q113_bigram_logprob": q113_bigram_logprob,
     "q114_winsorize": q114_winsorize,
@@ -2697,8 +2735,30 @@ QUERIES = {
 # equivalence-tested against numpy bit-for-bit — instead of hand-copied
 # HUGEINT CTE chains whose constants could silently desync.
 from ..stages.shuffle import splitmix64_sql as _sm_sql
+from ..stages.graph import pagerank_sql as _pr_sql
+
+# q118's edge generator (doc_id arithmetic → 97-host graph), shared by
+# the unrolled-iteration oracle below; the iterations themselves come
+# from stages/graph.pagerank_sql so oracle and engine cannot desync.
+_Q118_EDGES = """e0 AS (
+  SELECT (doc_id * 48271) % 97 AS s, (doc_id * 48271 + 16807) % 97 AS t
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 48271) % 97, (doc_id * 48271 + 33614) % 97 FROM documents
+  UNION ALL
+  SELECT (doc_id * 48271) % 97, 0 FROM documents WHERE doc_id % 4 = 0
+),
+e AS (
+  SELECT 'h' || lpad(CAST(s AS VARCHAR), 3, '0') || '.example.org' AS src,
+         'h' || lpad(CAST(t AS VARCHAR), 3, '0') || '.example.org' AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM e0 WHERE s <> t GROUP BY 1, 2
+)"""
 
 ORACLE_SQL = {
+    "q118_host_pagerank": _pr_sql(
+        _Q118_EDGES, damping=0.85, n_iter=3, node_alias="host"
+    ),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
