@@ -777,6 +777,62 @@ def q118_host_pagerank(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["host", "pagerank"]], {"pagerank": 8})
 
 
+def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
+    """Distributed BPE tokenizer train + encode (Sennrich 2016): one
+    word-count shuffle reduces the corpus to a capped vocab-sized
+    frequency table, the merge loop runs on THAT (corpus-size-
+    independent), and encoding streams through an actor pool with merge
+    ranks broadcast once and a warm per-actor word memo
+    (stages/bpe.py).  Returns a LAZY (doc_id, n_bpe_tokens) Dataset —
+    the driver's collect is the only materialization.  Rows-only (BPE
+    merges are not SQL-expressible); incremental-vs-naive equivalence,
+    lossless-segmentation and block-layout determinism are pinned by
+    tests/test_bpe.py."""
+    from ..stages.bpe import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=150, top_words=8000)
+    return bpe_encode(ds, merges).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def q120_quality_classifier(sf_dir: str) -> rd.Dataset:
+    """Trained quality classifier (FineWeb-Edu-style bootstrap): a
+    balanced weak label (docs using the word 'stream' at least twice —
+    base rate 0.50 on the fixture corpus, AUC 0.91 learned), trained by
+    distributed full-batch logistic regression over hashed tf features
+    (per iteration: one weight broadcast + one shuffle-free sparse-
+    gradient scan + a dim-sized canonical driver fold), then a
+    streaming scoring pass (stages/classifier.py).  Returns a lazy
+    (doc_id, prob) Dataset, prob rounded to 6.  Rows-only (iterative
+    GD is not SQL-expressible); single-process-numpy equivalence and
+    planted-separation tests pin correctness
+    (tests/test_classifier.py)."""
+    from ..stages.classifier import logreg_score, logreg_train
+    from ..stages.text_analysis import batch_words
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def label(t: pa.Table) -> pa.Table:
+        words, lens = batch_words(t["text"].to_pylist())
+        hit = (words == "stream").astype(np.float64)
+        doc = np.repeat(np.arange(len(lens)), lens)
+        y = np.bincount(doc, weights=hit, minlength=len(lens)) >= 2
+        return t.append_column("label", pa.array(y.astype(np.int64)))
+
+    labeled = docs.map_batches(label, batch_format="pyarrow")
+    w, b = logreg_train(
+        labeled, label_col="label", dim=1 << 14, n_iter=10, lr=5.0, mode="tf"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        p = _round_half_away(t["prob"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"doc_id": t["doc_id"], "prob": pa.array(p)})
+
+    return logreg_score(docs, w, b, mode="tf").map_batches(
+        fin, batch_format="pyarrow"
+    )
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2609,6 +2665,8 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q118_host_pagerank": q118_host_pagerank,
+    "q119_bpe_tokenize": q119_bpe_tokenize,
+    "q120_quality_classifier": q120_quality_classifier,
     "q116_snapshot_dedup": q116_snapshot_dedup,
     "q113_bigram_logprob": q113_bigram_logprob,
     "q114_winsorize": q114_winsorize,
@@ -2646,11 +2704,6 @@ QUERIES = {
     "q108_within_doc_segment_dedup": q108_within_doc_segment_dedup,
     "q110_subtract_corpus": q110_subtract_corpus,
     "q49_knn_ivf": q49_knn_ivf,
-    "q58_pivot_events": q58_pivot_events,
-    "q59_rollup_orders": q59_rollup_orders,
-    "q61_set_ops": q61_set_ops,
-    "q62_weighted_avg": q62_weighted_avg,
-    "q63_percentiles": q63_percentiles,
     "q77_hash_sample": q77_hash_sample,
     "q78_tfidf_top_term": q78_tfidf_top_term,
     "q82_source_quota": q82_source_quota,
@@ -2660,9 +2713,15 @@ QUERIES = {
     "q88_semantic_dedup": q88_semantic_dedup,
     "q47_asof_join": q47_asof_join,
     "q83_skewed_join": q83_skewed_join,
+    "q58_pivot_events": q58_pivot_events,
     # --- position >50: driver-green in earlier rounds and unchanged;
     # all still run in tests/test_oracle_parity.py every session ---
-    # (q25/q90 ceded their round-4 slots to the new q115/q116)
+    # (q25/q90 ceded their round-4 slots to the new q115/q116;
+    #  q59/q61/q62/q63 ceded theirs to the new q118/q119/q120)
+    "q59_rollup_orders": q59_rollup_orders,
+    "q61_set_ops": q61_set_ops,
+    "q62_weighted_avg": q62_weighted_avg,
+    "q63_percentiles": q63_percentiles,
     "q25_salted_user_counts": q25_salted_user_counts,
     "q90_unigram_logprob": q90_unigram_logprob,
     "q91_badword_filter": q91_badword_filter,

@@ -147,11 +147,12 @@ def pagerank(
         return pa.table({"i": pa.array(present.astype(np.int64)),
                          "v": pa.array(acc[present])})
 
-    outw = np.zeros(n, dtype=np.float64)
-    for t in ray.get(eidx.map_batches(out_partial, batch_format="pyarrow").to_arrow_refs()):
-        if t.num_rows:
-            np.add.at(outw, t["i"].to_numpy(zero_copy_only=False),
-                      t["v"].to_numpy(zero_copy_only=False))
+    from .linalg import fold_sparse_partials
+
+    outw = fold_sparse_partials(
+        eidx.map_batches(out_partial, batch_format="pyarrow"),
+        np.zeros(n, dtype=np.float64),
+    )
 
     dangling = outw == 0.0
     rate_den = np.where(dangling, 1.0, outw)  # avoid div-by-0; dangling rows emit no edges anyway
@@ -171,13 +172,10 @@ def pagerank(
             return pa.table({"i": pa.array(present.astype(np.int64)),
                              "v": pa.array(acc[present])})
 
-        contrib = np.zeros(n, dtype=np.float64)
-        for t in ray.get(
-            eidx.map_batches(contrib_partial, batch_format="pyarrow").to_arrow_refs()
-        ):
-            if t.num_rows:
-                np.add.at(contrib, t["i"].to_numpy(zero_copy_only=False),
-                          t["v"].to_numpy(zero_copy_only=False))
+        contrib = fold_sparse_partials(
+            eidx.map_batches(contrib_partial, batch_format="pyarrow"),
+            np.zeros(n, dtype=np.float64),
+        )
         dm = float(r[dangling].sum())
         r = (1.0 - damping) / n + damping * (contrib + dm / n)
 

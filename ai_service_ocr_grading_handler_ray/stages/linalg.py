@@ -22,6 +22,26 @@ import ray.data as rd
 from .similarity import _as_matrix
 
 
+def fold_sparse_partials(ds: rd.Dataset, out: np.ndarray,
+                         *, idx_col: str = "i", val_col: str = "v") -> np.ndarray:
+    """Fold a Dataset of sparse (idx, val) partial rows into the dense
+    ``out`` vector IN CANONICAL ORDER: all partials are concatenated and
+    sorted by (idx, val) before accumulation, so the float addition
+    order is a pure function of the partial multiset — immune to block
+    arrival order and to run-to-run jitter in materialized block
+    composition (the same sorted-fold convention as k-means).  The
+    driver holds <= nnz-per-batch x blocks rows, never corpus rows."""
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return out
+    merged = pa.concat_tables(tbls)
+    i = merged[idx_col].to_numpy(zero_copy_only=False)
+    v = merged[val_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, i))
+    np.add.at(out, i[order], v[order])
+    return out
+
+
 def moments(ds: rd.Dataset, *, vec_col: str = "embedding") -> tuple[int, np.ndarray, np.ndarray]:
     """(n, sum_vector (d,), raw second moment X'X (d, d)) over the whole
     dataset — one shuffle-free scan, one moment row per batch."""
