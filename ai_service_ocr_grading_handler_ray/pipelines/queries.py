@@ -185,7 +185,7 @@ def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     )
     keys = set(top["l_orderkey"])
     prio_tbl = pa.concat_tables(
-        ray.get(
+        collect_tables(
             _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
             .map_batches(
                 lambda t: t.filter(
@@ -193,8 +193,7 @@ def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
                 ),
                 batch_format="pyarrow",
             )
-            .to_arrow_refs()
-        )
+            , drop_empty=False)
     ).to_pandas()
     df = top.rename(columns={"l_orderkey": "o_orderkey"}).merge(
         prio_tbl, on="o_orderkey", how="inner"
@@ -206,7 +205,7 @@ def q03_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def _broadcast_map(sf_dir: str, table: str, key: str, val: str) -> dict:
-    tbl = pa.concat_tables(ray.get(_read(sf_dir, table, [key, val]).to_arrow_refs()))
+    tbl = pa.concat_tables(collect_tables(_read(sf_dir, table, [key, val]), drop_empty=False))
     return dict(zip(tbl[key].to_pylist(), tbl[val].to_pylist()))
 
 
@@ -475,13 +474,12 @@ def q23_events_user_first(sf_dir: str) -> pd.DataFrame:
 
 def _query_vectors(sf_dir: str, n: int = 2) -> tuple[list[int], np.ndarray]:
     tbl = pa.concat_tables(
-        ray.get(
+        collect_tables(
             _read(sf_dir, "embeddings", ["vec_id", "embedding"])
             .map_batches(
                 lambda t: t.filter(pc.less(t["vec_id"], n)), batch_format="pyarrow"
             )
-            .to_arrow_refs()
-        ),
+            , drop_empty=False),
         promote_options="default",
     )
     order = np.argsort(tbl["vec_id"].to_pylist())
@@ -1109,21 +1107,19 @@ def q86_decontaminate(sf_dir: str) -> pd.DataFrame:
 
     # snippet: first 12 lowercased words of the smallest benchmark doc
     # (two tiny pulls — an id-only projection, then one row by equality)
-    id_blocks = ray.get(
+    id_blocks = collect_tables(
         docs.map_batches(
             lambda t: pa.table(
                 {"doc_id": t["doc_id"].filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))}
             ),
             batch_format="pyarrow",
-        ).to_arrow_refs()
-    )
+        ), drop_empty=False)
     bench_ids = pa.concat_tables([b for b in id_blocks if b.num_rows])["doc_id"]
     min_id = pc.min(bench_ids).as_py()
-    row_blocks = ray.get(
+    row_blocks = collect_tables(
         docs.map_batches(
             lambda t: t.filter(pc.equal(t["doc_id"], min_id)), batch_format="pyarrow"
-        ).to_arrow_refs()
-    )
+        ), drop_empty=False)
     src_text = pa.concat_tables([b for b in row_blocks if b.num_rows])["text"][0].as_py()
     snippet = " ".join((src_text or "").lower().split()[:12])
 
@@ -2167,12 +2163,11 @@ def q85_string_key_join(sf_dir: str) -> pd.DataFrame:
     # distinct; a handful of languages — dimension-sized by construction)
     import ray as _ray
 
-    blocks = _ray.get(
+    blocks = collect_tables(
         docs.map_batches(
             lambda t: pa.table({"lang": pc.unique(t["lang"])}),
             batch_format="pyarrow",
-        ).to_arrow_refs()
-    )
+        ), drop_empty=False)
     langs = sorted({v for b in blocks for v in b["lang"].to_pylist()})
     dim = rd.from_arrow(
         pa.table(
@@ -2795,6 +2790,7 @@ QUERIES = {
 # HUGEINT CTE chains whose constants could silently desync.
 from ..stages.shuffle import splitmix64_sql as _sm_sql
 from ..stages.graph import pagerank_sql as _pr_sql
+from ..stages.collect import collect_tables
 
 # q118's edge generator (doc_id arithmetic → 97-host graph), shared by
 # the unrolled-iteration oracle below; the iterations themselves come

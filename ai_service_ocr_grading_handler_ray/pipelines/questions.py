@@ -30,6 +30,7 @@ import ray.data as rd
 from ray.data.aggregate import Count
 
 from ..functions.textfns import calculate_age_range, size_getter_from_marks
+from ..stages.collect import collect_tables
 
 _STEM = {"mathematics", "science", "physics", "chemistry", "biology"}
 _MCQ_NAMES = {"mcq", "multiplechoice", "multiple choice", "multiple choice question"}
@@ -206,7 +207,7 @@ def credit_reducer(
     """A3 + J4: credits' = credits − n_generated/10, as a grouped aggregate
     joined against the (broadcast) users side table."""
     counts = generated.groupby(user_key).aggregate(Count(alias_name="n_generated"))
-    users_tbl = pa.concat_tables(ray.get(users.to_arrow_refs()))
+    users_tbl = pa.concat_tables(collect_tables(users, drop_empty=False))
     users_df = users_tbl.to_pandas()
     counts_df = counts.to_pandas()
     out = users_df.merge(counts_df, on=user_key, how="left")

@@ -12,6 +12,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+from .collect import collect_tables
 
 # RE2-compatible (no backrefs/lookarounds) so DuckDB regexp_replace agrees
 EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
@@ -249,7 +250,7 @@ def remove_frequent_segments(
 
     frequent = [
         s
-        for b in ray.get(freq.to_arrow_refs())
+        for b in collect_tables(freq, drop_empty=False)
         if b.num_rows
         for s in b.column("segment").to_pylist()
     ]
@@ -440,7 +441,7 @@ def dedup_segments_keep_first(
 
     if method == "broadcast":
         dup_map: dict = {}
-        for b in ray.get(keepers.to_arrow_refs()):
+        for b in collect_tables(keepers, drop_empty=False):
             if b.num_rows:
                 dup = b.filter(pc.greater_equal(b["n_docs"], 2))
                 dup_map.update(

@@ -37,6 +37,7 @@ import ray
 import ray.data as rd
 
 from .similarity import _as_matrix
+from .collect import collect_tables
 
 
 def smallest_k_vectors(
@@ -55,8 +56,7 @@ def smallest_k_vectors(
             t = t.take(pa.array(np.sort(keep)))
         return t
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    tbls = [t for t in ray.get(parts) if t.num_rows]
+    tbls = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
     if not tbls:
         raise ValueError("empty dataset: cannot seed centroids")
     merged = pa.concat_tables(tbls)
@@ -121,12 +121,7 @@ def kmeans_iterate(
                 }
             )
 
-        tbls = [
-            t for t in ray.get(
-                ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-            )
-            if t.num_rows
-        ]
+        tbls = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
         if not tbls:  # empty input: no iteration can change C — stop
             break
         sums = np.zeros((k, d), dtype=np.float64)

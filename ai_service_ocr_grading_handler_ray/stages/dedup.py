@@ -42,6 +42,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .hashing import bucket_ids, popcount64, splitmix64
+from .collect import collect_tables
 
 # --- deterministic 64-bit hashing ------------------------------------------
 
@@ -714,7 +715,7 @@ def minhash_lsh_edges(
         # pull only the texts those pairs reference via a distributed
         # filter, verify locally
         ptbl = pa.concat_tables(
-            [b for b in ray.get(pairs_raw.to_arrow_refs()) if b.num_rows]
+            [b for b in collect_tables(pairs_raw, drop_empty=False) if b.num_rows]
         )
         pair_list = sorted(set(zip(ptbl["a"].to_pylist(), ptbl["b"].to_pylist())))
         # vectorized membership over the full scan (pair-bounded value set)
@@ -725,7 +726,7 @@ def minhash_lsh_edges(
             return pa.table({id_col: t[id_col], text_col: t[text_col]}).filter(mask)
 
         texts_by_id: dict = {}
-        for blk in ray.get(ds.map_batches(filt, batch_format="pyarrow").to_arrow_refs()):
+        for blk in collect_tables(ds.map_batches(filt, batch_format="pyarrow"), drop_empty=False):
             for i, t in zip(blk[id_col].to_pylist(), blk[text_col].to_pylist()):
                 texts_by_id[i] = t or ""
         kept = [
@@ -745,7 +746,7 @@ def minhash_lsh_edges(
     verified = verify_pairs_jaccard(
         deduped, ds, id_col=id_col, text_col=text_col, ngram=ngram, threshold=threshold
     )
-    blocks = [b for b in ray.get(verified.to_arrow_refs()) if b.num_rows]
+    blocks = [b for b in collect_tables(verified, drop_empty=False) if b.num_rows]
     if not blocks:
         return empty
     return pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
@@ -896,7 +897,7 @@ def simhash_clusters(
         )
 
     edge_ds = band_ds.groupby("_part").map_groups(emit_edges, batch_format="pandas")
-    blocks = [b for b in ray.get(edge_ds.to_arrow_refs()) if b.num_rows]
+    blocks = [b for b in collect_tables(edge_ds, drop_empty=False) if b.num_rows]
     if not blocks:
         edges = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     else:
@@ -983,7 +984,7 @@ def embedding_cosine_clusters(
         .groupby("_part")
         .map_groups(emit_edges, batch_format="pandas")
     )
-    blocks = [b for b in ray.get(edge_ds.to_arrow_refs()) if b.num_rows]
+    blocks = [b for b in collect_tables(edge_ds, drop_empty=False) if b.num_rows]
     if not blocks:
         edges = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     else:
@@ -1301,7 +1302,7 @@ def benchmark_gram_hashes(
         keep = np.repeat(nw >= ngram, np.diff(off))
         return pa.table({"g": np.unique(h[keep])})
 
-    blocks = ray.get(bench.map_batches(grams, batch_format="pyarrow").to_arrow_refs())
+    blocks = collect_tables(bench.map_batches(grams, batch_format="pyarrow"), drop_empty=False)
     arrs = [b["g"].to_numpy() for b in blocks if b.num_rows]
     if not arrs:
         return np.empty(0, dtype=np.uint64)
@@ -1413,9 +1414,9 @@ def _broadcast_dup_grams(
     removal signal)."""
     import ray
 
-    dup_tbls = ray.get(duplicate_gram_set(
+    dup_tbls = collect_tables(duplicate_gram_set(
         ds, text_col=text_col, ngram=ngram, num_parts=num_parts
-    ).to_arrow_refs())
+    ), drop_empty=False)
     arrs = [t["g"].to_numpy(zero_copy_only=False) for t in dup_tbls if t.num_rows]
     dup = np.sort(np.concatenate(arrs)) if arrs else np.empty(0, np.uint64)
     if dup.size > broadcast_cap:

@@ -45,6 +45,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
+from .collect import collect_tables
 from ray.data.aggregate import Count
 
 
@@ -81,7 +82,7 @@ def _node_universe(
         .groupby("node")
         .aggregate(Count(alias_name="_n"))
     )
-    tbls = [t.select(["node"]) for t in ray.get(uniq.to_arrow_refs()) if t.num_rows]
+    tbls = [t.select(["node"]) for t in collect_tables(uniq, drop_empty=False) if t.num_rows]
     if not tbls:
         raise ValueError("pagerank: empty edge set")
     nodes = np.sort(

@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .hashing import bucket_ids
+from .collect import collect_tables
 
 
 def bucketed_inner_join(
@@ -182,7 +183,7 @@ def skewed_inner_join(
     if right.count() <= broadcast_right_limit:
         # plan 1: broadcast the whole dimension, one fact scan, no
         # detection, no shuffle
-        rblocks = [b for b in ray.get(right.to_arrow_refs()) if b.num_rows]
+        rblocks = [b for b in collect_tables(right, drop_empty=False) if b.num_rows]
         rtbl = (
             pa.concat_tables([b.cast(rblocks[0].schema) for b in rblocks])
             if rblocks
@@ -223,12 +224,11 @@ def skewed_inner_join(
 
     # broadcast fragment: right rows whose key is hot (collected —
     # bounded by hot_k dimension keys, independent of left's size)
-    frag_blocks = ray.get(
+    frag_blocks = collect_tables(
         right.map_batches(
             lambda t: t.filter(pc.is_in(t[right_key], value_set=hot_set)),
             batch_format="pyarrow",
-        ).to_arrow_refs()
-    )
+        ), drop_empty=False)
     frag = pa.concat_tables([b for b in frag_blocks if b.num_rows]) if any(
         b.num_rows for b in frag_blocks
     ) else None

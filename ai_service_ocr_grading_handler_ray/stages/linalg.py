@@ -20,6 +20,7 @@ import ray
 import ray.data as rd
 
 from .similarity import _as_matrix
+from .collect import collect_tables
 
 
 def fold_sparse_partials(ds: rd.Dataset, out: np.ndarray,
@@ -31,7 +32,7 @@ def fold_sparse_partials(ds: rd.Dataset, out: np.ndarray,
     arrival order and to run-to-run jitter in materialized block
     composition (the same sorted-fold convention as k-means).  The
     driver holds <= nnz-per-batch x blocks rows, never corpus rows."""
-    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tbls = [t for t in collect_tables(ds, drop_empty=False) if t.num_rows]
     if not tbls:
         return out
     merged = pa.concat_tables(tbls)
@@ -59,9 +60,8 @@ def moments(ds: rd.Dataset, *, vec_col: str = "embedding") -> tuple[int, np.ndar
         )
 
     tbls = [
-        t for t in ray.get(
-            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-        )
+        t for t in collect_tables(
+            ds.map_batches(partial, batch_format="pyarrow"), drop_empty=False)
         if t.num_rows
     ]
     if not tbls:

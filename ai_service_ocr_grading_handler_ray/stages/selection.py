@@ -244,10 +244,12 @@ def _collect_values(
 
 
 def _gather(ds: rd.Dataset, fn) -> list[pa.Table]:
-    import ray
+    from .collect import collect_tables
 
-    refs = ds.map_batches(fn, batch_format="pyarrow", batch_size=65536).to_arrow_refs()
-    return ray.get(refs)
+    return collect_tables(
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536),
+        drop_empty=False,
+    )
 
 
 def exact_group_quantiles(

@@ -32,6 +32,7 @@ import ray
 import ray.data as rd
 
 from .hashing import splitmix64
+from .collect import collect_tables
 
 
 def shuffle_hash(col, seed: int) -> np.ndarray:
@@ -88,9 +89,8 @@ def shuffle_positions(
         return pa.table({"b": pa.array(nz), "c": pa.array(c[nz])})
 
     counts = np.zeros(num_buckets, dtype=np.int64)
-    for t in ray.get(
-        ds.map_batches(count_partial, batch_format="pyarrow").to_arrow_refs()
-    ):
+    for t in collect_tables(
+        ds.map_batches(count_partial, batch_format="pyarrow"), drop_empty=False):
         if t.num_rows:
             counts[t["b"].to_numpy(zero_copy_only=False)] += t[
                 "c"
@@ -212,9 +212,8 @@ def curriculum_positions(
         return pa.table({"b": pa.array(nz), "c": pa.array(c[nz])})
 
     counts = np.zeros(grid, dtype=np.int64)
-    for t in ray.get(
-        ds.map_batches(count_partial, batch_format="pyarrow").to_arrow_refs()
-    ):
+    for t in collect_tables(
+        ds.map_batches(count_partial, batch_format="pyarrow"), drop_empty=False):
         if t.num_rows:
             counts[t["b"].to_numpy(zero_copy_only=False)] += t["c"].to_numpy(
                 zero_copy_only=False

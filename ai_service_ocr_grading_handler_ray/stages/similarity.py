@@ -21,6 +21,7 @@ import ray
 import ray.data as rd
 
 from .dedup import _hyperplanes
+from .collect import collect_tables
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -105,7 +106,7 @@ def knn_brute_force(
         return worker(batch)
 
     partial = ds.map_batches(partial_fn, batch_format="pyarrow")
-    cand = pa.concat_tables(ray.get(partial.to_arrow_refs()))
+    cand = pa.concat_tables(collect_tables(partial, drop_empty=False))
     # global merge: per query, exact top-k with (-score, id) order
     import pandas as pd
 
@@ -195,9 +196,8 @@ def knn_lsh(
 
     cand_blocks = [
         b
-        for b in ray.get(
-            ds.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()
-        )
+        for b in collect_tables(
+            ds.map_batches(partial_topk, batch_format="pyarrow"), drop_empty=False)
         if b.num_rows
     ]
     if not cand_blocks:
@@ -274,7 +274,7 @@ def build_ivf_assignments(
     tbl = pa.concat_tables(
         [
             b.select([id_col, vec_col])
-            for b in ray.get(sampled.to_arrow_refs())
+            for b in collect_tables(sampled, drop_empty=False)
             if b.num_rows
         ]
     )
@@ -351,9 +351,8 @@ def knn_ivf(
 
     cand_blocks = [
         b
-        for b in ray.get(
-            assigned.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()
-        )
+        for b in collect_tables(
+            assigned.map_batches(partial_topk, batch_format="pyarrow"), drop_empty=False)
         if b.num_rows
     ]
     if not cand_blocks:

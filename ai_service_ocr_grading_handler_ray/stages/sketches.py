@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+from .collect import collect_tables
 
 
 class BloomFilter:
@@ -257,7 +258,7 @@ def reduce_sketch_blobs(
     mat = sketch_ds.materialize()
     if mat.count() <= direct_limit:
         blobs: list[bytes] = []
-        for blk in ray.get(mat.to_arrow_refs()):
+        for blk in collect_tables(mat, drop_empty=False):
             if blk.num_rows and blob_col in blk.column_names:
                 blobs.extend(blk[blob_col].to_pylist())
     else:
@@ -302,7 +303,7 @@ def tree_merge_blobs(
         .map_groups(merge_group, batch_format="pandas")
     )
     out: list[bytes] = []
-    for blk in ray.get(merged.to_arrow_refs()):
+    for blk in collect_tables(merged, drop_empty=False):
         if blk.num_rows and blob_col in blk.column_names:
             out.extend(blk[blob_col].to_pylist())
     return out

@@ -15,6 +15,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+from .collect import collect_tables
 
 # --- language ID (n-gram / marker-word heuristic) ---------------------------
 
@@ -254,7 +255,7 @@ def _collect_counts(
     reduced corpus tokens → types); the broadcast cap guards the driver."""
     import ray
 
-    blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
+    blocks = [b for b in collect_tables(counts, drop_empty=False) if b.num_rows]
     if blocks:
         toks = np.concatenate(
             [b.column("token").to_pandas().to_numpy(dtype=object) for b in blocks]
@@ -890,7 +891,7 @@ def score_bigram_logprob(
     if counts is None:
         counts = bigram_counts(ds, text_col=text_col, num_parts=num_parts)
 
-    blocks = [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows]
+    blocks = [b for b in collect_tables(counts, drop_empty=False) if b.num_rows]
     if blocks:
         w1 = np.concatenate(
             [b.column("w1").to_pandas().to_numpy(dtype=object) for b in blocks]

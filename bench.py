@@ -67,6 +67,14 @@ BENCH_QUERIES = [
     "q110_subtract_corpus",
     "q111_covariance",
     "q112_url_near_dup",
+    "q113_bigram_logprob",
+    "q114_winsorize",
+    "q115_curriculum_order",
+    "q116_snapshot_dedup",
+    "q117_gopher_quality",
+    "q118_host_pagerank",
+    "q119_bpe_tokenize",
+    "q120_quality_classifier",
 ]
 
 

@@ -5,12 +5,13 @@ import pytest
 import ray
 
 from ai_service_ocr_grading_handler_ray.pipelines.curate import curation_pipeline
+from ai_service_ocr_grading_handler_ray.stages.collect import collect_tables
 
 
 @pytest.fixture(scope="module")
 def curated(sf_dir) -> pa.Table:
     ds = curation_pipeline(sf_dir)
-    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    return pa.concat_tables(collect_tables(ds, drop_empty=False))
 
 
 def test_schema_and_rows(curated):
@@ -42,7 +43,7 @@ def test_split_deterministic_and_proportioned(curated):
     from ai_service_ocr_grading_handler_ray.pipelines.curate import curation_pipeline
 
     again = pa.concat_tables(
-        ray.get(curation_pipeline("/root/testdata/sf0.001").to_arrow_refs())
+        collect_tables(curation_pipeline("/root/testdata/sf0.001"), drop_empty=False)
     )
     a = dict(zip(curated["canonical_url"].to_pylist(), splits))
     b = dict(zip(again["canonical_url"].to_pylist(), again["split"].to_pylist()))
@@ -72,7 +73,7 @@ def corpus(sf_dir) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
     ds = corpus_build(docs)
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in collect_tables(ds, drop_empty=False) if t.num_rows]
     return pa.concat_tables(tables)
 
 
@@ -107,7 +108,7 @@ def test_corpus_build_bloom_path_runs(sf_dir):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
     out = corpus_build(docs, seg_method="bloom")
-    t = pa.concat_tables([b for b in ray.get(out.to_arrow_refs()) if b.num_rows])
+    t = pa.concat_tables([b for b in collect_tables(out, drop_empty=False) if b.num_rows])
     assert t.column_names == [
         "doc_id", "source", "n_tokens", "tok_offset", "seq_id",
     ]

@@ -9,12 +9,13 @@ import ray
 
 from ai_service_ocr_grading_handler_ray.pipelines.grading import grading_pipeline
 from ai_service_ocr_grading_handler_ray.stages.score import quantize_half, score_one
+from ai_service_ocr_grading_handler_ray.stages.collect import collect_tables
 
 
 @pytest.fixture(scope="module")
 def graded(sf_dir) -> pa.Table:
     out = grading_pipeline(sf_dir, use_actors=True, concurrency=(1, 4))
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return pa.concat_tables(collect_tables(out, drop_empty=False))
 
 
 def test_sink_record_shape(graded):

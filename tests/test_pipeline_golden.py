@@ -21,8 +21,10 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "extract_sf0.001.json
 
 @pytest.fixture(scope="module")
 def extracted(sf_dir) -> pa.Table:
+    from ai_service_ocr_grading_handler_ray.stages.collect import collect_table
+
     out = extract_pages(build_pages_dataset(sf_dir), concurrency=(1, 4))
-    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return collect_table(out)
 
 
 def test_flagship_golden(extracted):
@@ -105,7 +107,9 @@ def test_url_dedup_collapses_pairs(sf_dir):
     pages = build_pages_dataset(sf_dir)
     total = pages.count()
     deduped = dedup_pages_by_url(build_pages_dataset(sf_dir))
-    tbl = pa.concat_tables(ray.get(deduped.to_arrow_refs()))
+    from ai_service_ocr_grading_handler_ray.stages.collect import collect_table
+
+    tbl = collect_table(deduped)
     urls = tbl["url"].to_pylist()
     assert len(urls) == len(set(urls))  # unique by url
     n_dup_urls = total - len(set(urls))

@@ -9,6 +9,7 @@ from ai_service_ocr_grading_handler_ray.pipelines.extract import extract_pages
 from ai_service_ocr_grading_handler_ray.stages.classify import classify_payload_kind
 from ai_service_ocr_grading_handler_ray.stages.extract import ExtractActor
 from ai_service_ocr_grading_handler_ray.synth import render_html_page
+from ai_service_ocr_grading_handler_ray.stages.collect import collect_tables
 
 
 def _pages_table(urls_texts_langs):
@@ -39,7 +40,7 @@ def test_multi_mb_payloads_stream_through():
     )
     ds = rd.from_arrow(tbl)
     out = extract_pages(ds, batch_size=2)
-    result = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    result = pa.concat_tables(collect_tables(out, drop_empty=False))
     assert result.num_rows == 12
     assert all(s == "ok" for s in result["status"].to_pylist())
     text = result["extracted_text"][0].as_py()
