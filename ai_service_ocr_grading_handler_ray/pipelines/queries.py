@@ -831,6 +831,54 @@ def q120_quality_classifier(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q121_phash_image_dedup(sf_dir: str) -> rd.Dataset:
+    """Perceptual-hash image near-dup (stages/phash.py): deterministic
+    PNG payloads derive from doc_id (a gradient+sinusoid pattern whose
+    frequencies are doc_id arithmetic — no external data per the
+    input-table mandate), every doc_id % 7 == 0 gains a re-toned twin
+    (brightness +12, id + 10_000_000 — the re-encoded-logo case byte
+    hashing misses), and the full pHash actor pool → 4×16-bit band
+    shuffle → XOR/popcount verify → distributed label finish runs at
+    max_hamming=6.  Returns (img_id, cluster_id).  Rows-only (DCT bit
+    patterns are not SQL-expressible); twin-pairing/singleton/
+    determinism invariants pinned by tests/test_phash.py."""
+    from ..stages.phash import phash_clusters
+    from ..stages.png import encode_png
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y, x = np.mgrid[0:40, 0:56].astype(np.float64)
+        out_ids, payloads = [], []
+        for i in ids:
+            fx = 3.0 + (i % 11)
+            fy = 4.0 + (i % 7)
+            ph = (i % 13) * 0.5
+            base = (
+                128.0
+                + 60.0 * np.sin(x / fx + ph)
+                + 40.0 * np.cos(y / fy)
+            ).clip(0, 255).astype(np.uint8)
+            out_ids.append(int(i))
+            payloads.append(encode_png(base))
+            if i % 7 == 0:
+                twin = (base.astype(np.int64) + 12).clip(0, 255).astype(np.uint8)
+                out_ids.append(int(i) + 10_000_000)
+                payloads.append(encode_png(twin))
+        return pa.table(
+            {
+                "img_id": pa.array(out_ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    images = ds.map_batches(render, batch_format="pyarrow", batch_size=256)
+    return phash_clusters(
+        images, id_col="img_id", payload_col="payload", max_hamming=6
+    )
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2659,6 +2707,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q121_phash_image_dedup": q121_phash_image_dedup,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,

@@ -832,28 +832,30 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
-def simhash_clusters(
+def fingerprint_hamming_clusters(
     ds: rd.Dataset,
+    fp_ds: rd.Dataset,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    fp_col: str,
     max_hamming: int = 3,
 ) -> rd.Dataset:
-    """SimHash near-dup: fingerprint per batch → explode 4×16-bit band
-    rows → groupby(band, bucket).map_groups Hamming-verify (fingerprints
-    travel with the rows, so verification needs no second data pass) →
-    ``cluster_assignments`` → (id, cluster_id) Dataset (driver holds only
-    the edge list)."""
-    import ray
+    """Generic 64-bit-fingerprint near-dup finish, shared by SimHash
+    (text) and pHash (image) clustering: explode each fingerprint into
+    4×16-bit band rows (two fingerprints within Hamming distance ≤ 3
+    share at least one exact band; wider radii trade recall) →
+    groupby(band, bucket).map_groups Hamming-verify (fingerprints travel
+    with the rows, so verification needs no second data pass) →
+    ``cluster_assignments`` → (id, cluster_id) Dataset (the driver holds
+    only the verified edge list).
 
-    ds = ds.materialize()
-    fp_ds = ds.map_batches(
-        lambda b: add_simhash(b, text_col), batch_format="pyarrow"
-    ).select_columns([id_col, "simhash"])
+    ``ds`` is the id universe (every id, fingerprinted or not, gets a
+    cluster label); ``fp_ds`` carries (id_col, fp_col) with the int64
+    bit-pattern fingerprints."""
 
     def explode(t: pa.Table) -> pa.Table:
         n = len(t)
-        fps = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fps = t[fp_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         bands_out, buckets_out = [], []
         for band in range(4):
             bands_out.append(np.full(n, band, dtype=np.int32))
@@ -866,7 +868,7 @@ def simhash_clusters(
                 "bucket": pa.array(bucket),
                 "_part": pa.array((bucket % NUM_GROUP_PARTS).astype(np.int32)),
                 id_col: t[id_col].take(pa.array(idx)),
-                "simhash": t["simhash"].take(pa.array(idx)),
+                fp_col: t[fp_col].take(pa.array(idx)),
             }
         )
 
@@ -880,13 +882,13 @@ def simhash_clusters(
             if len(sub) < 2:
                 continue
             if len(sub) > PAIR_CAP:
-                print(f"[dedup] simhash bucket cap: {len(sub)} ids -> {PAIR_CAP}")
+                print(f"[dedup] fingerprint bucket cap: {len(sub)} ids -> {PAIR_CAP}")
                 sub = sub.head(PAIR_CAP)
             ids = sub[id_col].to_numpy()
             # vectorized Hamming verify: XOR matrix + SWAR popcount over
             # the bucket's fingerprints (the per-pair Python loop was
             # VERDICT r3 wrong #3); O(b²) ints with b ≤ PAIR_CAP
-            fps = sub["simhash"].to_numpy().astype(np.uint64, copy=False)
+            fps = sub[fp_col].to_numpy().astype(np.uint64, copy=False)
             ham = popcount64(fps[:, None] ^ fps[None, :])
             xs, ys = np.where(np.triu(ham <= max_hamming, k=1))
             out_a.extend(ids[xs])
@@ -907,6 +909,24 @@ def simhash_clusters(
             edges.to_pandas().drop_duplicates(), preserve_index=False
         )
     return cluster_assignments(ds, edges, id_col=id_col)
+
+
+def simhash_clusters(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> rd.Dataset:
+    """SimHash near-dup: fingerprint per batch → the shared
+    ``fingerprint_hamming_clusters`` band/verify/label finish."""
+    ds = ds.materialize()
+    fp_ds = ds.map_batches(
+        lambda b: add_simhash(b, text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "simhash"])
+    return fingerprint_hamming_clusters(
+        ds, fp_ds, id_col=id_col, fp_col="simhash", max_hamming=max_hamming
+    )
 
 
 # --- embedding cosine near-dup ----------------------------------------------

@@ -1,0 +1,190 @@
+"""Perceptual image hashing (pHash) and pHash-based image near-dup.
+
+The image twin of SimHash text dedup: web corpora carry the same image
+re-encoded, re-scaled or slightly re-toned across many pages (logos,
+memes, product shots), and exact byte-hash dedup misses all of them.
+pHash (the classic DCT fingerprint) maps an image to 64 bits such that
+visually-near images land within a small Hamming distance:
+
+    gray → area-mean resize to 32×32 → 2-D DCT-II → top-left 8×8
+    low-frequency block → median threshold → 64-bit fingerprint
+
+Reference parity note: the reference repo decodes real images with cv2
+for OCR (``engine/core/llm_number_prediction.py:46``) but has no image
+dedup; this is part of the "operations a large-scale training-data
+pipeline would need" mandate.  The fingerprint convention (median of
+the full 8×8 low-frequency block, DC included) matches the widely-used
+open-source ImageHash ``phash`` definition so thresholds transfer.
+
+Scale shape:
+
+- hashing is a stateless ``map_batches`` stage hosted as an ACTOR POOL:
+  the 32×32 DCT basis and resize plan are built once per actor in
+  ``__init__`` — never per batch — and each batch decodes its PNGs
+  (stdlib codec, ``stages/png.py``) and hashes with pure numpy;
+- binary payloads never move twice: the fingerprint Dataset is slim
+  (id, 8 bytes) and only IT enters the shuffle;
+- clustering reuses ``dedup.fingerprint_hamming_clusters`` — the same
+  4×16-bit band explode → bucket groupby → vectorized XOR/popcount
+  verify → distributed label propagation as SimHash, so the cost model
+  and caps are shared (PAIR_CAP-bounded buckets, edge-list driver
+  state).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .png import decode_png
+
+HASH_SIZE = 8          # 8×8 low-frequency block → 64-bit fingerprint
+RESIZE_DIM = 32        # highfreq_factor 4 (ImageHash default)
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix C (n, n): X = C @ x applies the
+    transform along one axis; C @ A @ C.T is the separable 2-D DCT."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    C = np.cos(np.pi * (2.0 * m + 1.0) * k / (2.0 * n))
+    C *= np.sqrt(2.0 / n)
+    C[0] *= np.sqrt(0.5)
+    return C
+
+
+def _area_resize(gray: np.ndarray, out: int) -> np.ndarray:
+    """Area-mean resize of a 2-D float array to (out, out) for arbitrary
+    input dims: rows/cols are split at ``floor(i * dim / out)`` bin
+    edges and each output cell is the mean of its bin block (reduceat
+    over both axes — no per-pixel loop).  Inputs smaller than ``out``
+    repeat edge bins (degenerate bins get width 1)."""
+    h, w = gray.shape
+    if h == out and w == out:
+        return gray.astype(np.float64)
+    g = gray.astype(np.float64)
+    re = (np.arange(out + 1) * h) // out
+    ce = (np.arange(out + 1) * w) // out
+    # degenerate (zero-width) bins when input < out: clamp to width ≥ 1
+    rs = np.minimum(re[:-1], h - 1)
+    cs = np.minimum(ce[:-1], w - 1)
+    rw = np.maximum(np.diff(re), 1)
+    cw = np.maximum(np.diff(ce), 1)
+    rows = np.add.reduceat(g, rs, axis=0) if h >= out else g[rs]
+    block = np.add.reduceat(rows, cs, axis=1) if w >= out else rows[:, cs]
+    if h >= out:
+        block = block / rw[:, None]
+    if w >= out:
+        block = block / cw[None, :]
+    return block
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w[, c]) uint8 → (h, w) float64 luma (channel mean; alpha
+    dropped for 2/4-channel images)."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    c = img.shape[2]
+    if c in (2, 4):  # gray+alpha / rgba: drop alpha
+        img = img[:, :, : c - 1]
+    return img.astype(np.float64).mean(axis=2)
+
+
+class PHasher:
+    """Reusable pHash kernel with the DCT basis precomputed once —
+    instantiate per actor (``PHashActor``) or once per process."""
+
+    def __init__(self, hash_size: int = HASH_SIZE, resize_dim: int = RESIZE_DIM):
+        self.hash_size = hash_size
+        self.resize_dim = resize_dim
+        self.C = _dct_basis(resize_dim)
+
+    def phash_gray(self, gray: np.ndarray) -> int:
+        """64-bit pHash of a 2-D grayscale array."""
+        small = _area_resize(np.asarray(gray), self.resize_dim)
+        dct = self.C @ small @ self.C.T
+        low = dct[: self.hash_size, : self.hash_size]
+        bits = (low > np.median(low)).astype(np.uint8).ravel()
+        return int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
+
+    def phash_png(self, payload: bytes) -> int:
+        return self.phash_gray(_to_gray(decode_png(payload)))
+
+    def hash_batch(self, payloads: list) -> np.ndarray:
+        """(n,) uint64 fingerprints; None / undecodable payloads hash to
+        0 (the same none-sentinel convention as ``simhash64`` of empty
+        text)."""
+        out = np.zeros(len(payloads), dtype=np.uint64)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            try:
+                out[i] = self.phash_gray(_to_gray(decode_png(p)))
+            except ValueError:
+                continue  # non-PNG payload: sentinel 0
+        return out
+
+
+class PHashActor:
+    """Actor-pool ``map_batches`` stage: payload column → int64 pHash
+    column.  DCT basis + resize plan built once per actor."""
+
+    def __init__(self, payload_col: str = "payload", out_col: str = "phash",
+                 hash_size: int = HASH_SIZE, resize_dim: int = RESIZE_DIM):
+        self.payload_col = payload_col
+        self.out_col = out_col
+        self.h = PHasher(hash_size, resize_dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = self.h.hash_batch(batch[self.payload_col].to_pylist())
+        return batch.append_column(self.out_col, pa.array(fps.astype(np.int64)))
+
+
+def add_phash(
+    ds: rd.Dataset,
+    *,
+    payload_col: str = "payload",
+    out_col: str = "phash",
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Append an int64 pHash column — actor pool, small batches (binary
+    payloads are heavy; ``batch_size`` bounds per-task heap)."""
+    return ds.map_batches(
+        PHashActor,
+        fn_constructor_kwargs={"payload_col": payload_col, "out_col": out_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def phash_clusters(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Image near-dup clustering: pHash actor pool → slim (id, phash)
+    Dataset → shared band/verify/label finish → (id, cluster_id).
+
+    ``max_hamming`` 6 ≈ "same image, re-toned/re-scaled"; the 4-band
+    scheme guarantees recall only to distance 3 — raise bands upstream
+    if a wider radius must be exhaustive (documented trade, same as
+    SimHash)."""
+    from .dedup import fingerprint_hamming_clusters
+
+    ds = ds.materialize()
+    fp_ds = add_phash(
+        ds,
+        payload_col=payload_col,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    ).select_columns([id_col, "phash"])
+    return fingerprint_hamming_clusters(
+        ds, fp_ds, id_col=id_col, fp_col="phash", max_hamming=max_hamming
+    )

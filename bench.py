@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q118_host_pagerank",
     "q119_bpe_tokenize",
     "q120_quality_classifier",
+    "q121_phash_image_dedup",
 ]
 
 
