@@ -879,6 +879,88 @@ def q121_phash_image_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q122_multimodal_features(sf_dir: str) -> rd.Dataset:
+    """Audio + video feature extraction over REAL container formats
+    (stages/multimodal.py): every doc synthesizes a deterministic
+    RIFF/WAVE PCM clip (stdlib ``wave``; tone frequency and length are
+    doc_id arithmetic) and a YUV4MPEG2 stream (3-6 luma frames), then
+    the AudioFeatureActor / VideoFrameSampleActor actor pools decode
+    them natively — no ffmpeg, no Pillow — and emit (doc_id, n_samples,
+    duration_s, zero_crossings, spectral_centroid rounded to 2,
+    n_frames, n_sampled).  Rows-only (FFT centroids are not
+    SQL-expressible); decoder correctness is pinned by
+    tests/test_sources_multimodal.py (roundtrips, stereo mixdown,
+    codec-seam raises)."""
+    from ..stages.multimodal import (
+        AudioFeatureActor,
+        VideoFrameSampleActor,
+        encode_wav,
+        encode_y4m,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wavs, vids = [], []
+        for i in ids:
+            n = 800 + int(i % 5) * 160
+            freq = 200.0 + float(i % 17) * 40.0
+            tt = np.arange(n, dtype=np.float64)
+            samples = (3000.0 * np.sin(2.0 * np.pi * freq * tt / 16000.0)).astype(np.int16)
+            wavs.append(encode_wav(samples, rate=16000))
+            nf = 3 + int(i % 4)
+            frames = [
+                np.full((16, 16), (int(i) * 7 + 31 * k) % 256, dtype=np.uint8)
+                for k in range(nf)
+            ]
+            vids.append(encode_y4m(frames))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "wav": pa.array(wavs, type=pa.binary()),
+                "y4m": pa.array(vids, type=pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(render, batch_format="pyarrow", batch_size=256)
+    audio = media.map_batches(
+        AudioFeatureActor,
+        fn_kwargs={"column": "wav"},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=64,
+    )
+    both = audio.map_batches(
+        VideoFrameSampleActor,
+        fn_kwargs={"column": "y4m"},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=64,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        cent = _round_half_away(
+            t["spectral_centroid"].to_numpy(zero_copy_only=False), 2
+        )
+        n_sampled = pa.array(
+            [len(f) for f in t["frames"].to_pylist()], type=pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_samples": t["n_samples"],
+                "duration_s": t["duration_s"],
+                "zero_crossings": t["zero_crossings"],
+                "spectral_centroid": pa.array(cent, type=pa.float64()),
+                "n_frames": t["n_frames"],
+                "n_sampled": n_sampled,
+            }
+        )
+
+    return both.map_batches(fin, batch_format="pyarrow")
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2708,6 +2790,7 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q121_phash_image_dedup": q121_phash_image_dedup,
+    "q122_multimodal_features": q122_multimodal_features,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q119_bpe_tokenize",
     "q120_quality_classifier",
     "q121_phash_image_dedup",
+    "q122_multimodal_features",
 ]
 
 

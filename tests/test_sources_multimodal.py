@@ -181,3 +181,88 @@ class TestStdlibPng:
         assert got.shape[0] == 25 and got.shape[1] == 10
         # nearest-neighbor: every output pixel exists in the input
         assert (got == img[:: 100 // 25, :: 40 // 10][: got.shape[0], : got.shape[1]]).all()
+
+
+class TestRealMediaFormats:
+    """Stdlib-decodable REAL formats: RIFF/WAVE PCM audio and YUV4MPEG2
+    video (the uncompressed interchange formats; compressed codecs stay
+    documented ffmpeg seams)."""
+
+    def test_wav_roundtrip_features(self):
+        from ai_service_ocr_grading_handler_ray.stages.multimodal import encode_wav
+
+        t = np.arange(1600)
+        samples = (3000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        batch = pa.table({"payload": pa.array([encode_wav(samples)], type=pa.binary())})
+        out = AudioFeatureActor()(batch)
+        assert out["n_samples"].to_pylist() == [1600]
+        assert abs(out["duration_s"][0].as_py() - 0.1) < 1e-9
+        # a 440 Hz tone's spectral centroid sits at ~440 Hz
+        assert abs(out["spectral_centroid"][0].as_py() - 440.0) < 30.0
+        assert out["rms"][0].as_py() > 1000
+
+    def test_wav_stereo_averages_to_mono(self):
+        import io
+        import wave
+
+        left = np.full(100, 1000, dtype=np.int16)
+        right = np.full(100, -1000, dtype=np.int16)
+        inter = np.empty(200, dtype=np.int16)
+        inter[0::2], inter[1::2] = left, right
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(inter.tobytes())
+        batch = pa.table({"payload": pa.array([buf.getvalue()], type=pa.binary())})
+        out = AudioFeatureActor()(batch)
+        assert out["n_samples"].to_pylist() == [100]
+        assert out["rms"][0].as_py() == 0.0  # L/R cancel after mono mixdown
+
+    def test_compressed_audio_raises_seam(self):
+        batch = pa.table({"payload": pa.array([b"ID3\x04fakemp3"], type=pa.binary())})
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            AudioFeatureActor()(batch)
+
+    def test_y4m_roundtrip_and_sampling(self):
+        from ai_service_ocr_grading_handler_ray.stages.multimodal import decode_y4m, encode_y4m
+        from ai_service_ocr_grading_handler_ray.stages.png import decode_png
+
+        frames = [
+            (np.full((8, 12), 10 * k, dtype=np.uint8)) for k in range(5)
+        ]
+        payload = encode_y4m(frames)
+        got, w, h = decode_y4m(payload)
+        assert (w, h) == (12, 8) and len(got) == 5
+        assert all((a == b).all() for a, b in zip(got, frames))
+
+        batch = pa.table({"payload": pa.array([payload], type=pa.binary())})
+        out = VideoFrameSampleActor(stride=2)(batch)
+        assert out["n_frames"].to_pylist() == [5]
+        sampled = out["frames"][0].as_py()
+        assert len(sampled) == 3  # frames 0, 2, 4
+        # sampled frames round-trip as PNG luma planes
+        assert (decode_png(sampled[1]) == frames[2]).all()
+
+    def test_compressed_video_raises_seam(self):
+        batch = pa.table({"payload": pa.array([b"\x00\x00\x00\x18ftypmp42"], type=pa.binary())})
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            VideoFrameSampleActor()(batch)
+
+    def test_q122_pipeline_invariants(self, sf_dir):
+        """q122 end-to-end: real WAV/y4m payloads per doc; duration and
+        frame-sampling are exact functions of the generator, and the
+        Hann-windowed spectral centroid tracks the synthesized tone."""
+        import numpy as np
+
+        from ai_service_ocr_grading_handler_ray.pipelines.queries import (
+            q122_multimodal_features,
+        )
+
+        df = q122_multimodal_features(sf_dir).to_pandas()
+        assert len(df) == 500
+        assert np.allclose(df.duration_s, df.n_samples / 16000.0)
+        assert (df.n_sampled == (df.n_frames + 1) // 2).all()
+        freq = 200.0 + (df.doc_id % 17) * 40.0
+        assert (df.spectral_centroid - freq).abs().max() < 10.0
