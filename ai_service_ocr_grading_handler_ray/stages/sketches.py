@@ -117,18 +117,71 @@ def _bloom_mask_fn(bf_ref, left_key: str, keep_members: bool):
     return filt
 
 
+# Exact-key-set broadcast budget for the membership-join fast path:
+# 4M distinct keys ≈ 32 MB of uint64 — comparable to the Bloom blob the
+# slow path broadcasts anyway (1% fp at 4M keys ≈ 4.8 MB), and far below
+# a worker heap.  Above it, the constant-size Bloom + shuffled verify
+# keeps per-task memory bounded at any subtrahend size.
+BROADCAST_KEY_CAP = 4_000_000
+
+
+def _keyset_mask_fn(keys_ref, left_key: str, keep_members: bool):
+    """Batch filter by exact broadcast key-set membership.  Null keys
+    are non-members (kept by anti, dropped by semi) — the same net
+    behavior as the Bloom + Arrow-join path."""
+    import pyarrow.compute as pc
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.fill_null(pc.is_in(batch[left_key], value_set=keys), False)
+        if not keep_members:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return filt
+
+
+def _collect_right_keys(right: rd.Dataset, right_key: str):
+    """Distinct right keys as one driver-local Arrow array (per-batch
+    pre-distinct bounds the pull to distinct-per-block)."""
+    import pyarrow.compute as pc
+
+    from .collect import collect_table
+
+    tbl = collect_table(
+        right.map_batches(
+            lambda t: pa.table({right_key: pc.unique(t[right_key])}),
+            batch_format="pyarrow",
+        )
+    )
+    if tbl.num_rows == 0:
+        return None
+    return pc.unique(tbl[right_key].combine_chunks())
+
+
 def bloom_semi_join(
     left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
     n_expected: int, fp_rate: float = 0.01, exact: bool = True,
-    num_partitions: int = 8,
+    num_partitions: int = 8, broadcast_cap: int = BROADCAST_KEY_CAP,
 ) -> rd.Dataset:
     """Keep left rows whose key (probably) appears in right.
 
-    The Bloom broadcast stays constant-size regardless of right's row
-    count.  ``exact=True`` re-verifies the (already small) survivor set
-    with a *shuffled* ``left_semi`` join against right's key column — no
-    exact-key-set broadcast, so the memory per task stays bounded at any
+    Fast path (``n_expected`` ≤ ``broadcast_cap``): broadcast right's
+    EXACT distinct key set once and semi-filter in ONE scan — no Bloom,
+    no shuffle, exact by construction.  At larger subtrahends the Bloom
+    broadcast stays constant-size regardless of right's row count and
+    ``exact=True`` re-verifies the (already small) survivor set with a
+    *shuffled* ``left_semi`` join against right's key column — no
+    exact-key-set broadcast, so memory per task stays bounded at any
     scale."""
+    if exact and n_expected <= broadcast_cap:
+        keys = _collect_right_keys(right, right_key)
+        if keys is None:
+            return left.filter(lambda _row: False)
+        keys_ref = ray.put(keys)
+        return left.map_batches(
+            _keyset_mask_fn(keys_ref, left_key, True), batch_format="pyarrow"
+        )
     bf = build_bloom(right, right_key, n_expected, fp_rate)
     bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
     survivors = left.map_batches(
@@ -146,13 +199,30 @@ def bloom_semi_join(
 def bloom_anti_join(
     left: rd.Dataset, right: rd.Dataset, *, left_key: str, right_key: str,
     n_expected: int, fp_rate: float = 0.01, num_partitions: int = 8,
+    broadcast_cap: int = BROADCAST_KEY_CAP,
 ) -> rd.Dataset:
-    """Keep left rows whose key does NOT appear in right.  The Bloom
-    filter fast-paths definite non-members (no shuffle for them); only
-    Bloom *hits* (maybe-members, a small false-positive-bounded fraction)
-    go through a shuffled ``left_anti`` join against right's key column.
-    Costs one extra scan of left (the two mask passes) in exchange for
-    never broadcasting the exact key set."""
+    """Keep left rows whose key does NOT appear in right.
+
+    Fast path (``n_expected`` ≤ ``broadcast_cap``): broadcast right's
+    EXACT distinct key set once and anti-filter in ONE scan of left —
+    no Bloom build, no shuffle, no double scan; exact by construction.
+    (A 4 KB eval-set key list should never cost a shuffled join — the
+    Bloom exists for subtrahends too big to broadcast, not too small.)
+
+    Slow path: the Bloom filter fast-paths definite non-members (no
+    shuffle for them); only Bloom *hits* (maybe-members, a small
+    false-positive-bounded fraction) go through a shuffled ``left_anti``
+    join against right's key column.  Costs one extra scan of left (the
+    two mask passes) in exchange for never broadcasting the exact key
+    set."""
+    if n_expected <= broadcast_cap:
+        keys = _collect_right_keys(right, right_key)
+        if keys is None:
+            return left
+        keys_ref = ray.put(keys)
+        return left.map_batches(
+            _keyset_mask_fn(keys_ref, left_key, False), batch_format="pyarrow"
+        )
     bf = build_bloom(right, right_key, n_expected, fp_rate)
     bf_ref = ray.put((bf.bits.tobytes(), bf.m, bf.k))
     definite = left.map_batches(

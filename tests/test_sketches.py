@@ -138,3 +138,43 @@ def test_heavy_hitters_counts_null_keys():
     hh = heavy_hitters(rd.from_pandas(rows), "k", k=4)
     assert hh.get("None", 0) >= 40  # MG counts are lower bounds within n/k
     assert "a" in hh
+
+
+def test_bloom_joins_broadcast_and_bloom_paths_agree(sf_dir):
+    """The exact-key-set broadcast fast path (n_expected <= cap) and the
+    Bloom + shuffled-verify slow path (cap=0 forces it) must produce
+    identical row sets for both semi and anti joins."""
+    from ai_service_ocr_grading_handler_ray.stages.sketches import bloom_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(df["c_custkey"]) if "c_custkey" in df.columns else []
+
+    fast_anti = rows(bloom_anti_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey", n_expected=2000))
+    slow_anti = rows(bloom_anti_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey", n_expected=2000,
+        broadcast_cap=0))
+    assert fast_anti == slow_anti
+
+    fast_semi = rows(bloom_semi_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        n_expected=2000, exact=True))
+    slow_semi = rows(bloom_semi_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        n_expected=2000, exact=True, broadcast_cap=0))
+    assert fast_semi == slow_semi
+
+
+def test_bloom_anti_join_empty_right_keeps_all(sf_dir):
+    from ai_service_ocr_grading_handler_ray.stages.sketches import bloom_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    empty = cust.filter(lambda r: False)
+    out = bloom_anti_join(
+        cust, empty, left_key="c_custkey", right_key="c_custkey", n_expected=1
+    ).to_pandas()
+    assert len(out) == cust.count()
