@@ -961,6 +961,52 @@ def q122_multimodal_features(sf_dir: str) -> rd.Dataset:
     return both.map_batches(fin, batch_format="pyarrow")
 
 
+def q123_url_filter(sf_dir: str) -> pd.DataFrame:
+    """URL-rule gate (stages/url_rules.py): adversarial URLs derive from
+    doc_id arithmetic (blocked ad-tracker hosts, casino path keywords,
+    query-param spam, 10-deep paths, ftp scheme) and ONE fused
+    shuffle-free scan classifies each with the ordered rule battery
+    (first hit names the verdict).  The oracle rebuilds the urls with
+    printf and replays the rules as a CASE over the SAME split regex —
+    rule logic, not the generator, is what the hash checks."""
+    from ..stages.url_rules import DEFAULT_RULES, classify_urls_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scheme = np.where(ids % 29 == 0, "ftp", "https")
+        host = np.where(
+            ids % 17 == 0,
+            "ads.tracker.example.org",
+            np.char.add(
+                np.char.add("h", np.char.zfill(((ids * 48271) % 97).astype(str), 3)),
+                ".example.org",
+            ),
+        )
+        mid = np.where(
+            ids % 19 == 0,
+            "/casino/x",
+            np.where(ids % 23 == 0, "/a/b/c/d/e/f/g/h/i", "/p"),
+        )
+        query = np.where(ids % 13 == 0, "?a=1&b=2&c=3&d=4&e=5", "")
+        urls = [
+            f"{s}://{h}{m}/{i}{q}"
+            for s, h, m, i, q in zip(scheme, host, mid, ids, query)
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "url": pa.array(urls, type=pa.string())}
+        )
+
+    labeled = ds.map_batches(render, batch_format="pyarrow").map_batches(
+        lambda t: classify_urls_batch(t, rules=DEFAULT_RULES),
+        batch_format="pyarrow",
+    )
+    return (
+        labeled.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2791,6 +2837,7 @@ QUERIES = {
     #     tests/test_oracle_parity.py every session.
     "q121_phash_image_dedup": q121_phash_image_dedup,
     "q122_multimodal_features": q122_multimodal_features,
+    "q123_url_filter": q123_url_filter,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,
@@ -3633,6 +3680,45 @@ ORACLE_SQL = {
                    ORDER BY ts, event_id) AS rn
           FROM events
         ) WHERE rn = 1
+    """,
+    "q123_url_filter": """
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 29 = 0 THEN 'ftp' ELSE 'https' END)
+                 || '://'
+                 || (CASE WHEN doc_id % 17 = 0 THEN 'ads.tracker.example.org'
+                          ELSE printf('h%03d.example.org', (doc_id * 48271) % 97) END)
+                 || (CASE WHEN doc_id % 19 = 0 THEN '/casino/x'
+                          WHEN doc_id % 23 = 0 THEN '/a/b/c/d/e/f/g/h/i'
+                          ELSE '/p' END)
+                 || '/' || doc_id
+                 || (CASE WHEN doc_id % 13 = 0 THEN '?a=1&b=2&c=3&d=4&e=5' ELSE '' END)
+                 AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+                 regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^?#]*)', 1) AS scheme,
+                 regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^?#]*)', 2) AS host,
+                 regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^?#]*)', 3) AS path,
+                 coalesce(nullif(regexp_extract(url, '\\?([^#]*)', 1), ''), '') AS query
+          FROM u
+        )
+        SELECT doc_id, url,
+               CASE
+                 WHEN scheme NOT IN ('http', 'https') THEN 'bad_scheme'
+                 WHEN host = 'ads.tracker.example.org' THEN 'blocked_host'
+                 WHEN contains(lower(path), 'casino')
+                      OR contains(lower(path), 'viagra') THEN 'blocked_keyword'
+                 WHEN (CASE WHEN length(query) > 0
+                            THEN length(query) - length(replace(query, '&', '')) + 1
+                            ELSE 0 END) > 4 THEN 'query_spam'
+                 WHEN (length(path) - length(replace(path, '/', ''))
+                       - (CASE WHEN path LIKE '%/' THEN 1 ELSE 0 END)) > 8
+                      THEN 'deep_path'
+                 ELSE 'ok'
+               END AS url_verdict
+        FROM parts
+        ORDER BY doc_id
     """,
     "q117_gopher_quality": """
         WITH w AS (

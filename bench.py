@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q120_quality_classifier",
     "q121_phash_image_dedup",
     "q122_multimodal_features",
+    "q123_url_filter",
 ]
 
 
