@@ -1007,6 +1007,61 @@ def q123_url_filter(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q124_link_graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Web-graph construction from ACTUAL page HTML (stages/links.py):
+    documents → synthetic pages (the flagship's page table — ~80% HTML
+    with nav/link-farm anchors, the rest pdf/image/garbage contributing
+    no edges), each HTML page additionally gains two deterministic
+    cross-host partner links, then href-regex + urljoin extraction →
+    hosts_of_urls → pagerank over the EXTRACTED host graph.  Returns
+    (host, pagerank, n_out_hosts).  Rows-only (href parsing of
+    hash-shaped boilerplate is not SQL-expressible); extractor semantics
+    and graph invariants pinned by tests/test_links.py."""
+    from ..stages.graph import pagerank
+    from ..stages.links import count_host_edges, outlink_host_edges
+    from ..synth import docs_to_pages
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        p = docs_to_pages(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # two cross-host partner links appended to HTML payloads only
+        # (deterministic from doc_id; non-HTML payloads stay untouched)
+        html = p["html"].to_pylist()
+        out = []
+        for i, payload in zip(ids, html):
+            if payload and payload.startswith(b"<!DOCTYPE html"):
+                extra = (
+                    f'<div><a href="https://h{(i * 7) % 23:03d}.partner.net/x">p1</a>'
+                    f'<a href="//h{(i * 11) % 23:03d}.partner.net/y">p2</a></div>'
+                ).encode()
+                payload = payload + extra
+            out.append(payload)
+        return p.set_column(
+            p.column_names.index("html"), "html", pa.array(out, type=pa.binary())
+        )
+
+    page_ds = docs.map_batches(pages, batch_format="pyarrow")
+    # edges feed TWO consumers (pagerank + out-degree): materialize the
+    # slim host-pair table once so the html scan runs exactly once
+    edges = outlink_host_edges(page_ds, drop_self=True).materialize()
+    ranks = pagerank(edges, damping=0.85, n_iter=3).to_pandas()
+    from ray.data.aggregate import Count
+
+    outdeg = (
+        count_host_edges(edges)
+        .groupby("src")
+        .aggregate(Count(alias_name="n_out_hosts"))
+        .to_pandas()
+        .rename(columns={"src": "node"})
+    )
+    out = ranks.merge(outdeg, on="node", how="left")
+    out["n_out_hosts"] = out["n_out_hosts"].fillna(0).astype("int64")
+    out = out.rename(columns={"node": "host"}).sort_values("host").reset_index(drop=True)
+    return _finalize(out[["host", "pagerank", "n_out_hosts"]], {"pagerank": 8})
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2838,6 +2893,7 @@ QUERIES = {
     "q121_phash_image_dedup": q121_phash_image_dedup,
     "q122_multimodal_features": q122_multimodal_features,
     "q123_url_filter": q123_url_filter,
+    "q124_link_graph_pagerank": q124_link_graph_pagerank,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q121_phash_image_dedup",
     "q122_multimodal_features",
     "q123_url_filter",
+    "q124_link_graph_pagerank",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Outlink extraction / link-graph construction (stages/links.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.links import (
+    count_host_edges,
+    extract_hrefs,
+    outlink_host_edges,
+    resolve_links,
+)
+
+
+def test_extract_hrefs_quote_styles_and_skips():
+    html = (
+        '<a href="/a">x</a> <A HREF=\'/b\'>y</A> <a id="z" href=/c>z</a>'
+        ' <a href="#frag">skip</a> <a href="javascript:void(0)">skip</a>'
+        ' <a href="mailto:a@b.c">skip</a> <a href="">skip</a>'
+    )
+    assert extract_hrefs(html) == ["/a", "/b", "/c"]
+
+
+def test_resolve_links_relative_absolute_protocol():
+    base = "https://example.org/dir/page.html"
+    got = resolve_links(
+        base,
+        ["/root", "sibling", "//cdn.example.net/x", "https://other.org/y",
+         "ftp://no.example.org/z"],
+    )
+    assert got == [
+        "https://example.org/root",
+        "https://example.org/dir/sibling",
+        "https://cdn.example.net/x",
+        "https://other.org/y",
+    ]
+
+
+def test_outlink_host_edges_and_counts():
+    rows = pa.table(
+        {
+            "url": [
+                "https://a.org/p1",
+                "https://a.org/p2",
+                "https://b.org/p1",
+                "https://c.org/pdfish",
+            ],
+            "html": [
+                b'<a href="https://b.org/x">1</a><a href="https://b.org/y">2</a><a href="/self">s</a>',
+                b'<a href="//c.org/z">1</a>',
+                b'<a href="https://a.org/w">1</a>',
+                b"%PDF-not-html-at-all",
+            ],
+        }
+    )
+    edges = outlink_host_edges(rd.from_arrow(rows), drop_self=True)
+    agg = count_host_edges(edges).to_pandas().sort_values(["src", "dst"])
+    assert list(map(tuple, agg.itertuples(index=False))) == [
+        ("a.org", "b.org", 2),
+        ("a.org", "c.org", 1),
+        ("b.org", "a.org", 1),
+    ]
+
+
+def test_synth_pages_yield_same_host_nav_edges(sf_dir):
+    """The flagship synthetic HTML is nav/link-farm heavy: without
+    drop_self every HTML page yields same-host edges; with it, none."""
+    from ai_service_ocr_grading_handler_ray.pipelines.extract import build_pages_dataset
+
+    pages = build_pages_dataset(sf_dir)
+    raw = outlink_host_edges(pages).to_pandas()
+    assert len(raw) > 1000  # nav + farm anchors over ~400 html pages
+    assert (raw.src == raw.dst).all()  # all synth hrefs are relative
+    assert outlink_host_edges(pages, drop_self=True).count() == 0
+
+
+def test_q124_invariants(sf_dir):
+    from ai_service_ocr_grading_handler_ray.pipelines.queries import (
+        q124_link_graph_pagerank,
+    )
+
+    df = q124_link_graph_pagerank(sf_dir)
+    # rank is a distribution (ranks are rounded to 8 decimals → n·5e-9 slack)
+    assert abs(df.pagerank.sum() - 1.0) < 1e-6
+    partners = df[df.host.str.endswith("partner.net")]
+    assert len(partners) == 23
+    assert (partners.n_out_hosts == 0).all()  # pure sinks
+    # sinks receiving links outrank the uniform share 1/n
+    assert (partners.pagerank > 1.0 / len(df)).all()
+    df2 = q124_link_graph_pagerank(sf_dir)
+    assert df.equals(df2)  # deterministic
