@@ -1062,6 +1062,50 @@ def q124_link_graph_pagerank(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["host", "pagerank", "n_out_hosts"]], {"pagerank": 8})
 
 
+def q125_interval_join(sf_dir: str) -> pd.DataFrame:
+    """General range join (stages/intervals.py): events.value (points)
+    × OVERLAPPING integer intervals derived from the part table
+    (lo = floor(p_retailprice) % 90, hi = lo + 3 + p_partkey % 7 —
+    deliberately overlapping, so q55's non-overlapping-band searchsorted
+    shortcut does NOT apply), both sides bucketed on the value domain
+    (one shuffle each), pairs emitted in-bucket, then a per-interval
+    rollup.  Oracle = JOIN ON value BETWEEN lo AND hi + GROUP BY —
+    hash-checked end-to-end."""
+    from ..stages.intervals import interval_join_points
+
+    events = _read(sf_dir, "events", ["event_id", "value"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        lo = np.floor(price).astype(np.int64) % 90
+        hi = lo + 3 + pk % 7
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk),
+                "lo": pa.array(lo.astype(np.float64)),
+                "hi": pa.array(hi.astype(np.float64)),
+            }
+        )
+
+    intervals = part.map_batches(mk_intervals, batch_format="pyarrow")
+    pairs = interval_join_points(
+        events, intervals,
+        value_col="value", start_col="lo", end_col="hi", bucket_width=8.0,
+    )
+    out = (
+        pairs.groupby("p_partkey")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return _finalize(out, {"sum_value": 3})
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2894,6 +2938,7 @@ QUERIES = {
     "q122_multimodal_features": q122_multimodal_features,
     "q123_url_filter": q123_url_filter,
     "q124_link_graph_pagerank": q124_link_graph_pagerank,
+    "q125_interval_join": q125_interval_join,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,
@@ -3736,6 +3781,20 @@ ORACLE_SQL = {
                    ORDER BY ts, event_id) AS rn
           FROM events
         ) WHERE rn = 1
+    """,
+    "q125_interval_join": """
+        WITH iv AS (
+          SELECT p_partkey,
+                 (CAST(floor(p_retailprice) AS BIGINT) % 90) AS lo,
+                 (CAST(floor(p_retailprice) AS BIGINT) % 90) + 3 + p_partkey % 7 AS hi
+          FROM part
+        )
+        SELECT iv.p_partkey,
+               count(*) AS n_events,
+               round(sum(e.value), 3) AS sum_value
+        FROM iv JOIN events e ON e.value BETWEEN iv.lo AND iv.hi
+        GROUP BY iv.p_partkey
+        ORDER BY iv.p_partkey
     """,
     "q123_url_filter": """
         WITH u AS (

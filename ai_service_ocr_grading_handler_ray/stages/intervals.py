@@ -1,0 +1,154 @@
+"""General interval join: points × OVERLAPPING intervals, both sides
+large — the range-join primitive Ray Data lacks (SURVEY.md §2.7 lists
+range/as-of among the engine-side joins; q55 covers only the broadcast
+non-overlapping-band special case).
+
+Semantics: one output row per (point, interval) pair with
+``start <= value <= end`` — exactly SQL ``JOIN ON v BETWEEN s AND e``.
+
+Scale shape (the documented partitioning assumption: the VALUE DOMAIN
+is the partitioning key):
+
+- pick a ``bucket_width`` W over the value domain; each point lands in
+  ONE bucket ``floor(v / W)``; each interval EXPLODES to every bucket it
+  overlaps (``floor(s/W) .. floor(e/W)`` — bounded by
+  ``max_span_buckets``, loud error above it: an interval spanning the
+  whole domain belongs in a broadcast plan, not this one);
+- both sides take ONE groupby shuffle on the bucket id; pairs emit
+  inside ``map_groups`` — a point meets an interval in exactly the
+  point's own bucket, so no pair deduplication pass is needed;
+- in-bucket matching is a chunked dense compare (point-chunk ×
+  interval matrix, chunk size bounds task memory) — vectorized, no
+  per-row Python;
+- value-domain skew (many points in one bucket) is visible and tunable
+  via W, the same dial as ``stages/asof.py``'s time buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_POINT_CHUNK = 4096
+
+
+def interval_join_points(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    *,
+    value_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    max_span_buckets: int = 4096,
+    _schemas: tuple[pa.Schema, pa.Schema] | None = None,
+) -> rd.Dataset:
+    """Inner range join (v BETWEEN s AND e).  Output columns: all point
+    columns followed by all interval columns (names must not overlap —
+    rename first, as with ``bucketed_inner_join``)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    def fields(ds: rd.Dataset, given: pa.Schema | None) -> list[pa.Field]:
+        if given is not None:
+            return list(given)
+        sch = ds.schema()  # .names/.types are Arrow for both arrow- and
+        return [pa.field(n, t) for n, t in zip(sch.names, sch.types)]  # pandas-backed blocks
+
+    p_fields = fields(points, _schemas[0] if _schemas else None)
+    i_fields = fields(intervals, _schemas[1] if _schemas else None)
+    p_cols = [f.name for f in p_fields]
+    i_cols = [f.name for f in i_fields]
+    overlap = set(p_cols) & set(i_cols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+    types = {f.name: f.type for f in p_fields}
+    types.update({f.name: f.type for f in i_fields})
+    int_cols = [c for c in types if pa.types.is_integer(types[c])]
+    all_cols = p_cols + i_cols
+    W = float(bucket_width)
+
+    def widen(t: pa.Table, extra: dict) -> pa.Table:
+        # union-widening with TYPED nulls (the asof/joins dtype discipline)
+        n = len(t)
+        out = {
+            c: (t[c] if c in t.column_names else pa.nulls(n, type=types[c]))
+            for c in all_cols
+        }
+        out.update(extra)
+        return pa.table(out)
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / W).astype(np.int64)
+        return widen(t, {"_b": pa.array(b), "_side": pa.array(np.zeros(len(b), dtype=np.int8))})
+
+    def prep_intervals(t: pa.Table) -> pa.Table:
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(s / W).astype(np.int64)
+        b1 = np.floor(e / W).astype(np.int64)
+        span = np.maximum(b1 - b0 + 1, 0)  # inverted intervals span 0 buckets
+        if span.size and span.max() > max_span_buckets:
+            raise ValueError(
+                f"interval spans {span.max()} buckets > max_span_buckets="
+                f"{max_span_buckets}: widen bucket_width or broadcast the "
+                f"wide intervals separately"
+            )
+        idx = np.repeat(np.arange(len(s)), span)
+        # bucket id per exploded row: b0[i], b0[i]+1, ... (flat arange trick)
+        off = np.arange(int(span.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(span)[:-1]]), span
+        )
+        b = b0[idx] + off
+        t2 = t.take(pa.array(idx))
+        return widen(
+            t2, {"_b": pa.array(b), "_side": pa.array(np.ones(len(b), dtype=np.int8))}
+        )
+
+    out_cols = all_cols
+
+    def empty_out() -> pd.DataFrame:
+        # dtype-stable empty frame so empty buckets agree with the
+        # non-empty blocks' schema (Int64 where ints were union-widened)
+        return pd.DataFrame(
+            {
+                c: pd.Series(
+                    dtype="Int64" if c in int_cols else types[c].to_pandas_dtype()
+                )
+                for c in out_cols
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pg = g[g["_side"] == 0]
+        ig = g[g["_side"] == 1]
+        if pg.empty or ig.empty:
+            return empty_out()
+        v = pg[value_col].to_numpy(dtype=np.float64)
+        s = ig[start_col].to_numpy(dtype=np.float64)
+        e = ig[end_col].to_numpy(dtype=np.float64)
+        p_idx_parts, i_idx_parts = [], []
+        for c0 in range(0, len(v), _POINT_CHUNK):
+            vc = v[c0 : c0 + _POINT_CHUNK]
+            hit = (vc[:, None] >= s[None, :]) & (vc[:, None] <= e[None, :])
+            pi, ii = np.nonzero(hit)
+            p_idx_parts.append(pi + c0)
+            i_idx_parts.append(ii)
+        pi = np.concatenate(p_idx_parts)
+        ii = np.concatenate(i_idx_parts)
+        if not len(pi):
+            return empty_out()
+        lg = pg.iloc[pi][p_cols].reset_index(drop=True)
+        rg = ig.iloc[ii][i_cols].reset_index(drop=True)
+        out = pd.concat([lg, rg], axis=1)
+        # restore ints the union's cross-side nulls promoted to float64
+        for c in out_cols:
+            if c in int_cols:
+                out = out.astype({c: "Int64"})
+        return out
+
+    pt = points.map_batches(prep_points, batch_format="pyarrow")
+    it = intervals.map_batches(prep_intervals, batch_format="pyarrow")
+    return pt.union(it).groupby("_b").map_groups(join_bucket, batch_format="pandas")

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q122_multimodal_features",
     "q123_url_filter",
     "q124_link_graph_pagerank",
+    "q125_interval_join",
 ]
 
 
