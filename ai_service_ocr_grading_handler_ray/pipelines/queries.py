@@ -1106,6 +1106,25 @@ def q125_interval_join(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"sum_value": 3})
 
 
+def q126_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Overlapping word-window chunking (stages/chunking.py): 64-word
+    chunks with 16-word overlap over the documents table — the
+    context-window prep for embedding / training.  One shuffle-free
+    scan; the oracle is GENERATED from the same chunking_sql function
+    the stage documents (generate_series + list_slice replay), so
+    engine and oracle cannot desync."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        chunk_documents(ds, chunk_words=64, overlap=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2939,6 +2958,7 @@ QUERIES = {
     "q123_url_filter": q123_url_filter,
     "q124_link_graph_pagerank": q124_link_graph_pagerank,
     "q125_interval_join": q125_interval_join,
+    "q126_chunk_documents": q126_chunk_documents,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,
@@ -3090,7 +3110,10 @@ e AS (
   FROM e0 WHERE s <> t GROUP BY 1, 2
 )"""
 
+from ..stages.chunking import chunking_sql as _chunk_sql
+
 ORACLE_SQL = {
+    "q126_chunk_documents": _chunk_sql(chunk_words=64, overlap=16),
     "q118_host_pagerank": _pr_sql(
         _Q118_EDGES, damping=0.85, n_iter=3, node_alias="host"
     ),

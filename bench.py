@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q123_url_filter",
     "q124_link_graph_pagerank",
     "q125_interval_join",
+    "q126_chunk_documents",
 ]
 
 
