@@ -1125,6 +1125,62 @@ def q126_chunk_documents(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q127_robots_gate(sf_dir: str) -> pd.DataFrame:
+    """robots.txt gating (stages/robots.py): a deterministic per-host
+    robots registry (full blocks, wildcard-agent groups behind a
+    non-matching googlebot group, Allow lines to ignore, empty-Disallow
+    allow-alls) parsed once and broadcast, then ONE scan labels each
+    url.  Parser semantics equal urllib.robotparser on this corpus
+    (tests/test_robots.py); the oracle replays generator + effective
+    prefix rules as a CASE."""
+    from ..stages.robots import robots_gate
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hostk = (ids * 48271) % 97
+        path = np.where(
+            ids % 19 == 0,
+            "/casino/x/",
+            np.where(ids % 23 == 0, "/t/", "/p/"),
+        )
+        u = [
+            f"https://h{k:03d}.example.org{p}{i}"
+            for k, p, i in zip(hostk, path, ids)
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "url": pa.array(u, type=pa.string())}
+        )
+
+    def robots_txt(k: int) -> str:
+        if k % 7 == 0:
+            return "User-agent: *\nDisallow: /\n"
+        if k % 5 == 0:
+            return (
+                "User-agent: googlebot\nDisallow: /x\n\n"
+                "User-agent: *\nDisallow: /casino\nDisallow: /t/\n"
+            )
+        if k % 3 == 0:
+            return "User-agent: *\nAllow: /open\nDisallow: /p/9\n"
+        return "User-agent: *\nDisallow:\n"
+
+    robots = rd.from_arrow(
+        pa.table(
+            {
+                "host": [f"h{k:03d}.example.org" for k in range(97)],
+                "robots_txt": [robots_txt(k) for k in range(97)],
+            }
+        )
+    )
+    out = robots_gate(
+        ds.map_batches(urls, batch_format="pyarrow"),
+        robots,
+        verdict_col="robots_verdict",
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -2959,6 +3015,7 @@ QUERIES = {
     "q124_link_graph_pagerank": q124_link_graph_pagerank,
     "q125_interval_join": q125_interval_join,
     "q126_chunk_documents": q126_chunk_documents,
+    "q127_robots_gate": q127_robots_gate,
     "q118_host_pagerank": q118_host_pagerank,
     "q119_bpe_tokenize": q119_bpe_tokenize,
     "q120_quality_classifier": q120_quality_classifier,
@@ -3818,6 +3875,28 @@ ORACLE_SQL = {
         FROM iv JOIN events e ON e.value BETWEEN iv.lo AND iv.hi
         GROUP BY iv.p_partkey
         ORDER BY iv.p_partkey
+    """,
+    "q127_robots_gate": """
+        WITH u AS (
+          SELECT doc_id,
+                 (doc_id * 48271) % 97 AS k,
+                 (CASE WHEN doc_id % 19 = 0 THEN '/casino/x/'
+                       WHEN doc_id % 23 = 0 THEN '/t/'
+                       ELSE '/p/' END) || doc_id AS path
+          FROM documents
+        )
+        SELECT doc_id,
+               'https://' || printf('h%03d.example.org', k) || path AS url,
+               CASE
+                 WHEN k % 7 = 0 THEN 'disallowed'
+                 WHEN k % 5 = 0 AND (path LIKE '/casino%' OR path LIKE '/t/%')
+                   THEN 'disallowed'
+                 WHEN k % 5 = 0 THEN 'allowed'
+                 WHEN k % 3 = 0 AND path LIKE '/p/9%' THEN 'disallowed'
+                 ELSE 'allowed'
+               END AS robots_verdict
+        FROM u
+        ORDER BY doc_id
     """,
     "q123_url_filter": """
         WITH u AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q124_link_graph_pagerank",
     "q125_interval_join",
     "q126_chunk_documents",
+    "q127_robots_gate",
 ]
 
 
