@@ -52,6 +52,27 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    if filter_type in (0, 1, 2):
+        # vectorized whole-image filtering (uint8 wrap = mod-256 diff)
+        if filter_type == 0:
+            filt = arr
+        elif filter_type == 1:  # Sub: diff along x per channel
+            filt = arr.copy()
+            filt[:, 1:] -= arr[:, :-1]
+        else:  # Up: diff down rows
+            filt = arr.copy()
+            filt[1:] -= arr[:-1]
+        scan = np.empty((h, stride + 1), dtype=np.uint8)
+        scan[:, 0] = filter_type
+        scan[:, 1:] = filt.reshape(h, stride)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            _MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _chunk(b"IEND", b"")
+        )
     raw = bytearray()
     prev = np.zeros((w, ch), dtype=np.uint8)
     for y in range(h):
@@ -121,6 +142,24 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fbytes = scan[:, 0]
+    body = scan[:, 1:].reshape(h, w, ch)
+    # whole-image fast paths for uniform filters (what the encoder and
+    # most real encoders emit): filter 0 = raw; filter 2 (Up) = modular
+    # cumsum down rows; filter 1 (Sub) = modular cumsum along x per
+    # channel.  uint8 accumulation wraps mod 256, which IS the filter's
+    # reconstruction arithmetic.  Mixed / Paeth / Average scanlines fall
+    # through to the per-row walk.
+    if not fbytes.any():
+        out = body.copy()
+        return out[:, :, 0] if ch == 1 else out
+    if (fbytes == 2).all():
+        out = np.cumsum(body, axis=0, dtype=np.uint8)
+        return out[:, :, 0] if ch == 1 else out
+    if (fbytes == 1).all():
+        out = np.cumsum(body, axis=1, dtype=np.uint8)
+        return out[:, :, 0] if ch == 1 else out
     out = np.zeros((h, w, ch), dtype=np.uint8)
     prev = np.zeros((w, ch), dtype=np.uint8)
     for y in range(h):
