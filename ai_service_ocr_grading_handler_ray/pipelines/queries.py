@@ -1079,6 +1079,13 @@ def q125_interval_join(sf_dir: str) -> pd.DataFrame:
     def mk_intervals(t: pa.Table) -> pa.Table:
         pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        # every 41st part only: the value domain is fixed [0, 97), so at
+        # larger sf the FULL part table's interval density — and with it
+        # the pair count (events × intervals × coverage) — would grow
+        # quadratically with sf; the thinned side keeps output
+        # sf-linear while both join inputs still scale
+        keep = pk % 41 == 0
+        pk, price = pk[keep], price[keep]
         lo = np.floor(price).astype(np.int64) % 90
         hi = lo + 3 + pk % 7
         return pa.table(
@@ -1092,11 +1099,26 @@ def q125_interval_join(sf_dir: str) -> pd.DataFrame:
     intervals = part.map_batches(mk_intervals, batch_format="pyarrow")
     pairs = interval_join_points(
         events, intervals,
-        value_col="value", start_col="lo", end_col="hi", bucket_width=8.0,
+        value_col="value", start_col="lo", end_col="hi", bucket_width=2.0,
     )
+
+    # map-side pre-combine: pair blocks are output-sized (millions of
+    # rows); fold each block to interval-keyed partials so the groupby
+    # shuffles n_intervals × n_blocks rows, not the pair stream
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_partkey", sort=False)["value"].agg(["count", "sum"])
+        return pd.DataFrame(
+            {
+                "p_partkey": g.index.to_numpy(dtype=np.int64),
+                "c": g["count"].to_numpy(dtype=np.int64),
+                "s": g["sum"].to_numpy(dtype=np.float64),
+            }
+        )
+
     out = (
-        pairs.groupby("p_partkey")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        pairs.map_batches(partial, batch_format="pandas")
+        .groupby("p_partkey")
+        .aggregate(Sum("c", alias_name="n_events"), Sum("s", alias_name="sum_value"))
         .to_pandas()
         .sort_values("p_partkey")
         .reset_index(drop=True)
@@ -3868,6 +3890,7 @@ ORACLE_SQL = {
                  (CAST(floor(p_retailprice) AS BIGINT) % 90) AS lo,
                  (CAST(floor(p_retailprice) AS BIGINT) % 90) + 3 + p_partkey % 7 AS hi
           FROM part
+          WHERE p_partkey % 41 = 0
         )
         SELECT iv.p_partkey,
                count(*) AS n_events,
