@@ -1203,6 +1203,56 @@ def q127_robots_gate(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q128_connected_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components, oracle-checked end-to-end —
+    the first FULL SQL check of `propagate_min_labels_ds` (the cluster
+    finish every near-dup family shares), via a DuckDB recursive-CTE
+    transitive closure.  Edges derive row-locally from doc_id
+    arithmetic: chain edges (d, d-1) for d % 6 != 0 plus star edges
+    (d, 36*(d//36)) for the other rows, giving components of 36
+    consecutive ids (min-label distance <= 6, so propagation converges
+    in ~7 rounds).  The component rollup (n_nodes, min/max/sum of
+    member ids) hash-pins every node's label.  Scale shape: edge list
+    is driver-held (the verified-edge contract all cluster finishes
+    use); each round is two salted groupby shuffles; the rollup is
+    component-sized."""
+    from ..stages.collect import collect_table
+    from ..stages.dedup import propagate_min_labels_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain = d[d % 6 != 0]
+        star = d[(d % 6 == 0) & (d % 36 != 0)]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([chain, star])),
+                "b": pa.array(
+                    np.concatenate([chain - 1, (star // 36) * 36])
+                ),
+            }
+        )
+
+    edge_tbl = collect_table(ds.map_batches(edges, batch_format="pyarrow"))
+    labels = propagate_min_labels_ds(edge_tbl, max_rounds=20)
+    out = (
+        labels.groupby("label")
+        .aggregate(
+            Count(alias_name="n_nodes"),
+            Min("id", alias_name="min_id"),
+            Max("id", alias_name="max_id"),
+            Sum("id", alias_name="sum_id"),
+        )
+        .to_pandas()
+        .rename(columns={"label": "component"})
+        .sort_values("component")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3031,6 +3081,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q128_connected_components": q128_connected_components,
     "q121_phash_image_dedup": q121_phash_image_dedup,
     "q122_multimodal_features": q122_multimodal_features,
     "q123_url_filter": q123_url_filter,
@@ -3193,6 +3244,31 @@ from ..stages.chunking import chunking_sql as _chunk_sql
 
 ORACLE_SQL = {
     "q126_chunk_documents": _chunk_sql(chunk_words=64, overlap=16),
+    # recursive-CTE transitive closure == min-label connected components:
+    # the full SQL check of the distributed cluster finish (q128)
+    "q128_connected_components": """
+        WITH RECURSIVE
+        e0 AS (
+          SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 6 <> 0
+          UNION ALL
+          SELECT doc_id, (doc_id // 36) * 36 FROM documents
+          WHERE doc_id % 6 = 0 AND doc_id % 36 <> 0
+        ),
+        ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT a AS n FROM ed),
+        reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.n, ed.b FROM reach r JOIN ed ON r.m = ed.a
+        ),
+        lab AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(n) AS BIGINT) AS min_id,
+               CAST(MAX(n) AS BIGINT) AS max_id,
+               CAST(SUM(n) AS BIGINT) AS sum_id
+        FROM lab GROUP BY component ORDER BY component
+    """,
     "q118_host_pagerank": _pr_sql(
         _Q118_EDGES, damping=0.85, n_iter=3, node_alias="host"
     ),
