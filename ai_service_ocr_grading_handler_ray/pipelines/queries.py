@@ -1253,6 +1253,55 @@ def q128_connected_components(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q129_surt_cdx_dedup(sf_dir: str) -> pd.DataFrame:
+    """SURT canonicalization + CDX keep-latest (stages/surt.py): crawl
+    captures derive from doc_id arithmetic — each url appears as an
+    https form AND an http/www./mixed-case twin (same SURT key), some
+    with query-string variants (different key) and some bare-host
+    captures (empty rest canonicalizes to '/', colliding per host) —
+    then ONE canonicalization scan + ONE salted keep-latest shuffle
+    keeps the max-ts capture per key (ties -> min url).  The oracle
+    rebuilds the captures with printf and keys them with the SAME
+    generated surt_sql expression (single-generator policy)."""
+    from ..stages.surt import cdx_latest_per_surt
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def captures(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = (d * 48271) % 97
+        urls: list[str] = []
+        ts: list[int] = []
+        for dd, kk in zip(d, k):
+            urls.append(f"https://h{kk:03d}.example.org/p/{dd}")
+            ts.append(1000 * dd + 17)
+            urls.append(f"http://WWW.H{kk:03d}.Example.ORG/p/{dd}")
+            ts.append(1000 * dd + 17 + ((dd % 7) - 3) * 10)
+            if dd % 11 == 0:
+                urls.append(f"https://h{kk:03d}.example.org/p/{dd}?x=1")
+                ts.append(1000 * dd)
+            if dd % 13 == 0:
+                urls.append(f"https://h{kk:03d}.example.org")
+                ts.append(999 * dd)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "ts_us": pa.array(ts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        cdx_latest_per_surt(
+            ds.map_batches(captures, batch_format="pyarrow"),
+            url_col="url",
+            ts_col="ts_us",
+        )
+        .to_pandas()
+        .sort_values("surt_key")
+    )
+    return out[["surt_key", "url", "ts_us", "n_captures"]].reset_index(drop=True)
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3082,6 +3131,7 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q128_connected_components": q128_connected_components,
+    "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
     "q122_multimodal_features": q122_multimodal_features,
     "q123_url_filter": q123_url_filter,
@@ -3222,6 +3272,37 @@ from ..stages.shuffle import splitmix64_sql as _sm_sql
 from ..stages.graph import pagerank_sql as _pr_sql
 from ..stages.collect import collect_tables
 
+from ..stages.surt import surt_sql as _surt_sql
+
+# q129's oracle: captures rebuilt with printf, keyed by the SAME
+# generated SURT expression the engine kernel implements
+_Q129_SQL = f"""
+    WITH caps AS (
+      SELECT printf('https://h%03d.example.org/p/%d',
+                    (doc_id*48271)%97, doc_id) AS url,
+             CAST(1000*doc_id + 17 AS BIGINT) AS ts_us FROM documents
+      UNION ALL
+      SELECT printf('http://WWW.H%03d.Example.ORG/p/%d',
+                    (doc_id*48271)%97, doc_id),
+             CAST(1000*doc_id + 17 + ((doc_id%7)-3)*10 AS BIGINT) FROM documents
+      UNION ALL
+      SELECT printf('https://h%03d.example.org/p/%d?x=1',
+                    (doc_id*48271)%97, doc_id),
+             CAST(1000*doc_id AS BIGINT) FROM documents WHERE doc_id%11=0
+      UNION ALL
+      SELECT printf('https://h%03d.example.org', (doc_id*48271)%97),
+             CAST(999*doc_id AS BIGINT) FROM documents WHERE doc_id%13=0
+    ),
+    keyed AS (SELECT {_surt_sql('url')} AS surt_key, url, ts_us FROM caps),
+    r AS (SELECT surt_key, url, ts_us,
+                 row_number() OVER (PARTITION BY surt_key
+                                    ORDER BY ts_us DESC, url ASC) AS rn,
+                 count(*) OVER (PARTITION BY surt_key) AS n
+          FROM keyed)
+    SELECT surt_key, url, ts_us, CAST(n AS BIGINT) AS n_captures
+    FROM r WHERE rn = 1 ORDER BY surt_key
+"""
+
 # q118's edge generator (doc_id arithmetic → 97-host graph), shared by
 # the unrolled-iteration oracle below; the iterations themselves come
 # from stages/graph.pagerank_sql so oracle and engine cannot desync.
@@ -3244,6 +3325,7 @@ from ..stages.chunking import chunking_sql as _chunk_sql
 
 ORACLE_SQL = {
     "q126_chunk_documents": _chunk_sql(chunk_words=64, overlap=16),
+    "q129_surt_cdx_dedup": _Q129_SQL,
     # recursive-CTE transitive closure == min-label connected components:
     # the full SQL check of the distributed cluster finish (q128)
     "q128_connected_components": """
