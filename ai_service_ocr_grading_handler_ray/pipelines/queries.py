@@ -1302,6 +1302,25 @@ def q129_surt_cdx_dedup(sf_dir: str) -> pd.DataFrame:
     return out[["surt_key", "url", "ts_us", "n_captures"]].reset_index(drop=True)
 
 
+_BM25_TERMS = ["dup", "join", "vector", "nosuchterm"]
+
+
+def q130_bm25_rank(sf_dir: str) -> pd.DataFrame:
+    """BM25 retrieval scoring (stages/bm25.py) against a fixed query-term
+    set mixing a rare discriminative term ('dup', df≈5%), two common
+    terms, and one absent term (df=0 — contributes zero on both sides,
+    exercising the no-special-case Lucene idf).  ONE tokenize pass →
+    slim (doc_id, dl, tf…) profile; stats fold from one-row partials;
+    scoring is a shuffle-free vectorized scan.  The oracle is GENERATED
+    by the stage's own bm25_sql from the SAME terms/k1/b (the repo's
+    single-generator policy)."""
+    from ..stages.bm25 import bm25_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_scores(ds, _BM25_TERMS).to_pandas()
+    return _finalize(out.sort_values("doc_id"), {"bm25": 4})
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3130,6 +3149,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q130_bm25_rank": q130_bm25_rank,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3323,7 +3343,10 @@ e AS (
 
 from ..stages.chunking import chunking_sql as _chunk_sql
 
+from ..stages.bm25 import bm25_sql as _bm25_sql
+
 ORACLE_SQL = {
+    "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q126_chunk_documents": _chunk_sql(chunk_words=64, overlap=16),
     "q129_surt_cdx_dedup": _Q129_SQL,
     # recursive-CTE transitive closure == min-label connected components:
