@@ -1321,6 +1321,23 @@ def q130_bm25_rank(sf_dir: str) -> pd.DataFrame:
     return _finalize(out.sort_values("doc_id"), {"bm25": 4})
 
 
+def q131_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (stages/sampling.weighted_sample): 50 docs drawn ∝ n_chars, a pure
+    function of (ids, weights, seed) — layout- and cluster-size-
+    independent, so the oracle replays the EXACT draw (splitmix64_sql
+    bits → identical u → identical keys; single-generator policy via
+    weighted_sample_sql).  One keying scan + per-block partial top-k;
+    no shuffle, driver holds k × blocks rows."""
+    from ..stages.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample(
+        ds, k=50, weight_col="n_chars", id_col="doc_id", seed=7
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3150,6 +3167,7 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q130_bm25_rank": q130_bm25_rank,
+    "q131_weighted_sample": q131_weighted_sample,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3344,9 +3362,11 @@ e AS (
 from ..stages.chunking import chunking_sql as _chunk_sql
 
 from ..stages.bm25 import bm25_sql as _bm25_sql
+from ..stages.sampling import weighted_sample_sql as _ws_sql
 
 ORACLE_SQL = {
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
+    "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
     "q126_chunk_documents": _chunk_sql(chunk_words=64, overlap=16),
     "q129_surt_cdx_dedup": _Q129_SQL,
     # recursive-CTE transitive closure == min-label connected components:

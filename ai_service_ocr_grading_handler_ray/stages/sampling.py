@@ -376,3 +376,80 @@ def cap_per_group(
         .groupby("_part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    keep_cols: tuple[str, ...] = (),
+):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row gets the reservoir key
+    ``ln(u) / w`` with ``u = (splitmix64(id + seed) + 1) / 2^64`` — a
+    monotone transform of the classic ``u^(1/w)`` — and the sample is
+    the k LARGEST keys.  Inclusion probabilities are proportional to
+    weight in the ES sense, yet the draw is a pure function of
+    (ids, weights, seed): independent of row order, block layout, and
+    cluster size, so a resumed job redraws the identical sample.
+
+    Scale shape: one shuffle-free keying scan + ``global_top_k``
+    (per-block partial top-k; at most k × blocks rows exist anywhere,
+    driver merge is k × blocks).  The splitmix64/float arithmetic is
+    IEEE-exact on both engines, so the SAME draw is SQL-replayable via
+    ``weighted_sample_sql`` (ties on key break by id).
+
+    Weights must be strictly positive (a zero weight has key -inf and
+    an undefined SQL twin; reject loudly)."""
+    from .selection import global_top_k
+    from .shuffle import shuffle_hash
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = shuffle_hash(t[id_col], seed)
+        u = (h.astype(np.float64) + 1.0) / 2.0**64
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if (w <= 0).any() or np.isnan(w).any():
+            raise ValueError(
+                f"weighted_sample needs strictly positive weights in "
+                f"'{weight_col}'"
+            )
+        cols: dict = {id_col: t[id_col], weight_col: t[weight_col]}
+        for c in keep_cols:
+            cols[c] = t[c]
+        cols["_es_key"] = pa.array(np.log(u) / w, type=pa.float64())
+        return pa.table(cols)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = global_top_k(keyed, k=k, by=["_es_key", id_col], descending=[True, False])
+    return out.drop(columns=["_es_key"]).reset_index(drop=True)
+
+
+def weighted_sample_sql(
+    *,
+    k: int,
+    table: str = "documents",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB replay of ``weighted_sample`` — generated from the SAME
+    parameters (single-generator policy): identical splitmix64 bits
+    (``splitmix64_sql`` HUGEINT arithmetic), identical u/key formulas,
+    identical (key DESC, id ASC) tie-break."""
+    from .shuffle import splitmix64_sql
+
+    h = splitmix64_sql(id_col, seed)
+    return f"""
+        WITH keyed AS (
+          SELECT {id_col}, {weight_col},
+                 ln((CAST({h} AS DOUBLE) + 1.0) / 18446744073709551616.0)
+                   / CAST({weight_col} AS DOUBLE) AS es_key
+          FROM {table}
+        )
+        SELECT CAST({id_col} AS BIGINT) AS {id_col},
+               CAST({weight_col} AS BIGINT) AS {weight_col}
+        FROM keyed ORDER BY es_key DESC, {id_col} LIMIT {k}
+    """
