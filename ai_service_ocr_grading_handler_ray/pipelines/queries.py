@@ -1338,6 +1338,21 @@ def q131_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q132_host_template_removal(sf_dir: str) -> pd.DataFrame:
+    """Per-host boilerplate stripping (stages/clean.remove_host_templates):
+    a segment is removed from a site's pages when ≥5 distinct documents
+    OF THAT SITE contain it — the CCNet 'same line on every page of a
+    host' rule, keyed here by the documents table's source column.  One
+    composite (host ␟ segment) shuffle + one shuffle-free rewrite; the
+    oracle replays q89's resegmentation with a per-source HAVING and a
+    source-scoped anti-join."""
+    from ..stages.clean import remove_host_templates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = remove_host_templates(ds, min_docs=5, host_col="source").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3168,6 +3183,7 @@ QUERIES = {
     #     tests/test_oracle_parity.py every session.
     "q130_bm25_rank": q130_bm25_rank,
     "q131_weighted_sample": q131_weighted_sample,
+    "q132_host_template_removal": q132_host_template_removal,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3367,6 +3383,31 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 ORACLE_SQL = {
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
+    "q132_host_template_removal": """
+        WITH w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        ), ex AS (
+          SELECT doc_id, source, ws,
+                 unnest(generate_series(0, CAST(ceil(len(ws)/2.0) AS BIGINT)-1)) AS s
+          FROM w
+        ), seg AS (
+          SELECT doc_id, source, s,
+                 array_to_string(ws[(s*2+1):(s*2+2)], ' ') AS segment
+          FROM ex
+        ), tmpl AS (
+          SELECT source, segment FROM seg GROUP BY source, segment
+          HAVING count(DISTINCT doc_id) >= 5
+        ), kept AS (
+          SELECT seg.doc_id, seg.s, seg.segment
+          FROM seg LEFT JOIN tmpl
+            ON seg.source = tmpl.source AND seg.segment = tmpl.segment
+          WHERE tmpl.segment IS NULL
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_agg(segment, ' ' ORDER BY s) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_segs_kept
+        FROM kept GROUP BY doc_id
+    """,
     "q126_chunk_documents": _chunk_sql(chunk_words=64, overlap=16),
     "q129_surt_cdx_dedup": _Q129_SQL,
     # recursive-CTE transitive closure == min-label connected components:

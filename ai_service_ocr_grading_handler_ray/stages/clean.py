@@ -607,3 +607,167 @@ def dedup_segments_within_doc(
         )
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+_TKEY_SEP = "\x1f"  # unit separator: cannot appear in whitespace-tokenized text
+
+
+def host_template_frequency(
+    ds,
+    *,
+    host_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 2,
+    num_parts: int = 32,
+):
+    """Dataset of (host, segment, n_docs): how many distinct documents OF
+    THAT HOST contain each segment — the per-site twin of
+    ``segment_doc_frequency``.  One shuffle keyed by the composite
+    (host ␟ segment); shuffled volume is corpus segments, the output is
+    per-host-template-vocabulary-sized."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hosts = t[host_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_id: list = []
+        out_key: list = []
+        for i, h, txt in zip(ids, hosts, texts):
+            segs = set(_doc_segments(txt, words_per_seg))
+            out_id.extend([i] * len(segs))
+            out_key.extend(f"{h}{_TKEY_SEP}{s}" for s in segs)
+        return pa.table({id_col: out_id, "tkey": out_key})
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("tkey", sort=False)[id_col].size().reset_index(name="n_docs")
+        r["n_docs"] = r["n_docs"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, "tkey", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(count, batch_format="pandas")
+    )
+
+
+def remove_host_templates(
+    ds,
+    *,
+    min_docs: int,
+    host_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_seg: int = 2,
+    num_parts: int = 32,
+    method: str = "broadcast",
+    bloom_fp_rate: float = 0.001,
+    passthrough_cols: tuple = (),
+):
+    """Per-host boilerplate stripping (the CCNet/trafilatura 'same lines
+    on every page of a site' rule): a segment is a TEMPLATE of host h
+    when ≥ ``min_docs`` distinct documents of h contain it, and it is
+    removed only from h's documents — a nav bar shared by one site's
+    pages disappears there without touching an unrelated site that
+    legitimately quotes the same words.  ``remove_frequent_segments`` is
+    the global-frequency cousin; this one keys frequency AND removal by
+    (host, segment).
+
+    Same scale shape as the cousin: one composite-key shuffle to count,
+    then either the exact template set broadcast (capped, loud) or a
+    cap-free Bloom with ``bloom_fp_rate`` over-removal (the safe
+    direction), then one shuffle-free rewrite scan.  Documents reduced
+    to zero segments (fully-templated pages) are dropped.
+    Output: (id, *passthrough_cols, text_clean, n_segs_kept)."""
+    import pyarrow.compute as pc
+    import ray
+
+    if method not in ("broadcast", "bloom"):
+        raise ValueError(f"unknown method {method!r}")
+
+    freq = host_template_frequency(
+        ds,
+        host_col=host_col,
+        text_col=text_col,
+        id_col=id_col,
+        words_per_seg=words_per_seg,
+        num_parts=num_parts,
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)),
+        batch_format="pyarrow",
+    )
+
+    if method == "bloom":
+        from .sketches import build_bloom
+
+        freq = freq.materialize()
+        n_freq = freq.count()
+        bf_ref = ray.put(build_bloom(freq, "tkey", max(n_freq, 1), bloom_fp_rate))
+
+        def templated_mask(bf, hosts, seg_lists):
+            flat = [
+                f"{h}{_TKEY_SEP}{s}"
+                for h, segs in zip(hosts, seg_lists)
+                for s in segs
+            ]
+            return (
+                bf.contains_many(flat) if flat else np.empty(0, dtype=bool)
+            )
+
+        membership = ("bloom", bf_ref, templated_mask)
+    else:
+        templates = [
+            s
+            for b in collect_tables(freq, drop_empty=False)
+            if b.num_rows
+            for s in b.column("tkey").to_pylist()
+        ]
+        if len(templates) > _SEG_BROADCAST_CAP:
+            raise ValueError(
+                f"template set ({len(templates)}) exceeds broadcast cap "
+                f"{_SEG_BROADCAST_CAP}; use method='bloom'"
+            )
+        membership = ("exact", ray.put(frozenset(templates)), None)
+
+    kind, ref, mask_fn = membership
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        state = ray.get(ref)
+        hosts = t[host_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        seg_lists = [_doc_segments(txt, words_per_seg) for txt in texts]
+        if kind == "bloom":
+            hit = mask_fn(state, hosts, seg_lists)
+            pos = 0
+        keep_mask: list = []
+        out_text: list = []
+        out_n: list = []
+        for h, segs in zip(hosts, seg_lists):
+            if kind == "bloom":
+                m = hit[pos : pos + len(segs)]
+                pos += len(segs)
+                kept = [s for s, bad in zip(segs, m) if not bad]
+            else:
+                kept = [
+                    s for s in segs if f"{h}{_TKEY_SEP}{s}" not in state
+                ]
+            keep_mask.append(bool(kept))
+            if kept:
+                out_text.append(" ".join(kept))
+                out_n.append(len(kept))
+        base = t.filter(pa.array(keep_mask, type=pa.bool_()))
+        cols = {id_col: base[id_col]}  # id type flows through
+        for c in passthrough_cols:
+            cols[c] = base[c]
+        cols["text_clean"] = pa.array(out_text, type=pa.string())
+        cols["n_segs_kept"] = pa.array(out_n, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
