@@ -1353,6 +1353,54 @@ def q132_host_template_removal(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q133_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Crawl-snapshot diff (stages/snapshots.py): one row per url across
+    two synthetic crawls — added / removed / changed / unchanged by
+    content hash.  Old crawl misses every 17th page and carries stale
+    content for every 5th; new crawl misses every 13th.  Lazy union +
+    ONE salted key shuffle + vectorized per-partition reindex compare;
+    the oracle is a FULL OUTER JOIN over the same printf-rebuilt
+    snapshots (q129's url scheme, DuckDB md5 == hashlib md5)."""
+    import hashlib as _hl
+
+    from ..stages.snapshots import snapshot_diff
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def snap(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = t["text"].to_pylist()
+            urls, hs = [], []
+            for dd, txt in zip(d, texts):
+                if side == "old":
+                    if dd % 17 == 0:
+                        continue
+                    body = f"old:{txt}" if dd % 5 == 0 else txt
+                else:
+                    if dd % 13 == 0:
+                        continue
+                    body = txt
+                urls.append(f"https://h{(dd * 48271) % 97:03d}.example.org/p/{dd}")
+                hs.append(_hl.md5(body.encode()).hexdigest())
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "content_hash": pa.array(hs, type=pa.string()),
+                }
+            )
+
+        return f
+
+    old_ds = ds.map_batches(snap("old"), batch_format="pyarrow")
+    new_ds = ds.map_batches(snap("new"), batch_format="pyarrow")
+    out = snapshot_diff(old_ds, new_ds).to_pandas()
+    return (
+        out.sort_values("url")
+        .reset_index(drop=True)[["url", "change", "old_hash", "new_hash"]]
+    )
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3184,6 +3232,7 @@ QUERIES = {
     "q130_bm25_rank": q130_bm25_rank,
     "q131_weighted_sample": q131_weighted_sample,
     "q132_host_template_removal": q132_host_template_removal,
+    "q133_snapshot_diff": q133_snapshot_diff,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3383,6 +3432,26 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 ORACLE_SQL = {
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
+    "q133_snapshot_diff": """
+        WITH olds AS (
+          SELECT printf('https://h%03d.example.org/p/%d',
+                        (doc_id*48271)%97, doc_id) AS url,
+                 md5(CASE WHEN doc_id%5=0 THEN 'old:'||text ELSE text END) AS h
+          FROM documents WHERE doc_id%17<>0
+        ), news AS (
+          SELECT printf('https://h%03d.example.org/p/%d',
+                        (doc_id*48271)%97, doc_id) AS url,
+                 md5(text) AS h
+          FROM documents WHERE doc_id%13<>0
+        )
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'removed'
+                    WHEN o.h = n.h THEN 'unchanged'
+                    ELSE 'changed' END AS change,
+               coalesce(o.h, '') AS old_hash, coalesce(n.h, '') AS new_hash
+        FROM olds o FULL JOIN news n ON o.url = n.url
+    """,
     "q132_host_template_removal": """
         WITH w AS (
           SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents

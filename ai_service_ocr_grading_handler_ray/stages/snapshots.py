@@ -1,0 +1,95 @@
+"""Crawl-snapshot diffing: what changed between two crawls.
+
+An incremental web pipeline re-extracts only pages whose content
+CHANGED since the previous snapshot, drops extractions for pages that
+are GONE, and queues pages that are NEW — so the snapshot diff is the
+gate in front of everything else (the CDX keep-latest step,
+``stages/surt.py``, produces exactly the one-capture-per-key inputs
+this stage expects).
+
+Scale shape: tag each side with an int8 column, ``union`` the two
+Datasets (no materialization — union is lazy block concatenation), ONE
+salted key-hash shuffle, then a vectorized per-partition reindex
+compare.  Every url meets its twin only inside its own partition; the
+driver never sees a row.  The output is one row per distinct url across
+both snapshots: ``(key, change ∈ {added, removed, changed, unchanged},
+old_hash, new_hash)`` — slim enough to feed an anti-join that prunes
+the re-extract queue.
+
+Duplicate keys WITHIN a side are a contract violation (run keep-latest
+first) and raise loudly rather than silently picking a winner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .dedup import add_key_partition
+
+CHANGES = ("added", "removed", "changed", "unchanged")
+
+
+def snapshot_diff(
+    old_ds: rd.Dataset,
+    new_ds: rd.Dataset,
+    *,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Lazy Dataset of per-key changes between two crawl snapshots."""
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select([key_col, hash_col]).append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    keyed = both.map_batches(
+        lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+        batch_format="pyarrow",
+    )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["_side"] == 0].set_index(key_col)[hash_col]
+        new = g[g["_side"] == 1].set_index(key_col)[hash_col]
+        for side, s in (("old", old), ("new", new)):
+            if s.index.has_duplicates:
+                dup = s.index[s.index.duplicated()][0]
+                raise ValueError(
+                    f"duplicate key in {side} snapshot (e.g. {dup!r}); "
+                    "run CDX keep-latest dedup first"
+                )
+        keys = old.index.union(new.index, sort=True)
+        o = old.reindex(keys)
+        n = new.reindex(keys)
+        change = np.where(
+            o.isna(),
+            "added",
+            np.where(
+                n.isna(),
+                "removed",
+                np.where(o.to_numpy() == n.to_numpy(), "unchanged", "changed"),
+            ),
+        )
+        # absent-side hashes surface as '' (not NaN/None): a concrete
+        # sentinel keeps the column plain-string for Arrow and makes the
+        # SQL replay a coalesce, with no engine-specific null spelling
+        return pd.DataFrame(
+            {
+                key_col: keys.to_numpy(),
+                "change": change,
+                "old_hash": o.fillna("").to_numpy(),
+                "new_hash": n.fillna("").to_numpy(),
+            }
+        )
+
+    return keyed.groupby("_part").map_groups(diff, batch_format="pandas")
