@@ -1401,6 +1401,58 @@ def q133_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_ANCHOR_WORDS = [
+    "news", "shop", "docs", "blog", "forum", "wiki", "games", "maps",
+]
+
+
+def q134_anchor_text(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text corpus (stages/links.py extract_anchors /
+    anchor_term_counts / top_anchor_terms): what the rest of the web
+    calls each destination host — each HTML page gains two deterministic
+    cross-host partner anchors whose VISIBLE TEXT is drawn from an
+    8-word vocabulary by doc_id arithmetic, then one shuffle-free
+    extraction scan (map-side-combined term counts) + ONE dst-hash
+    shuffle yields each partner host's top-3 anchor terms.  Rows-only
+    (regex anchor parsing of binary payloads is not SQL-expressible,
+    q124 precedent); extraction semantics and aggregation ties pinned by
+    tests/test_anchor_text.py."""
+    from ..stages.links import anchor_term_counts, top_anchor_terms
+    from ..synth import docs_to_pages
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        p = docs_to_pages(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        html = p["html"].to_pylist()
+        out = []
+        for i, payload in zip(ids, html):
+            if payload and payload.startswith(b"<!DOCTYPE html"):
+                w1 = _ANCHOR_WORDS[i % 8]
+                w2 = _ANCHOR_WORDS[(i // 8) % 8]
+                extra = (
+                    f'<div><a href="https://h{(i * 7) % 23:03d}.partner.net/x">'
+                    f"{w1} {w2}</a>"
+                    f'<a href="//h{(i * 11) % 23:03d}.partner.net/y">'
+                    f"<b>{w2}</b> site</a></div>"
+                ).encode()
+                payload = payload + extra
+            out.append(payload)
+        cols = {c: p[c] for c in p.column_names if c != "html"}
+        cols["html"] = pa.array(out, type=pa.binary())
+        return pa.table(cols)
+
+    counts = anchor_term_counts(
+        docs.map_batches(pages, batch_format="pyarrow")
+    )
+    out = top_anchor_terms(counts, k=3).to_pandas()
+    return (
+        out.sort_values(["dst", "n", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3218,6 +3270,11 @@ def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
 
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
+    # (0) session-new, never driver-checked: q130 (BM25), q131 (weighted
+    #     sample), q132 (host templates), q133 (snapshot diff) — their
+    #     arrivals ceded q108/q110/q49/q77/q78/q82/q86/q85 (all
+    #     double-green in r3, unchanged; still run at both sfs in
+    #     tests/test_oracle_parity.py every session);
     # (a) never driver-checked: the round-4-new q112/q113/q114;
     # (b) implementation changed in round 4 — re-verify: streaming
     #     rewrite (q28/q84/q80), partial top-k (q08/q76), simhash
@@ -3233,6 +3290,7 @@ QUERIES = {
     "q131_weighted_sample": q131_weighted_sample,
     "q132_host_template_removal": q132_host_template_removal,
     "q133_snapshot_diff": q133_snapshot_diff,
+    "q134_anchor_text": q134_anchor_text,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,

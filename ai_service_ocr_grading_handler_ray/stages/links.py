@@ -121,3 +121,132 @@ def count_host_edges(edge_ds: rd.Dataset) -> rd.Dataset:
     from ray.data.aggregate import Count
 
     return edge_ds.groupby(["src", "dst"]).aggregate(Count(alias_name="n_links"))
+
+
+# full anchor element: href + visible inner text.  Non-greedy body; an
+# unclosed <a> near EOF simply never matches (nothing swallowed)
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """(href, visible anchor text) pairs in document order: markup inside
+    the anchor body is stripped to spaces, whitespace collapsed.  Same
+    skip rules as ``extract_hrefs`` (fragments, javascript/mailto/...)."""
+    out = []
+    for m in _ANCHOR_RE.finditer(html):
+        v = (m.group(1) or m.group(2) or m.group(3) or "").strip()
+        if not v or v.startswith("#") or v.lower().startswith(_SKIP_SCHEMES):
+            continue
+        text = _WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(4))).strip()
+        out.append((v, text))
+    return out
+
+
+def anchor_term_counts(
+    ds: rd.Dataset,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> rd.Dataset:
+    """Per-batch-counted (dst, term, n) rows: lowercase whitespace tokens
+    of the visible anchor text, attributed to the DESTINATION host —
+    "what the rest of the web calls this site", the anchor-text corpus
+    search/embedding training mines.  Self-links drop by default (a nav
+    menu describes its own site, not a destination).
+
+    Scale shape: ONE shuffle-free scan; the html column never outlives
+    its task, and the per-batch pandas count is the map-side combiner —
+    only (dst, term, n) partials leave, bounded by the batch's distinct
+    pairs, not its link count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        payloads = t[html_col].to_pylist()
+        src_urls: list[str] = []
+        dst_urls: list[str] = []
+        texts: list[str] = []
+        for u, p in zip(urls, payloads):
+            if not p:
+                continue
+            html = p.decode("utf-8", "replace") if isinstance(p, bytes) else p
+            anchors = extract_anchors(html)
+            links = resolve_links(u or "", [a for a, _ in anchors])
+            # resolve_links drops unresolvable values, so re-pair by
+            # re-resolving one at a time only when counts diverge
+            if len(links) != len(anchors):
+                pairs = [
+                    (lk[0], txt)
+                    for (href, txt) in anchors
+                    if (lk := resolve_links(u or "", [href]))
+                ]
+            else:
+                pairs = list(zip(links, (txt for _, txt in anchors)))
+            for link, txt in pairs:
+                src_urls.append(u or "")
+                dst_urls.append(link)
+                texts.append(txt)
+        if not dst_urls:
+            return pa.table(
+                {"dst": pa.array([], type=pa.string()),
+                 "term": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        src = hosts_of_urls(pa.array(src_urls, type=pa.string())).to_pandas()
+        dst = hosts_of_urls(pa.array(dst_urls, type=pa.string())).to_pandas()
+        rows_dst: list[str] = []
+        rows_term: list[str] = []
+        for s, d, txt in zip(src, dst, texts):
+            if not d or (drop_self and s == d):
+                continue
+            for w in txt.lower().split():
+                rows_dst.append(d)
+                rows_term.append(w)
+        df = (
+            pd.DataFrame({"dst": rows_dst, "term": rows_term})
+            .groupby(["dst", "term"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("dst", pa.string()), ("term", pa.string()),
+                       ("n", pa.int64())])
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def top_anchor_terms(
+    counts: rd.Dataset, *, k: int = 3, num_parts: int = 32
+) -> rd.Dataset:
+    """(dst, term, n) → each destination host's k most common anchor
+    terms (ties: higher n first, then lexicographic term).  ONE shuffle:
+    partials co-locate by dst-hash partition, then a vectorized
+    per-partition sum + per-host head(k)."""
+    from .dedup import add_key_partition
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.groupby(["dst", "term"], sort=False)["n"].sum().reset_index()
+        )
+        r["n"] = r["n"].astype("int64")
+        r = r.sort_values(
+            ["dst", "n", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return r.groupby("dst", sort=False).head(k).reset_index(drop=True)
+
+    return (
+        counts.map_batches(
+            lambda t: add_key_partition(t, "dst", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -82,6 +82,12 @@ BENCH_QUERIES = [
     "q125_interval_join",
     "q126_chunk_documents",
     "q127_robots_gate",
+    "q128_connected_components",
+    "q129_surt_cdx_dedup",
+    "q130_bm25_rank",
+    "q131_weighted_sample",
+    "q132_host_template_removal",
+    "q133_snapshot_diff",
 ]
 
 
