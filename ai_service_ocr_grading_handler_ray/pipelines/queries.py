@@ -1453,6 +1453,39 @@ def q134_anchor_text(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q135_unicode_normalize(sf_dir: str) -> pd.DataFrame:
+    """Unicode canonicalization (stages/clean.normalize_unicode): NFC
+    compose-then-control-strip over adversarial text — every doc gains a
+    deterministic mojibake suffix (combining-acute runs, a BEL control,
+    U+212B ANGSTROM SIGN) that NFC must fold before hashing/dedup sees
+    it.  One shuffle-free scan; the oracle rebuilds the SAME suffix with
+    chr()/repeat() and replays DuckDB nfc_normalize + the identical RE2
+    control class (both implement the Unicode standard, checked
+    codepoint-for-codepoint)."""
+    from ..stages.clean import add_normalized_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mojibake(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        raw = [
+            f"{txt} {('e' + chr(769)) * (int(dd) % 3 + 1)}\x07{chr(8491)}"
+            for dd, txt in zip(d, texts)
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(raw, type=pa.string())}
+        )
+
+    out = (
+        ds.map_batches(mojibake, batch_format="pyarrow")
+        .map_batches(add_normalized_text, batch_format="pyarrow")
+        .drop_columns(["text"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3291,6 +3324,7 @@ QUERIES = {
     "q132_host_template_removal": q132_host_template_removal,
     "q133_snapshot_diff": q133_snapshot_diff,
     "q134_anchor_text": q134_anchor_text,
+    "q135_unicode_normalize": q135_unicode_normalize,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3490,6 +3524,23 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 ORACLE_SQL = {
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
+    "q135_unicode_normalize": r"""
+        WITH raws AS (
+          SELECT doc_id,
+                 text || ' ' || repeat(chr(101) || chr(769), doc_id % 3 + 1)
+                      || chr(7) || chr(8491) AS raw
+          FROM documents
+        ), n AS (
+          SELECT doc_id, raw,
+                 regexp_replace(nfc_normalize(raw),
+                                '[\x00-\x08\x0b-\x1f\x7f]', '', 'g') AS text_norm
+          FROM raws
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text_norm,
+               CAST(length(raw) AS BIGINT) AS n_cp_raw,
+               CAST(length(text_norm) AS BIGINT) AS n_cp_norm
+        FROM n
+    """,
     "q133_snapshot_diff": """
         WITH olds AS (
           SELECT printf('https://h%03d.example.org/p/%d',

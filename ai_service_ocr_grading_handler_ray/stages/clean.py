@@ -771,3 +771,39 @@ def remove_host_templates(
         return pa.table(cols)
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+# C0 controls except \t\n (+ DEL): the layout-bearing whitespace stays
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+
+
+def normalize_unicode(text: str) -> str:
+    """Canonical text form for hashing/dedup/tokenization: Unicode NFC
+    (combining sequences compose, compatibility singletons like U+212B
+    ANGSTROM SIGN map to their canonical letter) THEN control-character
+    strip — fixed order, replayed identically by the SQL oracle
+    (DuckDB ``nfc_normalize`` + the same RE2 class).  Without this,
+    byte-identical-content checks miss e+COMBINING-ACUTE vs é twins."""
+    import unicodedata
+
+    return _CTRL_RE.sub("", unicodedata.normalize("NFC", text or ""))
+
+
+def add_normalized_text(
+    batch: pa.Table, text_col: str = "text", out: str = "text_norm"
+) -> pa.Table:
+    """Vectorizable wrapper: (text) → (+ text_norm, n_cp_raw, n_cp_norm)
+    codepoint counts on both sides of the normalization (the audit
+    columns a cleaning report wants)."""
+    texts = batch[text_col].to_pylist()
+    norm = [normalize_unicode(t) for t in texts]
+    return (
+        batch.append_column(out, pa.array(norm, type=pa.string()))
+        .append_column(
+            "n_cp_raw",
+            pa.array([len(t or "") for t in texts], type=pa.int64()),
+        )
+        .append_column(
+            "n_cp_norm", pa.array([len(t) for t in norm], type=pa.int64())
+        )
+    )
