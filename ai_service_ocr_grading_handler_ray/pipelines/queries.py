@@ -1486,6 +1486,45 @@ def q135_unicode_normalize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q136_sitemap_freshness(sf_dir: str) -> pd.DataFrame:
+    """Sitemap ingestion (stages/sitemaps.py): per-doc synthetic
+    <urlset> payloads (1–3 entries, lastmod present on 3 of 4) → one
+    shuffle-free regex parse scan → per-host frontier rollup
+    (n_urls, n_dated, newest lastmod).  The oracle rebuilds
+    BYTE-IDENTICAL XML with printf/string_agg and RE-PARSES it with the
+    same patterns via regexp_extract_all — the parse itself is
+    oracle-checked, not just the rollup."""
+    from ..stages.sitemaps import sitemap_host_freshness, sitemap_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def sitemaps(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xmls = []
+        for dd in d:
+            h = (dd * 48271) % 97
+            parts = ["<urlset>"]
+            for j in range(dd % 3 + 1):
+                parts.append(
+                    f"<url><loc>https://h{h:03d}.example.org/s/{dd}/{j}</loc>"
+                )
+                if (dd + j) % 4 != 0:
+                    parts.append(
+                        f"<lastmod>2024-{(dd + j) % 12 + 1:02d}-"
+                        f"{(dd * 7 + j) % 28 + 1:02d}</lastmod>"
+                    )
+                parts.append("</url>")
+            parts.append("</urlset>")
+            xmls.append("".join(parts))
+        return pa.table({"xml": pa.array(xmls, type=pa.string())})
+
+    urls = sitemap_urls(ds.map_batches(sitemaps, batch_format="pyarrow"))
+    out = sitemap_host_freshness(urls).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)[
+        ["host", "n_urls", "n_dated", "last_mod"]
+    ]
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3325,6 +3364,7 @@ QUERIES = {
     "q133_snapshot_diff": q133_snapshot_diff,
     "q134_anchor_text": q134_anchor_text,
     "q135_unicode_normalize": q135_unicode_normalize,
+    "q136_sitemap_freshness": q136_sitemap_freshness,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3524,6 +3564,43 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 ORACLE_SQL = {
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
+    "q136_sitemap_freshness": r"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, doc_id % 3)) AS j
+          FROM documents
+        ), ent AS (
+          SELECT doc_id, j,
+                 '<url><loc>'
+                 || printf('https://h%03d.example.org/s/%d/%d',
+                           (doc_id*48271)%97, doc_id, j)
+                 || '</loc>'
+                 || CASE WHEN (doc_id + j) % 4 <> 0
+                         THEN '<lastmod>'
+                              || printf('2024-%02d-%02d',
+                                        (doc_id+j)%12 + 1, (doc_id*7+j)%28 + 1)
+                              || '</lastmod>'
+                         ELSE '' END
+                 || '</url>' AS entry
+          FROM ex
+        ), sm AS (
+          SELECT doc_id,
+                 '<urlset>' || string_agg(entry, '' ORDER BY j) || '</urlset>' AS xml
+          FROM ent GROUP BY doc_id
+        ), blk AS (
+          SELECT unnest(regexp_extract_all(xml, '<url>.*?</url>', 0)) AS b FROM sm
+        ), f AS (
+          SELECT regexp_extract(b, '<loc>\s*([^<]*?)\s*</loc>', 1) AS loc,
+                 regexp_extract(b, '<lastmod>\s*([^<]*?)\s*</lastmod>', 1) AS lastmod
+          FROM blk
+        ), h AS (
+          SELECT regexp_extract(loc, '^[^/]*//([^/?#]*)', 1) AS host, lastmod FROM f
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(*) FILTER (lastmod <> '') AS BIGINT) AS n_dated,
+               max(lastmod) AS last_mod
+        FROM h GROUP BY host
+    """,
     "q135_unicode_normalize": r"""
         WITH raws AS (
           SELECT doc_id,
