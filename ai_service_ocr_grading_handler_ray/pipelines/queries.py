@@ -1525,6 +1525,45 @@ def q136_sitemap_freshness(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q137_resolve_redirects(sf_dir: str) -> pd.DataFrame:
+    """Redirect-chain resolution (stages/redirects.py): a functional
+    url→url map derived from doc_id arithmetic — descending chains of
+    length doc_id%10 ending at every-10th terminals (some exceeding the
+    8-hop budget) plus 2-cycles every 40th doc — walked by max_hops
+    bucketed-cogroup rounds over a shrinking frontier.  Resolved rows
+    carry the true final url + chain length; loops and over-budget
+    chains report status='unresolved' with '' / 0 sentinels.  The
+    oracle replays the walk as a bounded recursive CTE over the SAME
+    printf-rebuilt edges."""
+    from ..stages.redirects import resolve_redirects
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst = [], []
+        for dd in d:
+            if dd % 10 != 0:
+                src.append(f"https://r.example.org/{dd}")
+                dst.append(f"https://r.example.org/{dd - 1}")
+            if dd % 40 == 0:
+                src.append(f"https://rx.example.org/{dd}")
+                dst.append(f"https://ry.example.org/{dd}")
+                src.append(f"https://ry.example.org/{dd}")
+                dst.append(f"https://rx.example.org/{dd}")
+        return pa.table(
+            {"src": pa.array(src, type=pa.string()),
+             "dst": pa.array(dst, type=pa.string())}
+        )
+
+    out = resolve_redirects(
+        ds.map_batches(edges, batch_format="pyarrow"), max_hops=8
+    ).to_pandas()
+    return out.sort_values("src").reset_index(drop=True)[
+        ["src", "final_url", "n_hops", "status"]
+    ]
+
+
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
     """Near-dup clustering keyed by URL — the north-rule page key is a
     STRING, and round 3's distributed cluster finish was integer-only
@@ -3365,6 +3404,7 @@ QUERIES = {
     "q134_anchor_text": q134_anchor_text,
     "q135_unicode_normalize": q135_unicode_normalize,
     "q136_sitemap_freshness": q136_sitemap_freshness,
+    "q137_resolve_redirects": q137_resolve_redirects,
     "q128_connected_components": q128_connected_components,
     "q129_surt_cdx_dedup": q129_surt_cdx_dedup,
     "q121_phash_image_dedup": q121_phash_image_dedup,
@@ -3564,6 +3604,38 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 ORACLE_SQL = {
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
+    "q137_resolve_redirects": """
+        WITH RECURSIVE e AS (
+          SELECT printf('https://r.example.org/%d', doc_id) AS src,
+                 printf('https://r.example.org/%d', doc_id - 1) AS dst
+          FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT printf('https://rx.example.org/%d', doc_id),
+                 printf('https://ry.example.org/%d', doc_id)
+          FROM documents WHERE doc_id % 40 = 0
+          UNION ALL
+          SELECT printf('https://ry.example.org/%d', doc_id),
+                 printf('https://rx.example.org/%d', doc_id)
+          FROM documents WHERE doc_id % 40 = 0
+        ),
+        walk(src, cur, hops) AS (
+          SELECT src, dst, 1 FROM e
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN e ON w.cur = e.src WHERE w.hops < 8
+        ),
+        last AS (
+          SELECT src, cur, hops,
+                 row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+          FROM walk
+        )
+        SELECT l.src,
+               CASE WHEN t.src IS NULL THEN l.cur ELSE '' END AS final_url,
+               CAST(CASE WHEN t.src IS NULL THEN l.hops ELSE 0 END AS BIGINT) AS n_hops,
+               CASE WHEN t.src IS NULL THEN 'resolved' ELSE 'unresolved' END AS status
+        FROM last l LEFT JOIN (SELECT DISTINCT src FROM e) t ON l.cur = t.src
+        WHERE l.rn = 1
+    """,
     "q136_sitemap_freshness": r"""
         WITH ex AS (
           SELECT doc_id,

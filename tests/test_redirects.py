@@ -1,0 +1,64 @@
+"""Redirect-chain resolution (stages/redirects.py)."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.redirects import resolve_redirects
+
+EDGES = (
+    [{"src": "a", "dst": "b"}, {"src": "b", "dst": "c"}]        # chain to c
+    + [{"src": "x", "dst": "y"}, {"src": "y", "dst": "x"}]      # 2-cycle
+    + [{"src": "self", "dst": "self"}]                          # 1-cycle
+    + [{"src": f"l{i}", "dst": f"l{i+1}"} for i in range(10)]   # 10-chain
+)
+
+
+def _run(edges=EDGES, **kw):
+    out = resolve_redirects(rd.from_items(edges), **kw).to_pandas()
+    return out.sort_values("src").set_index("src")
+
+
+def test_chains_resolve_with_true_hop_counts():
+    out = _run(max_hops=8)
+    assert tuple(out.loc["a", ["final_url", "n_hops", "status"]]) == ("c", 2, "resolved")
+    assert tuple(out.loc["b", ["final_url", "n_hops", "status"]]) == ("c", 1, "resolved")
+    assert tuple(out.loc["l9", ["final_url", "n_hops"]]) == ("l10", 1)
+    assert tuple(out.loc["l2", ["final_url", "n_hops"]]) == ("l10", 8)
+
+
+def test_cycles_and_over_budget_chains_unresolved():
+    out = _run(max_hops=8)
+    for src in ("x", "y", "self", "l0", "l1"):
+        assert tuple(out.loc[src, ["final_url", "n_hops", "status"]]) == (
+            "", 0, "unresolved",
+        )
+
+
+def test_one_row_per_source():
+    out = _run(max_hops=8)
+    assert len(out) == len(EDGES)
+
+
+def test_bigger_budget_resolves_longer_chains():
+    out = _run(max_hops=12)
+    assert tuple(out.loc["l0", ["final_url", "n_hops", "status"]]) == (
+        "l10", 10, "resolved",
+    )
+    assert out.loc["x", "status"] == "unresolved"  # cycles never resolve
+
+
+def test_duplicate_source_raises():
+    bad = EDGES + [{"src": "a", "dst": "elsewhere"}]
+    with pytest.raises(Exception, match="duplicate redirect source"):
+        resolve_redirects(rd.from_items(bad), max_hops=4).to_pandas()
+
+
+def test_partitioning_invariance():
+    a = resolve_redirects(
+        rd.from_items(EDGES), max_hops=8
+    ).to_pandas().sort_values("src").reset_index(drop=True)
+    b = resolve_redirects(
+        rd.from_items(EDGES).repartition(5), max_hops=8, num_parts=3
+    ).to_pandas().sort_values("src").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
