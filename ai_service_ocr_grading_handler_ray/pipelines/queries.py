@@ -775,6 +775,43 @@ def q118_host_pagerank(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["host", "pagerank"]], {"pagerank": 8})
 
 
+def q138_host_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities (stages/graph.hits) over the SAME
+    deterministic 97-host link graph as q118 — the second classic
+    link-analysis signal (Kleinberg's mutual reinforcement: good hubs
+    point at good authorities), used alongside PageRank for crawl
+    seed selection.  Same scale shape: one edge-reduce shuffle, then
+    per-iteration one node-sized broadcast + one shuffle-free bincount
+    scan per direction.  The oracle unrolls the L1-normalized
+    iterations via stages/graph.hits_sql over the SAME edge CTE the
+    q118 oracle uses (single-generator policy on both halves)."""
+    from ..stages.graph import hits
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    out = (
+        hits(ds.map_batches(edges, batch_format="pyarrow"), n_iter=3)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    return _finalize(out[["host", "hub", "authority"]],
+                     {"hub": 8, "authority": 8})
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -1562,6 +1599,27 @@ def q137_resolve_redirects(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("src").reset_index(drop=True)[
         ["src", "final_url", "n_hops", "status"]
     ]
+
+
+def q139_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Character-entropy junk signals (stages/text_analysis.py
+    add_char_entropy): Shannon entropy in bits + distinct-codepoint
+    count per document — the standard low-entropy (repetitive
+    boilerplate) / high-entropy (binary garble) prune axes.  One
+    shuffle-free scan; the kernel is one np.unique over a packed
+    (doc << 21 | codepoint) key, no per-row Python.  The oracle
+    explodes codepoints with regexp_extract_all('[\\s\\S]') and replays
+    -SUM(p*log2(p)) exactly (both sides fold -0.0 to +0.0 so the
+    driver's value hash can't split on the zero sign)."""
+    from ..stages.text_analysis import add_char_entropy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(add_char_entropy, batch_format="pyarrow")
+        .drop_columns(["text"])
+        .to_pandas()
+    )
+    return _finalize(out.sort_values("doc_id"), {"char_entropy": 4})
 
 
 def q112_url_near_dup(sf_dir: str) -> rd.Dataset:
@@ -3397,6 +3455,8 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q138_host_hits": q138_host_hits,
+    "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
     "q131_weighted_sample": q131_weighted_sample,
     "q132_host_template_removal": q132_host_template_removal,
@@ -3544,6 +3604,7 @@ QUERIES = {
 # equivalence-tested against numpy bit-for-bit — instead of hand-copied
 # HUGEINT CTE chains whose constants could silently desync.
 from ..stages.shuffle import splitmix64_sql as _sm_sql
+from ..stages.graph import hits_sql as _hits_sql
 from ..stages.graph import pagerank_sql as _pr_sql
 from ..stages.collect import collect_tables
 
@@ -3602,6 +3663,28 @@ from ..stages.bm25 import bm25_sql as _bm25_sql
 from ..stages.sampling import weighted_sample_sql as _ws_sql
 
 ORACLE_SQL = {
+    "q139_char_entropy": r"""
+        WITH chars AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+          FROM documents
+        ), counts AS (
+          SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        ), tot AS (
+          SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS L,
+                 count(*) AS u
+          FROM counts GROUP BY doc_id
+        ), ent AS (
+          SELECT c.doc_id, -SUM((c.c / t.L) * log2(c.c / t.L)) AS e
+          FROM counts c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars_exact,
+               CAST(coalesce(t.u, 0) AS BIGINT) AS n_unique_chars,
+               round(coalesce(e.e, 0) + 0, 4) AS char_entropy
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN ent e USING (doc_id)
+    """,
     "q130_bm25_rank": _bm25_sql(_BM25_TERMS),
     "q131_weighted_sample": _ws_sql(k=50, weight_col="n_chars", seed=7),
     "q137_resolve_redirects": """
@@ -3765,6 +3848,7 @@ ORACLE_SQL = {
     "q118_host_pagerank": _pr_sql(
         _Q118_EDGES, damping=0.85, n_iter=3, node_alias="host"
     ),
+    "q138_host_hits": _hits_sql(_Q118_EDGES, n_iter=3, node_alias="host"),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

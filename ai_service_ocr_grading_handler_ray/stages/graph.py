@@ -232,3 +232,143 @@ def pagerank_sql(
         f" FROM r{n_iter}"
     )
     return "\n".join(parts)
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    node_limit: int = 50_000_000,
+) -> rd.Dataset:
+    """HITS hubs & authorities over a (src, dst) edge Dataset — the
+    link-analysis twin of :func:`pagerank` (Kleinberg 1999): a good hub
+    points at good authorities and vice versa.  Returns a node-sized
+    Dataset (node:string, hub:float64, authority:float64).
+
+    Same scale shape as pagerank: the raw edge stream reduces ONCE to a
+    weighted host-pair table (self-loops dropped); each iteration is one
+    node-sized ``ray.put`` broadcast + one shuffle-free bincount scan
+    per direction (authority from hubs, then hubs from the new
+    authorities) + a node-sized driver fold.  Normalization is L1
+    (scores sum to 1) per update — contraction the unrolled SQL oracle
+    replays exactly; hub/authority start uniform."""
+    edges_w = weighted_host_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    nodes = _node_universe(
+        edges_w, src_col=src_col, dst_col=dst_col, node_limit=node_limit
+    )
+    n = len(nodes)
+    idx_ref = ray.put(nodes)
+
+    def to_indexed(t: pa.Table, _ref=idx_ref) -> pa.Table:
+        uni = ray.get(_ref)
+        s = np.searchsorted(uni, t[src_col].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(uni, t[dst_col].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "si": pa.array(s.astype(np.int64)),
+                "di": pa.array(d.astype(np.int64)),
+                "w": pa.array(
+                    t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+                ),
+            }
+        )
+
+    eidx = edges_w.map_batches(to_indexed, batch_format="pyarrow").materialize()
+
+    from .linalg import fold_sparse_partials
+
+    def _propagate(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """to[v] = sum over edges of vec[from] * w, one bincount scan."""
+        ref = ray.put(vec)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            v = ray.get(_ref)
+            f = t[from_col].to_numpy(zero_copy_only=False)
+            g = t[to_col].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            acc = np.bincount(g, weights=v[f] * w, minlength=n)
+            present = np.flatnonzero(acc)
+            return pa.table({"i": pa.array(present.astype(np.int64)),
+                             "v": pa.array(acc[present])})
+
+        return fold_sparse_partials(
+            eidx.map_batches(partial, batch_format="pyarrow"),
+            np.zeros(n, dtype=np.float64),
+        )
+
+    hub = np.full(n, 1.0 / n, dtype=np.float64)
+    auth = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(n_iter):
+        auth = _propagate(hub, "si", "di")
+        s = auth.sum()
+        if s <= 0.0:  # unreachable with a nonempty self-loop-free edge set
+            raise ValueError("hits: authority mass vanished")
+        auth /= s
+        hub = _propagate(auth, "di", "si")
+        s = hub.sum()
+        if s <= 0.0:
+            raise ValueError("hits: hub mass vanished")
+        hub /= s
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "hub": pa.array(hub),
+                "authority": pa.array(auth),
+            }
+        )
+    )
+
+
+def hits_sql(
+    edge_ctes: str,
+    *,
+    n_iter: int = 3,
+    node_alias: str = "node",
+    round_to: int = 8,
+) -> str:
+    """ANSI-SQL replay of :func:`hits` — the mutual-reinforcement
+    iterations unrolled as CTE chains, generated from ONE place so the
+    oracle cannot desync from the engine (same single-generator policy
+    as :func:`pagerank_sql`).  ``edge_ctes`` must define a CTE ``e``
+    with (src VARCHAR, dst VARCHAR, w DOUBLE), self-loop-free and
+    weight-aggregated."""
+    parts = [
+        f"WITH {edge_ctes},",
+        "nodes AS (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e)),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "h0 AS (SELECT h, 1.0 / nn.n AS v FROM nodes CROSS JOIN nn),",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts += [
+            # authority from hubs, L1-normalized
+            f"ar{i} AS (SELECT e.dst AS h, SUM(h{p}.v * e.w) AS v"
+            f" FROM e JOIN h{p} ON e.src = h{p}.h GROUP BY e.dst),",
+            f"as{i} AS (SELECT SUM(v) AS s FROM ar{i}),",
+            f"a{i} AS (SELECT nodes.h, COALESCE(ar{i}.v, 0) / as{i}.s AS v"
+            f" FROM nodes CROSS JOIN as{i}"
+            f" LEFT JOIN ar{i} ON nodes.h = ar{i}.h),",
+            # hubs from the NEW authorities, L1-normalized
+            f"hr{i} AS (SELECT e.src AS h, SUM(a{i}.v * e.w) AS v"
+            f" FROM e JOIN a{i} ON e.dst = a{i}.h GROUP BY e.src),",
+            f"hs{i} AS (SELECT SUM(v) AS s FROM hr{i}),",
+            f"h{i} AS (SELECT nodes.h, COALESCE(hr{i}.v, 0) / hs{i}.s AS v"
+            f" FROM nodes CROSS JOIN hs{i}"
+            f" LEFT JOIN hr{i} ON nodes.h = hr{i}.h),",
+        ]
+    last = parts.pop()[:-1]
+    parts.append(last)
+    parts.append(
+        f"SELECT h{n_iter}.h AS {node_alias},"
+        f" round(h{n_iter}.v, {round_to}) AS hub,"
+        f" round(a{n_iter}.v, {round_to}) AS authority"
+        f" FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.h = a{n_iter}.h"
+    )
+    return "\n".join(parts)

@@ -159,6 +159,46 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(digests, type=pa.string()))
 
 
+def add_char_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Character-distribution signals per document: Shannon entropy in
+    bits over the text's codepoints plus the distinct-codepoint count —
+    the low-entropy tail is repetitive junk (keyboard mash, padded
+    boilerplate) and the high-entropy tail is binary/garbled payload,
+    both standard prune signals in web-corpus curation.
+
+    Fully vectorized, shuffle-free: the batch's texts concatenate into
+    ONE utf-32 codepoint tape; per-(doc, codepoint) counts come from a
+    single ``np.unique`` over a packed ``doc << 21 | codepoint`` key
+    (codepoints < 2**21, so the pack is collision-free), and entropies
+    accumulate with ``np.add.at`` in key-sorted order (deterministic
+    float addition order).  No per-row Python beyond the one join."""
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    ent = np.zeros(n, dtype=np.float64)
+    uniq = np.zeros(n, dtype=np.int64)
+    if n and int(lens.sum()):
+        tape = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = (doc << 21) | tape
+        uk, cnt = np.unique(key, return_counts=True)
+        ud = uk >> 21
+        p = cnt / lens[ud].astype(np.float64)
+        np.add.at(ent, ud, -p * np.log2(p))
+        uniq += np.bincount(ud, minlength=n)
+        ent += 0.0  # fold any -0.0 (single-codepoint docs) to +0.0
+    out = batch
+    for name, arr in (
+        ("n_chars_exact", lens),
+        ("n_unique_chars", uniq),
+        ("char_entropy", ent),
+    ):
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
 # --- unigram LM scoring (CCNet-style perplexity proxy) ----------------------
 
 # The LM vocabulary broadcasts to every scoring task: words, not

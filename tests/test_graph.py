@@ -116,3 +116,34 @@ def test_pagerank_sql_matches_engine(ray_session):
         np.round(eng["pagerank"].to_numpy(), 8),
         atol=1e-8,
     )
+
+
+def test_hits_matches_dense_numpy_reference(ray_session):
+    """stages/graph.hits vs a dense numpy power iteration (same L1
+    normalization, weights = parallel-edge counts, self-loops dropped)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.graph import hits
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 12, size=400)
+    dst = (src + 1 + rng.randint(0, 11, size=400)) % 12  # no self-loops
+    names = np.array([f"n{i:02d}" for i in range(12)], dtype=object)
+    ds = rd.from_pandas(pd.DataFrame({"src": names[src], "dst": names[dst]}))
+    out = hits(ds, n_iter=4).to_pandas().sort_values("node").reset_index(drop=True)
+
+    W = np.zeros((12, 12))
+    for s, d in zip(src, dst):
+        W[s, d] += 1.0
+    h = np.full(12, 1 / 12)
+    for _ in range(4):
+        a = W.T @ h
+        a /= a.sum()
+        h = W @ a
+        h /= h.sum()
+    assert np.allclose(out["hub"].to_numpy(), h, atol=1e-12)
+    assert np.allclose(out["authority"].to_numpy(), a, atol=1e-12)
+    assert abs(out["hub"].sum() - 1.0) < 1e-9
+    assert abs(out["authority"].sum() - 1.0) < 1e-9

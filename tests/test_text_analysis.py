@@ -141,3 +141,28 @@ def test_bigram_logprob_external_counts_and_oov():
     # P(b|a)=2/2 -> ln 1; 'b z' and 'z z' OOV -> ln(1/3) each
     exp = (math.log(1.0) + 2 * math.log(1 / 3)) / 3
     assert abs(out["avg_logprob2"].iloc[0] - exp) < 1e-12
+
+
+def test_char_entropy_known_values():
+    """add_char_entropy against hand-computed entropies, incl. the
+    single-codepoint -0.0 fold, empty text, and astral-plane unicode."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import add_char_entropy
+
+    texts = ["aabb", "abcd", "aaaa", "", "aab", "\U0001f600x\U0001f600x"]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = add_char_entropy(t)
+    ent = out["char_entropy"].to_pylist()
+    assert ent[0] == 1.0               # two symbols, equal mass
+    assert ent[1] == 2.0               # four distinct symbols
+    assert ent[2] == 0.0 and math.copysign(1, ent[2]) == 1.0  # +0.0, not -0.0
+    assert ent[3] == 0.0
+    p = np.array([2 / 3, 1 / 3])
+    assert abs(ent[4] - float(-(p * np.log2(p)).sum())) < 1e-12
+    assert ent[5] == 1.0               # emoji counted as ONE codepoint each
+    assert out["n_chars_exact"].to_pylist() == [4, 4, 4, 0, 3, 4]
+    assert out["n_unique_chars"].to_pylist() == [2, 4, 1, 0, 2, 2]
