@@ -647,6 +647,61 @@ def q113_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"avg_logprob2": 4})
 
 
+_Q140_SEED = 7
+_Q140_PCTS = (90, 5, 5)
+_Q140_NAMES = ("train", "val", "test")
+
+
+def q140_host_disjoint_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe host-disjoint train/val/test split
+    (sampling.disjoint_split_by_key): every document of a host lands in
+    ONE split — ``bucket = splitmix64(polyhash64(host) + seed) % 100``
+    is a pure function of the key, so the draw is shuffle-FREE (no
+    groupby: co-location is irrelevant when the label is
+    key-deterministic) and rows never migrate as the corpus or cluster
+    grows.  This is how web corpora must be split: a per-document draw
+    like train_eval_split leaks same-host near-dup boilerplate
+    train→test.  ``polyhash64`` (stages/hashing.py) is the engine's new
+    SQL-REPLAYABLE string hash — the oracle replays hash, splitmix64
+    finisher and thresholds EXACTLY via ``disjoint_split_sql``
+    (single-generator policy), closing the "string-keyed draws are not
+    oracle-checkable" gap the siphash shuffle family has.  Hosts follow
+    the page-synthesis convention (synth.url_for_doc, the flagship's
+    input shape) so the skewed big.example.com host rides along."""
+    from ..stages.sampling import disjoint_split_by_key
+    from ..stages.skew import hosts_of_urls
+    from ..synth import url_for_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def hostify(t: pa.Table) -> pa.Table:
+        urls = [
+            url_for_doc(d, s, lg)
+            for d, s, lg in zip(
+                t["doc_id"].to_pylist(),
+                t["source"].to_pylist(),
+                t["lang"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "host": hosts_of_urls(pa.array(urls, type=pa.string())),
+            }
+        )
+
+    out = disjoint_split_by_key(
+        ds.map_batches(hostify, batch_format="pyarrow"),
+        "host",
+        pcts=_Q140_PCTS,
+        names=_Q140_NAMES,
+        seed=_Q140_SEED,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "host", "split"]
+    ]
+
+
 def q114_winsorize(sf_dir: str) -> pd.DataFrame:
     """Per-group winsorization at EXACT group quantiles: event values
     clip to [p05, p95] of their event_type, where p_f is the
@@ -3455,6 +3510,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q140_host_disjoint_split": q140_host_disjoint_split,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -3662,7 +3718,29 @@ from ..stages.chunking import chunking_sql as _chunk_sql
 from ..stages.bm25 import bm25_sql as _bm25_sql
 from ..stages.sampling import weighted_sample_sql as _ws_sql
 
+from ..stages.sampling import disjoint_split_sql as _split_sql
+
 ORACLE_SQL = {
+    "q140_host_disjoint_split": (
+        "WITH RECURSIVE docs AS (SELECT doc_id,"
+        " CASE WHEN doc_id % 53 IN (1, 2) THEN"
+        "   'https://dup.example.com/' || lang || '/page-' ||"
+        "   CAST(doc_id // 53 AS VARCHAR)"
+        " WHEN doc_id % 5 = 0 THEN"
+        "   'https://big.example.com/' || source || '/' || lang ||"
+        "   '/doc-' || CAST(doc_id AS VARCHAR)"
+        " ELSE 'https://' || source || '.example.org/' || lang ||"
+        "   '/doc-' || CAST(doc_id AS VARCHAR) END AS url"
+        " FROM documents),\n"
+        "hosts AS (SELECT doc_id,"
+        " regexp_extract(url, '^[^/]*//([^/?#]*)', 1) AS host FROM docs),\n"
+        + _split_sql(
+            "hosts", "host",
+            pcts=_Q140_PCTS, names=_Q140_NAMES, seed=_Q140_SEED,
+        )
+        + "\nSELECT h.doc_id, h.host, s.split"
+        " FROM hosts h JOIN __split s USING (host)"
+    ),
     "q139_char_entropy": r"""
         WITH chars AS (
           SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch

@@ -101,6 +101,52 @@ def bucket_of(v, n_buckets: int) -> int:
     return int(bucket_ids(np.array([v]), n_buckets)[0])
 
 
+def polyhash64(col) -> np.ndarray:
+    """Vectorized Java-convention polynomial rolling hash over unicode
+    codepoints: ``h = sum(c_i * 31^(L-1-i)) mod 2^64`` per string — the
+    SQL-REPLAYABLE string hash (DuckDB replays it exactly with HUGEINT
+    arithmetic, see ``shuffle.polyhash64_sql``), unlike the siphash
+    default ``hash_u64`` (DuckDB has no siphash).  Use it wherever an
+    oracle must replay a string-keyed draw (deterministic splits,
+    reproducible shuffles keyed on urls/hosts).
+
+    Weak diffusion on its own (low bits ignore leading chars) — always
+    finish through :func:`splitmix64` before bucketing.  Nulls hash to 0
+    (the empty string), matching the SQL side's COALESCE.
+
+    Kernel: one C-level ``"".join`` → utf-32 tape, exponents from
+    per-string end offsets, ``31^e`` from a wrap-around
+    ``multiply.accumulate`` table, per-string sums via unbuffered
+    ``np.add.at`` (uint64 wrap == mod 2^64).  No per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.Array,)):
+        texts = col.to_pylist()
+    elif isinstance(col, pd.Series):
+        texts = col.tolist()
+    else:
+        texts = list(col)
+    n = len(texts)
+    texts = [t if isinstance(t, str) else "" for t in texts]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    h = np.zeros(n, dtype=np.uint64)
+    total = int(lens.sum())
+    if total:
+        tape = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        ends = np.repeat(np.cumsum(lens), lens)
+        exp = ends - 1 - np.arange(total, dtype=np.int64)
+        pow31 = np.empty(int(lens.max()), dtype=np.uint64)
+        pow31[0] = 1
+        if pow31.shape[0] > 1:
+            pow31[1:] = 31
+            np.multiply.accumulate(pow31, out=pow31)
+        np.add.at(h, doc, tape * pow31[exp])
+    return h
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR) — numpy 1.x has no
     ``bitwise_count``.  Input any shape of uint64; returns uint64 counts."""

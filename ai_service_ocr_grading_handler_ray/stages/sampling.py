@@ -453,3 +453,83 @@ def weighted_sample_sql(
                CAST({weight_col} AS BIGINT) AS {weight_col}
         FROM keyed ORDER BY es_key DESC, {id_col} LIMIT {k}
     """
+
+
+def disjoint_split_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    *,
+    pcts: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+    out: str = "split",
+) -> rd.Dataset:
+    """Leakage-safe corpus split: EVERY row sharing a key (host,
+    registrable domain, user id) lands in the same split, because the
+    assignment is a pure function of the key alone —
+    ``bucket = splitmix64(polyhash64(key) + seed) % 100`` against
+    cumulative ``pcts`` thresholds.  This is how web corpora must be
+    split: near-duplicate boilerplate within a host would leak
+    train→test under a per-document draw like ``train_eval_split``.
+
+    One shuffle-free scan (no groupby — co-location is irrelevant when
+    the label is key-deterministic); rows never migrate as data grows or
+    the cluster resizes; the draw is SQL-replayable exactly
+    (``shuffle.polyhash64_sql`` + ``splitmix64_sql`` — see
+    :func:`disjoint_split_sql`), unlike the siphash family
+    ``hashing.hash_u64`` uses for shuffle routing.  Null keys split as
+    the empty string (one deterministic bucket)."""
+    from .hashing import polyhash64, splitmix64
+
+    if len(pcts) != len(names) or sum(pcts) != 100:
+        raise ValueError(
+            f"pcts must sum to 100 and pair with names: {pcts} / {names}"
+        )
+    cuts = np.cumsum(np.asarray(pcts, dtype=np.int64))
+    labels = np.asarray(names, dtype=object)
+    add = np.uint64(seed % (1 << 64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            b = splitmix64(polyhash64(t[key_col]) + add) % np.uint64(100)
+        idx = np.searchsorted(cuts, b.astype(np.int64), side="right")
+        return t.append_column(out, pa.array(labels[idx], type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def disjoint_split_sql(
+    values_rel: str,
+    key_col: str,
+    *,
+    pcts: tuple[int, ...] = (90, 5, 5),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+    out_rel: str = "__split",
+    out_col: str = "split",
+    max_len: int = 256,
+) -> str:
+    """CTE-chain replay of :func:`disjoint_split_by_key`, generated from
+    the SAME pcts/names/seed (single-generator policy).  Defines
+    ``{out_rel}({key_col}, {out_col})`` over the distinct keys of
+    ``{values_rel}``; the caller joins it back on the key and must open
+    the query with ``WITH RECURSIVE`` (polyhash64_sql's power table)."""
+    from .shuffle import polyhash64_sql, splitmix64_sql
+
+    if len(pcts) != len(names) or sum(pcts) != 100:
+        raise ValueError(
+            f"pcts must sum to 100 and pair with names: {pcts} / {names}"
+        )
+    bucket = f"CAST({splitmix64_sql('ph', seed)} % 100 AS BIGINT)"
+    case = "CASE"
+    hi = 0
+    for p, nm in zip(pcts[:-1], names[:-1]):
+        hi += p
+        case += f" WHEN bucket < {hi} THEN '{nm}'"
+    case += f" ELSE '{names[-1]}' END"
+    ph = polyhash64_sql(values_rel, key_col, max_len=max_len)
+    return (
+        f"{ph},\n"
+        f"__b AS (SELECT {key_col}, {bucket} AS bucket FROM __ph),\n"
+        f"{out_rel} AS (SELECT {key_col}, {case} AS {out_col} FROM __b)"
+    )

@@ -140,6 +140,44 @@ def splitmix64_sql(expr: str, seed: int = 0) -> str:
     return f"xor(CAST(({z}) AS UBIGINT), CAST(({z}) AS UBIGINT) >> 31)"
 
 
+def polyhash64_sql(
+    values_rel: str,
+    col: str,
+    *,
+    out_rel: str = "__ph",
+    out_col: str = "ph",
+    max_len: int = 256,
+) -> str:
+    """CTE-chain SQL replay of ``hashing.polyhash64`` for DuckDB oracles:
+    the Java-convention rolling hash ``sum(c_i * 31^(L-1-i)) mod 2^64``
+    over unicode codepoints, exact via HUGEINT arithmetic.  Returns CTE
+    text defining ``{out_rel}({col}, {out_col})`` over the DISTINCT
+    values of ``{values_rel}.{col}``; the caller must splice it into a
+    query that opens with ``WITH RECURSIVE`` (the 31^e power table is a
+    recursive CTE).  Strings longer than ``max_len`` raise via SQL
+    ``error()`` rather than silently dropping chars (the engine side has
+    no length limit).  Feed ``{out_col}`` through ``splitmix64_sql``
+    before bucketing, exactly like the numpy side."""
+    M = 18446744073709551616  # 2^64
+    return (
+        f"__pows AS (SELECT 0 AS e, CAST(1 AS HUGEINT) AS p"
+        f" UNION ALL SELECT e + 1, (p * 31) % {M} FROM __pows"
+        f" WHERE e < {max_len}),\n"
+        f"__phv AS (SELECT DISTINCT CASE WHEN length({col}) > {max_len}"
+        f" THEN error('polyhash64_sql: value exceeds max_len={max_len}')"
+        f" ELSE {col} END AS s FROM {values_rel}),\n"
+        f"__phc AS (SELECT s, length(s) AS L, u.i AS pos,"
+        f" unicode(substr(s, u.i, 1)) AS c"
+        f" FROM __phv, LATERAL (SELECT unnest(generate_series(1, length(s)))"
+        f" AS i) u),\n"
+        f"__phh AS (SELECT s, SUM(CAST(c AS HUGEINT) * pw.p) % {M} AS h"
+        f" FROM __phc JOIN __pows pw ON pw.e = __phc.L - __phc.pos"
+        f" GROUP BY s),\n"
+        f"{out_rel} AS (SELECT v.s AS {col}, COALESCE(h.h, 0) AS {out_col}"
+        f" FROM __phv v LEFT JOIN __phh h ON v.s = h.s)"
+    )
+
+
 def write_training_shards(
     ds: rd.Dataset,
     out_dir: str,

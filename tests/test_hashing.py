@@ -110,3 +110,63 @@ def test_popcount64_matches_python_bitcount():
     x = m[:, None] ^ m[None, :]
     assert popcount64(x).shape == (64, 64)
     assert (np.diagonal(popcount64(x)) == 0).all()
+
+
+def test_polyhash64_matches_scalar_reference():
+    """polyhash64 vs the textbook rolling loop, incl. unicode, empties,
+    nulls and a string past the pow-table reuse boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.hashing import polyhash64
+
+    def ref(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % (1 << 64)
+        return h
+
+    vals = ["", "a", "abc", "h001.example.org", "a\U0001f600b", "x" * 300,
+            "big.example.com", "é́ mixed"]
+    got = polyhash64(pa.array(vals + [None], type=pa.string()))
+    assert got.dtype == np.uint64
+    assert list(got) == [ref(s) for s in vals] + [0]
+    # list / Series inputs take the same path
+    import pandas as pd
+
+    assert list(polyhash64(vals)) == [ref(s) for s in vals]
+    assert list(polyhash64(pd.Series(vals))) == [ref(s) for s in vals]
+
+
+def test_polyhash64_sql_replay_exact():
+    """DuckDB HUGEINT CTE replay == numpy kernel bit-for-bit, and the
+    max_len guard raises instead of silently truncating."""
+    import duckdb
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.hashing import polyhash64
+    from ai_service_ocr_grading_handler_ray.stages.shuffle import polyhash64_sql
+
+    vals = ["", "a", "abc", "h001.example.org", "a\U0001f600b",
+            "big.example.com"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{v}')" for v in vals)
+        + ") v(s)"
+    )
+    df = con.sql(
+        "WITH RECURSIVE " + polyhash64_sql("t", "s")
+        + " SELECT s, CAST(ph AS UBIGINT) AS ph FROM __ph ORDER BY s"
+    ).df()
+    eng = dict(zip(vals, (int(x) for x in polyhash64(pa.array(vals)))))
+    assert {r.s: int(r.ph) for r in df.itertuples()} == eng
+
+    import pytest
+
+    with pytest.raises(duckdb.Error):
+        con.sql(
+            "WITH RECURSIVE "
+            + polyhash64_sql("(SELECT repeat('x', 300) AS s)", "s", max_len=256)
+            + " SELECT * FROM __ph"
+        ).df()

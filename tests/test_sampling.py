@@ -234,3 +234,62 @@ def test_cap_per_group_uniform_and_layout_independent():
     assert set(c[c["source"] == "big"]["doc_id"]) != set(
         a[a["source"] == "big"]["doc_id"]
     )
+
+
+def test_disjoint_split_by_key_invariants(ray_session):
+    """Host-disjointness, determinism across layouts, pct validation,
+    null-as-empty, and agreement with the SQL generator's thresholds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.hashing import polyhash64, splitmix64
+    from ai_service_ocr_grading_handler_ray.stages.sampling import (
+        disjoint_split_by_key,
+        disjoint_split_sql,
+    )
+
+    hosts = [f"h{i:03d}.example.org" for i in range(200)]
+    df = pd.DataFrame(
+        {"doc_id": range(2000), "host": [hosts[i % 200] for i in range(2000)]}
+    )
+    out = (
+        disjoint_split_by_key(rd.from_pandas(df).repartition(7), "host", seed=7)
+        .to_pandas()
+    )
+    # every host in exactly one split
+    assert (out.groupby("host")["split"].nunique() == 1).all()
+    # deterministic across layout/row order
+    out2 = (
+        disjoint_split_by_key(
+            rd.from_pandas(df.sample(frac=1.0, random_state=5)).repartition(3),
+            "host",
+            seed=7,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(out2)
+    # fractions land near 90/5/5 over 200 hosts
+    per_host = out.drop_duplicates("host")["split"].value_counts()
+    assert per_host.get("train", 0) > 150
+    assert 0 < per_host.get("val", 0) < 40 and 0 < per_host.get("test", 0) < 40
+    # engine assignment == the formula the SQL generator encodes
+    with np.errstate(over="ignore"):
+        b = splitmix64(polyhash64(pa.array(hosts)) + np.uint64(7)) % np.uint64(100)
+    lab = np.array(["train", "val", "test"], dtype=object)[
+        np.searchsorted(np.cumsum([90, 5, 5]), b.astype(np.int64), side="right")
+    ]
+    eng = out.drop_duplicates("host").set_index("host")["split"]
+    assert all(eng[h] == s for h, s in zip(hosts, lab))
+    # null key → empty-string bucket, not a crash
+    dfn = pd.DataFrame({"doc_id": [0, 1], "host": [None, ""]})
+    outn = disjoint_split_by_key(rd.from_pandas(dfn), "host", seed=7).to_pandas()
+    assert outn["split"].nunique() == 1
+    with pytest.raises(ValueError):
+        disjoint_split_by_key(rd.from_pandas(df), "host", pcts=(50, 40))
+    with pytest.raises(ValueError):
+        disjoint_split_sql("t", "host", pcts=(50, 40, 5))
