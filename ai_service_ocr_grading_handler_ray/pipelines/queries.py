@@ -651,6 +651,31 @@ _Q140_SEED = 7
 _Q140_PCTS = (90, 5, 5)
 _Q140_NAMES = ("train", "val", "test")
 
+_Q141_MIN_DF = 2
+_Q141_MAXDF_FRAC = 0.8
+
+
+def q141_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Distributed inverted-index build (stages/inverted.py): term →
+    (df, ascending comma-joined posting list), df-bounded both ways the
+    way real indexers prune (min_df hapaxes, max_df stopwords).  Scale
+    shape: map side emits only DISTINCT (term, doc) pairs (factorize +
+    packed-key np.unique — the index's own content is all that enters
+    the shuffle), a vocab-sized df pre-count broadcasts the
+    above-threshold term set so a stopword's corpus-sized posting group
+    NEVER materializes in one task, then ONE term-hash groupby emits
+    postings.  max_df is corpus-relative (floor(0.8·N)) with the SAME
+    fraction and IEEE floor on both sides; the oracle is GENERATED by
+    the stage's own inverted_index_sql (single-generator policy)."""
+    from ..stages.inverted import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    out = inverted_index(
+        ds, min_df=_Q141_MIN_DF, max_df=int(np.floor(_Q141_MAXDF_FRAC * n))
+    ).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
 
 def q140_host_disjoint_split(sf_dir: str) -> pd.DataFrame:
     """Leakage-safe host-disjoint train/val/test split
@@ -3511,6 +3536,7 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q140_host_disjoint_split": q140_host_disjoint_split,
+    "q141_inverted_index": q141_inverted_index,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -3719,8 +3745,13 @@ from ..stages.bm25 import bm25_sql as _bm25_sql
 from ..stages.sampling import weighted_sample_sql as _ws_sql
 
 from ..stages.sampling import disjoint_split_sql as _split_sql
+from ..stages.inverted import inverted_index_sql as _inv_sql
 
 ORACLE_SQL = {
+    "q141_inverted_index": _inv_sql(
+        min_df=_Q141_MIN_DF,
+        max_df=f"floor({_Q141_MAXDF_FRAC} * (SELECT count(*) FROM documents))",
+    ),
     "q140_host_disjoint_split": (
         "WITH RECURSIVE docs AS (SELECT doc_id,"
         " CASE WHEN doc_id % 53 IN (1, 2) THEN"
