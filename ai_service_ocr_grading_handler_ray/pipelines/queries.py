@@ -654,6 +654,31 @@ _Q140_NAMES = ("train", "val", "test")
 _Q141_MIN_DF = 2
 _Q141_MAXDF_FRAC = 0.8
 
+_Q142_WINDOW = 2
+_Q142_MIN_COUNT = 5
+
+
+def q142_pmi_collocations(sf_dir: str) -> pd.DataFrame:
+    """Windowed co-occurrence + PMI (stages/cooccur.py): ordered pairs
+    (a, b) with b within 2 positions after a in the same doc, scored
+    ``ln((n_ab/N_pairs) / ((n_a/N_tok)(n_b/N_tok)))`` — the
+    phrase-mining / word2vec-prep collocation statistic.  Scale shape:
+    per-batch factorize + shifted-mask pair extraction with an in-task
+    np.unique combiner (corpus windows reduce to pair TYPES before the
+    shuffle), ONE hash(a) pair shuffle, vocab broadcast via ray.put with
+    the LM scorer's sorted probe, totals folded from one-row partials.
+    The oracle is GENERATED by the stage's own pmi_sql
+    (single-generator policy) — identical tokenizer, empty-drop +
+    renumber, window join and division/ln ordering."""
+    from ..stages.cooccur import pmi_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_pairs(
+        ds, window=_Q142_WINDOW, min_count=_Q142_MIN_COUNT
+    ).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return _finalize(out, {"pmi": 4})
+
 
 def q141_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Distributed inverted-index build (stages/inverted.py): term →
@@ -3537,6 +3562,7 @@ QUERIES = {
     #     tests/test_oracle_parity.py every session.
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
+    "q142_pmi_collocations": q142_pmi_collocations,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -3746,8 +3772,12 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 
 from ..stages.sampling import disjoint_split_sql as _split_sql
 from ..stages.inverted import inverted_index_sql as _inv_sql
+from ..stages.cooccur import pmi_sql as _pmi_sql
 
 ORACLE_SQL = {
+    "q142_pmi_collocations": _pmi_sql(
+        window=_Q142_WINDOW, min_count=_Q142_MIN_COUNT
+    ),
     "q141_inverted_index": _inv_sql(
         min_df=_Q141_MIN_DF,
         max_df=f"floor({_Q141_MAXDF_FRAC} * (SELECT count(*) FROM documents))",
