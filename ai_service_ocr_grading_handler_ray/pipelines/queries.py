@@ -658,6 +658,50 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+def q143_host_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly-connected components of a host graph via the distributed
+    min-label propagation that finishes every near-dup clustering
+    (dedup.propagate_min_labels_ds) — here under a DIRECT SQL oracle for
+    the first time: a recursive reachability CTE over the symmetrized
+    edges computes min-reachable-node per node, which equals the
+    propagation fixpoint.  The deterministic graph is 12 chain components
+    of 10 hosts (diameter 9 — a genuinely multi-round propagation that
+    still keeps the driver battery fast, and the string-id rank-encode path
+    added in round 4: component = LEXICOGRAPHIC min host).  Scale shape:
+    per-round one salted cogroup + one salted grouped min, labels stay
+    Datasets; the driver holds only the (deduped) edge list, the
+    documented cluster_assignments contract."""
+    from ..stages.collect import collect_table
+    from ..stages.dedup import propagate_min_labels_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    hosts = np.array([f"c{i:03d}.example.org" for i in range(120)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = d % 120
+        keep = i % 10 != 9  # chains never cross the 10-host blocks
+        a = i[keep]
+        return pa.table(
+            {
+                "a": pa.array(hosts[a], type=pa.string()),
+                "b": pa.array(hosts[a + 1], type=pa.string()),
+            }
+        )
+
+    edge_tbl = (
+        collect_table(ds.map_batches(edges, batch_format="pyarrow"))
+        .to_pandas()
+        .drop_duplicates()
+    )
+    out = (
+        propagate_min_labels_ds(pa.Table.from_pandas(edge_tbl))
+        .to_pandas()
+        .rename(columns={"id": "host", "label": "component"})
+    )
+    return out.sort_values("host").reset_index(drop=True)[["host", "component"]]
+
+
 def q142_pmi_collocations(sf_dir: str) -> pd.DataFrame:
     """Windowed co-occurrence + PMI (stages/cooccur.py): ordered pairs
     (a, b) with b within 2 positions after a in the same doc, scored
@@ -3563,6 +3607,7 @@ QUERIES = {
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
+    "q143_host_components": q143_host_components,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -3778,6 +3823,22 @@ ORACLE_SQL = {
     "q142_pmi_collocations": _pmi_sql(
         window=_Q142_WINDOW, min_count=_Q142_MIN_COUNT
     ),
+    "q143_host_components": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT
+                 printf('c%03d.example.org', CAST(doc_id % 120 AS INT)) AS src,
+                 printf('c%03d.example.org', CAST(doc_id % 120 + 1 AS INT)) AS dst
+          FROM documents WHERE (doc_id % 120) % 10 <> 9
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          SELECT node, node AS lbl FROM nodes
+          UNION
+          SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT node AS host, min(lbl) AS component FROM reach GROUP BY node
+    """,
     "q141_inverted_index": _inv_sql(
         min_df=_Q141_MIN_DF,
         max_df=f"floor({_Q141_MAXDF_FRAC} * (SELECT count(*) FROM documents))",
