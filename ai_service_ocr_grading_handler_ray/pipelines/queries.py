@@ -658,6 +658,26 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+def q144_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """DEFLATE compression-ratio junk signal
+    (text_analysis.add_compression_ratio): zlib_bytes / utf8_bytes per
+    document — the long-range repetitiveness axis entropy (q139) cannot
+    see (LZ77 matches repeated STRUCTURE at any ≤32 KiB offset, entropy
+    only the codepoint distribution).  One shuffle-free scan, one C call
+    per row.  Rows-only: DuckDB has no deflate; kernel semantics pinned
+    by tests/test_text_analysis.py (range, monotonicity on repetitive vs
+    high-entropy text, empty-text zero)."""
+    from ..stages.text_analysis import add_compression_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(add_compression_ratio, batch_format="pyarrow")
+        .drop_columns(["text"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q143_host_components(sf_dir: str) -> pd.DataFrame:
     """Weakly-connected components of a host graph via the distributed
     min-label propagation that finishes every near-dup clustering
@@ -3608,6 +3628,7 @@ QUERIES = {
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
     "q143_host_components": q143_host_components,
+    "q144_compression_ratio": q144_compression_ratio,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,

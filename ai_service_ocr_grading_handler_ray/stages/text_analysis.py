@@ -199,6 +199,44 @@ def add_char_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def add_compression_ratio(
+    batch: pa.Table, text_col: str = "text", level: int = 6
+) -> pa.Table:
+    """DEFLATE compression ratio per document: ``zlib_bytes / n_bytes``
+    over the utf-8 encoding — the long-range repetitiveness signal
+    (template farms, keyboard mash, crawler loops compress far below
+    prose; binary garble compresses above it).  Complements
+    ``add_char_entropy``: entropy sees only the codepoint DISTRIBUTION,
+    the LZ77 window sees REPEATED STRUCTURE at any offset ≤ 32 KiB, so a
+    page of shuffled boilerplate sentences scores normal entropy but
+    very low ratio.  Used by Gopher/RefinedWeb-style quality cascades.
+
+    One shuffle-free scan; per-row work is a single C call into zlib
+    (the same per-row-C-call budget as the md5 split rule).  Not
+    SQL-expressible (DuckDB has no deflate) — rows-only driver entry;
+    semantics pinned by tests/test_text_analysis.py range and
+    monotonicity checks.  Empty text → ratio 0.0 (nothing to judge)."""
+    import zlib
+
+    texts = batch[text_col].to_pylist()
+    raw = [(t or "").encode("utf-8") for t in texts]
+    n = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    z = np.fromiter(
+        (len(zlib.compress(b, level)) if b else 0 for b in raw),
+        dtype=np.int64,
+        count=len(raw),
+    )
+    ratio = np.divide(z, n, out=np.zeros(len(raw)), where=n > 0)
+    out = batch
+    for name, arr in (
+        ("n_bytes", pa.array(n)),
+        ("zlib_bytes", pa.array(z)),
+        ("compression_ratio", pa.array(ratio)),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
 # --- unigram LM scoring (CCNet-style perplexity proxy) ----------------------
 
 # The LM vocabulary broadcasts to every scoring task: words, not

@@ -166,3 +166,33 @@ def test_char_entropy_known_values():
     assert ent[5] == 1.0               # emoji counted as ONE codepoint each
     assert out["n_chars_exact"].to_pylist() == [4, 4, 4, 0, 3, 4]
     assert out["n_unique_chars"].to_pylist() == [2, 4, 1, 0, 2, 2]
+
+
+def test_compression_ratio_signal():
+    """Repetitive text compresses far below prose; high-entropy garble
+    stays near (or above) 1; empty text yields 0; ratio = z/n exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        add_compression_ratio,
+    )
+
+    rng = np.random.default_rng(3)
+    garble = "".join(chr(c) for c in rng.integers(0x4E00, 0x9FFF, size=400))
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "distinct words arrive in varied order across this sentence "
+    ) * 4
+    texts = ["spam " * 200, prose, garble, "", "x"]
+    out = add_compression_ratio(pa.table({"text": pa.array(texts)}))
+    r = out["compression_ratio"].to_pylist()
+    n = out["n_bytes"].to_pylist()
+    z = out["zlib_bytes"].to_pylist()
+    assert n[0] == 1000 and r[0] < 0.05          # pure repetition
+    assert r[0] < r[1] < r[2]                    # repetitive < prose < garble
+    assert r[2] > 0.7                            # garble ~incompressible
+    assert r[3] == 0.0 and n[3] == 0 and z[3] == 0
+    assert all(abs(ri - zi / ni) < 1e-12 for ri, zi, ni in zip(r[:3], z[:3], n[:3]))
+    # utf-8 byte length, not codepoint count, is the denominator
+    assert n[2] == len(garble.encode("utf-8")) and n[2] > 400
