@@ -679,14 +679,15 @@ def q144_compression_ratio(sf_dir: str) -> pd.DataFrame:
 
 
 def q143_host_components(sf_dir: str) -> pd.DataFrame:
-    """Weakly-connected components of a host graph via the distributed
-    min-label propagation that finishes every near-dup clustering
-    (dedup.propagate_min_labels_ds) — here under a DIRECT SQL oracle for
-    the first time: a recursive reachability CTE over the symmetrized
-    edges computes min-reachable-node per node, which equals the
-    propagation fixpoint.  The deterministic graph is 12 chain components
-    of 10 hosts (diameter 9 — a genuinely multi-round propagation that
-    still keeps the driver battery fast, and the string-id rank-encode path
+    """Weakly-connected components over STRING (host) node ids — the
+    oracle check for round 4's rank-encode path in
+    dedup.propagate_min_labels_ds (q128 pins the integer-id path; url/
+    host-keyed corpora hit THIS branch, where the fixpoint label must
+    decode to the LEXICOGRAPHIC-min member).  The recursive reachability
+    CTE computes min-reachable-node per node over the symmetrized edges,
+    which equals the propagation fixpoint.  The deterministic graph is
+    12 chain components of 10 hosts (diameter 9 — a genuinely multi-round
+    propagation, deeper than q128's ≤7, and the string-id rank-encode path
     added in round 4: component = LEXICOGRAPHIC min host).  Scale shape:
     per-round one salted cogroup + one salted grouped min, labels stay
     Datasets; the driver holds only the (deduped) edge list, the
@@ -745,17 +746,20 @@ def q142_pmi_collocations(sf_dir: str) -> pd.DataFrame:
 
 
 def q141_inverted_index(sf_dir: str) -> pd.DataFrame:
-    """Distributed inverted-index build (stages/inverted.py): term →
+    """FULL-postings inverted-index build (stages/inverted.py): term →
     (df, ascending comma-joined posting list), df-bounded both ways the
-    way real indexers prune (min_df hapaxes, max_df stopwords).  Scale
-    shape: map side emits only DISTINCT (term, doc) pairs (factorize +
-    packed-key np.unique — the index's own content is all that enters
-    the shuffle), a vocab-sized df pre-count broadcasts the
-    above-threshold term set so a stopword's corpus-sized posting group
-    NEVER materializes in one task, then ONE term-hash groupby emits
-    postings.  max_df is corpus-relative (floor(0.8·N)) with the SAME
-    fraction and IEEE floor on both sides; the oracle is GENERATED by
-    the stage's own inverted_index_sql (single-generator policy)."""
+    way real indexers prune (min_df hapaxes, max_df stopwords).  q75
+    builds the truncated (first-10) postings variant with an in-group
+    df prune; what THIS entry adds is the part that fails at corpus
+    scale there: emitting COMPLETE posting lists safely, via a
+    vocab-sized df pre-count whose above-threshold term set broadcasts
+    and drops stopword pairs BEFORE the posting groupby — so a
+    stopword's corpus-sized posting group NEVER materializes in one
+    task.  Map side emits only DISTINCT (term, doc) pairs (factorize +
+    packed-key np.unique); ONE term-hash groupby emits postings.
+    max_df is corpus-relative (floor(0.8·N)) with the SAME fraction and
+    IEEE floor on both sides; the oracle is GENERATED by the stage's
+    own inverted_index_sql (single-generator policy)."""
     from ..stages.inverted import inverted_index
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
