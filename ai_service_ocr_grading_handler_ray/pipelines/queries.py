@@ -658,6 +658,53 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+def q145_script_mix(sf_dir: str) -> pd.DataFrame:
+    """Unicode script-mix detection (text_analysis.add_script_mix):
+    per-script codepoint counts, dominant writing system and latin
+    fraction per document — the script-based filtering axis multilingual
+    curation runs BEFORE language ID (q35's trigram heuristic assumes an
+    alphabetic script; CJK/Arabic pages must route to different
+    pipelines).  One shuffle-free scan; the kernel classifies the
+    batch's utf-32 tape with one searchsorted over the range bounds and
+    one bincount fold.  To exercise every class, docs are
+    deterministically augmented with a non-Latin payload by doc_id % 6
+    (the SAME chr() arithmetic the oracle rebuilds with printf-free
+    chr(); the oracle itself is GENERATED by script_mix_sql from the
+    SAME range table — single-generator policy)."""
+    from ..stages.text_analysis import add_script_mix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        out = []
+        for dd, tx in zip(d, texts):
+            k = dd % 6
+            if k == 1:
+                extra = "".join(chr(0x400 + (dd + j) % 0x60) for j in range(40))
+            elif k == 2:
+                extra = "".join(chr(0x4E00 + (dd + j) % 0x100) for j in range(60))
+            elif k == 3:
+                extra = "".join(chr(0x600 + (dd + j) % 0x60) for j in range(40))
+            elif k == 4:
+                extra = str(dd) * 30
+            else:
+                extra = ""
+            out.append((tx or "") + " " + extra)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, type=pa.string())}
+        )
+
+    out = (
+        ds.map_batches(augment, batch_format="pyarrow")
+        .map_batches(add_script_mix, batch_format="pyarrow")
+        .drop_columns(["text"])
+        .to_pandas()
+    )
+    return _finalize(out.sort_values("doc_id"), {"latin_frac": 4})
+
+
 def q144_compression_ratio(sf_dir: str) -> pd.DataFrame:
     """DEFLATE compression-ratio junk signal
     (text_analysis.add_compression_ratio): zlib_bytes / utf8_bytes per
@@ -3633,6 +3680,7 @@ QUERIES = {
     "q142_pmi_collocations": q142_pmi_collocations,
     "q143_host_components": q143_host_components,
     "q144_compression_ratio": q144_compression_ratio,
+    "q145_script_mix": q145_script_mix,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -3843,8 +3891,24 @@ from ..stages.sampling import weighted_sample_sql as _ws_sql
 from ..stages.sampling import disjoint_split_sql as _split_sql
 from ..stages.inverted import inverted_index_sql as _inv_sql
 from ..stages.cooccur import pmi_sql as _pmi_sql
+from ..stages.text_analysis import script_mix_sql as _script_sql
+
+_Q145_AUG = """aug AS (
+  SELECT doc_id, text || ' ' || CASE doc_id % 6
+    WHEN 1 THEN (SELECT string_agg(chr(CAST(1024 + (doc_id + r.i) % 96 AS INT)),
+                                   '' ORDER BY r.i) FROM range(40) r(i))
+    WHEN 2 THEN (SELECT string_agg(chr(CAST(19968 + (doc_id + r.i) % 256 AS INT)),
+                                   '' ORDER BY r.i) FROM range(60) r(i))
+    WHEN 3 THEN (SELECT string_agg(chr(CAST(1536 + (doc_id + r.i) % 96 AS INT)),
+                                   '' ORDER BY r.i) FROM range(40) r(i))
+    WHEN 4 THEN repeat(CAST(doc_id AS VARCHAR), 30)
+    ELSE '' END AS text
+  FROM documents
+)"""
 
 ORACLE_SQL = {
+    "q145_script_mix": "WITH " + _Q145_AUG + "\n"
+    + _script_sql(table="aug").lstrip().replace("WITH chars", ", chars", 1),
     "q142_pmi_collocations": _pmi_sql(
         window=_Q142_WINDOW, min_count=_Q142_MIN_COUNT
     ),

@@ -237,7 +237,141 @@ def add_compression_ratio(
     return out
 
 
-# --- unigram LM scoring (CCNet-style perplexity proxy) ----------------------
+# --- Unicode script mix ------------------------------------------------------
+
+# Codepoint ranges per script class (inclusive), priority order below.
+# Deliberately coarse — curation needs "which writing system dominates",
+# not full UAX#24; ranges must stay SQL-CASE replayable (script_mix_sql
+# generates the oracle from THIS table — single-generator policy).
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "greek": ((0x370, 0x3FF),),
+    "arabic": ((0x600, 0x6FF),),
+    "cjk": ((0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7AF)),
+    "digit": ((0x30, 0x39),),
+}
+SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk", "digit", "other")
+_WS_CODEPOINTS = (9, 10, 11, 12, 13, 32)
+
+
+def _script_bounds() -> tuple[np.ndarray, np.ndarray]:
+    rows = [
+        (a, b, ci)
+        for ci, name in enumerate(SCRIPT_ORDER[:-1])
+        for (a, b) in SCRIPT_RANGES[name]
+    ]
+    rows.sort()
+    bounds = np.array([x for a, b, _ in rows for x in (a, b + 1)], dtype=np.int64)
+    cls = np.array([c for _, _, c in rows], dtype=np.int64)
+    return bounds, cls
+
+
+def add_script_mix(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Writing-system mix per document: per-script codepoint counts
+    (latin/cyrillic/greek/arabic/cjk/digit/other, whitespace excluded),
+    the dominant script (first-max in SCRIPT_ORDER — the same tie-break
+    the SQL CASE replays) and the latin fraction — the script-based
+    filtering axis multilingual corpus curation runs before language ID
+    (q35's trigram heuristic assumes an alphabetic script).
+
+    One shuffle-free scan; the kernel classifies the batch's utf-32
+    tape with ONE ``np.searchsorted`` over the flattened range bounds
+    and folds per-(doc, class) counts with one bincount.  Empty /
+    all-whitespace docs → dominant 'none', latin_frac 0.0."""
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    n = len(texts)
+    c = len(SCRIPT_ORDER)
+    counts = np.zeros((n, c), dtype=np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    if n and int(lens.sum()):
+        tape = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = ~np.isin(tape, _WS_CODEPOINTS)
+        tape, doc = tape[keep], doc[keep]
+        bounds, cls = _script_bounds()
+        idx = np.searchsorted(bounds, tape, side="right")
+        inside = idx % 2 == 1
+        klass = np.full(len(tape), c - 1, dtype=np.int64)  # other
+        klass[inside] = cls[idx[inside] // 2]
+        counts = np.bincount(doc * c + klass, minlength=n * c).reshape(n, c)
+    tot = counts.sum(axis=1)
+    dominant = np.asarray(SCRIPT_ORDER, dtype=object)[np.argmax(counts, axis=1)]
+    dominant[tot == 0] = "none"
+    latin_frac = np.divide(
+        counts[:, 0], tot, out=np.zeros(n, dtype=np.float64), where=tot > 0
+    )
+    out = batch
+    for ci, name in enumerate(SCRIPT_ORDER):
+        out = out.append_column(f"n_{name}", pa.array(counts[:, ci]))
+    out = out.append_column("dominant_script", pa.array(dominant, type=pa.string()))
+    return out.append_column("latin_frac", pa.array(latin_frac))
+
+
+def script_mix_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of :func:`add_script_mix`, generated from
+    SCRIPT_RANGES / SCRIPT_ORDER (single-generator policy): identical
+    ranges, identical whitespace set, identical first-max dominance
+    tie-break (the CASE tests classes in SCRIPT_ORDER)."""
+    def in_ranges(name: str) -> str:
+        return " OR ".join(
+            f"u BETWEEN {a} AND {b}" for a, b in SCRIPT_RANGES[name]
+        )
+
+    klass = "CASE"
+    for name in SCRIPT_ORDER[:-1]:
+        klass += f" WHEN {in_ranges(name)} THEN '{name}'"
+    klass += " ELSE 'other' END"
+    counts = ",\n".join(
+        f"          CAST(count(*) FILTER (k = '{name}') AS BIGINT)"
+        f" AS n_{name}"
+        for name in SCRIPT_ORDER
+    )
+    dom = "CASE"
+    for name in SCRIPT_ORDER:
+        others = [o for o in SCRIPT_ORDER if o != name]
+        geq = " AND ".join(f"n_{name} >= n_{o}" for o in others)
+        dom += f" WHEN {geq} THEN '{name}'"
+        # first-max: later classes must be strictly greater to win, which
+        # the ORDER of these WHEN arms encodes exactly like np.argmax
+    dom += " END"
+    ws = ", ".join(str(w) for w in _WS_CODEPOINTS)
+    return f"""
+        WITH chars AS (
+          SELECT {id_col},
+                 unicode(unnest(regexp_extract_all({text_col}, '[\\s\\S]')))
+                   AS u
+          FROM {table}
+        ),
+        klassed AS (
+          SELECT {id_col}, {klass} AS k FROM chars WHERE u NOT IN ({ws})
+        ),
+        counts AS (
+          SELECT {id_col},
+{counts}
+          FROM klassed GROUP BY {id_col}
+        ),
+        withdom AS (
+          SELECT *,
+                 {" + ".join("n_" + s for s in SCRIPT_ORDER)} AS tot
+          FROM counts
+        )
+        SELECT d.{id_col},
+               {", ".join(f"COALESCE(w.n_{s}, 0) AS n_{s}" for s in SCRIPT_ORDER)},
+               CASE WHEN w.tot IS NULL OR w.tot = 0 THEN 'none'
+                    ELSE {dom} END AS dominant_script,
+               round(COALESCE(w.n_latin / CAST(w.tot AS DOUBLE), 0), {round_to})
+                 AS latin_frac
+        FROM {table} d LEFT JOIN withdom w USING ({id_col})
+    """
 
 # The LM vocabulary broadcasts to every scoring task: words, not
 # documents — a 10M-type web vocabulary is ~300 MB of hashes+logprobs,
@@ -259,6 +393,9 @@ def batch_words(texts: list) -> tuple[np.ndarray, np.ndarray]:
     lens = np.array([(t or "").count(" ") + 1 for t in texts], dtype=np.int64)
     words = np.array(" ".join(t or "" for t in texts).split(" "), dtype=object)
     return words, lens
+
+
+# --- unigram LM scoring (CCNet-style perplexity proxy) ----------------------
 
 
 def unigram_counts(

@@ -196,3 +196,40 @@ def test_compression_ratio_signal():
     assert all(abs(ri - zi / ni) < 1e-12 for ri, zi, ni in zip(r[:3], z[:3], n[:3]))
     # utf-8 byte length, not codepoint count, is the denominator
     assert n[2] == len(garble.encode("utf-8")) and n[2] > 400
+
+
+def test_script_mix_classification():
+    """add_script_mix on hand-built multi-script docs: counts, dominance
+    tie-break (first-max in SCRIPT_ORDER), whitespace exclusion,
+    empty/none handling, astral chars as 'other'."""
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        add_script_mix,
+    )
+
+    texts = [
+        "abc XYZ",              # latin only
+        "при вет",              # cyrillic
+        "汉字漢字 かな ハン",      # cjk (han + kana)
+        "abc абв",              # 3 latin vs 3 cyrillic → tie → latin (order)
+        "  \t\n ",              # whitespace only → none
+        "",                     # empty → none
+        "123 456",              # digits
+        "\U0001f600\U0001f600x",  # emoji = other, 1 latin → other wins (2>1)
+        "mixed نص عربي text",   # arabic + latin
+    ]
+    out = add_script_mix(pa.table({"text": pa.array(texts, type=pa.string())}))
+    dom = out["dominant_script"].to_pylist()
+    assert dom == [
+        "latin", "cyrillic", "cjk", "latin", "none", "none", "digit",
+        "other", "latin",
+    ]
+    assert out["n_latin"].to_pylist()[0] == 6
+    assert out["n_cyrillic"].to_pylist()[1] == 6
+    assert out["n_other"].to_pylist()[7] == 2
+    lf = out["latin_frac"].to_pylist()
+    assert lf[0] == 1.0 and lf[4] == 0.0 and abs(lf[3] - 0.5) < 1e-12
+    # arabic + latin doc: 'mixedtext' = 9 latin, 'نصعربي' = 6 arabic
+    assert out["n_arabic"].to_pylist()[8] == 6
+    assert abs(lf[8] - 9 / 15) < 1e-12
