@@ -658,6 +658,79 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+_Q146_K = 5
+_Q146_DECAY_DAYS = 30.0
+_EPOCH_2024_US = 1_704_067_200_000_000  # synth.warc_ts convention
+
+
+def q146_crawl_frontier(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier prioritization — the composed WEB-CRAWL capstone
+    (pipelines/crawl.py): CDX keep-latest per url → host PageRank over
+    the crawl's own link events → priority = pagerank8 × freshness8
+    (exp decay over warc_ts age) → per-host politeness top-5 with a
+    partial-top-k combiner (a giant host's candidates never gather in
+    one task).  Unlike the component entries (q118/q129/q109) this runs
+    the WHOLE composition under ONE oracle: the SQL replays the url
+    CASE rebuild, the keep-latest groupby, the SAME edge CTE through
+    graph.pagerank_sql, the identical round-before-rank formula
+    (crawl.frontier_priority_sql — single-generator) and the
+    (priority DESC, url) window.  Urls/hosts/ts follow the
+    page-synthesis convention (synth.url_for_doc / warc_ts =
+    epoch + doc_id s); link events: every doc links its host to a
+    rotated source host, every 7th to the big hub."""
+    from ..pipelines.crawl import crawl_frontier
+    from ..stages.skew import hosts_of_urls
+    from ..synth import url_for_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    n = ds.count()
+
+    def pages(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [
+            url_for_doc(dd, s, lg)
+            for dd, s, lg in zip(
+                d, t["source"].to_pylist(), t["lang"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "ts_us": pa.array(_EPOCH_2024_US + d * 1_000_000),
+            }
+        )
+
+    def links(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = t["source"].to_pylist()
+        urls = [
+            url_for_doc(dd, s, lg)
+            for dd, s, lg in zip(d, srcs, t["lang"].to_pylist())
+        ]
+        src_hosts = hosts_of_urls(pa.array(urls, type=pa.string()))
+        dst = [
+            "big.example.com"
+            if dd % 7 == 0
+            else f"src{(int(s[3:]) + 3) % 20}.example.org"
+            for dd, s in zip(d, srcs)
+        ]
+        return pa.table(
+            {"src": src_hosts, "dst": pa.array(dst, type=pa.string())}
+        )
+
+    out = crawl_frontier(
+        ds.map_batches(pages, batch_format="pyarrow"),
+        ds.map_batches(links, batch_format="pyarrow"),
+        ref_us=_EPOCH_2024_US + n * 1_000_000,
+        decay_days=_Q146_DECAY_DAYS,
+        k=_Q146_K,
+    ).to_pandas()
+    return _finalize(
+        out.sort_values(["host", "host_rank"]).reset_index(drop=True),
+        {"priority": 8},
+    )
+
+
 def q145_script_mix(sf_dir: str) -> pd.DataFrame:
     """Unicode script-mix detection (text_analysis.add_script_mix):
     per-script codepoint counts, dominant writing system and latin
@@ -3681,6 +3754,7 @@ QUERIES = {
     "q143_host_components": q143_host_components,
     "q144_compression_ratio": q144_compression_ratio,
     "q145_script_mix": q145_script_mix,
+    "q146_crawl_frontier": q146_crawl_frontier,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -3893,6 +3967,37 @@ from ..stages.inverted import inverted_index_sql as _inv_sql
 from ..stages.cooccur import pmi_sql as _pmi_sql
 from ..stages.text_analysis import script_mix_sql as _script_sql
 
+# synth.url_for_doc as a SQL CASE — shared by every oracle that rebuilds
+# page urls (q140 split, q146 frontier), so the rebuild cannot desync
+_URL_CASE = (
+    "CASE WHEN doc_id % 53 IN (1, 2) THEN"
+    "   'https://dup.example.com/' || lang || '/page-' ||"
+    "   CAST(doc_id // 53 AS VARCHAR)"
+    " WHEN doc_id % 5 = 0 THEN"
+    "   'https://big.example.com/' || source || '/' || lang ||"
+    "   '/doc-' || CAST(doc_id AS VARCHAR)"
+    " ELSE 'https://' || source || '.example.org/' || lang ||"
+    "   '/doc-' || CAST(doc_id AS VARCHAR) END"
+)
+
+_Q146_URLS = (
+    f"docs AS (SELECT doc_id, source, lang, {_URL_CASE} AS url"
+    " FROM documents),\n"
+    "hosts AS (SELECT doc_id, url,"
+    " regexp_extract(url, '^[^/]*//([^/?#]*)', 1) AS host FROM docs)"
+)
+
+_Q146_EDGES = (
+    _Q146_URLS + ",\n"
+    "e0 AS (SELECT h.host AS s,"
+    " CASE WHEN h.doc_id % 7 = 0 THEN 'big.example.com'"
+    " ELSE 'src' || CAST((CAST(substr(d.source, 4) AS INT) + 3) % 20"
+    " AS VARCHAR) || '.example.org' END AS t"
+    " FROM hosts h JOIN docs d USING (doc_id)),\n"
+    "e AS (SELECT s AS src, t AS dst, CAST(count(*) AS DOUBLE) AS w"
+    " FROM e0 WHERE s <> t GROUP BY 1, 2)"
+)
+
 _Q145_AUG = """aug AS (
   SELECT doc_id, text || ' ' || CASE doc_id % 6
     WHEN 1 THEN (SELECT string_agg(chr(CAST(1024 + (doc_id + r.i) % 96 AS INT)),
@@ -3906,7 +4011,35 @@ _Q145_AUG = """aug AS (
   FROM documents
 )"""
 
+from ..pipelines.crawl import frontier_priority_sql as _prio_sql
+
+_Q146_PRIO = _prio_sql(
+    ts_diff_us="((SELECT count(*) FROM documents) - k.doc_id) * 1000000",
+    pagerank_col="pr.pagerank",
+    decay_days=_Q146_DECAY_DAYS,
+)
+
 ORACLE_SQL = {
+    "q146_crawl_frontier": f"""
+        WITH {_Q146_URLS},
+        kept AS (
+          SELECT url, min(host) AS host, max(doc_id) AS doc_id
+          FROM hosts GROUP BY url
+        ),
+        scored AS (
+          SELECT k.url, k.host, {_Q146_PRIO} AS priority
+          FROM kept k
+          JOIN ({_pr_sql(_Q146_EDGES, damping=0.85, n_iter=3,
+                         node_alias="host")}) pr USING (host)
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER
+            (PARTITION BY host ORDER BY priority DESC, url) AS rn
+          FROM scored
+        )
+        SELECT url, host, priority, CAST(rn AS BIGINT) AS host_rank
+        FROM ranked WHERE rn <= {_Q146_K}
+    """,
     "q145_script_mix": "WITH " + _Q145_AUG + "\n"
     + _script_sql(table="aug").lstrip().replace("WITH chars", ", chars", 1),
     "q142_pmi_collocations": _pmi_sql(
@@ -3933,15 +4066,7 @@ ORACLE_SQL = {
         max_df=f"floor({_Q141_MAXDF_FRAC} * (SELECT count(*) FROM documents))",
     ),
     "q140_host_disjoint_split": (
-        "WITH RECURSIVE docs AS (SELECT doc_id,"
-        " CASE WHEN doc_id % 53 IN (1, 2) THEN"
-        "   'https://dup.example.com/' || lang || '/page-' ||"
-        "   CAST(doc_id // 53 AS VARCHAR)"
-        " WHEN doc_id % 5 = 0 THEN"
-        "   'https://big.example.com/' || source || '/' || lang ||"
-        "   '/doc-' || CAST(doc_id AS VARCHAR)"
-        " ELSE 'https://' || source || '.example.org/' || lang ||"
-        "   '/doc-' || CAST(doc_id AS VARCHAR) END AS url"
+        f"WITH RECURSIVE docs AS (SELECT doc_id, {_URL_CASE} AS url"
         " FROM documents),\n"
         "hosts AS (SELECT doc_id,"
         " regexp_extract(url, '^[^/]*//([^/?#]*)', 1) AS host FROM docs),\n"

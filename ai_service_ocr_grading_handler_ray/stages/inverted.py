@@ -118,15 +118,15 @@ def inverted_index(
         )
         hot = set(hot_tbl["term"].to_pylist()) if hot_tbl.num_rows else set()
         if hot:
-            hot_ref = ray.put(hot)
+            import pyarrow.compute as pc
+
+            hot_ref = ray.put(pa.array(sorted(hot), type=pa.string()))
 
             def drop_hot(t: pa.Table) -> pa.Table:
                 h = ray.get(hot_ref)
-                terms = t["term"].to_numpy(zero_copy_only=False)
-                keep = np.fromiter(
-                    (x not in h for x in terms), dtype=bool, count=len(terms)
+                return t.filter(
+                    pc.invert(pc.is_in(t["term"], value_set=h))
                 )
-                return t.filter(pa.array(keep))
 
             pairs = pairs.map_batches(drop_hot, batch_format="pyarrow")
 
