@@ -658,6 +658,72 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+def q147_registrable_domains(sf_dir: str) -> pd.DataFrame:
+    """Registrable-domain (eTLD+1) rollup (stages/domains.py): hosts
+    collapse to their owner domain under the PSL-lite rule (last 3
+    labels for listed two-level suffixes like co.uk/com.au, else last
+    2, else the host itself) — the grouping key dedup scopes,
+    politeness budgets and leakage-safe splits should actually use
+    (q140 splits by host; same-owner subdomains belong together).  One
+    shuffle-free domain scan + a per-batch (domain, host) combiner +
+    one domain groupby.  Hosts are the url-convention hosts augmented
+    deterministically with multi-label co.uk / com.au / dotless cases
+    so every rule branch is exercised; the oracle CASE is GENERATED
+    from the SAME suffix table (registrable_domain_sql,
+    single-generator policy)."""
+    from ..stages.domains import add_registrable_domain
+    from ..stages.skew import hosts_of_urls
+    from ..synth import url_for_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def hostify(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [
+            url_for_doc(dd, s, lg)
+            for dd, s, lg in zip(
+                d, t["source"].to_pylist(), t["lang"].to_pylist()
+            )
+        ]
+        base = hosts_of_urls(pa.array(urls, type=pa.string())).to_pylist()
+        hosts = [
+            f"shop{dd % 3}.megacorp{dd % 5}.co.uk"
+            if dd % 9 == 0
+            else f"a.b.site{dd % 4}.com.au"
+            if dd % 9 == 1
+            else "intranet-host"
+            if dd % 9 == 2
+            else h
+            for dd, h in zip(d, base)
+        ]
+        return pa.table({"host": pa.array(hosts, type=pa.string())})
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        r = df.groupby(["domain", "host"], sort=False).size().reset_index(name="n")
+        r["n"] = r["n"].astype("int64")
+        return pa.Table.from_pandas(r, preserve_index=False)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": [g["domain"].iloc[0]],
+                "n_docs": np.array([int(g["n"].sum())], dtype=np.int64),
+                "n_hosts": np.array([g["host"].nunique()], dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(hostify, batch_format="pyarrow")
+        .map_batches(add_registrable_domain, batch_format="pyarrow")
+        .map_batches(pair_counts, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(rollup, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 _Q146_K = 5
 _Q146_DECAY_DAYS = 30.0
 _EPOCH_2024_US = 1_704_067_200_000_000  # synth.warc_ts convention
@@ -771,7 +837,7 @@ def q145_script_mix(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(augment, batch_format="pyarrow")
-        .map_batches(add_script_mix, batch_format="pyarrow")
+        .map_batches(add_script_mix, batch_format="pyarrow", batch_size=4096)
         .drop_columns(["text"])
         .to_pandas()
     )
@@ -791,7 +857,8 @@ def q144_compression_ratio(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (
-        ds.map_batches(add_compression_ratio, batch_format="pyarrow")
+        ds.map_batches(add_compression_ratio, batch_format="pyarrow",
+                       batch_size=4096)
         .drop_columns(["text"])
         .to_pandas()
     )
@@ -1908,7 +1975,7 @@ def q139_char_entropy(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (
-        ds.map_batches(add_char_entropy, batch_format="pyarrow")
+        ds.map_batches(add_char_entropy, batch_format="pyarrow", batch_size=4096)
         .drop_columns(["text"])
         .to_pandas()
     )
@@ -3755,6 +3822,7 @@ QUERIES = {
     "q144_compression_ratio": q144_compression_ratio,
     "q145_script_mix": q145_script_mix,
     "q146_crawl_frontier": q146_crawl_frontier,
+    "q147_registrable_domains": q147_registrable_domains,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -4019,7 +4087,29 @@ _Q146_PRIO = _prio_sql(
     decay_days=_Q146_DECAY_DAYS,
 )
 
+from ..stages.domains import registrable_domain_sql as _dom_sql
+
 ORACLE_SQL = {
+    "q147_registrable_domains": f"""
+        WITH docs AS (SELECT doc_id, source, lang, {_URL_CASE} AS url
+                      FROM documents),
+        h AS (
+          SELECT CASE
+            WHEN doc_id % 9 = 0 THEN
+              'shop' || CAST(doc_id % 3 AS VARCHAR) || '.megacorp' ||
+              CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+            WHEN doc_id % 9 = 1 THEN
+              'a.b.site' || CAST(doc_id % 4 AS VARCHAR) || '.com.au'
+            WHEN doc_id % 9 = 2 THEN 'intranet-host'
+            ELSE regexp_extract(url, '^[^/]*//([^/?#]*)', 1)
+          END AS host
+          FROM docs
+        ),
+        d AS (SELECT host, {_dom_sql("host")} AS domain FROM h)
+        SELECT domain, count(*) AS n_docs,
+               count(DISTINCT host) AS n_hosts
+        FROM d GROUP BY domain
+    """,
     "q146_crawl_frontier": f"""
         WITH {_Q146_URLS},
         kept AS (
