@@ -658,6 +658,23 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+def q148_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Per-vector int8 affine quantization (stages/quantize.py): the
+    FAISS-SQ8-style storage compression for the embedding battery —
+    per vector (min, max, code-sum checksum, reconstruction MSE).  One
+    shuffle-free scan; the kernel reshapes the batch's flattened
+    list<float> buffer once and runs pure float64 numpy with HALF-AWAY
+    rounding.  The oracle is GENERATED by the stage's own quantize_sql
+    from the same LEVELS constant and formula ordering
+    (single-generator policy)."""
+    from ..stages.quantize import quantize_batch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ds.map_batches(quantize_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return _finalize(out, {"v_min": 6, "v_max": 6, "mse": 8})
+
+
 def q147_registrable_domains(sf_dir: str) -> pd.DataFrame:
     """Registrable-domain (eTLD+1) rollup (stages/domains.py): hosts
     collapse to their owner domain under the PSL-lite rule (last 3
@@ -3823,6 +3840,7 @@ QUERIES = {
     "q145_script_mix": q145_script_mix,
     "q146_crawl_frontier": q146_crawl_frontier,
     "q147_registrable_domains": q147_registrable_domains,
+    "q148_quantize_embeddings": q148_quantize_embeddings,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -4088,8 +4106,10 @@ _Q146_PRIO = _prio_sql(
 )
 
 from ..stages.domains import registrable_domain_sql as _dom_sql
+from ..stages.quantize import quantize_sql as _quant_sql
 
 ORACLE_SQL = {
+    "q148_quantize_embeddings": _quant_sql(),
     "q147_registrable_domains": f"""
         WITH docs AS (SELECT doc_id, source, lang, {_URL_CASE} AS url
                       FROM documents),
