@@ -66,9 +66,13 @@ def weighted_host_edges(
 def _node_universe(
     edges_w: rd.Dataset, *, src_col: str, dst_col: str, node_limit: int
 ) -> np.ndarray:
-    """Sorted distinct node array from both endpoint columns.
-    Per-batch distinct first (sparse partials), then a small groupby;
-    the driver holds only the node universe."""
+    """Sorted distinct node array from both endpoint columns:
+    per-batch distinct partials folded INCREMENTALLY on the driver (a
+    sorted-merge per block), so driver memory stays node-sized + one
+    block's distincts and — unlike the previous groupby finish — no
+    extra all-to-all execution runs before the iterations (measured
+    ~1 s of fixed latency per pagerank/hits call, and one whole node
+    shuffle at scale)."""
 
     def partial(t: pa.Table) -> pa.Table:
         vals = pa.concat_arrays(
@@ -77,17 +81,16 @@ def _node_universe(
         )
         return pa.table({"node": vals.unique()})
 
-    uniq = (
-        edges_w.map_batches(partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="_n"))
-    )
-    tbls = [t.select(["node"]) for t in collect_tables(uniq, drop_empty=False) if t.num_rows]
-    if not tbls:
-        raise ValueError("pagerank: empty edge set")
-    nodes = np.sort(
-        pa.concat_tables(tbls)["node"].to_numpy(zero_copy_only=False)
-    )
+    nodes = np.empty(0, dtype=object)
+    for b in edges_w.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        if not b.num_rows:
+            continue
+        block = b["node"].to_pandas().to_numpy(dtype=object)
+        nodes = np.unique(np.concatenate([nodes, block]))
+        if len(nodes) > node_limit:
+            break  # fail below with the standard message
     if len(nodes) > node_limit:
         raise ValueError(
             f"pagerank node universe {len(nodes)} exceeds node_limit="

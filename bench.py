@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "q131_weighted_sample",
     "q132_host_template_removal",
     "q133_snapshot_diff",
+    "q139_char_entropy",
+    "q140_host_disjoint_split",
+    "q141_inverted_index",
+    "q142_pmi_collocations",
+    "q146_crawl_frontier",
 ]
 
 
