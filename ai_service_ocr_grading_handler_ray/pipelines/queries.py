@@ -658,6 +658,28 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+_Q149_KINDS = {
+    "event_id": "num", "ts": "ts", "user_id": "num",
+    "event_type": "other", "value": "num", "props": "other",
+}
+
+
+def q149_profile_events(sf_dir: str) -> pd.DataFrame:
+    """Table profiler (stages/profile.py) over events — the
+    Deequ-style ingestion audit: per column n / nulls / EXACT distinct
+    count / numeric bounds (timestamps as epoch µs).  ONE stat scan
+    (one-row partials per batch×column) + ONE unioned distinct shuffle
+    for every column together, values hashed to u64 BEFORE the shuffle
+    and salted 64 ways so a high-cardinality column never lands in one
+    dedup group.  The oracle is GENERATED by profile_sql from the SAME
+    column-kind table (single-generator policy)."""
+    from ..stages.profile import profile_table
+
+    ds = _read(sf_dir, "events", list(_Q149_KINDS))
+    out = profile_table(ds, list(_Q149_KINDS))
+    return _finalize(out, {"min_num": 6, "max_num": 6})
+
+
 def q148_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
     """Per-vector int8 affine quantization (stages/quantize.py): the
     FAISS-SQ8-style storage compression for the embedding battery —
@@ -3841,6 +3863,7 @@ QUERIES = {
     "q146_crawl_frontier": q146_crawl_frontier,
     "q147_registrable_domains": q147_registrable_domains,
     "q148_quantize_embeddings": q148_quantize_embeddings,
+    "q149_profile_events": q149_profile_events,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -4108,7 +4131,10 @@ _Q146_PRIO = _prio_sql(
 from ..stages.domains import registrable_domain_sql as _dom_sql
 from ..stages.quantize import quantize_sql as _quant_sql
 
+from ..stages.profile import profile_sql as _prof_sql
+
 ORACLE_SQL = {
+    "q149_profile_events": _prof_sql("events", _Q149_KINDS),
     "q148_quantize_embeddings": _quant_sql(),
     "q147_registrable_domains": f"""
         WITH docs AS (SELECT doc_id, source, lang, {_URL_CASE} AS url

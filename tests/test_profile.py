@@ -1,0 +1,72 @@
+"""Table profiler: engine vs plain-pandas reference incl. nulls,
+timestamps, all-null columns; SQL generator shape."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.profile import (
+    profile_sql,
+    profile_table,
+)
+
+
+def test_profile_table_reference(ray_session):
+    df = pd.DataFrame(
+        {
+            "i": [1, 2, 2, None, 5],
+            "s": ["a", "a", None, "b", "c"],
+            "f": [0.5, -1.25, 0.5, 0.5, None],
+            "allnull": [None] * 5,
+            "t": pd.to_datetime(
+                [1_000_000, 2_000_000, 2_000_000, None, 9_000_000], unit="us"
+            ),
+        }
+    )
+    t = pa.table(
+        {
+            "i": pa.array(df["i"], type=pa.int64()),
+            "s": pa.array(df["s"], type=pa.string()),
+            "f": pa.array(df["f"], type=pa.float64()),
+            "allnull": pa.array(df["allnull"], type=pa.string()),
+            "t": pa.array(df["t"], type=pa.timestamp("us")),
+        }
+    )
+    out = profile_table(
+        rd.from_arrow(t).repartition(3), ["i", "s", "f", "allnull", "t"]
+    ).set_index("column")
+    assert out.loc["i", "n"] == 5 and out.loc["i", "n_null"] == 1
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_num"] == 1.0 and out.loc["i", "max_num"] == 5.0
+    assert out.loc["s", "n_distinct"] == 3 and np.isnan(out.loc["s", "min_num"])
+    assert out.loc["f", "n_distinct"] == 2
+    assert out.loc["f", "min_num"] == -1.25 and out.loc["f", "max_num"] == 0.5
+    assert out.loc["allnull", "n_null"] == 5
+    assert out.loc["allnull", "n_distinct"] == 0
+    assert np.isnan(out.loc["allnull", "min_num"])
+    # timestamp bounds are epoch microseconds
+    assert out.loc["t", "min_num"] == 1_000_000.0
+    assert out.loc["t", "max_num"] == 9_000_000.0
+    assert out.loc["t", "n_distinct"] == 3
+
+
+def test_profile_layout_independent(ray_session):
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {"a": rng.integers(0, 50, size=500), "b": rng.normal(size=500)}
+    )
+    x = profile_table(rd.from_pandas(df).repartition(1), ["a", "b"])
+    y = profile_table(
+        rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(9),
+        ["a", "b"],
+    )
+    pd.testing.assert_frame_equal(x, y)
+
+
+def test_profile_sql_generator():
+    sql = profile_sql("events", {"event_id": "num", "ts": "ts", "props": "other"})
+    assert sql.count("UNION ALL") == 2
+    assert "epoch_us(min(ts))" in sql
+    assert 'AS "column"' in sql
+    assert "CAST(NULL AS DOUBLE)" in sql
