@@ -134,3 +134,76 @@ def test_crawl_frontier_layout_independent(ray_session):
 def test_frontier_priority_sql_shape():
     s = frontier_priority_sql(ts_diff_us="d", pagerank_col="p", decay_days=30.0)
     assert "86400000000.0" in s and "round(" in s and "exp(" in s
+
+
+def test_crawl_frontier_from_warc(ray_session, tmp_path):
+    """End-to-end web-crawl story: WARC archives on disk → read_warc →
+    link extraction from the archived html → crawl_frontier.  Ties the
+    source (sources/warc.py), the extractor (stages/links.py) and the
+    capstone (pipelines/crawl.py) together on real bytes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.sources.warc import (
+        pages_to_warc_bytes,
+        read_warc,
+    )
+    from ai_service_ocr_grading_handler_ray.stages.links import outlink_host_edges
+
+    ref = 40 * US_DAY
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = []
+    for i in range(12):
+        host = f"w{i % 3}.example.org"
+        url = f"https://{host}/p{i}"
+        # every page links to the hub and to the next host
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": (ref - (i % 7 + 1) * US_DAY),
+                "html": page(url, [
+                    "https://hub.example.org/",
+                    f"https://w{(i + 1) % 3}.example.org/q",
+                ]),
+            }
+        )
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "warc_ts": pa.array(
+                [r["warc_ts"] for r in rows], type=pa.timestamp("us")
+            ),
+            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        }
+    )
+    path = tmp_path / "crawl.warc.gz"
+    path.write_bytes(pages_to_warc_bytes(t))
+
+    pages = read_warc(str(path))
+
+    def to_ts(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": tb["url"],
+                "ts_us": tb["warc_ts"].cast(pa.int64()),
+            }
+        )
+
+    out = crawl_frontier(
+        pages.map_batches(to_ts, batch_format="pyarrow"),
+        outlink_host_edges(pages),
+        ref_us=ref,
+        k=3,
+    ).to_pandas()
+    # hub receives every page's link → highest pagerank, but owns no
+    # urls; the three w-hosts each cap at k=3 of their 4 urls
+    assert set(out["host"]) == {"w0.example.org", "w1.example.org", "w2.example.org"}
+    assert (out.groupby("host").size() == 3).all()
+    # fresher urls (smaller age) rank first within a host
+    for _, g in out.groupby("host"):
+        g = g.sort_values("host_rank")
+        assert g["priority"].is_monotonic_decreasing
