@@ -658,6 +658,25 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+_Q150_STEPS = ["view", "click", "purchase"]
+_Q150_WINDOW_US = 86_400_000_000  # 1 day
+
+
+def q150_funnel(sf_dir: str) -> pd.DataFrame:
+    """Funnel analysis (stages/funnel.py): users reaching
+    view → click → purchase, each step strictly after the previous and
+    within 1 day of the user's first view — the ordered-progression
+    analytic beyond q12's sessionize.  ONE user-hash shuffle; the
+    per-partition pass is fully vectorized (per step: one mask, one
+    per-user groupby-min, one mapped filter) and emits only
+    len(steps) partial rows per partition.  Oracle GENERATED by
+    funnel_sql from the SAME steps/window (single-generator policy)."""
+    from ..stages.funnel import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, _Q150_STEPS, window_us=_Q150_WINDOW_US)
+
+
 _Q149_KINDS = {
     "event_id": "num", "ts": "ts", "user_id": "num",
     "event_type": "other", "value": "num", "props": "other",
@@ -3867,6 +3886,7 @@ QUERIES = {
     "q147_registrable_domains": q147_registrable_domains,
     "q148_quantize_embeddings": q148_quantize_embeddings,
     "q149_profile_events": q149_profile_events,
+    "q150_funnel": q150_funnel,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -4135,8 +4155,10 @@ from ..stages.domains import registrable_domain_sql as _dom_sql
 from ..stages.quantize import quantize_sql as _quant_sql
 
 from ..stages.profile import profile_sql as _prof_sql
+from ..stages.funnel import funnel_sql as _funnel_sql
 
 ORACLE_SQL = {
+    "q150_funnel": _funnel_sql(_Q150_STEPS, window_us=_Q150_WINDOW_US),
     "q149_profile_events": _prof_sql("events", _Q149_KINDS),
     "q148_quantize_embeddings": _quant_sql(),
     "q147_registrable_domains": f"""
