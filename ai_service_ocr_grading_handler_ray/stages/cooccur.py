@@ -46,11 +46,22 @@ from .text_analysis import batch_words
 
 
 def pair_counts_partial(
-    t: pa.Table, *, text_col: str = "text", window: int = 2
+    t: pa.Table,
+    *,
+    text_col: str = "text",
+    window: int = 2,
+    with_unigrams: bool = False,
 ) -> pa.Table:
     """Batch kernel: windowed ordered-pair type counts (a, b, n).
     Empty tokens are dropped BEFORE pairing (positions renumber over the
-    filtered stream, matching the SQL row_number replay)."""
+    filtered stream, matching the SQL row_number replay).
+
+    ``with_unigrams`` additionally emits the batch's unigram type
+    counts as rows with ``b == ""`` — a value no real token can take
+    after the empty-drop — so PMI's unigram side rides the SAME
+    tokenize pass and the same shuffle instead of re-reading the
+    corpus (the one-pass two-output trick unigram_counts uses for
+    mask_col)."""
     texts = t[text_col].to_pylist()
     words, lens = batch_words(texts)
     empty = pa.table(
@@ -69,20 +80,29 @@ def pair_counts_partial(
         return empty
     codes, uniq = pd.factorize(w)
     v = len(uniq)
+    terms = np.asarray(uniq, dtype=object)
     keys = []
     for off in range(1, window + 1):
         if len(w) > off:
             same = d[:-off] == d[off:]
             keys.append(codes[:-off][same].astype(np.int64) * v + codes[off:][same])
-    if not keys:
+    a_parts, b_parts, n_parts = [], [], []
+    if keys:
+        uk, c = np.unique(np.concatenate(keys), return_counts=True)
+        a_parts.append(terms[uk // v])
+        b_parts.append(terms[uk % v])
+        n_parts.append(c.astype(np.int64))
+    if with_unigrams:
+        a_parts.append(terms)
+        b_parts.append(np.full(v, "", dtype=object))
+        n_parts.append(np.bincount(codes, minlength=v).astype(np.int64))
+    if not a_parts:
         return empty
-    uk, c = np.unique(np.concatenate(keys), return_counts=True)
-    terms = np.asarray(uniq, dtype=object)
     return pa.table(
         {
-            "a": pa.array(terms[uk // v], type=pa.string()),
-            "b": pa.array(terms[uk % v], type=pa.string()),
-            "n": pa.array(c.astype(np.int64)),
+            "a": pa.array(np.concatenate(a_parts), type=pa.string()),
+            "b": pa.array(np.concatenate(b_parts), type=pa.string()),
+            "n": pa.array(np.concatenate(n_parts)),
         }
     )
 
@@ -93,10 +113,12 @@ def pair_counts(
     text_col: str = "text",
     window: int = 2,
     num_parts: int = 32,
+    with_unigrams: bool = False,
 ) -> rd.Dataset:
     """Corpus-wide windowed pair counts as a Dataset of (a, b, n): the
     per-batch combiner above, then ONE hash(a) shuffle with a vectorized
-    pandas sum per partition."""
+    pandas sum per partition.  With ``with_unigrams`` the unigram type
+    counts ride along as ``b == ""`` rows (see pair_counts_partial)."""
     from .dedup import add_key_partition
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
@@ -106,7 +128,10 @@ def pair_counts(
 
     return (
         ds.map_batches(
-            lambda t: pair_counts_partial(t, text_col=text_col, window=window),
+            lambda t: pair_counts_partial(
+                t, text_col=text_col, window=window,
+                with_unigrams=with_unigrams,
+            ),
             batch_format="pyarrow",
             batch_size=16384,
         )
@@ -130,24 +155,34 @@ def pmi_pairs(
     """PMI over windowed ordered pairs: Dataset of (a, b, n, pmi) for
     pairs with ``n >= min_count``.  PMI uses the full (unfiltered) pair
     and token totals, so min_count prunes output rows without biasing
-    the probabilities."""
-    from .collect import collect_table
-    from .text_analysis import unigram_counts
+    the probabilities.  ONE tokenize pass and ONE shuffle serve both
+    sides: the unigram counts ride the pair stream as ``b == ""`` rows
+    and split off after the aggregation."""
+    import pyarrow.compute as pc
 
-    prs = pair_counts(
-        ds, text_col=text_col, window=window, num_parts=num_parts
+    from .collect import collect_table
+
+    both = pair_counts(
+        ds, text_col=text_col, window=window, num_parts=num_parts,
+        with_unigrams=True,
     ).materialize()
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t["b"], "")))
+
+    def only_unigrams(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["b"], "")).select(["a", "n"])
+
+    prs = both.map_batches(only_pairs, batch_format="pyarrow")
 
     def total_partial(t: pa.Table) -> pa.Table:
         return pa.table({"t": pa.array([int(np.sum(t["n"].to_numpy()))])})
 
     tot = collect_table(prs.map_batches(total_partial, batch_format="pyarrow"))
     np_total = float(sum(tot["t"].to_pylist()))
-    uni = collect_table(unigram_counts(ds, text_col=text_col, num_parts=num_parts))
-    toks = uni["token"].to_pandas().to_numpy(dtype=object)
+    uni = collect_table(both.map_batches(only_unigrams, batch_format="pyarrow"))
+    toks = uni["a"].to_pandas().to_numpy(dtype=object)
     cnts = uni["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    keep = toks != ""
-    toks, cnts = toks[keep], cnts[keep]
     nw_total = float(cnts.sum())
     order = np.argsort(toks, kind="stable")
     vocab_ref = ray.put((toks[order], cnts[order]))

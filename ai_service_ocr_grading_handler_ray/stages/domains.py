@@ -72,9 +72,13 @@ def registrable_domain_sql(col: str) -> str:
     two = " OR ".join(
         f"{col} LIKE '%.{suf}'" for suf in TWO_LEVEL_SUFFIXES
     )
+    # DuckDB regexp_extract returns '' (not NULL) on no match — both
+    # branches need NULLIF so the host-itself fallback actually fires
+    # (e.g. '.co.uk': empty first label fails the last-3 regex)
     return (
         f"CASE WHEN {two} THEN"
-        f" COALESCE(regexp_extract({col}, '{_LAST3}', 1), {col})"
+        f" COALESCE(NULLIF(regexp_extract({col}, '{_LAST3}', 1), ''),"
+        f" {col})"
         f" ELSE COALESCE(NULLIF(regexp_extract({col}, '{_LAST2}', 1), ''),"
         f" {col}) END"
     )

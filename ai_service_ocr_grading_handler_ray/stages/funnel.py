@@ -82,7 +82,12 @@ def funnel_counts(
         .groupby("_part")
         .map_groups(per_partition, batch_format="pandas")
     )
-    folded = collect_table(parts).to_pandas().groupby("step_idx")["n"].sum()
+    tbl = collect_table(parts).to_pandas()
+    # an empty event stream yields a schema-less empty table — the
+    # oracle returns one zero row per step, so must we
+    if "step_idx" not in tbl.columns:
+        tbl = pd.DataFrame({"step_idx": [], "n": []})
+    folded = tbl.groupby("step_idx")["n"].sum()
     return pd.DataFrame(
         {
             "step": steps,

@@ -47,7 +47,10 @@ def _is_numeric(t: pa.DataType) -> bool:
 def _as_float(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     t = col.type
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        col = col.cast(pa.int64())
+        # normalize to MICROSECONDS first — the documented bound unit and
+        # what the oracle's epoch_us replays (a timestamp[ns] column
+        # would otherwise profile nanoseconds, 1000x off)
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
     return col.cast(pa.float64()) if not pa.types.is_floating(col.type) else col
 
 
@@ -83,11 +86,22 @@ def profile_table(ds: rd.Dataset, columns: list[str]) -> pd.DataFrame:
         )
 
     def distinct_partial(t: pa.Table) -> pa.Table:
+        from .hashing import splitmix64
+
         cols, hashes = [], []
         for c in columns:
             vals = t[c].combine_chunks().unique().drop_null()
             if len(vals):
-                h = hash_u64(vals).view(np.int64)
+                if pa.types.is_floating(vals.type):
+                    # SQL-equality semantics: -0.0 == 0.0 (bit-distinct)
+                    # and all NaN payloads are ONE value — canonicalize
+                    # before hashing bits
+                    v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+                    v = v + 0.0
+                    v[np.isnan(v)] = np.nan
+                    h = splitmix64(v.view(np.uint64)).view(np.int64)
+                else:
+                    h = hash_u64(vals).view(np.int64)
                 cols.append(np.full(len(h), c, dtype=object))
                 hashes.append(h)
         if not cols:

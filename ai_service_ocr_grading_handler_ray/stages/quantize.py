@@ -61,6 +61,10 @@ def quantize_batch(
     d = int(offsets[0])
     if not (offsets == d).all():
         raise ValueError("quantize_batch: ragged embedding lists")
+    if d == 0:
+        # the SQL replay's unnest would silently emit nothing for these
+        # rows — reject loudly instead of diverging (or crashing in min)
+        raise ValueError("quantize_batch: zero-length embedding lists")
     m = flat.reshape(n, d)
     mn = m.min(axis=1)
     mx = m.max(axis=1)

@@ -51,3 +51,19 @@ def test_add_registrable_domain_column():
     t = pa.table({"host": pa.array(["a.co.uk", "b.example.org"])})
     out = add_registrable_domain(t)
     assert out["domain"].to_pylist() == ["a.co.uk", "example.org"]
+
+
+def test_registrable_domain_sql_empty_label_edge():
+    """'.co.uk' / 'a..co.uk' fail the last-3 regex with an EMPTY-string
+    extract — the SQL fallback must fire like the engine's NaN path."""
+    hosts = [".co.uk", "a..co.uk", "x.co.uk"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{h}')" for h in hosts)
+        + ") v(h)"
+    )
+    df = con.sql(f"SELECT h, {registrable_domain_sql('h')} AS d FROM t").df()
+    eng = dict(zip(hosts, registrable_domains(pa.array(hosts)).to_pylist()))
+    assert {r.h: r.d for r in df.itertuples()} == eng
+    assert eng[".co.uk"] == ".co.uk"  # fallback = host itself

@@ -105,3 +105,12 @@ def test_funnel_validates_steps(ray_session):
 def test_funnel_sql_shape():
     s = funnel_sql(["a", "b"], window_us=5)
     assert "WITH s1" in s and "UNION ALL" in s and "<= 5" in s
+
+
+def test_funnel_empty_stream(ray_session):
+    """Zero matching events → one zero row per step (the oracle shape),
+    not a KeyError."""
+    df = _events([{"user_id": 1, "ts": US, "event_type": "noise"}])
+    out = funnel_counts(rd.from_pandas(df), ["view", "click"], window_us=US)
+    assert out["n_users"].tolist() == [0, 0]
+    assert out["step"].tolist() == ["view", "click"]

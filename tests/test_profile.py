@@ -70,3 +70,29 @@ def test_profile_sql_generator():
     assert "epoch_us(min(ts))" in sql
     assert 'AS "column"' in sql
     assert "CAST(NULL AS DOUBLE)" in sql
+
+
+def test_profile_float_zero_and_nan_canonicalization(ray_session):
+    """-0.0 == 0.0 and all NaN payloads are ONE distinct value (SQL
+    COUNT(DISTINCT) semantics), and NaN is NOT conflated with 0."""
+    t = pa.table(
+        {
+            "f": pa.array(
+                [0.0, -0.0, 1.0, float("nan"), float("nan")],
+                type=pa.float64(),
+            )
+        }
+    )
+    out = profile_table(rd.from_arrow(t).repartition(2), ["f"])
+    assert out.loc[0, "n_distinct"] == 3  # {0.0, 1.0, nan}
+
+
+def test_profile_timestamp_ns_bounds_are_epoch_us(ray_session):
+    """A timestamp[ns] column must profile epoch-MICROsecond bounds
+    (the oracle's epoch_us), not native nanoseconds."""
+    t = pa.table(
+        {"t": pa.array([1_000_000_000, 5_000_000_000], type=pa.timestamp("ns"))}
+    )
+    out = profile_table(rd.from_arrow(t), ["t"])
+    assert out.loc[0, "min_num"] == 1_000_000.0
+    assert out.loc[0, "max_num"] == 5_000_000.0

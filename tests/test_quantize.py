@@ -81,3 +81,16 @@ def test_quantize_ragged_raises():
     )
     with pytest.raises(ValueError):
         quantize_batch(t)
+
+
+def test_quantize_zero_length_raises():
+    import pytest
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0], type=pa.int64()),
+            "embedding": pa.array([[]], type=pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="zero-length"):
+        quantize_batch(t)
