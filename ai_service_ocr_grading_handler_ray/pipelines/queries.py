@@ -658,6 +658,39 @@ _Q142_WINDOW = 2
 _Q142_MIN_COUNT = 5
 
 
+def q151_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (stages/cohort.py): users cohort by the month
+    of their first event; n_users(cohort, k) counts users active k
+    months later — the activity-matrix analytic next to q150's funnel.
+    ONE user-hash shuffle, vectorized per-partition pass (datetime64[M]
+    month floor + per-user transform-min + one drop_duplicates),
+    cohorts×horizon partial rows folded on the driver.  Events spread
+    deterministically across months (user-year cohort shift + sparse
+    7·event_id%40 month offsets — the SAME month-floor arithmetic the
+    oracle rebuilds, clamp-free because shifts add to the month floor);
+    oracle GENERATED by cohort_retention_sql."""
+    from ..stages.cohort import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        m = ts.astype("datetime64[M]")
+        frac = ts - m.astype("datetime64[us]")
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = 12 * (uid % 3) + (eid * 7) % 40
+        ts2 = (m + sh.astype("timedelta64[M]")).astype("datetime64[us]") + frac
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pa.array(ts2, type=pa.timestamp("us")),
+            }
+        )
+
+    return cohort_retention(ds.map_batches(shift, batch_format="pyarrow"))
+
+
 _Q150_STEPS = ["view", "click", "purchase"]
 _Q150_WINDOW_US = 86_400_000_000  # 1 day
 
@@ -3887,6 +3920,7 @@ QUERIES = {
     "q148_quantize_embeddings": q148_quantize_embeddings,
     "q149_profile_events": q149_profile_events,
     "q150_funnel": q150_funnel,
+    "q151_cohort_retention": q151_cohort_retention,
     "q138_host_hits": q138_host_hits,
     "q139_char_entropy": q139_char_entropy,
     "q130_bm25_rank": q130_bm25_rank,
@@ -4157,7 +4191,19 @@ from ..stages.quantize import quantize_sql as _quant_sql
 from ..stages.profile import profile_sql as _prof_sql
 from ..stages.funnel import funnel_sql as _funnel_sql
 
+from ..stages.cohort import cohort_retention_sql as _cohort_sql
+
 ORACLE_SQL = {
+    "q151_cohort_retention": (
+        "WITH ev AS (\n"
+        "  SELECT user_id,\n"
+        "         date_trunc('month', ts)\n"
+        "           + to_months(CAST(12 * (user_id % 3) + (event_id * 7) % 40"
+        " AS INT))\n"
+        "           + (ts - date_trunc('month', ts)) AS ts\n"
+        "  FROM events\n"
+        "),\n" + _cohort_sql("ev")
+    ),
     "q150_funnel": _funnel_sql(_Q150_STEPS, window_us=_Q150_WINDOW_US),
     "q149_profile_events": _prof_sql("events", _Q149_KINDS),
     "q148_quantize_embeddings": _quant_sql(),
