@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "q141_inverted_index",
     "q142_pmi_collocations",
     "q146_crawl_frontier",
+    "q150_funnel",
+    "q151_cohort_retention",
 ]
 
 
