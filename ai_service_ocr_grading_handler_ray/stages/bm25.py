@@ -160,13 +160,15 @@ def bm25_sql(
 ) -> str:
     """DuckDB replay of ``bm25_scores`` — generated from the SAME
     parameters (the repo's single-generator oracle policy): identical
-    tokenizer (``string_split(text, ' ')``), identical idf and tf
-    saturation formulas, ``round(bm25, round_to)``."""
+    tokenizer (``string_split(coalesce(text, ''), ' ')`` — NULL text is
+    the one-empty-token doc batch_words produces, so avgdl matches),
+    identical idf and tf saturation formulas, ``round(bm25,
+    round_to)``."""
     vals = ", ".join(f"('{t}')" for t in query_terms)
     return f"""
         WITH q(term) AS (VALUES {vals}),
         w AS (
-          SELECT {id_col}, string_split({text_col}, ' ') AS ws FROM {table}
+          SELECT {id_col}, string_split(coalesce({text_col}, ''), ' ') AS ws FROM {table}
         ), d AS (
           SELECT {id_col}, CAST(len(ws) AS BIGINT) AS dl FROM w
         ), tok AS (

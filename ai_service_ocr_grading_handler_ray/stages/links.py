@@ -53,19 +53,43 @@ def extract_hrefs(html: str) -> list[str]:
     return out
 
 
+def _resolve_one(base_url: str, href: str) -> str | None:
+    try:
+        u = urljoin(base_url, href)
+    except ValueError:
+        return None
+    return u if u.startswith(("http://", "https://")) else None
+
+
 def resolve_links(base_url: str, hrefs: list[str]) -> list[str]:
     """Absolute urls via stdlib ``urljoin`` (relative paths, protocol-
     relative ``//host/...``, absolute urls all resolve); unresolvable
     values drop."""
-    out = []
-    for h in hrefs:
-        try:
-            u = urljoin(base_url, h)
-        except ValueError:
+    return [u for h in hrefs if (u := _resolve_one(base_url, h)) is not None]
+
+
+def iter_page_links(urls, payloads, *, with_text: bool = False):
+    """The ONE decode → extract → resolve walk every link consumer
+    shares (``outlink_host_edges``, ``anchor_term_counts``): a single
+    place for the empty-payload skip, the utf-8 'replace' decode, and
+    the http(s)-only resolvable rule — so a url-handling fix cannot
+    silently miss one of the paths.  Yields ``(src_url, resolved)`` or,
+    with ``with_text``, ``(src_url, resolved, anchor_text)``."""
+    for u, p in zip(urls, payloads):
+        if not p:
             continue
-        if u.startswith(("http://", "https://")):
-            out.append(u)
-    return out
+        html = p.decode("utf-8", "replace") if isinstance(p, bytes) else p
+        base = u or ""
+        if with_text:
+            for href, txt in extract_anchors(html):
+                r = _resolve_one(base, href)
+                if r is not None:
+                    yield base, r, txt
+        else:
+            for href in extract_hrefs(html):
+                r = _resolve_one(base, href)
+                if r is not None:
+                    yield base, r
 
 
 def outlink_host_edges(
@@ -87,16 +111,9 @@ def outlink_host_edges(
         payloads = t[html_col].to_pylist()
         src_urls: list[str] = []
         dst_urls: list[str] = []
-        for u, p in zip(urls, payloads):
-            if not p:
-                continue
-            if isinstance(p, bytes):
-                html = p.decode("utf-8", "replace")
-            else:
-                html = p
-            links = resolve_links(u or "", extract_hrefs(html))
-            src_urls.extend([u or ""] * len(links))
-            dst_urls.extend(links)
+        for u, link in iter_page_links(urls, payloads):
+            src_urls.append(u)
+            dst_urls.append(link)
         if not src_urls:
             return pa.table(
                 {"src": pa.array([], type=pa.string()),
@@ -123,10 +140,16 @@ def count_host_edges(edge_ds: rd.Dataset) -> rd.Dataset:
     return edge_ds.groupby(["src", "dst"]).aggregate(Count(alias_name="n_links"))
 
 
-# full anchor element: href + visible inner text.  Non-greedy body; an
-# unclosed <a> near EOF simply never matches (nothing swallowed)
+# full anchor element: href + visible inner text.  The body is a
+# TEMPERED non-greedy match that refuses to cross the next "<a" open
+# tag: real crawl HTML is full of unclosed <a> elements, and a plain
+# (.*?)</a> would swallow everything up to the NEXT anchor's close —
+# crediting the first destination with page-body text and eating the
+# second anchor entirely.  An unclosed <a> now matches nothing and the
+# following anchors survive.
 _ANCHOR_RE = re.compile(
-    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>"""
+    r"""((?:(?!<a[\s>]).)*?)</a\s*>""",
     re.IGNORECASE | re.DOTALL,
 )
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -171,26 +194,10 @@ def anchor_term_counts(
         src_urls: list[str] = []
         dst_urls: list[str] = []
         texts: list[str] = []
-        for u, p in zip(urls, payloads):
-            if not p:
-                continue
-            html = p.decode("utf-8", "replace") if isinstance(p, bytes) else p
-            anchors = extract_anchors(html)
-            links = resolve_links(u or "", [a for a, _ in anchors])
-            # resolve_links drops unresolvable values, so re-pair by
-            # re-resolving one at a time only when counts diverge
-            if len(links) != len(anchors):
-                pairs = [
-                    (lk[0], txt)
-                    for (href, txt) in anchors
-                    if (lk := resolve_links(u or "", [href]))
-                ]
-            else:
-                pairs = list(zip(links, (txt for _, txt in anchors)))
-            for link, txt in pairs:
-                src_urls.append(u or "")
-                dst_urls.append(link)
-                texts.append(txt)
+        for u, link, txt in iter_page_links(urls, payloads, with_text=True):
+            src_urls.append(u)
+            dst_urls.append(link)
+            texts.append(txt)
         if not dst_urls:
             return pa.table(
                 {"dst": pa.array([], type=pa.string()),

@@ -6,22 +6,33 @@ scheduling all want the FINAL destination per source url, with loops
 and over-long chains flagged instead of followed forever.
 
 The redirect map is a FUNCTIONAL graph (≤1 out-edge per url — duplicate
-sources raise loudly), so resolution is a walk, not a fixpoint: each
-round advances the unresolved frontier ONE hop via a bucketed cogroup
-against the edge map, resolved rows exit immediately, and the frontier
-can only shrink.  Real redirect chains are short (browsers cap ~20
-hops), so ``max_hops`` linear rounds — each ONE shuffle over a shrinking
-frontier, the edge map hash-partitioned once and reused — beats pointer
-doubling's log-round rewrites of the WHOLE map at web scale; anything
-still walking after the budget (true cycles and over-budget chains)
-reports ``status='unresolved'`` with sentinel final/hops, exactly
-matching the bounded recursive-CTE oracle (which cannot name a
-canonical "current position" on a cycle either).
+sources raise loudly), so resolution is a walk, not a fixpoint.  Two
+paths, auto-selected the way the Bloom joins pick theirs:
 
-Driver state per round: nothing but lazy Dataset handles; per-round
-outputs checkpoint (materialize) because each is consumed twice
-(exit rows + next round's frontier), same policy as the
-connected-components finish (stages/dedup.propagate_min_labels_ds).
+- **broadcast** (edge map ≤ ``BROADCAST_EDGE_CAP``): the whole map
+  ships ONCE via ``ray.put`` and every task walks its frontier rows
+  locally — ``max_hops`` vectorized ``Series.map`` hops, ZERO shuffles.
+  Redirect maps are url-keyed but sparse (only urls that redirect), so
+  this is the common case well past test scale.
+- **cogroup** (above the cap): each round advances the unresolved
+  frontier one hop via a bucketed cogroup against the edge map,
+  resolved rows exit immediately, and the frontier can only shrink.
+  Honest cost note: Ray's groupby re-sorts the UNION every round, so
+  the edge map's rows re-shuffle each hop even though its blocks are
+  materialized — max_hops × |E| shuffle volume.  That is still the
+  right trade vs pointer doubling (log-round rewrites of the WHOLE map
+  including long-resolved rows) because real chains are short
+  (browsers cap ~20 hops) and the map never inflates, but callers with
+  giant maps and tiny frontiers should pre-filter the map to sources
+  reachable from the frontier.
+
+Anything still walking after the budget (true cycles and over-budget
+chains) reports ``status='unresolved'`` with sentinel final/hops,
+exactly matching the bounded recursive-CTE oracle on BOTH paths (the
+paths are equivalence-tested).  Driver state: nothing but lazy Dataset
+handles (plus the cap-guarded edge table on the broadcast path);
+per-round cogroup outputs checkpoint (materialize) because each is
+consumed twice (exit rows + next round's frontier).
 """
 
 from __future__ import annotations
@@ -37,9 +48,69 @@ from .dedup import add_key_partition
 RESOLVED = "resolved"
 UNRESOLVED = "unresolved"
 
+# ~32 MB of url pairs — same order as the Bloom-join broadcast cap
+BROADCAST_EDGE_CAP = 2_000_000
+
 
 def _const(n: int, val, typ) -> pa.Array:
     return pa.array([val] * n, type=typ)
+
+
+def _resolve_broadcast(
+    edges: rd.Dataset, *, src_col: str, dst_col: str, max_hops: int
+) -> rd.Dataset:
+    """Zero-shuffle path: whole map broadcast once, in-task vectorized
+    walk (max_hops Series.map hops per batch)."""
+    import ray
+
+    from .collect import collect_table
+
+    tbl = collect_table(edges.select_columns([src_col, dst_col]))
+    srcs = tbl[src_col].to_pandas()
+    if srcs.duplicated().any():
+        dup = srcs[srcs.duplicated()].iloc[0]
+        raise ValueError(
+            f"duplicate redirect source {dup!r}: the map must be "
+            "functional (one out-edge per url)"
+        )
+    nxt_ref = ray.put(dict(zip(srcs, tbl[dst_col].to_pandas())))
+
+    def walk(t: pa.Table) -> pa.Table:
+        nxt = ray.get(nxt_ref)
+        src = t[src_col].to_pandas()
+        cur = src.map(nxt)  # hop 1 always exists (src IS an edge source)
+        hops = np.ones(len(src), dtype=np.int64)
+        alive = np.ones(len(src), dtype=bool)
+        for _ in range(max_hops - 1):
+            target = cur[alive].map(nxt)
+            moved = target.notna().to_numpy()
+            if not moved.any():
+                alive[:] = False
+                break
+            idx = np.flatnonzero(alive)
+            cur.iloc[idx[moved]] = target[moved].to_numpy()
+            hops[idx[moved]] += 1
+            alive[idx[~moved]] = False
+        # still-alive rows: check one more hop to classify over-budget
+        if alive.any():
+            more = cur[alive].map(nxt).notna().to_numpy()
+            idx = np.flatnonzero(alive)
+            alive[idx[~more]] = False
+        resolved = ~alive
+        return pa.table(
+            {
+                "src": pa.array(src.to_numpy(), type=pa.string()),
+                "final_url": pa.array(
+                    np.where(resolved, cur.to_numpy(), ""), type=pa.string()
+                ),
+                "n_hops": pa.array(np.where(resolved, hops, 0)),
+                "status": pa.array(
+                    np.where(resolved, RESOLVED, UNRESOLVED), type=pa.string()
+                ),
+            }
+        )
+
+    return edges.map_batches(walk, batch_format="pyarrow")
 
 
 def resolve_redirects(
@@ -49,13 +120,25 @@ def resolve_redirects(
     dst_col: str = "dst",
     max_hops: int = 8,
     num_parts: int = 64,
+    method: str = "auto",
 ) -> rd.Dataset:
     """One row per source url: (src, final_url, n_hops, status).
 
     ``resolved``: final_url does not redirect further, n_hops is the
     true chain length.  ``unresolved``: loop or chain longer than
     ``max_hops`` — final_url '' and n_hops 0 (sentinels shared with the
-    SQL replay)."""
+    SQL replay).  ``method``: 'auto' (broadcast under
+    BROADCAST_EDGE_CAP, else cogroup), 'broadcast', or 'cogroup'."""
+    if method not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        method = (
+            "broadcast" if edges.count() <= BROADCAST_EDGE_CAP else "cogroup"
+        )
+    if method == "broadcast":
+        return _resolve_broadcast(
+            edges, src_col=src_col, dst_col=dst_col, max_hops=max_hops
+        )
 
     def part_on(col):
         return lambda t: add_key_partition(t, col, num_parts=num_parts)

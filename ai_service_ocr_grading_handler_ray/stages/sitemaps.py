@@ -110,7 +110,7 @@ def sitemap_host_freshness(
             n_dated=("n_dated", "sum"),
             last_mod=("last_mod", "max"),
         )
-        r = r.reset_index().drop(columns=[], errors="ignore")
+        r = r.reset_index()
         r["n_urls"] = r["n_urls"].astype("int64")
         r["n_dated"] = r["n_dated"].astype("int64")
         return r

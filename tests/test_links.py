@@ -89,3 +89,20 @@ def test_q124_invariants(sf_dir):
     assert (partners.pagerank > 1.0 / len(df)).all()
     df2 = q124_link_graph_pagerank(sf_dir)
     assert df.equals(df2)  # deterministic
+
+
+def test_unclosed_anchor_does_not_swallow_following_anchors():
+    """Real crawl HTML is full of unclosed <a>: the body match must stop
+    at the next anchor open tag instead of crediting the first
+    destination with page-body text and eating the second anchor."""
+    from ai_service_ocr_grading_handler_ray.stages.links import extract_anchors
+
+    html = (
+        '<a href="https://u1.org/a">menu\n<div>lots of page text</div>\n'
+        '<a href="https://u2.org/b">real link</a>'
+    )
+    assert extract_anchors(html) == [("https://u2.org/b", "real link")]
+    # nested non-anchor markup still collapses into the text
+    assert extract_anchors('<a href="https://x.org/"><b>bold</b> t</a>') == [
+        ("https://x.org/", "bold t")
+    ]

@@ -62,3 +62,43 @@ def test_partitioning_invariance():
         rd.from_items(EDGES).repartition(5), max_hops=8, num_parts=3
     ).to_pandas().sort_values("src").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_and_cogroup_paths_equivalent(ray_session):
+    """The zero-shuffle broadcast walk and the cogroup rounds resolve
+    identically: terminals at every depth, exact-budget chains,
+    over-budget chains and 2-cycles."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.redirects import (
+        resolve_redirects,
+    )
+
+    # chains 1..12 hops: c{k}_0 -> c{k}_1 -> ... -> c{k}_k (terminal),
+    # plus a 2-cycle x<->y
+    rows = []
+    for k in range(1, 13):
+        for i in range(k):
+            rows.append({"src": f"c{k}_{i}", "dst": f"c{k}_{i + 1}"})
+    rows += [{"src": "x", "dst": "y"}, {"src": "y", "dst": "x"}]
+    df = pd.DataFrame(rows)
+    outs = {}
+    for method in ("broadcast", "cogroup"):
+        outs[method] = (
+            resolve_redirects(
+                rd.from_pandas(df).repartition(4), max_hops=8, method=method
+            )
+            .to_pandas()
+            .sort_values("src")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["cogroup"])
+    b = outs["broadcast"].set_index("src")
+    assert b.loc["c3_0", "status"] == "resolved"
+    assert b.loc["c3_0", "n_hops"] == 3 and b.loc["c3_0", "final_url"] == "c3_3"
+    assert b.loc["c8_0", "n_hops"] == 8          # exactly at budget
+    assert b.loc["c12_0", "status"] == "unresolved"
+    assert b.loc["c12_4", "n_hops"] == 8         # 8 hops left → resolved
+    assert b.loc["x", "status"] == "unresolved"
+    assert b.loc["x", "final_url"] == "" and b.loc["x", "n_hops"] == 0
