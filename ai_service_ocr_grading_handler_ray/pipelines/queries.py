@@ -1263,6 +1263,43 @@ def q138_host_hits(sf_dir: str) -> pd.DataFrame:
                      {"hub": 8, "authority": 8})
 
 
+def q152_triangle_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-host triangle participation + local clustering coefficient
+    (stages/graph.triangle_counts) over the SAME deterministic 97-host
+    link graph as q118/q138 — the graph-cohesion signal link-farm and
+    spam-cluster detection rank hosts by.  Scale shape: one canonical
+    edge-dedup shuffle, degree-ordered ("forward") wedge generation per
+    oriented source (out-degree bounded O(sqrt m)), closing-edge probe
+    via one sorted-key broadcast (cogroup fallback above the cap,
+    equivalence-tested in tests/test_graph.py), node-sized sparse
+    folds.  Oracle: stages/graph.triangle_sql over the SAME edge CTE as
+    q118 (single-generator on both halves)."""
+    from ..stages.graph import triangle_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    out = (
+        triangle_counts(ds.map_batches(edges, batch_format="pyarrow"))
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    return _finalize(out[["host", "degree", "n_tri", "clustering"]])
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -3909,6 +3946,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q152_triangle_clustering": q152_triangle_clustering,
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
@@ -4132,6 +4170,7 @@ from ..stages.sampling import disjoint_split_sql as _split_sql
 from ..stages.inverted import inverted_index_sql as _inv_sql
 from ..stages.cooccur import pmi_sql as _pmi_sql
 from ..stages.text_analysis import script_mix_sql as _script_sql
+from ..stages.graph import triangle_sql as _tri_sql
 
 # synth.url_for_doc as a SQL CASE — shared by every oracle that rebuilds
 # page urls (q140 split, q146 frontier), so the rebuild cannot desync
@@ -4470,6 +4509,7 @@ ORACLE_SQL = {
         _Q118_EDGES, damping=0.85, n_iter=3, node_alias="host"
     ),
     "q138_host_hits": _hits_sql(_Q118_EDGES, n_iter=3, node_alias="host"),
+    "q152_triangle_clustering": _tri_sql(_Q118_EDGES, node_alias="host"),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

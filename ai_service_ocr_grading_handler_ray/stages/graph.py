@@ -331,6 +331,322 @@ def hits(
     )
 
 
+def canonical_edges(
+    edges: rd.Dataset, *, src_col: str = "src", dst_col: str = "dst"
+) -> rd.Dataset:
+    """Raw (possibly directed, possibly duplicated) edge stream → the
+    DISTINCT undirected edge set: drop self-loops and nulls, canonicalize
+    each pair to (u, v) with u < v (string order), then ONE
+    ``groupby(u, v)`` dedup shuffle.  Output columns: (u, v)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        pc = pa.compute
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col])),
+            pc.not_equal(t[src_col], t[dst_col]),
+        )
+        kept = t.filter(pc.fill_null(keep, False))
+        s = kept[src_col].to_numpy(zero_copy_only=False)
+        d = kept[dst_col].to_numpy(zero_copy_only=False)
+        fwd = s < d
+        lo = np.where(fwd, s, d)
+        hi = np.where(fwd, d, s)
+        return pa.table(
+            {"u": pa.array(lo, type=pa.string()), "v": pa.array(hi, type=pa.string())}
+        )
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["u", "v"])
+    )
+
+
+# Above this many distinct edges the closed-wedge membership probe stops
+# broadcasting the oriented-edge key array and falls back to a
+# shuffled cogroup join (same AUTO-split convention as
+# sketches.BROADCAST_KEY_CAP / redirects.BROADCAST_EDGE_CAP).
+TRIANGLE_BROADCAST_EDGE_CAP = 4_000_000
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_limit: int = 50_000_000,
+    broadcast_edge_cap: int = TRIANGLE_BROADCAST_EDGE_CAP,
+) -> rd.Dataset:
+    """Per-node triangle participation + local clustering coefficient
+    over an undirected view of a (src, dst) edge Dataset — the graph
+    cohesion signal next to :func:`pagerank`/:func:`hits` (link-farm /
+    spam-cluster detection ranks hosts by how clique-like their
+    neighborhoods are).  Returns a node-sized Dataset
+    (node:string, degree:int64, n_tri:int64, clustering:float64), where
+    ``clustering = 2*n_tri / (degree*(degree-1))`` (0 when degree < 2),
+    rounded to 8 decimals (the convention :func:`triangle_sql` replays).
+
+    Algorithm: degree-ordered wedge counting (the node-iterator with the
+    classic low-degree orientation — Chiba–Nishizeki / "forward"
+    algorithm).  Every edge is oriented from its lower-(degree, node)
+    endpoint to the higher one; each triangle then has exactly ONE apex
+    with both out-edges in the wedge, so membership of the closing
+    oriented edge counts it exactly once.
+
+    Scale shape:
+    - ONE ``groupby(u, v)`` dedup shuffle reduces the raw edge stream to
+      the distinct undirected edge set (:func:`canonical_edges`),
+      materialized for the later passes;
+    - node universe + degree vector are node-sized driver state (same
+      assumption and ``node_limit`` guard as pagerank);
+    - wedges generate per oriented-source group (ONE groupby shuffle);
+      the low-degree orientation bounds out-degree by O(sqrt(m)), so a
+      hub with degree 1M never pairs its own neighbors;
+    - the closing-edge probe broadcasts the sorted oriented-edge key
+      array once via ``ray.put`` when it fits ``broadcast_edge_cap``
+      (one searchsorted per wedge batch, shuffle-free), else falls back
+      to a salted cogroup of wedge keys against edge keys (both paths
+      equivalence-tested);
+    - per-node triangle counts fold as sparse bincount partials
+      (node-sized driver state, never wedge-sized).
+    """
+    ce = canonical_edges(edges, src_col=src_col, dst_col=dst_col).materialize()
+    nodes = _node_universe(ce, src_col="u", dst_col="v", node_limit=node_limit)
+    n = len(nodes)
+    n_edges = ce.count()
+
+    idx_ref = ray.put(nodes)
+
+    def to_idx(t: pa.Table, _ref=idx_ref) -> pa.Table:
+        uni = ray.get(_ref)
+        a = np.searchsorted(uni, t["u"].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(uni, t["v"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"ai": pa.array(a.astype(np.int64)), "bi": pa.array(b.astype(np.int64))}
+        )
+
+    eidx = ce.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    from .linalg import fold_sparse_partials
+
+    # degree vector: one sparse-bincount scan, node-sized fold
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["ai"].to_numpy(zero_copy_only=False),
+                t["bi"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        acc = np.bincount(both, minlength=n)
+        present = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "i": pa.array(present.astype(np.int64)),
+                "v": pa.array(acc[present].astype(np.float64)),
+            }
+        )
+
+    deg = fold_sparse_partials(
+        eidx.map_batches(deg_partial, batch_format="pyarrow"),
+        np.zeros(n, dtype=np.float64),
+    ).astype(np.int64)
+
+    # rank = position in the (degree, node-index) total order; orient
+    # every edge low-rank -> high-rank
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    rank_ref = ray.put(rank)
+
+    def orient(t: pa.Table, _ref=rank_ref) -> pa.Table:
+        r = ray.get(_ref)
+        a = t["ai"].to_numpy(zero_copy_only=False)
+        b = t["bi"].to_numpy(zero_copy_only=False)
+        fwd = r[a] < r[b]
+        lo = np.where(fwd, a, b)
+        hi = np.where(fwd, b, a)
+        return pa.table({"o": pa.array(lo), "h": pa.array(hi)})
+
+    oriented = eidx.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedge generation: per oriented-source group, all neighbor pairs
+    # ordered by rank (each triangle's apex emits its one wedge)
+    def wedges(g: "pd.DataFrame", _ref=rank_ref) -> "pd.DataFrame":
+        import pandas as pd
+
+        r = ray.get(_ref)
+        apex = g["o"].to_numpy()
+        nbr = g["h"].to_numpy()
+        # one group per apex value (map_groups delivers one key)
+        order = np.argsort(r[nbr], kind="stable")
+        nbr = nbr[order]
+        k = len(nbr)
+        if k < 2:
+            return pd.DataFrame({"x": [], "y": [], "apex": []}).astype(np.int64)
+        iu, ju = np.triu_indices(k, k=1)
+        return pd.DataFrame(
+            {"x": nbr[iu], "y": nbr[ju], "apex": np.full(len(iu), apex[0])}
+        )
+
+    wedge_ds = oriented.groupby("o").map_groups(wedges, batch_format="pandas")
+
+    # closing-edge membership probe on key = x*n + y (rank(x) < rank(y))
+    def edge_keys(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(o * np.int64(n) + h)})
+
+    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+
+    if n_edges <= broadcast_edge_cap:
+        from .collect import collect_tables
+
+        karr = np.sort(
+            np.concatenate(
+                [
+                    t["k"].to_numpy(zero_copy_only=False)
+                    for t in collect_tables(ekeys, drop_empty=True)
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        karr_ref = ray.put(karr)
+
+        def closed_partial(t: pa.Table, _ref=karr_ref) -> pa.Table:
+            ks = ray.get(_ref)
+            x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            a = t["apex"].to_numpy(zero_copy_only=False).astype(np.int64)
+            wk = x * np.int64(n) + y
+            if len(ks) == 0:
+                hit = np.zeros(len(wk), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(ks, wk), len(ks) - 1)
+                hit = ks[pos] == wk
+            tri_nodes = np.concatenate([x[hit], y[hit], a[hit]])
+            acc = np.bincount(tri_nodes, minlength=n)
+            present = np.flatnonzero(acc)
+            return pa.table(
+                {
+                    "i": pa.array(present.astype(np.int64)),
+                    "v": pa.array(acc[present].astype(np.float64)),
+                }
+            )
+
+        tri_partials = wedge_ds.map_batches(closed_partial, batch_format="pyarrow")
+    else:
+        # cogroup fallback: wedge keys and edge keys meet in one salted
+        # groupby; a wedge closes iff its key group contains an edge row
+        def wedge_keyed(t: pa.Table) -> pa.Table:
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "k": pa.array(x * np.int64(n) + y),
+                    "apex": t["apex"],
+                }
+            )
+
+        wk = wedge_ds.map_batches(wedge_keyed, batch_format="pyarrow")
+        ek = ekeys.map_batches(
+            lambda t: t.append_column(
+                "apex", pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+
+        def close_group(g: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd
+
+            a = g["apex"].to_numpy()
+            if not (a < 0).any():
+                return pd.DataFrame({"x": [], "y": [], "apex": []}).astype(np.int64)
+            k = int(g["k"].iloc[0])
+            apexes = a[a >= 0]
+            return pd.DataFrame(
+                {
+                    "x": np.full(len(apexes), k // n, dtype=np.int64),
+                    "y": np.full(len(apexes), k % n, dtype=np.int64),
+                    "apex": apexes,
+                }
+            )
+
+        closed = wk.union(ek).groupby("k").map_groups(close_group, batch_format="pandas")
+
+        def tri_partial(t: pa.Table) -> pa.Table:
+            tri_nodes = np.concatenate(
+                [
+                    t["x"].to_numpy(zero_copy_only=False),
+                    t["y"].to_numpy(zero_copy_only=False),
+                    t["apex"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+            acc = np.bincount(tri_nodes, minlength=n)
+            present = np.flatnonzero(acc)
+            return pa.table(
+                {
+                    "i": pa.array(present.astype(np.int64)),
+                    "v": pa.array(acc[present].astype(np.float64)),
+                }
+            )
+
+        tri_partials = closed.map_batches(tri_partial, batch_format="pyarrow")
+
+    tri = fold_sparse_partials(
+        tri_partials, np.zeros(n, dtype=np.float64)
+    ).astype(np.int64)
+
+    degf = deg.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = np.where(deg < 2, 0.0, 2.0 * tri / (degf * (degf - 1.0)))
+    cc = np.sign(cc) * np.floor(np.abs(cc) * 1e8 + 0.5) / 1e8
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "degree": pa.array(deg),
+                "n_tri": pa.array(tri),
+                "clustering": pa.array(cc),
+            }
+        )
+    )
+
+
+def triangle_sql(
+    edge_ctes: str,
+    *,
+    node_alias: str = "node",
+    round_to: int = 8,
+) -> str:
+    """ANSI-SQL replay of :func:`triangle_counts` — canonical u<v edge
+    dedup, the a<b<c three-way self-join (each triangle enumerated
+    exactly once), per-node participation counts and the clustering
+    coefficient, generated from ONE place so the oracle cannot desync
+    from the engine (same single-generator policy as
+    :func:`pagerank_sql`).  ``edge_ctes`` must define a CTE ``e`` with
+    columns (src VARCHAR, dst VARCHAR) (extra columns ignored);
+    self-loops are dropped here."""
+    return f"""WITH {edge_ctes},
+ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM e WHERE src <> dst),
+deg AS (SELECT h, count(*) AS d FROM
+        (SELECT u AS h FROM ce UNION ALL SELECT v AS h FROM ce) GROUP BY h),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ce e1
+        JOIN ce e2 ON e2.u = e1.v
+        JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (SELECT h, count(*) AS t FROM
+       (SELECT a AS h FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY h)
+SELECT deg.h AS {node_alias},
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_tri,
+       round(CASE WHEN deg.d < 2 THEN 0.0
+             ELSE 2.0 * COALESCE(tn.t, 0) / (deg.d * (deg.d - 1.0)) END,
+             {round_to}) AS clustering
+FROM deg LEFT JOIN tn ON deg.h = tn.h"""
+
+
 def hits_sql(
     edge_ctes: str,
     *,

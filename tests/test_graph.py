@@ -147,3 +147,142 @@ def test_hits_matches_dense_numpy_reference(ray_session):
     assert np.allclose(out["authority"].to_numpy(), a, atol=1e-12)
     assert abs(out["hub"].sum() - 1.0) < 1e-9
     assert abs(out["authority"].sum() - 1.0) < 1e-9
+
+
+# --- triangle counting (stages/graph.triangle_counts) -----------------------
+
+
+def _brute_triangles(edge_list):
+    """Per-node triangle counts + degrees over the distinct undirected
+    self-loop-free edge set — plain-python reference."""
+    es = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = sorted({x for e in es for x in e})
+    adj = {v: set() for v in nodes}
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {v: 0 for v in nodes}
+    import itertools
+
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    deg = {v: len(adj[v]) for v in nodes}
+    return nodes, deg, tri
+
+
+def test_triangle_counts_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import triangle_counts
+
+    rng = np.random.RandomState(7)
+    edge_list = [
+        (f"n{a:02d}", f"n{b:02d}")
+        for a, b in zip(rng.randint(0, 25, 300), rng.randint(0, 25, 300))
+    ]
+    out = triangle_counts(_edges_ds(edge_list)).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    nodes, deg, tri = _brute_triangles(edge_list)
+    assert list(out["node"]) == nodes
+    assert list(out["degree"]) == [deg[v] for v in nodes]
+    assert list(out["n_tri"]) == [tri[v] for v in nodes]
+    # clustering = 2t / d(d-1), 0 below degree 2
+    for _, r in out.iterrows():
+        d, t = r["degree"], r["n_tri"]
+        want = 0.0 if d < 2 else 2.0 * t / (d * (d - 1))
+        assert abs(r["clustering"] - want) < 1e-8
+
+
+def test_triangle_dedup_and_self_loops(ray_session):
+    """Duplicate, reversed, and self-loop edges collapse to one
+    undirected edge before counting."""
+    from ai_service_ocr_grading_handler_ray.stages.graph import triangle_counts
+
+    edge_list = [
+        ("a", "b"), ("b", "a"), ("a", "b"),   # one undirected edge
+        ("b", "c"), ("c", "a"),
+        ("c", "c"),                           # self loop: dropped
+    ]
+    out = (
+        triangle_counts(_edges_ds(edge_list))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(out["node"]) == ["a", "b", "c"]
+    assert list(out["n_tri"]) == [1, 1, 1]
+    assert list(out["degree"]) == [2, 2, 2]
+    assert np.allclose(out["clustering"], 1.0)
+
+
+def test_triangle_broadcast_vs_cogroup_paths(ray_session):
+    """broadcast_edge_cap=0 forces the shuffled-cogroup closing-edge
+    probe; both paths must produce identical tables."""
+    import pandas as pd
+
+    from ai_service_ocr_grading_handler_ray.stages.graph import triangle_counts
+
+    rng = np.random.RandomState(13)
+    edge_list = [
+        (f"n{a}", f"n{b}")
+        for a, b in zip(rng.randint(0, 40, 500), rng.randint(0, 40, 500))
+    ]
+    a = (
+        triangle_counts(_edges_ds(edge_list))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        triangle_counts(_edges_ds(edge_list), broadcast_edge_cap=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_sql_generator_parity(ray_session):
+    """stages/graph.triangle_sql over an inline edge CTE == engine."""
+    import duckdb
+
+    from ai_service_ocr_grading_handler_ray.stages.graph import (
+        triangle_counts,
+        triangle_sql,
+    )
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 15, 120)
+    dst = rng.randint(0, 15, 120)
+    vals = ", ".join(f"('n{a:02d}', 'n{b:02d}')" for a, b in zip(src, dst))
+    cte = f"e AS (SELECT * FROM (VALUES {vals}) AS t(src, dst))"
+    got = (
+        duckdb.sql(triangle_sql(cte))
+        .df()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    edge_list = [(f"n{a:02d}", f"n{b:02d}") for a, b in zip(src, dst)]
+    eng = (
+        triangle_counts(_edges_ds(edge_list))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(got["node"]) == list(eng["node"])
+    assert list(got["degree"]) == list(eng["degree"])
+    assert list(got["n_tri"]) == list(eng["n_tri"])
+    np.testing.assert_allclose(
+        got["clustering"].to_numpy(), eng["clustering"].to_numpy(), atol=1e-8
+    )
+
+
+def test_triangle_free_graph(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import triangle_counts
+
+    # a path graph has no triangles
+    edge_list = [("a", "b"), ("b", "c"), ("c", "d")]
+    out = triangle_counts(_edges_ds(edge_list)).to_pandas()
+    assert out["n_tri"].sum() == 0
+    assert np.allclose(out["clustering"], 0.0)
