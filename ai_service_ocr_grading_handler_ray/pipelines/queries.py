@@ -1300,6 +1300,44 @@ def q152_triangle_clustering(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["host", "degree", "n_tri", "clustering"]])
 
 
+_Q153_EVERY_US = 21_600_000_000  # 6-hour bars
+
+
+def q153_resample_ffill(sf_dir: str) -> rd.Dataset:
+    """Per-user 6-hour time-series bars with forward fill
+    (stages/resample.resample_last_ffill): bucket each user's events,
+    keep the last value per bucket ((ts, event_id) last-write-wins),
+    and gap-fill the dense grid between the user's first and last
+    bucket — the metrics-rollup / series-densification primitive.
+    Scale shape: ONE user-hash shuffle, fully vectorized per-partition
+    pass (multi-arange grid + one searchsorted ffill), grid-sized
+    output streams from map_groups.  Oracle GENERATED by
+    stages/resample.resample_sql from the same parameters
+    (single-generator policy)."""
+    from ..stages.resample import resample_last_ffill
+
+    return resample_last_ffill(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        every_us=_Q153_EVERY_US,
+    )
+
+
+def q154_rolling_window(sf_dir: str) -> rd.Dataset:
+    """Per-user ROW-frame rolling aggregates (stages/rolling.py): for
+    each event, the running rank, value delta vs the previous event,
+    and sum/avg/max over the user's last 4 events ordered by
+    (ts, event_id) — the last-N-rows analytics the time-window family
+    (q28/q80/q84) can't express.  One user-hash shuffle + a fully
+    vectorized masked-shift per-partition pass; oracle GENERATED by
+    stages/rolling.rolling_sql (single-generator policy)."""
+    from ..stages.rolling import rolling_window
+
+    return rolling_window(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window=4,
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -3947,6 +3985,8 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q152_triangle_clustering": q152_triangle_clustering,
+    "q153_resample_ffill": q153_resample_ffill,
+    "q154_rolling_window": q154_rolling_window,
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
@@ -4171,6 +4211,8 @@ from ..stages.inverted import inverted_index_sql as _inv_sql
 from ..stages.cooccur import pmi_sql as _pmi_sql
 from ..stages.text_analysis import script_mix_sql as _script_sql
 from ..stages.graph import triangle_sql as _tri_sql
+from ..stages.resample import resample_sql as _resample_sql
+from ..stages.rolling import rolling_sql as _rolling_sql
 
 # synth.url_for_doc as a SQL CASE — shared by every oracle that rebuilds
 # page urls (q140 split, q146 frontier), so the rebuild cannot desync
@@ -4510,6 +4552,8 @@ ORACLE_SQL = {
     ),
     "q138_host_hits": _hits_sql(_Q118_EDGES, n_iter=3, node_alias="host"),
     "q152_triangle_clustering": _tri_sql(_Q118_EDGES, node_alias="host"),
+    "q153_resample_ffill": _resample_sql(every_us=_Q153_EVERY_US),
+    "q154_rolling_window": _rolling_sql(window=4),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
