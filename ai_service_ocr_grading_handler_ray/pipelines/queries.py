@@ -1338,6 +1338,27 @@ def q154_rolling_window(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q155_similarity_join(sf_dir: str) -> rd.Dataset:
+    """EXACT 3-gram-shingle Jaccard similarity self-join at t >= 1/2
+    (stages/simjoin.similarity_join) — the no-recall-loss counterpart
+    of the MinHash-LSH sweep (q32): every qualifying pair with its
+    exact intersection/union sizes, found via PPJoin-style prefix
+    filtering (rarest-first global order, complete by the prefix
+    theorem).  Scale shape: one profile scan, one vocab df shuffle +
+    broadcast, ONE prefix-shingle shuffle with in-bucket verification,
+    one pair-sized dedup.  All threshold tests are integer arithmetic;
+    oracle GENERATED by stages/simjoin.similarity_join_sql — the
+    brute-force shingle-string equijoin with the identical shingle
+    convention (single-generator policy)."""
+    from ..stages.simjoin import similarity_join
+
+    return similarity_join(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=(1, 2),
+        ngram=3,
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -3987,6 +4008,7 @@ QUERIES = {
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
+    "q155_similarity_join": q155_similarity_join,
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
@@ -4213,6 +4235,7 @@ from ..stages.text_analysis import script_mix_sql as _script_sql
 from ..stages.graph import triangle_sql as _tri_sql
 from ..stages.resample import resample_sql as _resample_sql
 from ..stages.rolling import rolling_sql as _rolling_sql
+from ..stages.simjoin import similarity_join_sql as _simjoin_sql
 
 # synth.url_for_doc as a SQL CASE — shared by every oracle that rebuilds
 # page urls (q140 split, q146 frontier), so the rebuild cannot desync
@@ -4554,6 +4577,7 @@ ORACLE_SQL = {
     "q152_triangle_clustering": _tri_sql(_Q118_EDGES, node_alias="host"),
     "q153_resample_ffill": _resample_sql(every_us=_Q153_EVERY_US),
     "q154_rolling_window": _rolling_sql(window=4),
+    "q155_similarity_join": _simjoin_sql(threshold=(1, 2), ngram=3),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

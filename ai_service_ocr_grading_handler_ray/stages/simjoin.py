@@ -1,0 +1,319 @@
+"""Exact n-gram-Jaccard set-similarity SELF-JOIN with prefix filtering
+(PPJoin-style; Chaudhuri et al. 2006 prefix filter, Vernica et al.
+VLDB 2010 MapReduce kernel) — the EXACT counterpart of the MinHash-LSH
+sweep in stages/dedup.py: every pair of documents whose distinct
+word-``ngram`` shingle sets have Jaccard >= threshold, with the exact
+intersection/union sizes, no probabilistic recall loss.
+
+Shingle semantics are the package's established convention
+(``dedup.batch_shingle_hashes``: lowercase, whitespace split, word
+``ngram``-grams, texts with 1..ngram-1 words collapse to ONE all-words
+shingle, empty texts drop out), uniquified per document.  Similarity
+compares HASHED shingle sets (64-bit) — the standard hashed-set
+approximation; a cross-doc hash collision inflates an intersection
+with probability ~n²/2^64 (negligible at any corpus size that fits an
+int64 row count).  The threshold is a RATIONAL (num, den) and every
+filter is integer arithmetic (``den*inter >= num*union``), so there is
+no float boundary to drift from the oracle.
+
+Prefix filter: order the shingle universe by (document frequency,
+hash) ascending — rarest first.  If J(A, B) >= t then the first
+``|A| - ceil(t*|A|) + 1`` shingles of A (in that global order) and the
+corresponding prefix of B share at least one shingle, so emitting only
+prefix shingles to the candidate shuffle is COMPLETE (no false
+negatives) and concentrates candidates in the small buckets of RARE
+shingles (a stopword shingle shared by every template page almost
+never enters a prefix).
+
+Scale shape:
+- one shuffle-free profile scan: text → sorted unique shingle-hash
+  array + size (the text never outlives its task);
+- ONE vocab-sized ``groupby(h)`` df-count shuffle, folded to a sorted
+  (hash → df) probe table broadcast once via ``ray.put`` (the unigram-
+  LM broadcast assumption; ``vocab_cap`` fails loudly);
+- ONE prefix-shingle shuffle: each doc ships (prefix shingle, id, n,
+  its full sorted hash set) — prefix-length × doc-set duplication, the
+  Vernica kernel trade (candidates verify IN-BUCKET with no second
+  join);
+- in-bucket verify: length filter then one sorted searchsorted
+  intersection per surviving pair (``bucket_pair_cap`` fails loudly on
+  a degenerate bucket — a hot PREFIX shingle means the frequency table
+  disagrees with the data);
+- verified pairs are result-sized; ONE final (a, b) dedup shuffle
+  keeps each pair once (a pair can qualify through several shared
+  prefix shingles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ray.data.aggregate import Count
+
+# vocab-sized driver/broadcast state guard (same assumption class as
+# the unigram-LM scorer's broadcast path)
+VOCAB_CAP = 50_000_000
+
+
+def similarity_join(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (1, 2),
+    ngram: int = 3,
+    vocab_cap: int = VOCAB_CAP,
+    bucket_pair_cap: int = 200_000,
+) -> rd.Dataset:
+    """All document pairs (a < b) with shingle-set Jaccard >=
+    threshold[0]/threshold[1].  Output: (a, b — id_col's type,
+    inter:int64, uni:int64, jaccard:float64 rounded to 6).  See module
+    docstring for semantics and the scale shape."""
+    from .collect import collect_tables
+    from .dedup import batch_shingle_hashes
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+
+    def profile(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat, off = batch_shingle_hashes(texts, ngram)
+        sets: list[np.ndarray] = []
+        ids_keep: list[int] = []
+        for i in range(len(texts)):
+            seg = np.unique(flat[off[i] : off[i + 1]])
+            if len(seg):
+                sets.append(seg)
+                ids_keep.append(i)
+        if not sets:
+            return pa.table(
+                {
+                    "id": pa.array([], type=t[id_col].type),
+                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        values = np.concatenate(sets)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        return pa.table(
+            {
+                "id": t[id_col].take(pa.array(ids_keep, type=pa.int64())),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(values, type=pa.uint64())
+                ),
+                "n": pa.array(lens),
+            }
+        )
+
+    prof = ds.map_batches(profile, batch_format="pyarrow").materialize()
+
+    # --- document frequency per shingle: one vocab shuffle -----------------
+    # (shuffle keys travel as the int64 VIEW of the uint64 hash — Ray's
+    # reduce rebuilds key columns through Python ints, which overflow
+    # above 2^63; grouping only needs equality, not order)
+    def explode(t: pa.Table) -> pa.Table:
+        flat = (
+            t["sh"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table({"h": pa.array(flat.view(np.int64))})
+
+    df_ds = (
+        prof.map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="df"))
+    )
+    parts = [t for t in collect_tables(df_ds, drop_empty=True)]
+    if parts:
+        merged = pa.concat_tables(parts)
+        hs = (
+            merged["h"].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        dfs = merged["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(hs)
+        hs, dfs = np.ascontiguousarray(hs[order]), dfs[order]
+    else:
+        hs = np.empty(0, dtype=np.uint64)
+        dfs = np.empty(0, dtype=np.int64)
+    if len(hs) > vocab_cap:
+        raise ValueError(
+            f"similarity_join: shingle vocabulary {len(hs)} exceeds "
+            f"vocab_cap={vocab_cap}; raise the cap if the driver and "
+            "workers have the memory for the frequency broadcast"
+        )
+    df_ref = ray.put((hs, dfs))
+
+    # --- prefix emission ----------------------------------------------------
+    def prefixes(t: pa.Table, _ref=df_ref) -> pa.Table:
+        hs_b, dfs_b = ray.get(_ref)
+        sh = t["sh"].combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]  # sliced arrays carry a nonzero offset base
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "id": pa.array([], type=t["id"].type),
+                    "n": pa.array([], type=pa.int64()),
+                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                }
+            )
+        dfv = dfs_b[np.searchsorted(hs_b, flat)]
+        seg = np.repeat(np.arange(len(n)), n)
+        # within-doc order by (df, hash): global rarest-first prefix
+        # order.  seg is the lexsort's PRIMARY key and both the input
+        # and the sorted sequence are segment-contiguous with the same
+        # offsets, so sorted index k sits at within-doc rank
+        # k - off[doc], and order[k] is the doc's k-th rarest shingle.
+        order = np.lexsort((flat, dfv, seg))
+        pos = np.arange(len(flat)) - np.repeat(off[:-1], n)
+        p = n - ((num * n + den - 1) // den) + 1  # n - ceil(t*n) + 1
+        take = order[pos < np.repeat(p, n)]
+        doc_of = seg[take]
+        return pa.table(
+            {
+                "h": pa.array(flat[take].view(np.int64)),
+                "id": t["id"].take(pa.array(doc_of, type=pa.int64())),
+                "n": pa.array(n[doc_of].astype(np.int64)),
+                "sh": sh.take(pa.array(doc_of, type=pa.int64())),
+            }
+        )
+
+    pref = prof.map_batches(prefixes, batch_format="pyarrow")
+
+    # --- in-bucket candidate generation + verification ----------------------
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=g["id"].dtype),
+                    "b": pd.Series([], dtype=g["id"].dtype),
+                    "inter": pd.Series([], dtype=np.int64),
+                    "uni": pd.Series([], dtype=np.int64),
+                }
+            )
+
+        k = len(g)
+        if k < 2:
+            return empty()
+        if k * (k - 1) // 2 > bucket_pair_cap:
+            raise ValueError(
+                f"similarity_join: prefix bucket with {k} docs exceeds "
+                f"bucket_pair_cap={bucket_pair_cap} pairs — a shingle "
+                "this hot should not be in any prefix; check the corpus "
+                "for degenerate near-constant documents or raise the cap"
+            )
+        order = np.argsort(g["id"].to_numpy(), kind="stable")
+        ids = g["id"].to_numpy()[order]
+        ns = g["n"].to_numpy()[order]
+        sets = [np.asarray(s, dtype=np.uint64) for s in g["sh"].to_numpy()[order]]
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                na, nb = int(ns[i]), int(ns[j])
+                if den * min(na, nb) < num * max(na, nb):
+                    continue  # length filter
+                A, B = sets[i], sets[j]
+                if len(A) > len(B):
+                    A, B = B, A
+                pos = np.searchsorted(B, A)
+                pos[pos == len(B)] = len(B) - 1
+                inter = int((B[pos] == A).sum())
+                uni = na + nb - inter
+                if den * inter >= num * uni:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_i.append(inter)
+                    out_u.append(uni)
+        if not out_a:
+            return empty()
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype=g["id"].dtype),
+                "b": pd.Series(out_b, dtype=g["id"].dtype),
+                "inter": pd.Series(out_i, dtype=np.int64),
+                "uni": pd.Series(out_u, dtype=np.int64),
+            }
+        )
+
+    cand = pref.groupby("h").map_groups(verify, batch_format="pandas")
+
+    # --- pair dedup (a pair can verify in several shared prefix buckets) ----
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    deduped = cand.groupby(["a", "b"]).map_groups(first_row, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = t["uni"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = inter / uni
+        j = np.sign(j) * np.floor(np.abs(j) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "inter": pa.array(inter),
+                "uni": pa.array(uni),
+                "jaccard": pa.array(j),
+            }
+        )
+
+    return deduped.map_batches(finish, batch_format="pyarrow")
+
+
+def similarity_join_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (1, 2),
+    ngram: int = 3,
+) -> str:
+    """DuckDB replay of :func:`similarity_join`, generated from the SAME
+    parameters (single-generator policy): the brute-force token-equijoin
+    over distinct shingle STRINGS (the engine intersects their 64-bit
+    hashes — equal up to 64-bit collisions), with the identical
+    lowercase/whitespace/short-text shingle convention and the identical
+    integer threshold test."""
+    num, den = threshold
+    gram = " || ' ' || ".join(f"wl[i+{j}]" if j else "wl[i]" for j in range(ngram))
+    return f"""
+        WITH w AS (
+          SELECT {id_col} AS id,
+                 list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                             x -> x <> '') AS wl
+          FROM {table}
+        ),
+        sh AS (
+          SELECT id, unnest(list_distinct(
+            CASE WHEN len(wl) >= {ngram} THEN
+                   list_transform(range(1, len(wl) - {ngram} + 2),
+                                  i -> {gram})
+                 WHEN len(wl) >= 1 THEN [array_to_string(wl, ' ')]
+                 ELSE [] END)) AS s
+          FROM w
+        ),
+        n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        i AS (
+          SELECT a.id AS a, b.id AS b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, CAST(inter AS BIGINT) AS inter,
+               CAST(na.n + nb.n - inter AS BIGINT) AS uni,
+               round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+        FROM i
+        JOIN n na ON na.id = i.a
+        JOIN n nb ON nb.id = i.b
+        WHERE {den} * inter >= {num} * (na.n + nb.n - inter)
+    """
