@@ -1359,6 +1359,45 @@ def q155_similarity_join(sf_dir: str) -> rd.Dataset:
     )
 
 
+_Q156_SEEDS = ["h007.example.org", "h042.example.org"]
+
+
+def q156_crawl_depth(sf_dir: str) -> pd.DataFrame:
+    """Multi-source directed BFS crawl depth (stages/graph.bfs_depth)
+    from two seed hosts over the SAME deterministic 97-host link graph
+    as q118/q138/q152 — the link-hop budget signal a frontier scheduler
+    ranks by.  Scale shape: one edge-reduce shuffle, then per hop ONE
+    sorted-frontier broadcast + ONE shuffle-free edge scan + a
+    node-sized fold, early exit on an empty frontier.  Oracle:
+    stages/graph.bfs_sql — a bounded recursive reachability CTE with
+    min-hop fold over the SAME edge CTE (single-generator policy)."""
+    from ..stages.graph import bfs_depth
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    out = (
+        bfs_depth(ds.map_batches(edges, batch_format="pyarrow"),
+                  _Q156_SEEDS, max_hops=3)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    return _finalize(out[["host", "depth"]])
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4009,6 +4048,7 @@ QUERIES = {
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
     "q155_similarity_join": q155_similarity_join,
+    "q156_crawl_depth": q156_crawl_depth,
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
@@ -4236,6 +4276,7 @@ from ..stages.graph import triangle_sql as _tri_sql
 from ..stages.resample import resample_sql as _resample_sql
 from ..stages.rolling import rolling_sql as _rolling_sql
 from ..stages.simjoin import similarity_join_sql as _simjoin_sql
+from ..stages.graph import bfs_sql as _bfs_sql
 
 # synth.url_for_doc as a SQL CASE — shared by every oracle that rebuilds
 # page urls (q140 split, q146 frontier), so the rebuild cannot desync
@@ -4578,6 +4619,9 @@ ORACLE_SQL = {
     "q153_resample_ffill": _resample_sql(every_us=_Q153_EVERY_US),
     "q154_rolling_window": _rolling_sql(window=4),
     "q155_similarity_join": _simjoin_sql(threshold=(1, 2), ngram=3),
+    "q156_crawl_depth": _bfs_sql(
+        _Q118_EDGES, _Q156_SEEDS, max_hops=3, node_alias="host"
+    ),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

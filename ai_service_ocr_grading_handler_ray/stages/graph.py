@@ -647,6 +647,130 @@ SELECT deg.h AS {node_alias},
 FROM deg LEFT JOIN tn ON deg.h = tn.h"""
 
 
+def bfs_depth(
+    edges: rd.Dataset,
+    seeds: list[str],
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 8,
+    node_limit: int = 50_000_000,
+) -> rd.Dataset:
+    """Multi-source directed BFS over a (src, dst) edge Dataset — the
+    crawl-depth signal (how many link hops from the seed list reach each
+    host) frontier schedulers budget by.  Returns (node:string,
+    depth:int64) for every node reachable within ``max_hops``; seeds are
+    depth 0 (and appear in the output even when absent from the edge
+    set, matching the SQL replay).
+
+    Scale shape (same node-universe-fits-driver assumption as
+    :func:`pagerank`, guarded by ``node_limit``): the edge stream
+    reduces ONCE through :func:`weighted_host_edges` and indexes once;
+    each hop is ONE ``ray.put`` broadcast of the sorted frontier index
+    array + ONE shuffle-free scan over the indexed edges emitting
+    sparse newly-touched-node partials + a node-sized driver fold.  The
+    loop exits early when a frontier empties, so the cost is
+    min(max_hops, eccentricity) scans."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    if not seeds:
+        raise ValueError("bfs_depth: empty seed list")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("bfs_depth: duplicate seeds")
+
+    edges_w = weighted_host_edges(
+        edges, src_col=src_col, dst_col=dst_col
+    ).materialize()
+    nodes = _node_universe(
+        edges_w, src_col=src_col, dst_col=dst_col, node_limit=node_limit
+    )
+    n = len(nodes)
+    eidx = _indexed_edges(edges_w, nodes, src_col=src_col, dst_col=dst_col)
+
+    from .linalg import fold_sparse_partials
+
+    seed_arr = np.array(sorted(seeds), dtype=object)
+    pos = np.searchsorted(nodes, seed_arr)
+    in_graph = (pos < n) & (nodes[np.minimum(pos, n - 1)] == seed_arr)
+
+    depth = np.full(n, -1, dtype=np.int64)
+    depth[pos[in_graph]] = 0
+    frontier = np.sort(pos[in_graph])
+
+    for d in range(1, max_hops + 1):
+        if not len(frontier):
+            break
+        f_ref = ray.put(frontier)
+
+        def touch_partial(t: pa.Table, _ref=f_ref) -> pa.Table:
+            fr = ray.get(_ref)
+            s = t["si"].to_numpy(zero_copy_only=False)
+            di = t["di"].to_numpy(zero_copy_only=False)
+            p = np.minimum(np.searchsorted(fr, s), len(fr) - 1)
+            hit = fr[p] == s
+            touched = np.unique(di[hit])
+            return pa.table(
+                {
+                    "i": pa.array(touched.astype(np.int64)),
+                    "v": pa.array(np.ones(len(touched), dtype=np.float64)),
+                }
+            )
+
+        reached = fold_sparse_partials(
+            eidx.map_batches(touch_partial, batch_format="pyarrow"),
+            np.zeros(n, dtype=np.float64),
+        )
+        new = np.flatnonzero((reached > 0) & (depth < 0))
+        if not len(new):
+            break
+        depth[new] = d
+        frontier = new  # flatnonzero is already sorted
+
+    found = depth >= 0
+    out_nodes = list(nodes[found])
+    out_depth = list(depth[found])
+    # seeds absent from the edge set still report depth 0
+    for s, ok in zip(seed_arr, in_graph):
+        if not ok:
+            out_nodes.append(s)
+            out_depth.append(0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(out_nodes, type=pa.string()),
+                "depth": pa.array(np.array(out_depth, dtype=np.int64)),
+            }
+        )
+    )
+
+
+def bfs_sql(
+    edge_ctes: str,
+    seeds: list[str],
+    *,
+    max_hops: int = 8,
+    node_alias: str = "node",
+) -> str:
+    """ANSI-SQL replay of :func:`bfs_depth` — a bounded recursive
+    reachability CTE (the q128/q143 connected-components pattern) with
+    min-hop fold, generated from the SAME seeds/budget (single-generator
+    policy).  ``edge_ctes`` must define a CTE ``e`` with
+    (src VARCHAR, dst VARCHAR); self-loops and duplicates are harmless
+    here (they never shorten a path)."""
+    seed_rows = " UNION ALL ".join(f"SELECT '{s}' AS n" for s in sorted(set(seeds)))
+    return f"""WITH RECURSIVE {edge_ctes},
+seeds AS ({seed_rows}),
+rec AS (
+  SELECT n, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst AS n, rec.d + 1 AS d
+  FROM rec JOIN e ON e.src = rec.n
+  WHERE rec.d < {max_hops} AND e.src <> e.dst
+)
+SELECT n AS {node_alias}, CAST(min(d) AS BIGINT) AS depth
+FROM rec GROUP BY n"""
+
+
 def hits_sql(
     edge_ctes: str,
     *,

@@ -286,3 +286,93 @@ def test_triangle_free_graph(ray_session):
     out = triangle_counts(_edges_ds(edge_list)).to_pandas()
     assert out["n_tri"].sum() == 0
     assert np.allclose(out["clustering"], 0.0)
+
+
+# --- multi-source BFS depth (stages/graph.bfs_depth) ------------------------
+
+
+def _brute_bfs(edge_list, seeds, max_hops):
+    adj = {}
+    for s, t in edge_list:
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    return depth
+
+
+def test_bfs_depth_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import bfs_depth
+
+    rng = np.random.RandomState(29)
+    edge_list = [
+        (f"n{a:02d}", f"n{b:02d}")
+        for a, b in zip(rng.randint(0, 30, 200), rng.randint(0, 30, 200))
+    ]
+    seeds = ["n03", "n17"]
+    out = bfs_depth(_edges_ds(edge_list), seeds, max_hops=4).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == _brute_bfs(edge_list, seeds, 4)
+
+
+def test_bfs_is_directed(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import bfs_depth
+
+    out = bfs_depth(_edges_ds([("a", "b"), ("c", "b")]), ["a"], max_hops=3).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == {"a": 0, "b": 1}  # c unreachable against edge direction
+
+
+def test_bfs_max_hops_truncates(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import bfs_depth
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(10)]
+    out = bfs_depth(_edges_ds(chain), ["c0"], max_hops=4).to_pandas()
+    assert out["depth"].max() == 4
+    assert len(out) == 5
+
+
+def test_bfs_seed_not_in_graph_reports_zero(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import bfs_depth
+
+    out = bfs_depth(
+        _edges_ds([("a", "b")]), ["a", "zzz"], max_hops=2
+    ).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == {"a": 0, "b": 1, "zzz": 0}
+
+
+def test_bfs_sql_generator_parity(ray_session):
+    import duckdb
+
+    from ai_service_ocr_grading_handler_ray.stages.graph import bfs_depth, bfs_sql
+
+    rng = np.random.RandomState(31)
+    src = rng.randint(0, 20, 150)
+    dst = rng.randint(0, 20, 150)
+    vals = ", ".join(f"('n{a:02d}', 'n{b:02d}')" for a, b in zip(src, dst))
+    cte = f"e AS (SELECT * FROM (VALUES {vals}) AS t(src, dst))"
+    seeds = ["n05", "n11"]
+    got = (
+        duckdb.sql(bfs_sql(cte, seeds, max_hops=3))
+        .df()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    edge_list = [(f"n{a:02d}", f"n{b:02d}") for a, b in zip(src, dst)]
+    eng = (
+        bfs_depth(_edges_ds(edge_list), seeds, max_hops=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(got["node"]) == list(eng["node"])
+    assert list(got["depth"]) == list(eng["depth"])
