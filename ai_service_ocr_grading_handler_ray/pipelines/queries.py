@@ -4025,14 +4025,18 @@ def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
 
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
-    # (0) session-new, never driver-checked (lead the window): q130-q137
-    #     (session 4) and q138-q149 (session 5: HITS, char entropy,
-    #     host-disjoint split, inverted index, PMI, string-id CC,
-    #     compression ratio, script mix, crawl-frontier capstone,
+    # (0) session-new, never driver-checked (lead the window):
+    #     q152-q156 (session 6: triangle clustering, resample+ffill,
+    #     rolling windows, exact similarity join, BFS crawl depth),
+    #     q130-q137 (session 4) and q138-q149 (session 5: HITS, char
+    #     entropy, host-disjoint split, inverted index, PMI, string-id
+    #     CC, compression ratio, script mix, crawl-frontier capstone,
     #     registrable domains, embedding quantization, table profiler).
-    #     Their arrivals ceded q108/q110/q49/q77/q78/q82/q86/q85 and
-    #     other double-green unchanged entries — all still run at both
-    #     sfs in tests/test_oracle_parity.py every session;
+    #     Session 6's arrivals ceded q87/q88/q47/q83/q58 (driver-green
+    #     r3, unchanged); earlier arrivals ceded q108/q110/q49/q77/
+    #     q78/q82/q86/q85 and other double-green unchanged entries —
+    #     all still run at both sfs in tests/test_oracle_parity.py
+    #     every session;
     # (a) never driver-checked: the round-4-new q112/q113/q114;
     # (b) implementation changed in round 4 — re-verify: streaming
     #     rewrite (q28/q84/q80), partial top-k (q08/q76), simhash

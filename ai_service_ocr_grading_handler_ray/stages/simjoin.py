@@ -68,6 +68,7 @@ def similarity_join(
     ngram: int = 3,
     vocab_cap: int = VOCAB_CAP,
     bucket_pair_cap: int = 200_000,
+    num_parts: int = 64,
 ) -> rd.Dataset:
     """All document pairs (a < b) with shingle-set Jaccard >=
     threshold[0]/threshold[1].  Output: (a, b — id_col's type,
@@ -191,7 +192,12 @@ def similarity_join(
     pref = prof.map_batches(prefixes, batch_format="pyarrow")
 
     # --- in-bucket candidate generation + verification ----------------------
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    # shingle buckets co-locate COARSELY (hash(h) % num_parts — one Ray
+    # group per partition, a pandas groupby inside, instead of millions
+    # of tiny Ray groups; the add_key_partition convention)
+    from .dedup import add_key_partition
+
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
         def empty() -> pd.DataFrame:
             return pd.DataFrame(
                 {
@@ -202,38 +208,41 @@ def similarity_join(
                 }
             )
 
-        k = len(g)
-        if k < 2:
-            return empty()
-        if k * (k - 1) // 2 > bucket_pair_cap:
-            raise ValueError(
-                f"similarity_join: prefix bucket with {k} docs exceeds "
-                f"bucket_pair_cap={bucket_pair_cap} pairs — a shingle "
-                "this hot should not be in any prefix; check the corpus "
-                "for degenerate near-constant documents or raise the cap"
-            )
-        order = np.argsort(g["id"].to_numpy(), kind="stable")
-        ids = g["id"].to_numpy()[order]
-        ns = g["n"].to_numpy()[order]
-        sets = [np.asarray(s, dtype=np.uint64) for s in g["sh"].to_numpy()[order]]
         out_a, out_b, out_i, out_u = [], [], [], []
-        for i in range(k):
-            for j in range(i + 1, k):
-                na, nb = int(ns[i]), int(ns[j])
-                if den * min(na, nb) < num * max(na, nb):
-                    continue  # length filter
-                A, B = sets[i], sets[j]
-                if len(A) > len(B):
-                    A, B = B, A
-                pos = np.searchsorted(B, A)
-                pos[pos == len(B)] = len(B) - 1
-                inter = int((B[pos] == A).sum())
-                uni = na + nb - inter
-                if den * inter >= num * uni:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_i.append(inter)
-                    out_u.append(uni)
+        for _, grp in g.groupby("h", sort=False):
+            k = len(grp)
+            if k < 2:
+                continue
+            if k * (k - 1) // 2 > bucket_pair_cap:
+                raise ValueError(
+                    f"similarity_join: prefix bucket with {k} docs exceeds "
+                    f"bucket_pair_cap={bucket_pair_cap} pairs — a shingle "
+                    "this hot should not be in any prefix; check the corpus "
+                    "for degenerate near-constant documents or raise the cap"
+                )
+            order = np.argsort(grp["id"].to_numpy(), kind="stable")
+            ids = grp["id"].to_numpy()[order]
+            ns = grp["n"].to_numpy()[order]
+            sets = [
+                np.asarray(s, dtype=np.uint64) for s in grp["sh"].to_numpy()[order]
+            ]
+            for i in range(k):
+                for j in range(i + 1, k):
+                    na, nb = int(ns[i]), int(ns[j])
+                    if den * min(na, nb) < num * max(na, nb):
+                        continue  # length filter
+                    A, B = sets[i], sets[j]
+                    if len(A) > len(B):
+                        A, B = B, A
+                    pos = np.searchsorted(B, A)
+                    pos[pos == len(B)] = len(B) - 1
+                    inter = int((B[pos] == A).sum())
+                    uni = na + nb - inter
+                    if den * inter >= num * uni:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_i.append(inter)
+                        out_u.append(uni)
         if not out_a:
             return empty()
         return pd.DataFrame(
@@ -245,13 +254,32 @@ def similarity_join(
             }
         )
 
-    cand = pref.groupby("h").map_groups(verify, batch_format="pandas")
+    cand = (
+        pref.map_batches(
+            lambda t: add_key_partition(t, "h", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(verify_partition, batch_format="pandas")
+    )
 
     # --- pair dedup (a pair can verify in several shared prefix buckets) ----
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    # coarse co-location on hash(a); (a, b) dedup is a vectorized
+    # drop_duplicates inside each partition (both copies of a pair share
+    # the same a, so they always meet)
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["a", "b"], kind="mergesort").drop_duplicates(
+            ["a", "b"]
+        )
 
-    deduped = cand.groupby(["a", "b"]).map_groups(first_row, batch_format="pandas")
+    deduped = (
+        cand.map_batches(
+            lambda t: add_key_partition(t, "a", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "q146_crawl_frontier",
     "q150_funnel",
     "q151_cohort_retention",
+    "q152_triangle_clustering",
+    "q153_resample_ffill",
+    "q154_rolling_window",
+    "q155_similarity_join",
+    "q156_crawl_depth",
 ]
 
 
