@@ -469,26 +469,32 @@ def triangle_counts(
 
     oriented = eidx.map_batches(orient, batch_format="pyarrow").materialize()
 
-    # wedge generation: per oriented-source group, all neighbor pairs
+    # wedge generation runs per COARSE source partition (hash(o) %
+    # num_parts — one Ray group per partition, a numpy segment sweep
+    # inside, not one Ray group per source node): a source's out-edges
+    # co-locate, each source segment emits its triu neighbor pairs
     # ordered by rank (each triangle's apex emits its one wedge)
-    def wedges(g: "pd.DataFrame", _ref=rank_ref) -> "pd.DataFrame":
-        import pandas as pd
+    num_parts = 64
 
-        r = ray.get(_ref)
+    def _source_segments(g: "pd.DataFrame"):
+        """Rows sorted by (apex, neighbor rank) + segment boundaries."""
+        r = ray.get(rank_ref)
         apex = g["o"].to_numpy()
         nbr = g["h"].to_numpy()
-        # one group per apex value (map_groups delivers one key)
-        order = np.argsort(r[nbr], kind="stable")
-        nbr = nbr[order]
-        k = len(nbr)
-        if k < 2:
-            return pd.DataFrame({"x": [], "y": [], "apex": []}).astype(np.int64)
-        iu, ju = np.triu_indices(k, k=1)
-        return pd.DataFrame(
-            {"x": nbr[iu], "y": nbr[ju], "apex": np.full(len(iu), apex[0])}
+        order = np.lexsort((r[nbr], apex))
+        apex, nbr = apex[order], nbr[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(apex[1:] != apex[:-1]) + 1, [len(apex)]]
         )
+        return apex, nbr, bounds
 
-    wedge_ds = oriented.groupby("o").map_groups(wedges, batch_format="pandas")
+    def _iter_wedges(apex, nbr, bounds):
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, k=1)
+            yield nbr[s + iu], nbr[s + ju], apex[s]
 
     # closing-edge membership probe on key = x*n + y (rank(x) < rank(y))
     def edge_keys(t: pa.Table) -> pa.Table:
@@ -497,6 +503,16 @@ def triangle_counts(
         return pa.table({"k": pa.array(o * np.int64(n) + h)})
 
     ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow")
+
+    from .dedup import add_key_partition
+
+    part_oriented = (
+        oriented.map_batches(
+            lambda t: add_key_partition(t, "o", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+    )
 
     if n_edges <= broadcast_edge_cap:
         from .collect import collect_tables
@@ -512,42 +528,65 @@ def triangle_counts(
         )
         karr_ref = ray.put(karr)
 
-        def closed_partial(t: pa.Table, _ref=karr_ref) -> pa.Table:
+        # FUSED wedge-generate + closing probe + bincount: wedges never
+        # leave the task, each partition emits node-sized sparse rows
+        def wedge_close_partial(g: "pd.DataFrame", _ref=karr_ref) -> "pd.DataFrame":
+            import pandas as pd
+
             ks = ray.get(_ref)
-            x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-            y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-            a = t["apex"].to_numpy(zero_copy_only=False).astype(np.int64)
-            wk = x * np.int64(n) + y
-            if len(ks) == 0:
-                hit = np.zeros(len(wk), dtype=bool)
-            else:
+            apex, nbr, bounds = _source_segments(g)
+            acc = np.zeros(n, dtype=np.int64)
+            for x, y, a in _iter_wedges(apex, nbr, bounds):
+                wk = x * np.int64(n) + y
+                if len(ks) == 0:
+                    continue
                 pos = np.minimum(np.searchsorted(ks, wk), len(ks) - 1)
                 hit = ks[pos] == wk
-            tri_nodes = np.concatenate([x[hit], y[hit], a[hit]])
-            acc = np.bincount(tri_nodes, minlength=n)
+                nh = int(hit.sum())
+                if nh:
+                    acc += np.bincount(x[hit], minlength=n)
+                    acc += np.bincount(y[hit], minlength=n)
+                    acc[a] += nh
             present = np.flatnonzero(acc)
-            return pa.table(
+            return pd.DataFrame(
                 {
-                    "i": pa.array(present.astype(np.int64)),
-                    "v": pa.array(acc[present].astype(np.float64)),
+                    "i": present.astype(np.int64),
+                    "v": acc[present].astype(np.float64),
                 }
             )
 
-        tri_partials = wedge_ds.map_batches(closed_partial, batch_format="pyarrow")
+        tri_partials = part_oriented.map_groups(
+            wedge_close_partial, batch_format="pandas"
+        )
     else:
         # cogroup fallback: wedge keys and edge keys meet in one salted
         # groupby; a wedge closes iff its key group contains an edge row
-        def wedge_keyed(t: pa.Table) -> pa.Table:
-            x = t["x"].to_numpy(zero_copy_only=False)
-            y = t["y"].to_numpy(zero_copy_only=False)
-            return pa.table(
+        def wedge_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd
+
+            apex, nbr, bounds = _source_segments(g)
+            xs, ys, aps = [], [], []
+            for x, y, a in _iter_wedges(apex, nbr, bounds):
+                xs.append(x)
+                ys.append(y)
+                aps.append(np.full(len(x), a, dtype=np.int64))
+            if not xs:
+                return pd.DataFrame(
+                    {
+                        "k": pd.Series([], dtype=np.int64),
+                        "apex": pd.Series([], dtype=np.int64),
+                    }
+                )
+            x = np.concatenate(xs)
+            y = np.concatenate(ys)
+            return pd.DataFrame(
                 {
-                    "k": pa.array(x * np.int64(n) + y),
-                    "apex": t["apex"],
+                    "k": x * np.int64(n) + y,
+                    "apex": np.concatenate(aps),
                 }
             )
 
-        wk = wedge_ds.map_batches(wedge_keyed, batch_format="pyarrow")
+        wk = part_oriented.map_groups(wedge_partition, batch_format="pandas")
         ek = ekeys.map_batches(
             lambda t: t.append_column(
                 "apex", pa.array(np.full(t.num_rows, -1, dtype=np.int64))
@@ -555,42 +594,48 @@ def triangle_counts(
             batch_format="pyarrow",
         )
 
-        def close_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        # wedge keys and edge keys meet in one COARSE partition cogroup
+        # (hash(k) % num_parts); inside, membership is one sorted
+        # searchsorted of wedge keys into the partition's edge keys —
+        # fully vectorized, no per-key group
+        def close_partition(g: "pd.DataFrame") -> "pd.DataFrame":
             import pandas as pd
 
             a = g["apex"].to_numpy()
-            if not (a < 0).any():
-                return pd.DataFrame({"x": [], "y": [], "apex": []}).astype(np.int64)
-            k = int(g["k"].iloc[0])
-            apexes = a[a >= 0]
+            keys = g["k"].to_numpy()
+            ekeys_p = np.unique(keys[a < 0])
+            wmask = a >= 0
+            wkeys = keys[wmask]
+            if not len(ekeys_p) or not len(wkeys):
+                return pd.DataFrame(
+                    {
+                        "i": pd.Series([], dtype=np.int64),
+                        "v": pd.Series([], dtype=np.float64),
+                    }
+                )
+            pos = np.minimum(np.searchsorted(ekeys_p, wkeys), len(ekeys_p) - 1)
+            hit = ekeys_p[pos] == wkeys
+            hk = wkeys[hit]
+            acc = np.bincount((hk // n).astype(np.int64), minlength=n)
+            acc += np.bincount((hk % n).astype(np.int64), minlength=n)
+            acc += np.bincount(a[wmask][hit], minlength=n)
+            present = np.flatnonzero(acc)
             return pd.DataFrame(
                 {
-                    "x": np.full(len(apexes), k // n, dtype=np.int64),
-                    "y": np.full(len(apexes), k % n, dtype=np.int64),
-                    "apex": apexes,
+                    "i": present.astype(np.int64),
+                    "v": acc[present].astype(np.float64),
                 }
             )
 
-        closed = wk.union(ek).groupby("k").map_groups(close_group, batch_format="pandas")
-
-        def tri_partial(t: pa.Table) -> pa.Table:
-            tri_nodes = np.concatenate(
-                [
-                    t["x"].to_numpy(zero_copy_only=False),
-                    t["y"].to_numpy(zero_copy_only=False),
-                    t["apex"].to_numpy(zero_copy_only=False),
-                ]
-            ).astype(np.int64)
-            acc = np.bincount(tri_nodes, minlength=n)
-            present = np.flatnonzero(acc)
-            return pa.table(
-                {
-                    "i": pa.array(present.astype(np.int64)),
-                    "v": pa.array(acc[present].astype(np.float64)),
-                }
+        tri_partials = (
+            wk.union(ek)
+            .map_batches(
+                lambda t: add_key_partition(t, "k", num_parts=num_parts),
+                batch_format="pyarrow",
             )
-
-        tri_partials = closed.map_batches(tri_partial, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(close_partition, batch_format="pandas")
+        )
 
     tri = fold_sparse_partials(
         tri_partials, np.zeros(n, dtype=np.float64)
