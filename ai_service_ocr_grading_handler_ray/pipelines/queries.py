@@ -1398,6 +1398,22 @@ def q156_crawl_depth(sf_dir: str) -> pd.DataFrame:
     return _finalize(out[["host", "depth"]])
 
 
+def q157_user_trend(sf_dir: str) -> rd.Dataset:
+    """Per-user OLS spend trend (stages/trend.grouped_linear_trend):
+    slope / intercept / R² of event value against time-in-days — the
+    drift-detector analytic.  Scale shape: the TPC-H-Q1 pattern — one
+    shuffle-free moment-partial scan (Arrow group_by inside the batch),
+    one key-count-sized groupby sum, one finish scan; nothing
+    row-count-sized reaches the driver.  Oracle GENERATED by
+    stages/trend.grouped_trend_sql — identical sufficient statistics,
+    thresholds, and textbook formulas (single-generator policy)."""
+    from ..stages.trend import grouped_linear_trend
+
+    return grouped_linear_trend(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4053,6 +4069,7 @@ QUERIES = {
     "q154_rolling_window": q154_rolling_window,
     "q155_similarity_join": q155_similarity_join,
     "q156_crawl_depth": q156_crawl_depth,
+    "q157_user_trend": q157_user_trend,
     "q140_host_disjoint_split": q140_host_disjoint_split,
     "q141_inverted_index": q141_inverted_index,
     "q142_pmi_collocations": q142_pmi_collocations,
@@ -4281,6 +4298,7 @@ from ..stages.resample import resample_sql as _resample_sql
 from ..stages.rolling import rolling_sql as _rolling_sql
 from ..stages.simjoin import similarity_join_sql as _simjoin_sql
 from ..stages.graph import bfs_sql as _bfs_sql
+from ..stages.trend import grouped_trend_sql as _trend_sql
 
 # synth.url_for_doc as a SQL CASE — shared by every oracle that rebuilds
 # page urls (q140 split, q146 frontier), so the rebuild cannot desync
@@ -4626,6 +4644,7 @@ ORACLE_SQL = {
     "q156_crawl_depth": _bfs_sql(
         _Q118_EDGES, _Q156_SEEDS, max_hops=3, node_alias="host"
     ),
+    "q157_user_trend": _trend_sql(),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

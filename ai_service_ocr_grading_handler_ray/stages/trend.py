@@ -1,0 +1,185 @@
+"""Per-key linear trend — grouped ordinary-least-squares slope /
+intercept / R² of value against time, the drift detector analytics
+pipelines run per user / per host / per source (is this host's quality
+score degrading? is this user's spend trending up?).
+
+The whole regression reduces to per-key SUFFICIENT STATISTICS
+(n, Σx, Σy, Σxy, Σx², Σy²), so the scale shape is the TPC-H-Q1
+pattern: one shuffle-free ``map_batches`` scan emits per-batch per-key
+moment partials (an Arrow group_by inside the batch — the map-side
+combiner), ONE tiny ``groupby(key)`` sum over key-count-sized rows,
+and a final shuffle-free compute scan.  No row-count-sized state ever
+reaches the driver.
+
+x is time in DAYS from a fixed origin (``(epoch_us - origin) /
+86 400 000 000.0`` — the same IEEE double division on both engines);
+the small magnitudes keep every moment well inside float64's exact
+range so the engine's fold order and the oracle's scan order agree to
+~1e-12, absorbed by the shared 6-decimal rounding.
+
+Degenerate keys (n < 2, or x-variance below ``var_eps``) report
+slope 0 / intercept = mean(y) / r2 0 — thresholded, not ==0, so an
+ulp-level disagreement between engines can never flip the branch
+(:func:`grouped_trend_sql` replays the same threshold).
+
+Textbook formulas (replayed exactly by the oracle):
+
+    vx  = n*Σxx - Σx²         vy  = n*Σyy - Σy²
+    cov = n*Σxy - Σx*Σy
+    slope = cov / vx          intercept = (Σy - slope*Σx) / n
+    r2 = cov² / (vx * vy)     (0 when vy <= var_eps)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+# epoch_us of 2024-01-01 00:00:00 UTC — the x origin used by the
+# events-table query (any fixed origin works; both generators share it)
+DEFAULT_ORIGIN_US = 1_704_067_200_000_000
+US_PER_DAY = 86_400_000_000.0
+
+
+def grouped_linear_trend(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin_us: int = DEFAULT_ORIGIN_US,
+    var_eps: float = 1e-9,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-key OLS trend of value vs time-in-days.  Output: (key,
+    n:int64, slope, intercept, r2 — float64 rounded).  See module
+    docstring for semantics and the scale shape."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        # normalize to µs first: pandas-born blocks carry timestamp[ns]
+        x = (
+            t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            - origin_us
+        ) / US_PER_DAY
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        aug = pa.table(
+            {
+                key_col: t[key_col],
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xy": pa.array(x * y),
+                "xx": pa.array(x * x),
+                "yy": pa.array(y * y),
+            }
+        )
+        return aug.group_by([key_col]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"),
+             ("yy", "sum"), ("x", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(key_col)
+        .aggregate(
+            Sum("x_sum", alias_name="sx"),
+            Sum("y_sum", alias_name="sy"),
+            Sum("xy_sum", alias_name="sxy"),
+            Sum("xx_sum", alias_name="sxx"),
+            Sum("yy_sum", alias_name="syy"),
+            Sum("x_count", alias_name="n"),
+        )
+    )
+
+    f = 10.0**round_to
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        ok = (n >= 2) & (vx > var_eps)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(ok, cov / np.where(ok, vx, 1.0), 0.0)
+            r2 = np.where(
+                ok & (vy > var_eps),
+                (cov * cov) / np.where(vy > var_eps, vx * vy, 1.0),
+                0.0,
+            )
+        intercept = (sy - slope * sx) / n
+
+        def rnd(a: np.ndarray) -> np.ndarray:
+            return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n": pa.array(n.astype(np.int64)),
+                "slope": pa.array(rnd(slope)),
+                "intercept": pa.array(rnd(intercept)),
+                "r2": pa.array(rnd(r2)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_trend_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin_us: int = DEFAULT_ORIGIN_US,
+    var_eps: float = 1e-9,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`grouped_linear_trend`, generated from the
+    SAME parameters (single-generator policy): the identical sufficient
+    statistics, thresholds, and textbook formulas — deliberately NOT
+    regr_slope/regr_r2, whose internal centering would differ from the
+    engine's fold at the ulp level."""
+    eps = repr(float(var_eps))
+    return f"""
+        WITH pts AS (
+          SELECT {key_col} AS k,
+                 (epoch_us({ts_col}) - {origin_us}) / {US_PER_DAY!r} AS x,
+                 CAST({value_col} AS DOUBLE) AS y
+          FROM {table}
+        ),
+        s AS (
+          SELECT k, CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts GROUP BY k
+        ),
+        m AS (
+          SELECT k, n, sx, sy,
+                 n * sxx - sx * sx AS vx,
+                 n * syy - sy * sy AS vy,
+                 n * sxy - sx * sy AS cov
+          FROM s
+        ),
+        sl AS (
+          SELECT k, n, sx, sy, vx, vy, cov,
+                 CASE WHEN n >= 2 AND vx > {eps}
+                      THEN cov / vx ELSE 0.0 END AS slope
+          FROM m
+        )
+        SELECT k AS {key_col},
+               CAST(n AS BIGINT) AS n,
+               round(slope, {round_to}) AS slope,
+               round((sy - slope * sx) / n, {round_to}) AS intercept,
+               round(CASE WHEN n >= 2 AND vx > {eps} AND vy > {eps}
+                     THEN (cov * cov) / (vx * vy) ELSE 0.0 END,
+                     {round_to}) AS r2
+        FROM sl
+    """

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q154_rolling_window",
     "q155_similarity_join",
     "q156_crawl_depth",
+    "q157_user_trend",
 ]
 
 

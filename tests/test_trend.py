@@ -1,0 +1,103 @@
+"""Grouped OLS trend (stages/trend.py): numpy-polyfit equivalence,
+degenerate-key semantics, moment-fold stability across block layouts."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.trend import (
+    DEFAULT_ORIGIN_US,
+    US_PER_DAY,
+    grouped_linear_trend,
+)
+
+
+def _events(rows):
+    """rows: (user_id, ts_us_from_origin, value)."""
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": pd.to_datetime(
+                    [DEFAULT_ORIGIN_US + r[1] for r in rows], unit="us"
+                ),
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+    )
+
+
+def test_trend_matches_polyfit(ray_session):
+    rng = np.random.RandomState(5)
+    rows = []
+    for u in range(8):
+        for _ in range(60):
+            t = int(rng.randint(0, 30 * 86_400_000_000))
+            x = t / US_PER_DAY
+            rows.append((u, t, 2.0 + 0.5 * u * x + rng.randn() * 3))
+    out = (
+        grouped_linear_trend(_events(rows))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["u", "t", "y"])
+    df["x"] = df["t"] / US_PER_DAY
+    for _, r in out.iterrows():
+        g = df[df["u"] == r["user_id"]]
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        cc = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(r["slope"] - slope) < 1e-5
+        assert abs(r["intercept"] - intercept) < 1e-5
+        assert abs(r["r2"] - cc * cc) < 1e-5
+        assert r["n"] == len(g)
+
+
+def test_trend_exact_line_r2_one(ray_session):
+    rows = [(1, i * 86_400_000_000, 10.0 + 3.0 * i) for i in range(10)]
+    out = grouped_linear_trend(_events(rows)).to_pandas()
+    assert abs(out["slope"].iloc[0] - 3.0) < 1e-6
+    assert abs(out["intercept"].iloc[0] - 10.0) < 1e-6
+    assert abs(out["r2"].iloc[0] - 1.0) < 1e-6
+
+
+def test_trend_degenerate_keys(ray_session):
+    rows = [
+        (1, 1000, 5.0),                       # single point
+        (2, 2000, 7.0), (2, 2000, 9.0),       # zero x-variance
+        (3, 0, 4.0), (3, 86_400_000_000, 4.0),  # zero y-variance
+    ]
+    out = (
+        grouped_linear_trend(_events(rows))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # n<2 and var_x==0: slope 0, intercept = mean(y), r2 0
+    assert list(out["slope"][:2]) == [0.0, 0.0]
+    assert abs(out["intercept"].iloc[0] - 5.0) < 1e-9
+    assert abs(out["intercept"].iloc[1] - 8.0) < 1e-9
+    assert list(out["r2"][:2]) == [0.0, 0.0]
+    # flat line: slope 0 (exact), r2 0 (vy below threshold)
+    assert abs(out["slope"].iloc[2]) < 1e-9
+    assert out["r2"].iloc[2] == 0.0
+
+
+def test_trend_block_layout_invariance(ray_session):
+    """Same rows, different block layout → identical rounded output
+    (the moment fold is order-stable to well below the rounding)."""
+    rng = np.random.RandomState(9)
+    rows = [
+        (int(u), int(rng.randint(0, 30 * 86_400_000_000)),
+         round(float(rng.rand() * 100), 2))
+        for u in rng.randint(0, 5, 500)
+    ]
+    a = (
+        grouped_linear_trend(_events(rows))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    b = (
+        grouped_linear_trend(_events(rows).repartition(13))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
