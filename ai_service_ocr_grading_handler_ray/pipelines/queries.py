@@ -1414,6 +1414,36 @@ def q157_user_trend(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q158_naive_bayes(sf_dir: str) -> rd.Dataset:
+    """Multinomial Naive Bayes source classifier (stages/nbayes.py):
+    train on (text, source), score every doc against every class —
+    the generative counterpart of q120's discriminative logistic
+    classifier.  Scale shape: training is ONE token-class shuffle
+    (per-batch factorize partials, vocab×classes rows, never corpus
+    tokens) + a tiny per-label doc-count groupby; the fitted model
+    broadcasts once via ray.put and scoring is a shuffle-free
+    searchsorted/reduceat scan.  Laplace alpha=1 over the pooled
+    training vocabulary makes every term an integer-ratio ln —
+    SQL-replayable exactly (counts → totals → V → left-join score)."""
+    from ..stages.nbayes import nb_score, nb_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    model = nb_train(ds, text_col="text", label_col="source")
+    scored = nb_score(ds, model, text_col="text", id_col="doc_id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            t["nb_logprob"].to_numpy(zero_copy_only=False), 4
+        )
+        return t.set_column(
+            t.schema.get_field_index("nb_logprob"),
+            "nb_logprob",
+            pa.array(v, type=pa.float64()),
+        )
+
+    return scored.map_batches(rnd, batch_format="pyarrow")
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4064,6 +4094,7 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    "q158_naive_bayes": q158_naive_bayes,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4361,6 +4392,37 @@ from ..stages.funnel import funnel_sql as _funnel_sql
 from ..stages.cohort import cohort_retention_sql as _cohort_sql
 
 ORACLE_SQL = {
+    "q158_naive_bayes": """
+        WITH w AS (
+          SELECT doc_id, source AS label,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), c AS (
+          SELECT label, tok, CAST(count(*) AS DOUBLE) AS n
+          FROM w GROUP BY label, tok
+        ), tot AS (
+          SELECT label, sum(n) AS tot FROM c GROUP BY label
+        ), v AS (
+          SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM w
+        ), pr AS (
+          SELECT source AS label, CAST(count(*) AS DOUBLE) AS ndl
+          FROM documents GROUP BY source
+        ), nd AS (
+          SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+        ), sc AS (
+          SELECT w2.doc_id, t.label AS label,
+                 sum(ln((coalesce(c.n, 0) + 1) / (t.tot + (SELECT v FROM v))))
+                   AS s
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) w2
+          CROSS JOIN tot t
+          LEFT JOIN c ON c.label = t.label AND c.tok = w2.tok
+          GROUP BY w2.doc_id, t.label, t.tot
+        )
+        SELECT sc.doc_id, sc.label AS label,
+               round(sc.s + ln(pr.ndl / (SELECT nd FROM nd)), 4) AS nb_logprob
+        FROM sc JOIN pr ON pr.label = sc.label
+    """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"
         "  SELECT user_id,\n"
