@@ -1444,6 +1444,22 @@ def q158_naive_bayes(sf_dir: str) -> rd.Dataset:
     return scored.map_batches(rnd, batch_format="pyarrow")
 
 
+def q159_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (stages/markov.py): P(next event_type | current) from consecutive
+    pairs within each user's (ts, event_id)-ordered timeline — the
+    clickstream page-flow analytic.  Scale shape: ONE user-hash shuffle,
+    vectorized per-partition pass (mergesort + shifted-key mask),
+    |states|²×partitions partial rows folded on the driver.  Oracle:
+    lead() OVER (PARTITION BY user ORDER BY ts, event_id) replay."""
+    from ..stages.markov import transition_matrix
+
+    out = transition_matrix(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    )
+    return _finalize(out, {"p": 6})
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4095,6 +4111,7 @@ QUERIES = {
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
     "q158_naive_bayes": q158_naive_bayes,
+    "q159_markov_transitions": q159_markov_transitions,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4422,6 +4439,22 @@ ORACLE_SQL = {
         SELECT sc.doc_id, sc.label AS label,
                round(sc.s + ln(pr.ndl / (SELECT nd FROM nd)), 4) AS nb_logprob
         FROM sc JOIN pr ON pr.label = sc.label
+    """,
+    "q159_markov_transitions": """
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS nxt
+          FROM events
+        ), pr AS (
+          SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+          FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+        )
+        SELECT cur, nxt, n,
+               round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6)
+                 AS p
+        FROM pr
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"
