@@ -1460,6 +1460,24 @@ def q159_markov_transitions(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"p": 6})
 
 
+def q160_rollup_lang_source(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical ROLLUP(lang, source) over documents
+    (stages/rollup.py): doc counts + char sums at full detail, per-lang,
+    and grand-total levels — the OLAP corpus-composition dashboard.
+    Scale shape: ONE fine-level shuffle (map-side Arrow partials →
+    group-cardinality rows); every coarser level re-aggregates the fine
+    table on the driver (exact for int sums, |langs×sources|-bounded).
+    Oracle: GROUP BY ROLLUP with coalesce sentinels."""
+    from ..stages.rollup import rollup_aggregate
+
+    return rollup_aggregate(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        ["n_chars"],
+        count_col="n_docs",
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4112,6 +4130,7 @@ QUERIES = {
     #     tests/test_oracle_parity.py every session.
     "q158_naive_bayes": q158_naive_bayes,
     "q159_markov_transitions": q159_markov_transitions,
+    "q160_rollup_lang_source": q160_rollup_lang_source,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4455,6 +4474,13 @@ ORACLE_SQL = {
                round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur), 6)
                  AS p
         FROM pr
+    """,
+    "q160_rollup_lang_source": """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY ROLLUP(lang, source)
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"

@@ -1,0 +1,59 @@
+"""ROLLUP aggregates (stages/rollup.py): level consistency, sentinel
+semantics, null-key guard, partition invariance, float sums."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.rollup import rollup_aggregate
+
+
+def _t():
+    return pa.table(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["p", "q", "p", "p", "q"],
+            "v": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+
+
+def test_levels_consistent(ray_session):
+    out = rollup_aggregate(rd.from_arrow(_t()), ["a", "b"], ["v"])
+    fine = out[(out.a != "ALL") & (out.b != "ALL")]
+    mid = out[(out.a != "ALL") & (out.b == "ALL")]
+    top = out[(out.a == "ALL") & (out.b == "ALL")]
+    assert len(fine) == 4 and len(mid) == 2 and len(top) == 1
+    assert fine.v_sum.sum() == mid.v_sum.sum() == int(top.v_sum.iloc[0]) == 15
+    assert fine.n_rows.sum() == int(top.n_rows.iloc[0]) == 5
+    got = {(r.a, r.b): (r.v_sum, r.n_rows) for r in fine.itertuples()}
+    assert got == {("x", "p"): (1, 1), ("x", "q"): (2, 1),
+                   ("y", "p"): (7, 2), ("y", "q"): (5, 1)}
+    assert {(r.a, r.b): r.v_sum for r in mid.itertuples()} == {
+        ("x", "ALL"): 3, ("y", "ALL"): 12}
+
+
+def test_partition_invariant(ray_session):
+    a = rollup_aggregate(rd.from_arrow(_t()), ["a", "b"], ["v"])
+    b = rollup_aggregate(rd.from_arrow(_t()).repartition(4), ["a", "b"], ["v"])
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_null_key_raises(ray_session):
+    t = pa.table({"a": ["x", None], "b": ["p", "q"], "v": [1, 2]})
+    with pytest.raises(Exception, match="NULL in rollup key"):
+        rollup_aggregate(rd.from_arrow(t), ["a", "b"], ["v"])
+
+
+def test_float_sums_stay_float(ray_session):
+    t = pa.table({"a": ["x", "y"], "b": ["p", "p"], "v": [1.5, 2.5]})
+    out = rollup_aggregate(rd.from_arrow(t), ["a", "b"], ["v"])
+    assert out.v_sum.dtype.kind == "f"
+    top = out[(out.a == "ALL") & (out.b == "ALL")]
+    np.testing.assert_allclose(top.v_sum.iloc[0], 4.0)
