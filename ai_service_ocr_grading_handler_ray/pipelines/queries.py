@@ -1478,6 +1478,32 @@ def q160_rollup_lang_source(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q161_pareto_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D Pareto skyline over lineitem maximizing (l_extendedprice,
+    l_discount) — the multi-criteria selection operator
+    (stages/skyline.py).  Scale shape: per-block local skylines
+    (vectorized two-window scan), one answer×blocks-bounded merge, one
+    finishing scan — no shuffle at all.  Oracle: the identical
+    two-window dominance replay (max-preceding-y over x-desc order +
+    max-preceding-x within equal-y)."""
+    from ..stages.skyline import pareto_skyline
+
+    out = pareto_skyline(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        ),
+        "l_extendedprice",
+        "l_discount",
+        keep_cols=("l_orderkey", "l_linenumber"),
+    )
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return _finalize(
+        out[["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]]
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4131,6 +4157,7 @@ QUERIES = {
     "q158_naive_bayes": q158_naive_bayes,
     "q159_markov_transitions": q159_markov_transitions,
     "q160_rollup_lang_source": q160_rollup_lang_source,
+    "q161_pareto_skyline": q161_pareto_skyline,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4481,6 +4508,23 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+    "q161_pareto_skyline": """
+        WITH w AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+                 max(l_discount) OVER (
+                   ORDER BY l_extendedprice DESC, l_discount DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS md,
+                 max(l_extendedprice) OVER (
+                   PARTITION BY l_discount ORDER BY l_extendedprice DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+          FROM lineitem
+        )
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_extendedprice, l_discount
+        FROM w
+        WHERE (md IS NULL OR md <= l_discount)
+          AND (mp IS NULL OR mp <= l_extendedprice)
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"
