@@ -1504,6 +1504,25 @@ def q161_pareto_skyline(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q162_mad_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-event-type robust outliers by median absolute deviation
+    (stages/selection.mad_outliers): |v − median| > 3·1.4826·MAD with
+    EXACT ceil(n/2) medians — the quality-signal outlier sweep that
+    tolerates heavy tails where z-scores (q57) break.  Scale shape: two
+    histogram-refinement quantile passes (no sort, driver holds
+    #groups×1 values) + one shuffle-free filter scan.  Oracle: the
+    row_number rank replay of both medians (q114's convention) + the
+    identical threshold expression."""
+    from ..stages.selection import mad_outliers
+
+    return mad_outliers(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        value_col="value",
+        group_col="event_type",
+        keep_cols=("event_id",),
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4158,6 +4177,7 @@ QUERIES = {
     "q159_markov_transitions": q159_markov_transitions,
     "q160_rollup_lang_source": q160_rollup_lang_source,
     "q161_pareto_skyline": q161_pareto_skyline,
+    "q162_mad_outliers": q162_mad_outliers,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4525,6 +4545,38 @@ ORACLE_SQL = {
         FROM w
         WHERE (md IS NULL OR md <= l_discount)
           AND (mp IS NULL OR mp <= l_extendedprice)
+    """,
+    "q162_mad_outliers": """
+        WITH r1 AS (
+          SELECT event_id, event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), med AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                          THEN value END) AS med
+          FROM r1 GROUP BY event_type
+        ), d AS (
+          SELECT e.event_id, e.event_type, e.value,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (event_type)
+        ), r2 AS (
+          SELECT event_type, adev,
+                 row_number() OVER (PARTITION BY event_type ORDER BY adev)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM d
+        ), mad AS (
+          SELECT event_type,
+                 max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                          THEN adev END) AS mad
+          FROM r2 GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value
+        FROM d JOIN mad USING (event_type)
+        WHERE d.adev > 3 * 1.4826 * mad.mad
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"

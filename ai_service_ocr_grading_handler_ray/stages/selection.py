@@ -503,3 +503,74 @@ def winsorize_by_group(
         return pa.table(cols)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def mad_outliers(
+    ds: "rd.Dataset",
+    *,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    keep_cols: Sequence[str] = (),
+) -> "rd.Dataset":
+    """Per-group robust outlier detection by median absolute deviation:
+    keep rows with ``|v - median| > k * consistency * MAD`` where both
+    the median and MAD are the EXACT ``ceil(n/2)``-th smallest values
+    (``exact_group_quantiles`` — histogram refinement, no sort; the SQL
+    replay is a row_number rank).  Two quantile passes + one
+    shuffle-free filter scan; per-group (median, threshold) pairs
+    broadcast once via ``ray.put``.  The threshold product is computed
+    as ``(k * consistency) * MAD`` — the same constant-folded order a
+    SQL ``k * consistency * mad`` evaluates, so engine and oracle test
+    bit-identical doubles."""
+    import ray
+
+    med = {
+        g: v[0]
+        for g, v in exact_group_quantiles(
+            ds, value_col, group_col, (Fraction(1, 2),)
+        ).items()
+    }
+    med_ref = ray.put(med)
+
+    def adev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        g = pd.Series(t[group_col].to_pylist())
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "_adev": pa.array(
+                    np.abs(v - g.map(m).to_numpy(dtype=np.float64)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    dev_ds = ds.map_batches(adev, batch_format="pyarrow")
+    mad = {
+        g: v[0]
+        for g, v in exact_group_quantiles(
+            dev_ds, "_adev", group_col, (Fraction(1, 2),)
+        ).items()
+    }
+    c = k * consistency
+    thr_ref = ray.put({g: (med[g], c * mad[g]) for g in med})
+
+    def pick(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        g = pd.Series(t[group_col].to_pylist())
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        meds = g.map({k_: p[0] for k_, p in thr.items()}).to_numpy(
+            dtype=np.float64
+        )
+        lims = g.map({k_: p[1] for k_, p in thr.items()}).to_numpy(
+            dtype=np.float64
+        )
+        mask = np.abs(v - meds) > lims
+        return t.select([*keep_cols, group_col, value_col]).filter(
+            pa.array(mask)
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")

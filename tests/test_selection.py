@@ -206,3 +206,82 @@ def test_tier_fractions_are_terciles():
         assert tc.get("tail", 0) >= math.ceil(n / 3) - 1 or n < 3
         assert tc.get("head", 0) <= n - math.ceil(2 * n / 3) + 1
         assert tc.sum() == n
+
+
+# --- mad_outliers ----------------------------------------------------------
+
+
+def _mad_fixture():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.normal(10, 1, 200), [50.0, -40.0, 10.1]])
+    g = ["a"] * len(v)
+    v2 = np.concatenate([rng.normal(0, 5, 100), [1000.0]])
+    g += ["b"] * len(v2)
+    vals = np.concatenate([v, v2])
+    return pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), type=pa.int64()),
+            "event_type": pa.array(g, type=pa.string()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
+def _mad_reference(t, k=3.0, c=1.4826):
+    import numpy as np
+    import pandas as pd
+
+    df = t.to_pandas()
+    out = []
+    for g, part in df.groupby("event_type"):
+        v = np.sort(part.value.to_numpy())
+        med = v[int(np.ceil(len(v) / 2)) - 1]
+        ad = np.sort(np.abs(part.value.to_numpy() - med))
+        mad = ad[int(np.ceil(len(ad) / 2)) - 1]
+        m = np.abs(part.value.to_numpy() - med) > (k * c) * mad
+        out.extend(part.event_id.to_numpy()[m].tolist())
+    return sorted(out)
+
+
+def test_mad_outliers_matches_reference(ray_session):
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.selection import mad_outliers
+
+    t = _mad_fixture()
+    got = (
+        mad_outliers(
+            rd.from_arrow(t).repartition(4),
+            value_col="value",
+            group_col="event_type",
+            keep_cols=("event_id",),
+        )
+        .to_pandas()
+    )
+    assert sorted(got.event_id.tolist()) == _mad_reference(t)
+    # the planted extremes are all caught
+    planted = {200, 201, len(t) - 1}
+    assert planted <= set(got.event_id.tolist())
+
+
+def test_mad_outliers_constant_group_flags_nothing(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.selection import mad_outliers
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), type=pa.int64()),
+            "event_type": ["a"] * 6,
+            "value": pa.array([5.0] * 6, type=pa.float64()),
+        }
+    )
+    got = mad_outliers(
+        rd.from_arrow(t), value_col="value", group_col="event_type",
+        keep_cols=("event_id",),
+    ).to_pandas()
+    assert len(got) == 0
