@@ -1523,6 +1523,49 @@ def q162_mad_outliers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q163_url_param_profile(sf_dir: str) -> rd.Dataset:
+    """URL query-parameter cardinality profile
+    (stages/url_params.param_cardinality_profile): per (host, param)
+    occurrence count, EXACT distinct-value count and the
+    session-id/spider-trap flag (ratio > 0.5 at n ≥ 10) — the crawl
+    canonicalization signal next to SURT (q129) and the URL rule gate
+    (q123).  Pages are synthesized deterministically from doc_id: a
+    'sid' param carries the unique id (ratio 1 → trap), 'page'/'ref'
+    are low-cardinality, and every 7th url has no query at all.  Scale
+    shape: in-batch triple dedup combiner, ONE (host,param)-hash
+    shuffle, |hosts×params|-sized output.  Oracle rebuilds the same
+    urls via printf and replays the parse with split_part/strpos."""
+    from ..stages.url_params import param_cardinality_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = pd.Series(d).astype(str)
+        base = (
+            "https://h"
+            + pd.Series(d % 37).astype(str).str.zfill(2)
+            + ".example.org/p/"
+            + pd.Series(d % 11).astype(str)
+        )
+        q = (
+            "?sid="
+            + sd
+            + "&page="
+            + pd.Series(d % 5).astype(str)
+            + "&ref="
+            + pd.Series(np.where(d % 3 == 0, "ads", "organic"))
+        )
+        url = np.where(d % 7 == 0, base, base + q)
+        return pa.table({"url": pa.array(url, type=pa.string())})
+
+    return param_cardinality_profile(
+        ds.map_batches(mk, batch_format="pyarrow")
+    ).select_columns(
+        ["host", "pkey", "n", "n_distinct", "distinct_ratio", "is_trap"]
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4178,6 +4221,7 @@ QUERIES = {
     "q160_rollup_lang_source": q160_rollup_lang_source,
     "q161_pareto_skyline": q161_pareto_skyline,
     "q162_mad_outliers": q162_mad_outliers,
+    "q163_url_param_profile": q163_url_param_profile,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4577,6 +4621,41 @@ ORACLE_SQL = {
         SELECT d.event_id, d.event_type, d.value
         FROM d JOIN mad USING (event_type)
         WHERE d.adev > 3 * 1.4826 * mad.mad
+    """,
+    "q163_url_param_profile": """
+        WITH u AS (
+          SELECT printf('https://h%02d.example.org/p/%d',
+                        doc_id % 37, doc_id % 11)
+                 || CASE WHEN doc_id % 7 = 0 THEN ''
+                         ELSE printf('?sid=%d&page=%d&ref=%s', doc_id,
+                                     doc_id % 5,
+                                     CASE WHEN doc_id % 3 = 0 THEN 'ads'
+                                          ELSE 'organic' END)
+                    END AS url
+          FROM documents
+        ), q AS (
+          SELECT regexp_extract(url, '^[^/]*//([^/?#]*)', 1) AS host,
+                 CASE WHEN strpos(url, '?') > 0
+                      THEN substr(url, strpos(url, '?') + 1)
+                      ELSE '' END AS qs
+          FROM u
+        ), kv AS (
+          SELECT host, unnest(string_split(qs, '&')) AS pair
+          FROM q WHERE qs <> ''
+        ), p AS (
+          SELECT host, split_part(pair, '=', 1) AS pkey,
+                 CASE WHEN strpos(pair, '=') > 0
+                      THEN substr(pair, strpos(pair, '=') + 1)
+                      ELSE '' END AS pval
+          FROM kv
+        )
+        SELECT host, pkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT pval) AS BIGINT) AS n_distinct,
+               count(DISTINCT pval) / CAST(count(*) AS DOUBLE)
+                 AS distinct_ratio,
+               (count(DISTINCT pval) / CAST(count(*) AS DOUBLE)) > 0.5
+                 AND count(*) >= 10 AS is_trap
+        FROM p GROUP BY host, pkey
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"
