@@ -1566,6 +1566,42 @@ def q163_url_param_profile(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q164_left_outer_join(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER equi-join orders ⟕ lineitem
+    (stages/joins.bucketed_outer_join): orders with no lineitems (a real
+    feature of the fixture — 27 dangling orders at sf0.001) survive with
+    sentinel-coalesced right columns — the general outer-join operator
+    next to the inner (q21-family), semi/anti (q67/q110) and asof (q47)
+    joins.  Scale shape: one key-hash bucket shuffle per side, per-bucket
+    vectorized pandas merges, dangling rows as typed nulls.  Oracle:
+    LEFT JOIN + coalesce."""
+    from ..stages.joins import bucketed_outer_join
+
+    joined = bucketed_outer_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]),
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "l_linenumber": pc.fill_null(
+                    t["l_linenumber"].cast(pa.int64()), -1
+                ),
+                "l_quantity": pc.fill_null(
+                    t["l_quantity"].cast(pa.float64()), 0.0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4222,6 +4258,7 @@ QUERIES = {
     "q161_pareto_skyline": q161_pareto_skyline,
     "q162_mad_outliers": q162_mad_outliers,
     "q163_url_param_profile": q163_url_param_profile,
+    "q164_left_outer_join": q164_left_outer_join,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4656,6 +4693,12 @@ ORACLE_SQL = {
                (count(DISTINCT pval) / CAST(count(*) AS DOUBLE)) > 0.5
                  AND count(*) >= 10 AS is_trap
         FROM p GROUP BY host, pkey
+    """,
+    "q164_left_outer_join": """
+        SELECT o.o_orderkey, o.o_orderstatus,
+               CAST(coalesce(l.l_linenumber, -1) AS BIGINT) AS l_linenumber,
+               coalesce(l.l_quantity, 0.0) AS l_quantity
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"

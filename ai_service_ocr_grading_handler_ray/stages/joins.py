@@ -256,3 +256,83 @@ def skewed_inner_join(
     # Arrow so the union is block-type homogeneous for downstream ops
     cold_arrow = cold.map_batches(lambda t: t, batch_format="pyarrow")
     return hot_part.union(cold_arrow)
+
+
+def bucketed_outer_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    how: str = "left",
+    n_buckets: int = 16,
+    _schemas: tuple[pa.Schema, pa.Schema] | None = None,
+) -> rd.Dataset:
+    """LEFT / RIGHT / FULL outer equi-join via the same explicit
+    key-hash bucket plan as ``bucketed_inner_join`` (one shuffle per
+    side, per-bucket pandas merges) — dangling rows survive with TYPED
+    nulls on the other side's columns.
+
+    The output carries ONE key column (``left_key``), coalesced across
+    sides for ``full`` joins (SQL's ``coalesce(l.key, r.key)``
+    convention); ``right_key`` is dropped.  Integer columns come back
+    as nullable Int64 (dangling rows are genuine nulls) — coalesce to
+    sentinels downstream if a non-null schema is required."""
+    if how not in ("left", "right", "full"):
+        raise ValueError(f"how must be left/right/full, got {how!r}")
+    if _schemas is not None:
+        l_schema, r_schema = _schemas
+    else:
+        l_schema = left.schema().base_schema
+        r_schema = right.schema().base_schema
+    l_cols = [f.name for f in l_schema]
+    r_cols = [f.name for f in r_schema]
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+    types = {f.name: f.type for f in l_schema}
+    types.update({f.name: f.type for f in r_schema})
+    int_cols = [c for c in types if pa.types.is_integer(types[c])]
+
+    def prep(side: int, key: str, all_cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            out = {
+                c: (
+                    t[c]
+                    if c in t.column_names
+                    else pa.nulls(len(t), type=types[c])
+                )
+                for c in all_cols
+            }
+            out["_bucket"] = pa.array(bucket_ids(t[key], n_buckets))
+            out["_side"] = pa.array([side] * len(t), type=pa.int8())
+            return pa.table(out)
+
+        return fn
+
+    all_cols = l_cols + r_cols
+    lt = left.map_batches(prep(0, left_key, all_cols), batch_format="pyarrow")
+    rt = right.map_batches(prep(1, right_key, all_cols), batch_format="pyarrow")
+    out_cols = l_cols + [c for c in r_cols if c != right_key]
+    pandas_how = {"left": "left", "right": "right", "full": "outer"}[how]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][l_cols]
+        rg = g[g["_side"] == 1][r_cols]
+        if lg.empty and rg.empty:
+            return pd.DataFrame(columns=out_cols)
+        for c in l_cols:
+            if c in int_cols:
+                lg = lg.astype({c: "Int64"})
+        for c in r_cols:
+            if c in int_cols:
+                rg = rg.astype({c: "Int64"})
+        merged = lg.merge(rg, left_on=left_key, right_on=right_key, how=pandas_how)
+        if how in ("right", "full"):
+            # unify the key: right-only rows carry it in right_key
+            merged[left_key] = merged[left_key].where(
+                merged[left_key].notna(), merged[right_key]
+            )
+        return merged.drop(columns=[right_key])[out_cols]
+
+    return lt.union(rt).groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -1,5 +1,6 @@
 """Explicit bucketed hash join vs the built-in Dataset.join."""
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -441,3 +442,82 @@ def test_asof_join_schema_hints_match_probed():
         left_schema=lt.schema, right_schema=rt.schema,
     ).to_pandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(probed, hinted)
+
+
+# --- bucketed_outer_join ----------------------------------------------------
+
+
+def _outer_fixture():
+    import pyarrow as pa
+
+    left = pa.table(
+        {"lk": pa.array([1, 2, 3, 3], type=pa.int64()),
+         "lval": ["a", "b", "c", "d"]}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 3, 3, 9], type=pa.int64()),
+         "rval": pa.array([20, 30, 31, 90], type=pa.int64())}
+    )
+    return left, right
+
+
+def _outer_pandas(how):
+    left, right = _outer_fixture()
+    lg, rg = left.to_pandas(), right.to_pandas()
+    m = lg.merge(rg, left_on="lk", right_on="rk",
+                 how={"left": "left", "right": "right", "full": "outer"}[how])
+    if how in ("right", "full"):
+        m["lk"] = m["lk"].where(m["lk"].notna(), m["rk"])
+    m = m.drop(columns=["rk"])
+    return m.sort_values(["lk", "lval", "rval"], na_position="last").reset_index(drop=True)
+
+
+def _outer_ray(how, n_buckets=4):
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.joins import bucketed_outer_join
+
+    left, right = _outer_fixture()
+    out = bucketed_outer_join(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(3),
+        left_key="lk",
+        right_key="rk",
+        how=how,
+        n_buckets=n_buckets,
+    ).to_pandas()
+    out["lk"] = out["lk"].astype("Int64")
+    out["rval"] = out["rval"].astype("Int64")
+    return out.sort_values(["lk", "lval", "rval"], na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["left", "right", "full"])
+def test_outer_join_matches_pandas(ray_session, how):
+    got = _outer_ray(how)
+    exp = _outer_pandas(how)
+    exp["lk"] = exp["lk"].astype("Int64")
+    exp["rval"] = exp["rval"].astype("Int64")
+    pd.testing.assert_frame_equal(
+        got[["lk", "lval", "rval"]], exp[["lk", "lval", "rval"]]
+    )
+
+
+def test_outer_join_dangling_sides(ray_session):
+    got = _outer_ray("full")
+    # left-only key 1 and right-only key 9 both survive
+    assert 1 in got.lk.tolist() and 9 in got.lk.tolist()
+    row9 = got[got.lk == 9].iloc[0]
+    assert pd.isna(row9.lval) and row9.rval == 90
+
+
+def test_outer_join_rejects_bad_how(ray_session):
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.joins import bucketed_outer_join
+
+    left, right = _outer_fixture()
+    with pytest.raises(ValueError, match="how must be"):
+        bucketed_outer_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="lk", right_key="rk", how="inner",
+        )
