@@ -1602,6 +1602,29 @@ def q164_left_outer_join(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+_Q165_LO, _Q165_HI, _Q165_BINS = 0.0, 500.0, 25
+
+
+def q165_grouped_histogram(sf_dir: str) -> rd.Dataset:
+    """Exact equi-width value histogram per event_type
+    (stages/histogram.grouped_histogram): 25 bins over [0, 500), clamp
+    semantics on both edges — the monitoring-distribution primitive
+    next to the exact quantiles (q64/q114).  Scale shape: per-batch
+    vectorized (group, bin) partial counts (groups×bins rows leave each
+    task, never event rows) + ONE tiny groupby-sum.  Oracle: identical
+    floor((v-lo)/width) double arithmetic with least/greatest clamps."""
+    from ..stages.histogram import grouped_histogram
+
+    return grouped_histogram(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        value_col="value",
+        group_col="event_type",
+        lo=_Q165_LO,
+        hi=_Q165_HI,
+        bins=_Q165_BINS,
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4259,6 +4282,7 @@ QUERIES = {
     "q162_mad_outliers": q162_mad_outliers,
     "q163_url_param_profile": q163_url_param_profile,
     "q164_left_outer_join": q164_left_outer_join,
+    "q165_grouped_histogram": q165_grouped_histogram,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4699,6 +4723,17 @@ ORACLE_SQL = {
                CAST(coalesce(l.l_linenumber, -1) AS BIGINT) AS l_linenumber,
                coalesce(l.l_quantity, 0.0) AS l_quantity
         FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+    "q165_grouped_histogram": f"""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(least(greatest(floor((value - {_Q165_LO!r})
+                        / {(_Q165_HI - _Q165_LO) / _Q165_BINS!r}), 0),
+                      {_Q165_BINS - 1}) AS BIGINT) AS bin
+          FROM events
+        )
+        SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY event_type, bin
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"
