@@ -1625,6 +1625,22 @@ def q165_grouped_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q166_month_over_month(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month value drift per event_type
+    (stages/trend.period_over_period): monthly totals, lagged previous
+    month and relative change — the calendar-period complement of the
+    OLS trend (q157) and row-frame lag (q154).  Scale shape: per-batch
+    (key, month) partials, ONE keys×months groupby, keys×months driver
+    lag fold.  Totals round at 4 (sum association), pct at 6 (computed
+    from unrounded sums on both sides — 1e-12 drift absorbed)."""
+    from ..stages.trend import period_over_period
+
+    out = period_over_period(
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+    )
+    return _finalize(out, {"total": 4, "prev_total": 4, "pct_change": 6})
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4283,6 +4299,7 @@ QUERIES = {
     "q163_url_param_profile": q163_url_param_profile,
     "q164_left_outer_join": q164_left_outer_join,
     "q165_grouped_histogram": q165_grouped_histogram,
+    "q166_month_over_month": q166_month_over_month,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4734,6 +4751,22 @@ ORACLE_SQL = {
         )
         SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
         FROM b GROUP BY event_type, bin
+    """,
+    "q166_month_over_month": """
+        WITH m AS (
+          SELECT event_type, date_trunc('month', ts) AS month,
+                 sum(value) AS t
+          FROM events GROUP BY event_type, date_trunc('month', ts)
+        ), l AS (
+          SELECT event_type, month, t,
+                 lag(t) OVER (PARTITION BY event_type ORDER BY month)
+                   AS pt
+          FROM m
+        )
+        SELECT event_type, month, round(t, 4) AS total,
+               round(pt, 4) AS prev_total,
+               round((t - pt) / pt, 6) AS pct_change
+        FROM l WHERE pt IS NOT NULL
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"

@@ -101,3 +101,43 @@ def test_trend_block_layout_invariance(ray_session):
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- period_over_period ------------------------------------------------------
+
+
+def test_period_over_period_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.trend import period_over_period
+
+    rows = [
+        ("a", "2024-01-05", 1.0), ("a", "2024-01-20", 2.0),
+        ("a", "2024-02-10", 6.0), ("a", "2024-04-01", 3.0),
+        ("b", "2024-01-01", 10.0),  # single month: drops (no lag)
+    ]
+    t = pa.table(
+        {
+            "event_type": [r[0] for r in rows],
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    out = period_over_period(rd.from_arrow(t).repartition(3))
+    got = {
+        (r.event_type, str(np.datetime64(r.month, "M"))): (
+            r.total, r.prev_total, r.pct_change,
+        )
+        for r in out.itertuples()
+    }
+    assert set(got) == {("a", "2024-02"), ("a", "2024-04")}
+    np.testing.assert_allclose(got[("a", "2024-02")], (6.0, 3.0, 1.0))
+    np.testing.assert_allclose(got[("a", "2024-04")], (3.0, 6.0, -0.5))
+    # gap months are NOT filled — April lags February (calendar-sparse
+    # semantics, same as SQL lag over existing months)
