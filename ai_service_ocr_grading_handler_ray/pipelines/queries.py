@@ -1641,6 +1641,45 @@ def q166_month_over_month(sf_dir: str) -> pd.DataFrame:
     return _finalize(out, {"total": 4, "prev_total": 4, "pct_change": 6})
 
 
+def q167_fuzzy_linkage(sf_dir: str) -> rd.Dataset:
+    """Fuzzy record linkage (stages/linkage.fuzzy_name_join): entity
+    names synthesized with planted single-char deletions; pairs block
+    on the first 4 chars and verify with EXACT Levenshtein ≤ 1 — the
+    entity-resolution / typo-dedup operator next to the set-similarity
+    join (q155).  Scale shape: ONE block-hash shuffle, in-block
+    VECTORIZED verify (hamming matrix for same lengths, prefix+suffix
+    alignment for off-by-one — no per-pair DP at max_dist=1), loud pair
+    cap.  Oracle: identical printf/substr name synthesis + DuckDB
+    levenshtein over the same block equi-join."""
+    from ..stages.linkage import fuzzy_name_join
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pd.Series(d // 2).astype(str).str.zfill(6) + " entity record"
+        name = base.to_numpy(dtype=object)
+        p = d % 7 + 9  # 1-based deletion position, inside 'entity rec'
+        odd = d % 2 == 1
+        for pv in np.unique(p[odd]):
+            m = odd & (p == pv)
+            name[m] = base[m].str.slice(0, pv - 1) + base[m].str.slice(pv)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "name": pa.array(name, type=pa.string()),
+            }
+        )
+
+    return fuzzy_name_join(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        id_col="doc_id",
+        name_col="name",
+        block_len=4,
+        max_dist=1,
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4300,6 +4339,7 @@ QUERIES = {
     "q164_left_outer_join": q164_left_outer_join,
     "q165_grouped_histogram": q165_grouped_histogram,
     "q166_month_over_month": q166_month_over_month,
+    "q167_fuzzy_linkage": q167_fuzzy_linkage,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
     "q154_rolling_window": q154_rolling_window,
@@ -4767,6 +4807,27 @@ ORACLE_SQL = {
                round(pt, 4) AS prev_total,
                round((t - pt) / pt, 6) AS pct_change
         FROM l WHERE pt IS NOT NULL
+    """,
+    "q167_fuzzy_linkage": """
+        WITH nm AS (
+          SELECT doc_id,
+                 printf('%06d entity record', doc_id // 2) AS base,
+                 doc_id % 7 + 9 AS p
+          FROM documents
+        ), n2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN substr(base, 1, CAST(p - 1 AS INT))
+                           || substr(base, CAST(p + 1 AS INT))
+                      ELSE base END AS name
+          FROM nm
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+        FROM n2 x JOIN n2 y
+          ON substr(x.name, 1, 4) = substr(y.name, 1, 4)
+         AND x.doc_id < y.doc_id
+        WHERE levenshtein(x.name, y.name) <= 1
     """,
     "q151_cohort_retention": (
         "WITH ev AS (\n"
