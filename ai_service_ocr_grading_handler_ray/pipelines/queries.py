@@ -1625,18 +1625,20 @@ def q165_grouped_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
-def q166_month_over_month(sf_dir: str) -> pd.DataFrame:
-    """Month-over-month value drift per event_type
-    (stages/trend.period_over_period): monthly totals, lagged previous
-    month and relative change — the calendar-period complement of the
-    OLS trend (q157) and row-frame lag (q154).  Scale shape: per-batch
-    (key, month) partials, ONE keys×months groupby, keys×months driver
-    lag fold.  Totals round at 4 (sum association), pct at 6 (computed
-    from unrounded sums on both sides — 1e-12 drift absorbed)."""
+def q166_day_over_day(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day value drift per event_type
+    (stages/trend.period_over_period): daily totals, lagged previous
+    day and relative change — the calendar-period complement of the
+    OLS trend (q157) and row-frame lag (q154).  The fixture events span
+    ~30 natural days (one month), so DAY is the granularity with real
+    lag structure.  Scale shape: per-batch (key, day) partials, ONE
+    keys×days groupby, keys×days driver lag fold.  Totals round at 4
+    (sum association), pct at 6 (computed from unrounded sums on both
+    sides — 1e-12 drift absorbed)."""
     from ..stages.trend import period_over_period
 
     out = period_over_period(
-        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        _read(sf_dir, "events", ["event_type", "ts", "value"]), period="day"
     )
     return _finalize(out, {"total": 4, "prev_total": 4, "pct_change": 6})
 
@@ -4338,7 +4340,7 @@ QUERIES = {
     "q163_url_param_profile": q163_url_param_profile,
     "q164_left_outer_join": q164_left_outer_join,
     "q165_grouped_histogram": q165_grouped_histogram,
-    "q166_month_over_month": q166_month_over_month,
+    "q166_day_over_day": q166_day_over_day,
     "q167_fuzzy_linkage": q167_fuzzy_linkage,
     "q152_triangle_clustering": q152_triangle_clustering,
     "q153_resample_ffill": q153_resample_ffill,
@@ -4792,18 +4794,19 @@ ORACLE_SQL = {
         SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
         FROM b GROUP BY event_type, bin
     """,
-    "q166_month_over_month": """
+    "q166_day_over_day": """
         WITH m AS (
-          SELECT event_type, date_trunc('month', ts) AS month,
+          SELECT event_type, date_trunc('day', ts) AS period,
                  sum(value) AS t
-          FROM events GROUP BY event_type, date_trunc('month', ts)
+          FROM events GROUP BY event_type, date_trunc('day', ts)
         ), l AS (
-          SELECT event_type, month, t,
-                 lag(t) OVER (PARTITION BY event_type ORDER BY month)
+          SELECT event_type, period, t,
+                 lag(t) OVER (PARTITION BY event_type ORDER BY period)
                    AS pt
           FROM m
         )
-        SELECT event_type, month, round(t, 4) AS total,
+        SELECT event_type, CAST(period AS TIMESTAMP) AS period,
+               round(t, 4) AS total,
                round(pt, 4) AS prev_total,
                round((t - pt) / pt, 6) AS pct_change
         FROM l WHERE pt IS NOT NULL

@@ -191,42 +191,49 @@ def period_over_period(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    period: str = "day",
 ) -> "pd.DataFrame":
-    """Month-over-month change per key: monthly value totals, each
-    month's previous total (lag) and the relative change
-    ``(total - prev) / prev`` — the drift dashboard next to the OLS
-    trend (grouped_linear_trend).  First month per key drops (no lag).
+    """Period-over-period change per key (period ∈ {'day', 'month'}):
+    per-period value totals, each period's previous total (lag over
+    EXISTING periods — calendar-sparse, same as SQL lag) and the
+    relative change ``(total - prev) / prev`` — the drift dashboard
+    next to the OLS trend (grouped_linear_trend).  First period per key
+    drops (no lag).
 
-    Scale shape: the TPC-H-Q1 partial pattern — per-batch month-floor +
-    (key, month) Arrow-group partials, ONE keys×months-sized groupby
-    sum, and a keys×months driver fold for the lag (bounded by key and
-    calendar cardinality, never event rows)."""
+    Scale shape: the TPC-H-Q1 partial pattern — per-batch period-floor
+    + (key, period) Arrow-group partials, ONE keys×periods-sized
+    groupby sum, and a keys×periods driver fold for the lag (bounded by
+    key and calendar cardinality, never event rows)."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
+    unit = {"day": "datetime64[D]", "month": "datetime64[M]"}
+    if period not in unit:
+        raise ValueError(f"period must be day or month, got {period!r}")
+
     def partial(t: pa.Table) -> pa.Table:
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        month = ts.astype("datetime64[M]").astype("datetime64[us]")
+        p = ts.astype(unit[period]).astype("datetime64[us]")
         df = pd.DataFrame(
             {
                 key_col: t[key_col].to_pandas(),
-                "month": month,
+                "period": p,
                 "_v": t[value_col].to_numpy(zero_copy_only=False).astype(
                     np.float64
                 ),
             }
         )
-        r = df.groupby([key_col, "month"], sort=False)["_v"].sum().reset_index()
+        r = df.groupby([key_col, "period"], sort=False)["_v"].sum().reset_index()
         return pa.Table.from_pandas(r, preserve_index=False)
 
-    monthly = (
+    totals = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby([key_col, "month"])
+        .groupby([key_col, "period"])
         .aggregate(Sum("_v", alias_name="total"))
         .to_pandas()
     )
-    monthly = monthly.sort_values([key_col, "month"], kind="mergesort")
-    monthly["prev_total"] = monthly.groupby(key_col)["total"].shift(1)
-    out = monthly[monthly["prev_total"].notna()].copy()
+    totals = totals.sort_values([key_col, "period"], kind="mergesort")
+    totals["prev_total"] = totals.groupby(key_col)["total"].shift(1)
+    out = totals[totals["prev_total"].notna()].copy()
     out["pct_change"] = (out["total"] - out["prev_total"]) / out["prev_total"]
     return out.reset_index(drop=True)

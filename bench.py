@@ -101,6 +101,16 @@ BENCH_QUERIES = [
     "q155_similarity_join",
     "q156_crawl_depth",
     "q157_user_trend",
+    "q158_naive_bayes",
+    "q159_markov_transitions",
+    "q160_rollup_lang_source",
+    "q161_pareto_skyline",
+    "q162_mad_outliers",
+    "q163_url_param_profile",
+    "q164_left_outer_join",
+    "q165_grouped_histogram",
+    "q166_day_over_day",
+    "q167_fuzzy_linkage",
 ]
 
 

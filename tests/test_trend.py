@@ -129,9 +129,9 @@ def test_period_over_period_reference(ray_session):
             "value": pa.array([r[2] for r in rows], type=pa.float64()),
         }
     )
-    out = period_over_period(rd.from_arrow(t).repartition(3))
+    out = period_over_period(rd.from_arrow(t).repartition(3), period="month")
     got = {
-        (r.event_type, str(np.datetime64(r.month, "M"))): (
+        (r.event_type, str(np.datetime64(r.period, "M"))): (
             r.total, r.prev_total, r.pct_change,
         )
         for r in out.itertuples()
@@ -141,3 +141,15 @@ def test_period_over_period_reference(ray_session):
     np.testing.assert_allclose(got[("a", "2024-04")], (3.0, 6.0, -0.5))
     # gap months are NOT filled — April lags February (calendar-sparse
     # semantics, same as SQL lag over existing months)
+
+    # day granularity: Jan 5 → Jan 20 lag within month 1
+    day = period_over_period(rd.from_arrow(t), period="day")
+    d = {
+        (r.event_type, str(np.datetime64(r.period, "D"))): r.pct_change
+        for r in day.itertuples()
+    }
+    np.testing.assert_allclose(d[("a", "2024-01-20")], 1.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="period must be"):
+        period_over_period(rd.from_arrow(t), period="week")
