@@ -1682,6 +1682,261 @@ def q167_fuzzy_linkage(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q168_cube_lang_source(sf_dir: str) -> pd.DataFrame:
+    """CUBE(lang, source) over documents (stages/rollup.cube_aggregate):
+    all four grouping sets — (lang, source), (lang), (source), () — the
+    cross-dimension corpus dashboard ROLLUP (q160) can't express (it
+    lacks the (source)-only slice).  Scale shape: identical to q160 —
+    ONE fine-level shuffle (map-side Arrow partials, group-cardinality
+    rows); every coarser set re-aggregates the fine table on the driver
+    (exact int sums, |langs×sources| × 2^k bounded).  Oracle: GROUP BY
+    CUBE with coalesce sentinels."""
+    from ..stages.rollup import cube_aggregate
+
+    return cube_aggregate(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        ["n_chars"],
+        count_col="n_docs",
+    )
+
+
+_Q169_THRESHOLD = 0.5
+
+
+def q169_classifier_eval(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed ROC-AUC + threshold confusion for a binary
+    quality classifier (stages/evaluation.binary_eval) — the eval step
+    of every classifier-curation loop (q120/q158).  Scores/labels are
+    integer-arithmetic functions of doc_id (scores k/32 — exact float64,
+    21 distinct values WITH ties, so the tie-corrected average-rank AUC
+    path is actually exercised).  Scale shape: per-batch (score, label)
+    Arrow partials → ONE small groupby → a |distinct scores|-sized
+    driver fold in pure Python-int rank arithmetic (2·ranksum form — no
+    overflow at any corpus size, one float division per metric).
+    Oracle: GENERATED by binary_eval_sql (single-generator policy)."""
+    from ..stages.evaluation import binary_eval
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = ((d * 37) % 33) / 32.0
+        label = ((d * 37) % 33 + d % 11) >= 22
+        return pa.table(
+            {"score": pa.array(score, type=pa.float64()), "label": pa.array(label)}
+        )
+
+    return binary_eval(
+        ds.map_batches(mk, batch_format="pyarrow"), threshold=_Q169_THRESHOLD
+    )
+
+
+def q170_source_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source Gini concentration of document lengths
+    (stages/selection.grouped_gini) — the corpus-diversity axis next to
+    the composition rollups (q160/q168): a source whose bytes come from
+    a few giant documents is a skew risk for packing and dedup alike.
+    Scale shape: per-batch (source, n_chars) Arrow count partials → ONE
+    small groupby → a |distinct (source, value)|-sized driver fold in
+    exact Python-int arithmetic (ties are order-invariant, so value
+    COUNTS suffice — no per-group sort).  Oracle: GENERATED by
+    grouped_gini_sql (row_number rank replay, same one float division)."""
+    from ..stages.selection import grouped_gini
+
+    return grouped_gini(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        value_col="n_chars",
+        group_col="source",
+    )
+
+
+def q171_degree_distribution(sf_dir: str) -> pd.DataFrame:
+    """In/out-degree distribution + CCDF of the q118 97-host link graph
+    (stages/graph.degree_distribution) — the power-law-tail diagnostic
+    (hub detection, crawl fanout budgeting) next to PageRank/HITS/
+    triangles, over the SAME deterministic edge generator so the oracle
+    reuses the shared edge CTE.  Scale shape: edge-dedup shuffle →
+    (direction, node) degree-count shuffle over distinct pairs →
+    per-batch degree-histogram partials; the driver fold is |distinct
+    degrees|-sized.  Oracle: GENERATED by degree_distribution_sql over
+    _Q118_EDGES (single-generator on both halves)."""
+    from ..stages.graph import degree_distribution
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    return degree_distribution(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def q172_c4_line_filter(sf_dir: str) -> rd.Dataset:
+    """C4-style LINE-level quality rewrite (stages/clean.c4_line_filter):
+    keep lines with ≥5 words ending in terminal punctuation and no
+    blocked substring (javascript / lorem ipsum / '{'), drop docs with
+    no survivors — the line-structured rewrite the document-level gates
+    (q91/q96) can't express.  Lines synthesized per doc_id (nav junk,
+    no-terminal ads, a javascript notice every 3rd, a good sentence
+    every 4th, Lorem Ipsum every 5th; every 9th doc all-junk → dropped).
+    Scale shape: ONE shuffle-free scan, vectorized pandas str kernels
+    over the batch's exploded line table.  Oracle: GENERATED by
+    c4_line_filter_sql over the printf-rebuilt line table (rule
+    constants interpolate from the same tuples)."""
+    from ..stages.clean import c4_line_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(d.astype(str))
+        a = "the quick brown fox jumps over dog " + s + "."
+        a[d % 9 == 8] = "click here"
+        text = a + "\nhome | menu | login\nbuy now " + pd.Series(d % 7).astype(str)
+        text = text.where(
+            d % 3 != 0, text + "\nplease enable javascript to view this content."
+        )
+        text = text.where(
+            d % 4 != 0,
+            text + "\nthis is a perfectly fine sentence number "
+            + pd.Series(d % 11).astype(str) + "!",
+        )
+        text = text.where(
+            d % 5 != 0,
+            text + "\nLorem Ipsum dolor sit amet consectetur adipiscing elit.",
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "text": pa.array(text.to_numpy(dtype=object), type=pa.string())}
+        )
+
+    return c4_line_filter(
+        ds.map_batches(mk, batch_format="pyarrow"), min_words=5, min_kept_lines=1
+    ).select_columns(["doc_id", "text", "n_lines", "n_kept"])
+
+
+def q173_novelty(sf_dir: str) -> rd.Dataset:
+    """Word-3-gram novelty vs a reference corpus
+    (stages/text_analysis.novelty_scores): fraction of each document's
+    DISTINCT 3-grams unseen in the reference (sources src0/src1 — 10%
+    of the corpus) — the "how much new text does this shard add" signal
+    dual to decontamination (q110 removes overlap, this SCORES it).
+    Scale shape: reference grams fold once on the driver (amortized
+    sorted merges, loud cap; Bloom path documented for corpus-sized
+    references) and broadcast via ray.put; scoring is a shuffle-free
+    scan (gram tape → factorize → ONE searchsorted probe per batch).
+    Oracle: GENERATED by novelty_sql (generate_series + list_slice gram
+    replay, LEFT JOIN reference distinct)."""
+    from ..stages.text_analysis import novelty_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "is_ref": pc.is_in(
+                    t["source"], value_set=pa.array(["src0", "src1"])
+                ),
+            }
+        )
+
+    return novelty_scores(ds.map_batches(mk, batch_format="pyarrow"), n=3)
+
+
+def q174_fix_encoding(sf_dir: str) -> rd.Dataset:
+    """Double-encoding (mojibake) repair
+    (stages/clean.add_fixed_encoding): every 3rd document's text is
+    replaced by the UTF-8-read-as-cp1252 garble of a known accented
+    string (the ftfy top case — 'é' → 'Ã©', '—' → 'â€”'); the engine
+    must detect the lead+continuation signature with ONE vectorized
+    regex pass and repair EXACTLY (cp1252-encode → UTF-8-decode) while
+    leaving the other two-thirds byte-identical.  Shuffle-free scan;
+    repair runs only on flagged rows.  Oracle: emits the chr()-rebuilt
+    CLEAN string directly for synthesized rows — the repair itself is
+    what's being checked."""
+    from ..stages.clean import add_fixed_encoding
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        out = []
+        for i, dv in enumerate(d):
+            if dv % 3 == 0:
+                clean = f"café and résumé {dv} — it’s fine."
+                out.append(clean.encode("utf-8").decode("cp1252"))
+            else:
+                out.append(texts[i])
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(out, type=pa.string())}
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        add_fixed_encoding, batch_format="pyarrow"
+    )
+
+
+_Q175_TOPK = 100
+
+
+def q175_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings
+    (stages/fusion.rrf_fuse): BM25 over the q130 query terms fused with
+    a document-length prior — the hybrid-retrieval combiner (Cormack
+    2009) used when lexical and dense scores aren't calibrated.  Scale
+    shape: each list is a k×blocks partial top-k
+    (selection.global_top_k — no global sort), ranks on the ROUNDED
+    bm25 (ties broken by doc_id, so both engines rank identically);
+    fusion is a k-sized driver merge with a FIXED list order so the
+    two-term float add matches the oracle.  Oracle: bm25_sql as a
+    derived table + row_number ranks + FULL JOIN."""
+    from ..stages.bm25 import bm25_scores
+    from ..stages.fusion import rrf_fuse
+    from ..stages.selection import global_top_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    bm = bm25_scores(
+        docs.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        ),
+        _BM25_TERMS,
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            t["bm25"].to_numpy(zero_copy_only=False).astype(np.float64), 4
+        )
+        return t.set_column(
+            t.column_names.index("bm25"), "bm25", pa.array(v, type=pa.float64())
+        )
+
+    top_bm = global_top_k(
+        bm.map_batches(rnd, batch_format="pyarrow"),
+        k=_Q175_TOPK, by=["bm25", "doc_id"], descending=[True, False],
+    )
+    top_len = global_top_k(
+        docs.map_batches(
+            lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+        ),
+        k=_Q175_TOPK, by=["n_chars", "doc_id"], descending=[True, False],
+    )
+    return rrf_fuse([("bm25", top_bm), ("len", top_len)])
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4332,6 +4587,17 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
+    # session 8 additions lead the window: CUBE, classifier eval (AUC),
+    # source Gini, degree distribution, C4 line rules, n-gram novelty,
+    # encoding repair, RRF hybrid retrieval.
+    "q168_cube_lang_source": q168_cube_lang_source,
+    "q169_classifier_eval": q169_classifier_eval,
+    "q170_source_gini": q170_source_gini,
+    "q171_degree_distribution": q171_degree_distribution,
+    "q172_c4_line_filter": q172_c4_line_filter,
+    "q173_novelty": q173_novelty,
+    "q174_fix_encoding": q174_fix_encoding,
+    "q175_rrf_fusion": q175_rrf_fusion,
     "q158_naive_bayes": q158_naive_bayes,
     "q159_markov_transitions": q159_markov_transitions,
     "q160_rollup_lang_source": q160_rollup_lang_source,
@@ -4638,7 +4904,89 @@ from ..stages.funnel import funnel_sql as _funnel_sql
 
 from ..stages.cohort import cohort_retention_sql as _cohort_sql
 
+from ..stages.evaluation import binary_eval_sql as _eval_sql
+from ..stages.selection import grouped_gini_sql as _gini_sql
+from ..stages.graph import degree_distribution_sql as _degree_sql
+from ..stages.clean import c4_line_filter_sql as _c4_sql
+from ..stages.text_analysis import novelty_sql as _novelty_sql
+
+_Q172_LINES_CTE = """nl AS (
+          SELECT doc_id,
+                 3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                   + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                   + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_lines
+          FROM documents
+        ),
+        l0 AS (
+          SELECT doc_id, 1 AS line_no,
+                 CASE WHEN doc_id % 9 = 8 THEN 'click here'
+                      ELSE printf('the quick brown fox jumps over dog %d.',
+                                  doc_id) END AS line
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'home | menu | login' FROM documents
+          UNION ALL
+          SELECT doc_id, 3, printf('buy now %d', doc_id % 7) FROM documents
+          UNION ALL
+          SELECT doc_id, 4, 'please enable javascript to view this content.'
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 5,
+                 printf('this is a perfectly fine sentence number %d!',
+                        doc_id % 11)
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id, 6,
+                 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.'
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        lines AS (
+          SELECT l0.doc_id, l0.line_no, l0.line, nl.n_lines
+          FROM l0 JOIN nl USING (doc_id)
+        )"""
+
 ORACLE_SQL = {
+    "q168_cube_lang_source": """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY CUBE(lang, source)
+    """,
+    "q169_classifier_eval": _eval_sql(
+        """s AS (
+          SELECT ((doc_id * 37) % 33) / 32.0 AS score,
+                 ((doc_id * 37) % 33 + doc_id % 11) >= 22 AS label
+          FROM documents
+        )""",
+        threshold=_Q169_THRESHOLD,
+    ),
+    "q170_source_gini": _gini_sql(
+        "v AS (SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents)",
+        group_col="source",
+    ),
+    "q171_degree_distribution": _degree_sql(_Q118_EDGES),
+    "q172_c4_line_filter": _c4_sql(
+        _Q172_LINES_CTE, min_words=5, min_kept_lines=1
+    ),
+    "q173_novelty": _novelty_sql(
+        """docs AS (
+          SELECT doc_id, text, source IN ('src0', 'src1') AS is_ref
+          FROM documents
+        )""",
+        n=3,
+    ),
+    "q174_fix_encoding": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN printf('caf%s and r%ssum%s %d %s it%ss fine.',
+                                chr(233), chr(233), chr(233), doc_id,
+                                chr(8212), chr(8217))
+                    ELSE text END AS text,
+               doc_id % 3 = 0 AS fixed
+        FROM documents
+    """,
+    "q175_rrf_fusion": None,  # assigned below (needs _bm25_sql defined)
     "q158_naive_bayes": """
         WITH w AS (
           SELECT doc_id, source AS label,
@@ -6438,3 +6786,29 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
 }
+
+# q175 composes the q130 bm25_sql generator output as a derived table
+# (assigned post-dict so the generator call sits next to its parameters).
+ORACLE_SQL["q175_rrf_fusion"] = f"""
+    WITH bm AS (SELECT * FROM ({_bm25_sql(_BM25_TERMS)})),
+    r1 AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS r
+      FROM bm QUALIFY r <= {_Q175_TOPK}
+    ),
+    r2 AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS r
+      FROM documents QUALIFY r <= {_Q175_TOPK}
+    )
+    SELECT CAST(coalesce(r1.doc_id, r2.doc_id) AS BIGINT) AS doc_id,
+           coalesce(r1.r, 0) AS r_bm25,
+           coalesce(r2.r, 0) AS r_len,
+           round((CASE WHEN r1.r IS NOT NULL THEN 1.0 / (60 + r1.r)
+                       ELSE 0.0 END)
+               + (CASE WHEN r2.r IS NOT NULL THEN 1.0 / (60 + r2.r)
+                       ELSE 0.0 END), 6) AS rrf
+    FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+"""

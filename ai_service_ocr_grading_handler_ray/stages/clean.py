@@ -807,3 +807,161 @@ def add_normalized_text(
             "n_cp_norm", pa.array([len(t) for t in norm], type=pa.int64())
         )
     )
+
+
+# --- C4-style line-level quality rewrite ------------------------------------
+
+# C4's line rules (Raffel et al. 2020 §2.2): keep lines that end in a
+# terminal punctuation mark and have enough words; drop boilerplate /
+# code-ish lines by substring.  Tuple order is the documented rule order.
+C4_TERMINAL_CHARS = (".", "!", "?", '"')
+C4_BLOCKED_SUBSTRINGS = ("javascript", "lorem ipsum", "{")
+
+
+def c4_line_filter(
+    ds,
+    *,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 1,
+):
+    """C4-style LINE-level quality rewrite: split each document on
+    newlines, keep a (stripped) line iff it has >= ``min_words``
+    whitespace words, ends in one of ``C4_TERMINAL_CHARS``, and its
+    lowercase form contains none of ``C4_BLOCKED_SUBSTRINGS``; rejoin
+    kept lines with a newline and DROP documents with fewer than
+    ``min_kept_lines`` survivors.  This is the line-structured rewrite
+    the document-level gates (q91 blocklist, q96 quality cascade) can't
+    express — C4 removed ~5× more text with these rules than with its
+    document filters.
+
+    Scale shape: ONE shuffle-free ``map_batches`` scan; all kernels are
+    vectorized pandas str ops over the exploded line table of one batch
+    (lines never leave their task).  Output: input columns with
+    ``text_col`` rewritten plus (n_lines, n_kept), filtered.
+
+    Oracle domain note: word counts use Python ``str.split()``
+    (any-whitespace); a SQL replay with ``string_split(line, ' ')``
+    agrees on single-space text, which the parity fixture guarantees.
+    """
+    import pandas as pd
+    import ray.data as rd  # noqa: F401  (ds is a Dataset; keep sig duck-typed)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_pylist(), dtype=object).fillna("")
+        lines = s.str.split("\n")
+        ex = lines.explode()
+        st = ex.str.strip()
+        low = st.str.lower()
+        keep = (
+            st.str.split().str.len().fillna(0).ge(min_words)
+            & st.str[-1:].isin(list(C4_TERMINAL_CHARS))
+        )
+        for sub in C4_BLOCKED_SUBSTRINGS:
+            keep &= ~low.str.contains(sub, regex=False)
+        kept = st[keep]
+        grouped = kept.groupby(level=0)
+        n_kept = grouped.size().reindex(s.index, fill_value=0)
+        cleaned = grouped.agg("\n".join).reindex(s.index, fill_value="")
+        cols = {c: t[c] for c in t.column_names}
+        cols[text_col] = pa.array(cleaned.to_numpy(dtype=object), type=pa.string())
+        out = pa.table(cols).append_column(
+            "n_lines", pa.array(lines.str.len().to_numpy(np.int64))
+        ).append_column("n_kept", pa.array(n_kept.to_numpy(np.int64)))
+        return out.filter(pa.array((n_kept >= min_kept_lines).to_numpy()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def c4_line_filter_sql(
+    lines_cte: str,
+    *,
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 1,
+) -> str:
+    """DuckDB replay of :func:`c4_line_filter` (single-generator policy;
+    the rule constants interpolate from the same tuples the engine
+    uses).  ``lines_cte`` must define a CTE ``lines`` with columns
+    (``id_col``, line_no BIGINT, line VARCHAR, n_lines BIGINT) — the
+    already-split line table (single-space words, no empty lines)."""
+    terms = ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in C4_TERMINAL_CHARS
+    )
+    blocked = " AND ".join(
+        f"NOT contains(lower(trim(line)), '{b}')" for b in C4_BLOCKED_SUBSTRINGS
+    )
+    return f"""
+        WITH {lines_cte},
+        k AS (
+          SELECT {id_col}, line_no, trim(line) AS line, n_lines
+          FROM lines
+          WHERE len(string_split(trim(line), ' ')) >= {min_words}
+            AND right(trim(line), 1) IN ({terms})
+            AND {blocked}
+        )
+        SELECT {id_col},
+               string_agg(line, chr(10) ORDER BY line_no) AS text,
+               CAST(max(n_lines) AS BIGINT) AS n_lines,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM k GROUP BY {id_col}
+        HAVING count(*) >= {min_kept_lines}
+    """
+
+
+# --- double-encoding (mojibake) repair --------------------------------------
+
+# UTF-8 bytes read back as latin-1/cp1252: a lead byte C2..F4 decodes to
+# U+00C2..U+00F4 and every continuation byte 80..BF lands in
+# U+0080..U+00BF (latin-1 view) or in cp1252's punctuation block
+# ('é' -> 'Ã©', em dash -> 'â€”').  The
+# continuation class below is built from the byte range itself, so the
+# signature matches both views and no clean ASCII / clean single-accent
+# text ('café' has the accent followed by a space).
+_MOJIBAKE_CONT = "".join(chr(c) for c in range(0x80, 0xC0)) + "".join(
+    bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xC0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)  # unmapped in cp1252
+)
+_MOJIBAKE_RE = re.compile("[Â-ô][" + re.escape(_MOJIBAKE_CONT) + "]")
+
+
+def fix_double_encoding(text: str) -> tuple:
+    """Repair one round of UTF-8-read-as-cp1252/latin-1 mojibake
+    (ftfy's most common case): if ``text`` shows the lead+continuation
+    signature, re-encode via cp1252 (falling back to latin-1 for the 5
+    bytes cp1252 leaves unmapped) and decode as UTF-8.  Returns
+    (repaired, fixed).  Anything that does not round-trip cleanly is
+    returned unchanged — the repair can never corrupt a clean string."""
+    if not text or not _MOJIBAKE_RE.search(text):
+        return text, False
+    for codec in ("cp1252", "latin-1"):
+        try:
+            fixed = text.encode(codec, errors="strict").decode(
+                "utf-8", errors="strict"
+            )
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if fixed != text:
+            return fixed, True
+        return text, False
+    return text, False
+
+
+def add_fixed_encoding(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Shuffle-free mojibake-repair scan: detection is ONE vectorized
+    regex pass (pandas ``str.contains`` over the batch); the per-row
+    encode/decode repair runs ONLY on flagged rows (a small fraction of
+    any real corpus).  Rewrites ``text_col`` in place and appends a
+    boolean ``fixed`` column."""
+    import pandas as pd
+
+    s = pd.Series(batch[text_col].to_pylist(), dtype=object).fillna("")
+    flagged = s.str.contains(_MOJIBAKE_RE, regex=True, na=False)
+    out = s.to_numpy(dtype=object).copy()
+    fixed = np.zeros(len(s), dtype=bool)
+    for i in np.flatnonzero(flagged.to_numpy()):
+        out[i], fixed[i] = fix_double_encoding(out[i])
+    cols = {c: batch[c] for c in batch.column_names}
+    cols[text_col] = pa.array(out, type=pa.string())
+    return pa.table(cols).append_column("fixed", pa.array(fixed))

@@ -863,3 +863,98 @@ def hits_sql(
         f" FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.h = a{n_iter}.h"
     )
     return "\n".join(parts)
+
+
+def degree_distribution(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "pd.DataFrame":
+    """In/out-degree distribution + CCDF of a link graph — the
+    power-law-tail diagnostic next to pagerank/HITS/triangles (hub
+    detection, crawl-frontier fanout budgeting).  Degree counts DISTINCT
+    neighbors (self-loops dropped), matching the ``e`` edge convention
+    every other graph oracle here uses.
+
+    Output: one row per (direction, deg) with n_hosts and
+    ccdf = P(degree >= deg) among hosts that appear on that side.
+
+    Scale shape: the edge-dedup shuffle (:func:`weighted_host_edges`),
+    then ONE (direction, node) degree count shuffle over the distinct
+    pairs, then per-batch (direction, deg) histogram partials into a
+    degrees-sized groupby — the driver fold is |distinct degrees|-sized.
+    No broadcast, no node universe materialization.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    ew = weighted_host_edges(edges, src_col=src_col, dst_col=dst_col)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t[src_col].combine_chunks().cast(pa.string()),
+             t[dst_col].combine_chunks().cast(pa.string())]
+        )
+        direction = pa.concat_arrays(
+            [pa.array(["out"] * t.num_rows), pa.array(["in"] * t.num_rows)]
+        )
+        return pa.table({"direction": direction, "node": node})
+
+    deg = (
+        ew.map_batches(endpoints, batch_format="pyarrow")
+        .groupby(["direction", "node"])
+        .aggregate(Count(alias_name="deg"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["direction", "deg"]).group_by(
+            ["direction", "deg"]
+        ).aggregate([("deg", "count")])
+        return g.rename_columns(["direction", "deg", "n_hosts"])
+
+    hist = collect_table(
+        deg.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["direction", "deg"])
+        .aggregate(Sum("n_hosts", alias_name="n_hosts"))
+    ).to_pandas()
+    out = []
+    for direction, sub in hist.groupby("direction", sort=True):
+        sub = sub.sort_values("deg", ascending=False).reset_index(drop=True)
+        total = int(sub["n_hosts"].sum())
+        cum = sub["n_hosts"].cumsum().to_numpy(dtype=np.float64)
+        sub["ccdf"] = round_half_away(cum / float(total), 6)
+        out.append(sub)
+    res = pd.concat(out, ignore_index=True).sort_values(
+        ["direction", "deg"]
+    ).reset_index(drop=True)
+    res["deg"] = res["deg"].astype(np.int64)
+    res["n_hosts"] = res["n_hosts"].astype(np.int64)
+    return res[["direction", "deg", "n_hosts", "ccdf"]]
+
+
+def degree_distribution_sql(edge_ctes: str) -> str:
+    """DuckDB replay of :func:`degree_distribution` over the shared edge
+    convention (``edge_ctes`` must define CTE ``e`` with (src, dst) as
+    distinct self-loop-free pairs — the same contract as
+    :func:`pagerank_sql`)."""
+    return f"""
+        WITH {edge_ctes},
+        d AS (
+          SELECT 'out' AS direction, src AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM e GROUP BY src
+          UNION ALL
+          SELECT 'in', dst, CAST(count(*) AS BIGINT) FROM e GROUP BY dst
+        ),
+        h AS (
+          SELECT direction, deg, CAST(count(*) AS BIGINT) AS n_hosts
+          FROM d GROUP BY direction, deg
+        )
+        SELECT direction, deg, n_hosts,
+               round(CAST(sum(n_hosts) OVER (PARTITION BY direction
+                       ORDER BY deg DESC) AS DOUBLE)
+                     / sum(n_hosts) OVER (PARTITION BY direction), 6) AS ccdf
+        FROM h
+    """

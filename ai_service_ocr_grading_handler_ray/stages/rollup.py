@@ -20,7 +20,86 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-__all__ = ["rollup_aggregate"]
+__all__ = ["rollup_aggregate", "cube_aggregate"]
+
+
+def _fine_table(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str,
+    sentinel: str,
+) -> pd.DataFrame:
+    """Finest-level exact aggregate: map-side Arrow partials → ONE small
+    groupby.  |key-combination|-sized; the only shuffle either rollup or
+    cube performs."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        for k in keys:
+            if t[k].null_count:
+                raise ValueError(f"NULL in grouping key {k!r} collides with sentinel")
+        g = t.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+        )
+        return g.rename_columns(keys + [f"{c}_sum" for c in sum_cols] + ["_n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(keys)
+        .aggregate(
+            *(
+                [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in sum_cols]
+                + [Sum("_n", alias_name=count_col)]
+            )
+        )
+        .to_pandas()
+    )
+
+
+def cube_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    sentinel: str = "ALL",
+    count_col: str = "n_rows",
+) -> pd.DataFrame:
+    """CUBE(keys): one row per group for EVERY subset of ``keys`` (all
+    2^k grouping sets), rolled-up key columns carrying ``sentinel`` —
+    matching SQL ``GROUP BY CUBE`` with ``coalesce(key, sentinel)``.
+
+    Scale shape: identical to :func:`rollup_aggregate` — the cluster
+    aggregates only the finest level (ONE shuffle, group-cardinality
+    rows); every one of the 2^k − 1 coarser grouping sets re-aggregates
+    the fine table on the driver (exact for int sums/counts, bounded by
+    group cardinality × 2^k, never row count).  ``keys`` is small by
+    construction (OLAP dimensions), so 2^k is a constant."""
+    if len(keys) > 8:
+        raise ValueError("cube_aggregate supports at most 8 keys (2^k grouping sets)")
+    fine = _fine_table(ds, keys, sum_cols, count_col, sentinel)
+    vals = [f"{c}_sum" for c in sum_cols] + [count_col]
+    levels: list[pd.DataFrame] = []
+    for mask in range(1 << len(keys)):
+        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        if kept == keys:
+            levels.append(fine.copy())
+            continue
+        lvl = (
+            fine.groupby(kept, as_index=False)[vals].sum()
+            if kept
+            else fine[vals].sum().to_frame().T
+        )
+        for k in keys:
+            if k not in kept:
+                lvl[k] = sentinel
+        levels.append(lvl[keys + vals])
+    out = pd.concat(levels, ignore_index=True)
+    out[count_col] = out[count_col].astype("int64")
+    for c in sum_cols:
+        col = f"{c}_sum"
+        if pd.api.types.is_integer_dtype(fine[col]):
+            out[col] = out[col].astype("int64")
+    return out.reset_index(drop=True)
 
 
 def rollup_aggregate(
@@ -39,28 +118,7 @@ def rollup_aggregate(
     any).  Sums must be integers or rounding-stable floats: coarser
     levels re-aggregate the fine table, which for int sums is exact."""
 
-    def partial(t: pa.Table) -> pa.Table:
-        for k in keys:
-            if t[k].null_count:
-                raise ValueError(f"NULL in rollup key {k!r} collides with sentinel")
-        g = t.group_by(keys).aggregate(
-            [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
-        )
-        return g.rename_columns(
-            keys + [f"{c}_sum" for c in sum_cols] + ["_n"]
-        )
-
-    fine = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(keys)
-        .aggregate(
-            *(
-                [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in sum_cols]
-                + [Sum("_n", alias_name=count_col)]
-            )
-        )
-        .to_pandas()
-    )
+    fine = _fine_table(ds, keys, sum_cols, count_col, sentinel)
     levels = [fine.copy()]
     cur = fine
     for depth in range(len(keys) - 1, -1, -1):

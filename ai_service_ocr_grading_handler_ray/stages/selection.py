@@ -574,3 +574,94 @@ def mad_outliers(
         )
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact per-group Gini concentration
+# --------------------------------------------------------------------------
+
+def grouped_gini(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+) -> pd.DataFrame:
+    """Exact per-group Gini coefficient of ``value_col`` (host/source
+    concentration: "does one source contribute most of the bytes?" — the
+    corpus-diversity dashboard next to the rollups).
+
+    Definition (the standard sorted-rank form over ascending values
+    x_1..x_n): G = Σ_i (2i − n − 1)·x_i / (n · Σ x_i).  Ties are
+    order-invariant (equal values make equal terms), so the exact value
+    is computable from VALUE COUNTS alone: for a run of c copies of v
+    starting after cumulative count b, Σ (2i − n − 1)·v over the run
+    = v · (2bc + c(c+1) − c(n+1)).
+
+    Scale shape: per-batch Arrow (group, value) count partials → ONE
+    small groupby → a |distinct (group, value)|-sized driver fold (value
+    counts, never rows; lengths/ratios are low-cardinality by nature).
+    Values must be non-negative integers (exact Python-int arithmetic —
+    no overflow, no FP drift; one float division per group), matching
+    the SQL replay in :func:`grouped_gini_sql` bit-for-bit.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([(value_col, "count")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    from .collect import collect_table
+
+    counts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    counts = counts.sort_values([group_col, value_col])
+    rows = []
+    for grp, sub in counts.groupby(group_col, sort=True):
+        vals = [int(v) for v in sub[value_col].to_numpy()]
+        cnts = [int(c) for c in sub["n"].to_numpy()]
+        if any(v < 0 for v in vals):
+            raise ValueError("grouped_gini requires non-negative values")
+        n = sum(cnts)
+        total = sum(v * c for v, c in zip(vals, cnts))
+        num, b = 0, 0
+        for v, c in zip(vals, cnts):
+            num += v * (2 * b * c + c * (c + 1) - c * (n + 1))
+            b += c
+        gini = num / (n * total) if total else 0.0
+        rows.append((grp, n, total, gini))
+    out = pd.DataFrame(rows, columns=[group_col, "n", "total", "gini"])
+    out["n"] = out["n"].astype(np.int64)
+    out["total"] = out["total"].astype(np.int64)
+    out["gini"] = round_half_away(out["gini"].to_numpy(dtype=np.float64), 6)
+    return out.reset_index(drop=True)
+
+
+def grouped_gini_sql(
+    source_cte: str,
+    *,
+    group_col: str = "grp",
+) -> str:
+    """DuckDB replay of :func:`grouped_gini` (single-generator policy).
+    ``source_cte`` must define a CTE ``v`` with columns
+    (``group_col``, val BIGINT)."""
+    return f"""
+        WITH {source_cte},
+        r AS (
+          SELECT {group_col}, val,
+                 row_number() OVER (PARTITION BY {group_col} ORDER BY val)
+                   AS rn,
+                 count(*) OVER (PARTITION BY {group_col}) AS n,
+                 sum(val) OVER (PARTITION BY {group_col}) AS s
+          FROM v
+        )
+        SELECT {group_col},
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(s) AS BIGINT) AS total,
+               round(sum(val * (2 * rn - n - 1))
+                     / (CAST(max(n) AS DOUBLE) * max(s)), 6) AS gini
+        FROM r GROUP BY {group_col}
+    """

@@ -1239,3 +1239,175 @@ def gopher_quality_rules(
         return pa.table(cols)
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --- n-gram novelty vs a reference corpus -----------------------------------
+
+
+def _batch_ngrams(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(gram strings, per-text gram counts) for a batch: space-joined
+    runs of ``n`` consecutive words WITHIN each text (texts with < n
+    tokens contribute zero grams).  Gram strings (not hashes) so the
+    membership set is collision-free and SQL-replayable
+    (``array_to_string(list_slice(ws, i, i+n-1), ' ')``)."""
+    words, lens = batch_words(texts)
+    gcounts = np.maximum(lens - n + 1, 0)
+    starts = np.cumsum(lens) - lens
+    tot = int(gcounts.sum())
+    if tot == 0:
+        return np.empty(0, dtype=object), gcounts
+    within = np.arange(tot) - np.repeat(np.cumsum(gcounts) - gcounts, gcounts)
+    gidx = np.repeat(starts, gcounts) + within
+    grams = words[gidx]
+    for k in range(1, n):
+        grams = grams + " "
+        grams = grams + words[gidx + k]
+    return grams, gcounts
+
+
+def novelty_scores(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_col: str = "is_ref",
+    n: int = 3,
+    ref_gram_cap: int = 4_000_000,
+):
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of each document's DISTINCT word n-grams that appear in no
+    reference document (``ref_col`` true) — the "how much new text does
+    this shard add" curation signal dual to contamination (q110 removes
+    overlap; this SCORES it), cf. the novelty/duplication analyses of
+    RefinedWeb and Gopher.
+
+    Output columns: (``id_col``, n_grams, n_novel, novelty), documents
+    with at least one gram only (so the ratio is never 0/0); reference
+    documents are scored too (novelty 0 by construction).
+
+    Scale shape: pass 1 folds per-batch DISTINCT reference grams on the
+    driver (amortized sorted merges, loud ``ref_gram_cap`` — reference
+    sets are eval/seed-corpus sized; for corpus-sized references use the
+    Bloom path of ``dedup.subtract_corpus`` instead), broadcasts the
+    sorted gram array ONCE via ``ray.put``; pass 2 is a shuffle-free
+    scan — per-batch gram tape → ``pd.factorize`` batch vocabulary →
+    ONE ``searchsorted`` probe per batch, per-doc distinct via a
+    (doc, code) dedup, counts via ``np.bincount``."""
+    import pandas as pd
+    import ray
+
+    refs = ds.map_batches(
+        lambda t: _ref_gram_partial(t, text_col, ref_col, n),
+        batch_format="pyarrow",
+        batch_size=16384,
+    )
+    acc = np.empty(0, dtype=object)
+    buf: list[np.ndarray] = []
+    buffered = 0
+    for b in refs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        buf.append(b["gram"].to_pandas().to_numpy(dtype=object))
+        buffered += len(buf[-1])
+        if buffered >= max(len(acc), 1_048_576):
+            acc = np.unique(np.concatenate([acc, *buf]))
+            buf, buffered = [], 0
+        if len(acc) + buffered > ref_gram_cap:
+            raise ValueError(
+                f"reference gram set exceeds ref_gram_cap={ref_gram_cap}; "
+                "use dedup.subtract_corpus's Bloom path for corpus-sized "
+                "references"
+            )
+    if buf:
+        acc = np.unique(np.concatenate([acc, *buf]))
+    ref_ref = ray.put(acc)
+
+    def score(t: pa.Table, _ref=ref_ref) -> pa.Table:
+        uni = ray.get(_ref)
+        texts = t[text_col].to_pylist()
+        grams, gcounts = _batch_ngrams(texts, n)
+        gdoc = np.repeat(np.arange(len(gcounts)), gcounts)
+        codes, vocab = pd.factorize(grams, sort=False)
+        # distinct (doc, gram) pairs only
+        pair = pd.DataFrame({"d": gdoc, "c": codes}).drop_duplicates()
+        if len(vocab):
+            pos = np.searchsorted(uni, vocab)
+            pos[pos >= len(uni)] = max(len(uni) - 1, 0)
+            known = uni[pos] == vocab if len(uni) else np.zeros(len(vocab), bool)
+        else:
+            known = np.zeros(0, dtype=bool)
+        novel = ~known[pair["c"].to_numpy()]
+        n_grams = np.bincount(pair["d"].to_numpy(), minlength=len(gcounts))
+        n_novel = np.bincount(
+            pair["d"].to_numpy(), weights=novel.astype(np.float64),
+            minlength=len(gcounts),
+        ).astype(np.int64)
+        keep = n_grams > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
+        ng = n_grams[keep].astype(np.int64)
+        nv = n_novel[keep]
+        from .selection import round_half_away
+
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_grams": pa.array(ng),
+                "n_novel": pa.array(nv),
+                "novelty": pa.array(
+                    round_half_away(nv / ng.astype(np.float64), 6)
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def _ref_gram_partial(
+    t: pa.Table, text_col: str, ref_col: str, n: int
+) -> pa.Table:
+    mask = t[ref_col].to_numpy(zero_copy_only=False).astype(bool)
+    texts = [
+        x for x, m in zip(t[text_col].to_pylist(), mask) if m
+    ]
+    grams, _ = _batch_ngrams(texts, n)
+    return pa.table({"gram": pa.array(np.unique(grams), type=pa.string())})
+
+
+def novelty_sql(
+    docs_cte: str,
+    *,
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """DuckDB replay of :func:`novelty_scores` (single-generator
+    policy).  ``docs_cte`` must define a CTE ``docs`` with columns
+    (``id_col``, text VARCHAR, is_ref BOOLEAN); single-space text."""
+    return f"""
+        WITH {docs_cte},
+        w AS (
+          SELECT {id_col}, is_ref,
+                 string_split(coalesce(text, ''), ' ') AS ws
+          FROM docs
+        ),
+        g AS (
+          SELECT {id_col}, is_ref,
+                 array_to_string(list_slice(ws, i, i + {n - 1}), ' ') AS gram
+          FROM (
+            SELECT {id_col}, is_ref, ws,
+                   unnest(generate_series(1, len(ws) - {n - 1})) AS i
+            FROM w WHERE len(ws) >= {n}
+          )
+        ),
+        dg AS (SELECT DISTINCT {id_col}, is_ref, gram FROM g),
+        ref AS (SELECT DISTINCT gram FROM dg WHERE is_ref),
+        sc AS (
+          SELECT d.{id_col}, count(*) AS n_grams,
+                 sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+          FROM dg d LEFT JOIN ref r USING (gram)
+          GROUP BY d.{id_col}
+        )
+        SELECT {id_col}, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
+        FROM sc
+    """

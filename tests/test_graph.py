@@ -3,6 +3,7 @@ mass, self-loop drop, node-limit guard, SQL-generator parity."""
 
 import collections
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -376,3 +377,40 @@ def test_bfs_sql_generator_parity(ray_session):
     )
     assert list(got["node"]) == list(eng["node"])
     assert list(got["depth"]) == list(eng["depth"])
+
+
+# --- degree_distribution -----------------------------------------------------
+
+
+def test_degree_distribution_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import degree_distribution
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 30, 600)
+    dst = rng.integers(0, 30, 600)
+    df = pd.DataFrame(
+        {"src": [f"h{s}" for s in src], "dst": [f"h{d}" for d in dst]}
+    )
+    out = degree_distribution(rd.from_pandas(df).repartition(5))
+
+    dedup = df[df.src != df.dst].drop_duplicates()
+    for direction, col in [("out", "src"), ("in", "dst")]:
+        deg = dedup.groupby(col).size()
+        hist = deg.value_counts().sort_index()
+        sel = out[out.direction == direction].set_index("deg")
+        assert dict(sel.n_hosts) == {int(k): int(v) for k, v in hist.items()}
+        total = hist.sum()
+        for d in hist.index:
+            exp = hist[hist.index >= d].sum() / total
+            assert sel.loc[d, "ccdf"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_degree_distribution_self_loops_dropped(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import degree_distribution
+
+    df = pd.DataFrame({"src": ["a", "a", "b"], "dst": ["a", "b", "c"]})
+    out = degree_distribution(rd.from_pandas(df))
+    # a->a dropped: out-degrees a=1, b=1; in-degrees b=1, c=1
+    assert dict(zip(out.direction + "_" + out.deg.astype(str), out.n_hosts)) == {
+        "in_1": 2, "out_1": 2
+    }

@@ -285,3 +285,55 @@ def test_mad_outliers_constant_group_flags_nothing(ray_session):
         keep_cols=("event_id",),
     ).to_pandas()
     assert len(got) == 0
+
+
+# --- grouped_gini ------------------------------------------------------------
+
+
+def _brute_gini(vals):
+    x = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    return float(((2 * i - n - 1) * x).sum() / (n * x.sum()))
+
+
+def test_grouped_gini_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.selection import grouped_gini
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abc"), 500),
+            "v": rng.integers(0, 50, 500),
+        }
+    )
+    out = grouped_gini(
+        rd.from_pandas(df).repartition(6), value_col="v", group_col="g"
+    )
+    for g, sub in df.groupby("g"):
+        row = out[out.g == g]
+        assert row.gini.iloc[0] == pytest.approx(_brute_gini(sub.v), abs=1e-6)
+        assert int(row.n.iloc[0]) == len(sub)
+        assert int(row.total.iloc[0]) == int(sub.v.sum())
+
+
+def test_grouped_gini_extremes(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.selection import grouped_gini
+
+    df = pd.DataFrame(
+        {
+            "g": ["eq"] * 10 + ["conc"] * 10,
+            "v": [7] * 10 + [0] * 9 + [100],
+        }
+    )
+    out = grouped_gini(rd.from_pandas(df), value_col="v", group_col="g")
+    assert out[out.g == "eq"].gini.iloc[0] == 0.0  # perfect equality
+    assert out[out.g == "conc"].gini.iloc[0] == 0.9  # 1 - 1/n
+
+
+def test_grouped_gini_negative_raises(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.selection import grouped_gini
+
+    df = pd.DataFrame({"g": ["a", "a"], "v": [1, -2]})
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_gini(rd.from_pandas(df), value_col="v", group_col="g")
