@@ -169,3 +169,104 @@ def test_remove_frequent_segments_string_ids():
         ).to_pandas()
         assert sorted(out["doc_id"]) == [f"url://{i}" for i in [0, 1, 2, 4]]
         assert out["doc_id"].dtype == object
+
+
+# --- C4 line-level filter ----------------------------------------------------
+
+
+class TestC4LineFilter:
+    def _run(self, texts, **kw):
+        import ray.data as rd
+        from ai_service_ocr_grading_handler_ray.stages.clean import c4_line_filter
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        df = c4_line_filter(ds, **kw).to_pandas()
+        return df.set_index("doc_id") if len(df) else df
+
+    def test_rules(self):
+        out = self._run(
+            [
+                # kept: >=5 words, ends '.', no blocked substring
+                "this line is long enough.\nshort one.\nno terminal here at all",
+                # javascript (case-insensitive) blocked even when well-formed
+                "Please enable JavaScript to view this page.",
+                # lorem ipsum blocked; '{' blocked; good line survives
+                "Lorem Ipsum dolor sit amet and more.\nvar x = { a: 1 };\n"
+                "a perfectly good closing sentence stands here!",
+            ],
+            min_words=5,
+        )
+        assert out.loc[0, "text"] == "this line is long enough."
+        assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_kept"] == 1
+        assert 1 not in out.index  # zero kept lines -> doc dropped
+        assert out.loc[2, "text"] == "a perfectly good closing sentence stands here!"
+
+    def test_strip_and_terminal_chars(self):
+        out = self._run(
+            ['  does trailing quote count as terminal "\n\tand a question mark too ?  '],
+            min_words=5,
+        )
+        # lines are stripped before every check; kept lines re-join stripped
+        assert out.loc[0, "n_kept"] == 2
+        assert out.loc[0, "text"] == (
+            'does trailing quote count as terminal "\nand a question mark too ?'
+        )
+
+    def test_min_kept_lines_doc_gate(self):
+        texts = ["one good sentence right here ok.\nanother good sentence follows it now."]
+        assert len(self._run(texts, min_words=5, min_kept_lines=3)) == 0
+        assert len(self._run(texts, min_words=5, min_kept_lines=2)) == 1
+
+    def test_empty_and_null_text(self):
+        import ray.data as rd
+        from ai_service_ocr_grading_handler_ray.stages.clean import c4_line_filter
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": pa.array(["", None], type=pa.string())})
+        )
+        assert c4_line_filter(ds).count() == 0
+
+
+# --- double-encoding repair --------------------------------------------------
+
+
+class TestFixDoubleEncoding:
+    def test_latin1_and_cp1252_roundtrip(self):
+        from ai_service_ocr_grading_handler_ray.stages.clean import fix_double_encoding
+
+        # (no U+201D: its UTF-8 has byte 0x9D, unmapped in cp1252 — such
+        # garble arrives via the latin-1 read path instead)
+        for clean in ["café résumé naïve", "price — it’s ‘fine’", "über straße"]:
+            moj = clean.encode("utf-8").decode("cp1252")
+            assert fix_double_encoding(moj) == (clean, True)
+        moj = "café".encode("utf-8").decode("latin-1")
+        assert fix_double_encoding(moj) == ("café", True)
+
+    def test_clean_text_untouched(self):
+        from ai_service_ocr_grading_handler_ray.stages.clean import fix_double_encoding
+
+        for s in ["plain ascii.", "clean café text", "Ãx not a continuation", ""]:
+            assert fix_double_encoding(s) == (s, False)
+
+    def test_invalid_utf8_left_unchanged(self):
+        from ai_service_ocr_grading_handler_ray.stages.clean import fix_double_encoding
+
+        # signature present but the re-encoded bytes are not valid UTF-8
+        # (C3 A9 then a bare C3 lead byte) — repair must refuse, not corrupt
+        s = "Ã©Ã"
+        assert fix_double_encoding(s) == (s, False)
+
+    def test_batch_kernel(self):
+        import ray.data as rd
+        from ai_service_ocr_grading_handler_ray.stages.clean import add_fixed_encoding
+
+        clean = "café and résumé — done."
+        moj = clean.encode("utf-8").decode("cp1252")
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": [moj, "plain text."]})
+        ).map_batches(add_fixed_encoding, batch_format="pyarrow")
+        df = ds.to_pandas().set_index("doc_id")
+        assert df.loc[0, "text"] == clean and bool(df.loc[0, "fixed"])
+        assert df.loc[1, "text"] == "plain text." and not df.loc[1, "fixed"]

@@ -233,3 +233,78 @@ def test_script_mix_classification():
     # arabic + latin doc: 'mixedtext' = 9 latin, 'نصعربي' = 6 arabic
     assert out["n_arabic"].to_pylist()[8] == 6
     assert abs(lf[8] - 9 / 15) < 1e-12
+
+
+# --- n-gram novelty ----------------------------------------------------------
+
+
+class TestNovelty:
+    def _run(self, docs, refs, n=3, parts=3):
+        import ray.data as rd
+        from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+            novelty_scores,
+        )
+
+        ids = list(range(len(docs)))
+        ds = rd.from_arrow(
+            pa.table({"doc_id": ids, "text": docs, "is_ref": refs})
+        ).repartition(parts)
+        return novelty_scores(ds, n=n).to_pandas().set_index("doc_id")
+
+    @staticmethod
+    def _grams(text, n):
+        ws = (text or "").split(" ")
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    def test_matches_brute_force(self):
+        docs = [
+            "a b c d e",          # ref
+            "c d e f g",          # ref
+            "a b c x y z",        # mixes known and novel grams
+            "entirely novel words only here",
+            "a b c d e",          # exact copy of ref -> novelty 0
+        ]
+        refs = [True, True, False, False, False]
+        out = self._run(docs, refs)
+        ref_grams = set().union(*(self._grams(d, 3) for d, r in zip(docs, refs) if r))
+        for i, d in enumerate(docs):
+            g = self._grams(d, 3)
+            novel = {x for x in g if x not in ref_grams}
+            assert out.loc[i, "n_grams"] == len(g)
+            assert out.loc[i, "n_novel"] == len(novel)
+            assert out.loc[i, "novelty"] == round(len(novel) / len(g), 6)
+        assert out.loc[0, "novelty"] == 0.0 and out.loc[4, "novelty"] == 0.0
+
+    def test_short_docs_dropped(self):
+        out = self._run(["one two", "x", "three words here."], [False, False, True])
+        assert list(out.index) == [2]
+
+    def test_distinct_not_multiset(self):
+        # repeated gram counts once (DISTINCT semantics, as the SQL replay)
+        out = self._run(["p q r p q r p q r", "zz"], [False, True])
+        # grams: p q r / q r p / r p q repeated -> 3 distinct, all novel
+        assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_novel"] == 3
+
+    def test_empty_reference(self):
+        out = self._run(["all grams are novel here"], [False])
+        assert out.loc[0, "novelty"] == 1.0
+
+    def test_ref_cap_raises(self):
+        import pytest
+
+        with pytest.raises(Exception, match="ref_gram_cap"):
+            import ray.data as rd
+            from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+                novelty_scores,
+            )
+
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": [0],
+                        "text": [" ".join(f"w{i}" for i in range(50))],
+                        "is_ref": [True],
+                    }
+                )
+            )
+            novelty_scores(ds, ref_gram_cap=10).to_pandas()
