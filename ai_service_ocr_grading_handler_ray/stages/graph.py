@@ -870,6 +870,7 @@ def degree_distribution(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    num_parts: int = 64,
 ) -> "pd.DataFrame":
     """In/out-degree distribution + CCDF of a link graph — the
     power-law-tail diagnostic next to pagerank/HITS/triangles (hub
@@ -880,46 +881,64 @@ def degree_distribution(
     Output: one row per (direction, deg) with n_hosts and
     ccdf = P(degree >= deg) among hosts that appear on that side.
 
-    Scale shape: the edge-dedup shuffle (:func:`weighted_host_edges`),
-    then ONE (direction, node) degree count shuffle over the distinct
-    pairs, then per-batch (direction, deg) histogram partials into a
-    degrees-sized groupby — the driver fold is |distinct degrees|-sized.
-    No broadcast, no node universe materialization.
+    Scale shape: ONE node-hash coarse-partition shuffle total (the
+    add_key_partition pattern — a first cut ran dedup + degree-count +
+    histogram as THREE sequential all-to-alls, 2.5× slower at sf0.1):
+    per-batch (direction, node, nbr) dedup partials act as the map-side
+    combiner, each partition re-dedups cross-batch duplicates and folds
+    its nodes to (direction, deg) histogram rows, and the driver merge
+    is |distinct degrees × partitions|-sized.  A node's pairs co-locate
+    by construction (hash on node), so no second pass is needed; giant
+    hosts are bounded by per-partition memory, not per-task Python.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
     from .collect import collect_table
+    from .dedup import add_key_partition
     from .selection import round_half_away
 
-    ew = weighted_host_edges(edges, src_col=src_col, dst_col=dst_col)
-
-    def endpoints(t: pa.Table) -> pa.Table:
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pa.compute.invert(pa.compute.equal(t[src_col], t[dst_col]))
+        t = t.filter(pa.compute.fill_null(keep, False))
         node = pa.concat_arrays(
             [t[src_col].combine_chunks().cast(pa.string()),
              t[dst_col].combine_chunks().cast(pa.string())]
         )
+        nbr = pa.concat_arrays(
+            [t[dst_col].combine_chunks().cast(pa.string()),
+             t[src_col].combine_chunks().cast(pa.string())]
+        )
         direction = pa.concat_arrays(
             [pa.array(["out"] * t.num_rows), pa.array(["in"] * t.num_rows)]
         )
-        return pa.table({"direction": direction, "node": node})
+        trip = pa.table({"direction": direction, "node": node, "nbr": nbr})
+        trip = trip.group_by(["direction", "node", "nbr"]).aggregate([])
+        return add_key_partition(trip, "node", num_parts=num_parts)
 
-    deg = (
-        ew.map_batches(endpoints, batch_format="pyarrow")
-        .groupby(["direction", "node"])
-        .aggregate(Count(alias_name="deg"))
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["direction", "node", "nbr"])
+        deg = d.groupby(["direction", "node"], sort=False).size()
+        hist = (
+            deg.rename("deg").reset_index()
+            .groupby(["direction", "deg"], sort=False)
+            .size()
+            .rename("n_hosts")
+            .reset_index()
+        )
+        hist["deg"] = hist["deg"].astype("int64")
+        hist["n_hosts"] = hist["n_hosts"].astype("int64")
+        return hist
+
+    partials = (
+        edges.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
     )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = t.select(["direction", "deg"]).group_by(
-            ["direction", "deg"]
-        ).aggregate([("deg", "count")])
-        return g.rename_columns(["direction", "deg", "n_hosts"])
-
-    hist = collect_table(
-        deg.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["direction", "deg"])
-        .aggregate(Sum("n_hosts", alias_name="n_hosts"))
-    ).to_pandas()
+    hist = (
+        collect_table(partials)
+        .to_pandas()
+        .groupby(["direction", "deg"], as_index=False)["n_hosts"]
+        .sum()
+    )
     out = []
     for direction, sub in hist.groupby("direction", sort=True):
         sub = sub.sort_values("deg", ascending=False).reset_index(drop=True)

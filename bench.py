@@ -111,6 +111,14 @@ BENCH_QUERIES = [
     "q165_grouped_histogram",
     "q166_day_over_day",
     "q167_fuzzy_linkage",
+    "q168_cube_lang_source",
+    "q169_classifier_eval",
+    "q170_source_gini",
+    "q171_degree_distribution",
+    "q172_c4_line_filter",
+    "q173_novelty",
+    "q174_fix_encoding",
+    "q175_rrf_fusion",
 ]
 
 
