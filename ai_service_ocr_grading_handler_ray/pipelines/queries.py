@@ -1937,6 +1937,149 @@ def q175_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     return rrf_fuse([("bm25", top_bm), ("len", top_len)])
 
 
+def q176_head_meta(sf_dir: str) -> rd.Dataset:
+    """HTML head-metadata extraction (stages/html_meta.py): title /
+    rel=canonical / meta-description pulled from synthesized page
+    payloads covering both attribute orders, both quote styles, bare
+    attributes, absent fields and a decoy stylesheet <link> — the
+    crawl-side metadata pass before body extraction (canonical feeds
+    URL dedup, titles feed retrieval).  Scale shape: ONE shuffle-free
+    scan, compiled-regex pandas kernels over the decoded head only
+    (head_cap), html dropped on output.  Oracle: emits the PLANTED
+    truth via CASE — any parse miss on any variant diverges."""
+    from ..stages.html_meta import extract_head_meta
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for dv in d:
+            head = ["<html><head>", '<link rel="stylesheet" href="/s.css">']
+            if dv % 7 != 3:
+                head.append(f"<title>Doc {dv} overview</title>")
+            if dv % 4 == 0:
+                head.append(
+                    f'<link rel="canonical" href="https://canon.example.org/c/{dv // 4}">'
+                )
+            elif dv % 4 == 2:
+                head.append(
+                    f"<link href='https://canon.example.org/c/{dv // 4}' rel=canonical>"
+                )
+            if dv % 3 == 0:
+                head.append(
+                    f'<meta name="description" content="summary {dv % 13} of document">'
+                )
+            elif dv % 3 == 2:
+                head.append(
+                    f"<meta content='alt summary {dv % 13} of document' name='description'>"
+                )
+            head.append(f"</head><body><p>filler {dv}</p></body></html>")
+            payloads.append("\n".join(head).encode("utf-8"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(payloads, type=pa.binary())}
+        )
+
+    return extract_head_meta(
+        ds.map_batches(mk, batch_format="pyarrow"), keep_cols=["doc_id"]
+    )
+
+
+_Q177_DELAY_S = 5
+
+
+def q177_politeness_schedule(sf_dir: str) -> rd.Dataset:
+    """Per-host crawl politeness scheduling (stages/schedule.py): a
+    37-host prioritized frontier turned into fetch slots — within each
+    host (priority DESC, url ASC), fetch i waits i·5 s, the Crawl-delay
+    contract downstream of q127's robots gate and q146's frontier
+    priorities.  Scale shape: ONE host-hash coarse-partition shuffle,
+    fully vectorized per-partition rank (mergesort + cumcount), int64
+    end-to-end.  Oracle: row_number window replay."""
+    from ..stages.schedule import politeness_schedule
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = pd.Series(d % 37).map(lambda h: f"h{h:02d}.example.org")
+        url = (
+            "https://" + host + "/p/" + pd.Series(d).astype(str)
+        )
+        return pa.table(
+            {
+                "url": pa.array(url.to_numpy(object), type=pa.string()),
+                "host": pa.array(host.to_numpy(object), type=pa.string()),
+                "priority": pa.array((d * 17) % 10),
+            }
+        )
+
+    return politeness_schedule(
+        ds.map_batches(mk, batch_format="pyarrow"), delay_s=_Q177_DELAY_S
+    )
+
+
+def q178_recency_reputation(sf_dir: str) -> pd.DataFrame:
+    """Recency-weighted per-type event value (stages/trend.
+    recency_weighted_mean): weight 2^(−age_days/7) from the corpus
+    max(ts) — the EWMA-style host-reputation signal where last week
+    outweighs last month, WITHOUT a sequential pass (closed-form
+    weighted sums fold like the OLS trend q157).  Scale shape: one
+    max(ts) partial fold, then one shuffle-free scan of per-key
+    (Σwv, Σw, n) Arrow partials into a key-count-sized groupby.
+    Oracle: GENERATED by recency_weighted_sql (identical µs age
+    arithmetic and pow(2,−x) weights)."""
+    from ..stages.trend import recency_weighted_mean
+
+    return recency_weighted_mean(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]),
+        key_col="event_type",
+        value_col="value",
+        half_life_days=7.0,
+    )
+
+
+def q179_source_lang_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-source language-mix entropy
+    (stages/profile.grouped_category_entropy): Shannon entropy of the
+    lang distribution within each source — the mix-purity audit
+    (multilingual scraper farms vs routable single-language sources)
+    next to the composition rollups (q160/q168) and script mix (q145).
+    Scale shape: per-batch (source, lang) Arrow count partials → ONE
+    small groupby → |sources×langs| driver fold in sorted order.
+    Oracle: GENERATED by category_entropy_sql (same −Σ p log2 p, same
+    −0.0 fold)."""
+    from ..stages.profile import grouped_category_entropy
+
+    return grouped_category_entropy(
+        _read(sf_dir, "documents", ["source", "lang"]),
+        group_col="source",
+        cat_col="lang",
+    )
+
+
+def q180_nucleus_sources(sf_dir: str) -> pd.DataFrame:
+    """Top-p (nucleus) source selection (stages/sampling.
+    nucleus_sources): order sources by total chars DESC and keep the
+    minimal prefix reaching p = 4/5 of corpus mass — the head/tail
+    split mixing applies before per-source treatment (q97/q100's
+    quota/temperature act on the head, pruning on the tail).  The keep
+    rule is pure INTEGER arithmetic (5·cum_before < 4·total), so no FP
+    boundary can flip it.  Scale shape: per-batch source partials →
+    ONE group-cardinality groupby → |sources| driver fold.  Oracle:
+    GENERATED by nucleus_sources_sql (same order, same lagged-integer
+    rule)."""
+    from ..stages.sampling import nucleus_sources
+
+    return nucleus_sources(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        group_col="source",
+        weight_col="n_chars",
+        p_num=4,
+        p_den=5,
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4590,6 +4733,11 @@ QUERIES = {
     # session 8 additions lead the window: CUBE, classifier eval (AUC),
     # source Gini, degree distribution, C4 line rules, n-gram novelty,
     # encoding repair, RRF hybrid retrieval.
+    "q176_head_meta": q176_head_meta,
+    "q177_politeness_schedule": q177_politeness_schedule,
+    "q178_recency_reputation": q178_recency_reputation,
+    "q179_source_lang_entropy": q179_source_lang_entropy,
+    "q180_nucleus_sources": q180_nucleus_sources,
     "q168_cube_lang_source": q168_cube_lang_source,
     "q169_classifier_eval": q169_classifier_eval,
     "q170_source_gini": q170_source_gini,
@@ -4945,7 +5093,53 @@ _Q172_LINES_CTE = """nl AS (
           FROM l0 JOIN nl USING (doc_id)
         )"""
 
+from ..stages.trend import recency_weighted_sql as _recency_sql
+from ..stages.profile import category_entropy_sql as _catent_sql
+from ..stages.sampling import nucleus_sources_sql as _nucleus_sql
+
 ORACLE_SQL = {
+    "q176_head_meta": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN ''
+                    ELSE printf('Doc %d overview', doc_id) END AS title,
+               CASE WHEN doc_id % 2 = 0
+                    THEN printf('https://canon.example.org/c/%d', doc_id // 4)
+                    ELSE '' END AS canonical,
+               CASE WHEN doc_id % 3 = 0
+                    THEN printf('summary %d of document', doc_id % 13)
+                    WHEN doc_id % 3 = 2
+                    THEN printf('alt summary %d of document', doc_id % 13)
+                    ELSE '' END AS description,
+               doc_id % 2 = 0 AS has_canonical
+        FROM documents
+    """,
+    "q177_politeness_schedule": f"""
+        WITH f AS (
+          SELECT printf('h%02d.example.org', doc_id % 37) AS host,
+                 printf('https://h%02d.example.org/p/%d', doc_id % 37,
+                        doc_id) AS url,
+                 CAST((doc_id * 17) % 10 AS BIGINT) AS priority
+          FROM documents
+        )
+        SELECT url, host, priority,
+               CAST(row_number() OVER (PARTITION BY host
+                 ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot,
+               CAST((row_number() OVER (PARTITION BY host
+                 ORDER BY priority DESC, url) - 1) * {_Q177_DELAY_S}
+                 AS BIGINT) AS fetch_offset_s
+        FROM f
+    """,
+    "q178_recency_reputation": _recency_sql(
+        table="events", key_col="event_type", value_col="value",
+        ts_col="ts", half_life_days=7.0,
+    ),
+    "q179_source_lang_entropy": _catent_sql(
+        table="documents", group_col="source", cat_col="lang"
+    ),
+    "q180_nucleus_sources": _nucleus_sql(
+        table="documents", group_col="source", weight_col="n_chars",
+        p_num=4, p_den=5,
+    ),
     "q168_cube_lang_source": """
         SELECT coalesce(lang, 'ALL') AS lang,
                coalesce(source, 'ALL') AS source,

@@ -174,3 +174,84 @@ def profile_sql(
             f" {mn} AS min_num, {mx} AS max_num FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def grouped_category_entropy(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    cat_col: str,
+) -> pd.DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical column — the
+    mix-purity audit signal (a host/source serving many languages is a
+    scraper-farm smell; a single-language source is routable).  Output:
+    (group, n_rows, n_cats, cat_entropy).
+
+    Scale shape: per-batch (group, cat) Arrow count partials → ONE
+    small groupby → a |groups×cats|-sized driver fold.  Entropy terms
+    fold in sorted-category order (deterministic), one log2 per distinct
+    pair; -0.0 is normalized to +0.0 so single-category groups hash
+    identically to the SQL replay."""
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, cat_col]).group_by(
+            [group_col, cat_col]
+        ).aggregate([(cat_col, "count")])
+        return g.rename_columns([group_col, cat_col, "n"])
+
+    counts = (
+        collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby([group_col, cat_col])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        .to_pandas()
+        .sort_values([group_col, cat_col])
+    )
+    rows = []
+    for grp, sub in counts.groupby(group_col, sort=True):
+        n = int(sub["n"].sum())
+        p = sub["n"].to_numpy(np.float64) / n
+        ent = float(-(p * np.log2(p)).sum()) + 0.0
+        rows.append((grp, n, len(sub), ent))
+    out = pd.DataFrame(
+        rows, columns=[group_col, "n_rows", "n_cats", "cat_entropy"]
+    )
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_cats"] = out["n_cats"].astype(np.int64)
+    out["cat_entropy"] = round_half_away(
+        out["cat_entropy"].to_numpy(np.float64), 6
+    )
+    return out.reset_index(drop=True)
+
+
+def category_entropy_sql(
+    *,
+    table: str = "documents",
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> str:
+    """DuckDB replay of :func:`grouped_category_entropy` — identical
+    -Σ p·log2 p with the same -0.0 → +0.0 fold (the q139 convention)."""
+    return f"""
+        WITH c AS (
+          SELECT {group_col}, {cat_col}, count(*) AS n
+          FROM {table} GROUP BY {group_col}, {cat_col}
+        ),
+        t AS (
+          SELECT {group_col}, sum(n) AS tot, count(*) AS n_cats
+          FROM c GROUP BY {group_col}
+        )
+        SELECT c.{group_col},
+               CAST(t.tot AS BIGINT) AS n_rows,
+               CAST(t.n_cats AS BIGINT) AS n_cats,
+               round(coalesce(-sum((c.n / CAST(t.tot AS DOUBLE))
+                     * log2(c.n / CAST(t.tot AS DOUBLE))), 0.0) + 0.0, 6)
+                 AS cat_entropy
+        FROM c JOIN t USING ({group_col})
+        GROUP BY c.{group_col}, t.tot, t.n_cats
+    """

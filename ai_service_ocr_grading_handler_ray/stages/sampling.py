@@ -533,3 +533,96 @@ def disjoint_split_sql(
         f"__b AS (SELECT {key_col}, {bucket} AS bucket FROM __ph),\n"
         f"{out_rel} AS (SELECT {key_col}, {case} AS {out_col} FROM __b)"
     )
+
+
+def nucleus_sources(
+    ds: rd.Dataset,
+    *,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    p_num: int = 4,
+    p_den: int = 5,
+) -> pd.DataFrame:
+    """Top-p (nucleus) source selection: order sources by total weight
+    DESC (ties by name ASC) and keep the minimal prefix whose cumulative
+    weight reaches p = p_num/p_den of the corpus — the head/tail split
+    corpus mixing applies before per-source treatment (heads get
+    temperature mixing, tails get up-weighting or pruning).
+
+    The keep rule is INTEGER arithmetic (p_den·cum_before < p_num·total
+    — a source is kept while the mass BEFORE it is under p), so no FP
+    boundary can flip a branch between engine and oracle.  Scale shape:
+    per-batch (group, Σw) Arrow partials → ONE group-cardinality
+    groupby → a |groups|-sized driver fold.  Output: (group, total
+    weight, share, cum_share, kept) for every source."""
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, weight_col]).group_by([group_col]).aggregate(
+            [(weight_col, "sum")]
+        )
+        return g.rename_columns([group_col, "w"])
+
+    out = (
+        collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(group_col)
+            .aggregate(Sum("w", alias_name="w"))
+        )
+        .to_pandas()
+        .sort_values([group_col])
+        .sort_values(["w"], ascending=False, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    w = [int(v) for v in out["w"].to_numpy()]
+    total = sum(w)
+    cum_before, kept, cum = 0, [], []
+    for wi in w:
+        kept.append(p_den * cum_before < p_num * total)
+        cum_before += wi
+        cum.append(cum_before)
+    out["w"] = out["w"].astype(np.int64)
+    out["share"] = round_half_away(
+        np.array(w, dtype=np.float64) / float(total), 6
+    )
+    out["cum_share"] = round_half_away(
+        np.array(cum, dtype=np.float64) / float(total), 6
+    )
+    out["kept"] = np.array(kept, dtype=bool)
+    return out
+
+
+def nucleus_sources_sql(
+    *,
+    table: str = "documents",
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    p_num: int = 4,
+    p_den: int = 5,
+) -> str:
+    """DuckDB replay of :func:`nucleus_sources` (single-generator
+    policy): identical (w DESC, group ASC) order, identical integer keep
+    rule over the lagged cumulative."""
+    return f"""
+        WITH s AS (
+          SELECT {group_col}, CAST(sum({weight_col}) AS BIGINT) AS w
+          FROM {table} GROUP BY {group_col}
+        ),
+        o AS (
+          SELECT {group_col}, w,
+                 coalesce(sum(w) OVER (ORDER BY w DESC, {group_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before,
+                 sum(w) OVER (ORDER BY w DESC, {group_col}) AS cum,
+                 sum(w) OVER () AS total
+          FROM s
+        )
+        SELECT {group_col}, w,
+               round(w / CAST(total AS DOUBLE), 6) AS share,
+               round(cum / CAST(total AS DOUBLE), 6) AS cum_share,
+               {p_den} * cum_before < {p_num} * total AS kept
+        FROM o
+    """

@@ -32,6 +32,7 @@ Textbook formulas (replayed exactly by the oracle):
 
 from __future__ import annotations
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -237,3 +238,107 @@ def period_over_period(
     out = totals[totals["prev_total"].notna()].copy()
     out["pct_change"] = (out["total"] - out["prev_total"]) / out["prev_total"]
     return out.reset_index(drop=True)
+
+
+def recency_weighted_mean(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+) -> "pd.DataFrame":
+    """Per-key exponentially recency-weighted mean of ``value_col``
+    (EWMA-at-a-point): weight_i = 2^(−age_days_i / half_life) with age
+    measured from the corpus max(ts) — the host-reputation / drifting-
+    quality signal where last week's errors matter more than last
+    year's.  Unlike a running EWMA this closed form needs NO sequential
+    pass: it is a pair of weighted sums, so it folds exactly like the
+    OLS trend.
+
+    Scale shape: pass 1 folds max(ts) from one-row per-batch partials;
+    pass 2 is one shuffle-free scan of per-batch per-key
+    (Σw·v, Σw, n) partials (Arrow group_by as the map-side combiner)
+    into ONE key-count-sized groupby, finished on the driver.  Output:
+    (key, n, w_sum, rw_mean) rounded to 6 (sums are float — partial
+    order drift absorbed by rounding, the q01 convention)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array([pc.max(t[ts_col]).as_py()])})
+
+    parts = collect_table(
+        ds.map_batches(max_partial, batch_format="pyarrow")
+    ).to_pandas()
+    ref = pd.Timestamp(parts["m"].max())
+    ref_us = np.int64(ref.value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        age_days = (ref_us - ts.astype(np.int64)) / 86_400_000_000.0
+        w = np.exp2(-age_days / float(half_life_days))
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = pa.table(
+            {
+                key_col: t[key_col],
+                "wv": pa.array(w * v, type=pa.float64()),
+                "w": pa.array(w, type=pa.float64()),
+            }
+        ).group_by([key_col]).aggregate(
+            [("wv", "sum"), ("w", "sum"), ("w", "count")]
+        )
+        return g.rename_columns([key_col, "wv", "w", "n"])
+
+    out = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(key_col)
+        .aggregate(
+            Sum("wv", alias_name="wv"),
+            Sum("w", alias_name="w_sum"),
+            Sum("n", alias_name="n"),
+        )
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["rw_mean"] = round_half_away(
+        (out["wv"] / out["w_sum"]).to_numpy(np.float64), 6
+    )
+    out["w_sum"] = round_half_away(out["w_sum"].to_numpy(np.float64), 6)
+    return (
+        out[[key_col, "n", "w_sum", "rw_mean"]]
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )
+
+
+def recency_weighted_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+) -> str:
+    """DuckDB replay of :func:`recency_weighted_mean` (single-generator
+    policy): identical weight formula, identical age arithmetic
+    (microsecond epoch difference / 86.4e9, pow(2, −x))."""
+    hl = float(half_life_days)
+    return f"""
+        WITH ref AS (
+          SELECT epoch_us(max({ts_col})) AS ref_us FROM {table}
+        ),
+        w AS (
+          SELECT {key_col},
+                 {value_col} AS v,
+                 pow(2.0, -((ref.ref_us - epoch_us({ts_col}))
+                            / 86400000000.0) / {hl!r}) AS w
+          FROM {table} CROSS JOIN ref
+        )
+        SELECT {key_col}, CAST(count(*) AS BIGINT) AS n,
+               round(sum(w), 6) AS w_sum,
+               round(sum(w * v) / sum(w), 6) AS rw_mean
+        FROM w GROUP BY {key_col}
+    """

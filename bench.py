@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "q173_novelty",
     "q174_fix_encoding",
     "q175_rrf_fusion",
+    "q176_head_meta",
+    "q177_politeness_schedule",
+    "q178_recency_reputation",
+    "q179_source_lang_entropy",
+    "q180_nucleus_sources",
 ]
 
 

@@ -1,0 +1,59 @@
+"""HTML head-metadata extraction (stages/html_meta.py)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.html_meta import (
+    add_head_meta,
+    extract_head_meta,
+)
+
+
+def _t(payloads, binary=True):
+    if binary:
+        arr = pa.array([p.encode() for p in payloads], type=pa.binary())
+    else:
+        arr = pa.array(payloads, type=pa.string())
+    return pa.table({"doc_id": list(range(len(payloads))), "html": arr})
+
+
+def test_variants_and_decoys():
+    pages = [
+        # rel-first double quotes, name-first description
+        '<head><link rel="stylesheet" href="/s.css">'
+        '<title>T one</title>'
+        '<link rel="canonical" href="https://c/1">'
+        '<meta name="description" content="d one"></head>',
+        # href-first single quotes + bare rel, content-first description
+        "<head><link href='https://c/2' rel=canonical>"
+        "<TITLE> T two </TITLE>"
+        "<meta content='d two' name='description'></head>",
+        # nothing present
+        "<head><link rel=\"stylesheet\" href=\"/x.css\"></head>",
+    ]
+    out = add_head_meta(_t(pages))
+    assert out["title"].to_pylist() == ["T one", "T two", ""]
+    assert out["canonical"].to_pylist() == ["https://c/1", "https://c/2", ""]
+    assert out["description"].to_pylist() == ["d one", "d two", ""]
+
+
+def test_string_column_and_multiline():
+    page = "<head>\n<title>Multi\nline</title>\n</head>"
+    out = add_head_meta(_t([page], binary=False))
+    assert out["title"].to_pylist() == ["Multi\nline"]
+
+
+def test_head_cap_truncates():
+    page = "x" * 100 + "<title>late title</title>"
+    out = add_head_meta(_t([page]), head_cap=50)
+    assert out["title"].to_pylist() == [""]
+
+
+def test_dataset_wrapper_drops_html(ray_session):
+    ds = rd.from_arrow(_t(['<head><title>a.</title></head>']))
+    df = extract_head_meta(ds).to_pandas()
+    assert "html" not in df.columns
+    assert list(df.columns) == [
+        "doc_id", "title", "canonical", "description", "has_canonical"
+    ]
+    assert not bool(df.has_canonical.iloc[0])

@@ -3,6 +3,7 @@ timestamps, all-null columns; SQL generator shape."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -96,3 +97,41 @@ def test_profile_timestamp_ns_bounds_are_epoch_us(ray_session):
     out = profile_table(rd.from_arrow(t), ["t"])
     assert out.loc[0, "min_num"] == 1_000_000.0
     assert out.loc[0, "max_num"] == 5_000_000.0
+
+
+# --- grouped_category_entropy ------------------------------------------------
+
+
+def test_category_entropy_matches_brute(ray_session):
+    import numpy as np
+    from ai_service_ocr_grading_handler_ray.stages.profile import (
+        grouped_category_entropy,
+    )
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["s1", "s2", "s3"], 400),
+            "c": rng.choice(list("abcd"), 400),
+        }
+    )
+    out = grouped_category_entropy(
+        rd.from_pandas(df).repartition(4), group_col="g", cat_col="c"
+    ).set_index("g")
+    for g, sub in df.groupby("g"):
+        p = sub.c.value_counts(normalize=True).to_numpy()
+        exp = float(-(p * np.log2(p)).sum())
+        assert out.loc[g, "cat_entropy"] == pytest.approx(exp, abs=1e-6)
+        assert out.loc[g, "n_cats"] == sub.c.nunique()
+        assert out.loc[g, "n_rows"] == len(sub)
+
+
+def test_category_entropy_pure_group_is_positive_zero(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.profile import (
+        grouped_category_entropy,
+    )
+
+    df = pd.DataFrame({"g": ["only"] * 5, "c": ["en"] * 5})
+    out = grouped_category_entropy(rd.from_pandas(df), group_col="g", cat_col="c")
+    v = out.cat_entropy.iloc[0]
+    assert v == 0.0 and not np.signbit(v)

@@ -1,6 +1,7 @@
 """Deterministic splits/samples and the HLL sketch."""
 
 import duckdb
+import pandas as pd
 import numpy as np
 import ray.data as rd
 
@@ -293,3 +294,42 @@ def test_disjoint_split_by_key_invariants(ray_session):
         disjoint_split_by_key(rd.from_pandas(df), "host", pcts=(50, 40))
     with pytest.raises(ValueError):
         disjoint_split_sql("t", "host", pcts=(50, 40, 5))
+
+
+# --- nucleus_sources ---------------------------------------------------------
+
+
+def test_nucleus_hand_case(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.sampling import nucleus_sources
+
+    # weights: a=50, b=30, c=15, d=5 (total 100), p=0.8:
+    # a (before 0) kept, b (before 50) kept, c (before 80 == 0.8*100,
+    # NOT < ) dropped, d dropped
+    df = pd.DataFrame(
+        {
+            "source": ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"],
+            "w": [10] * 5 + [10] * 3 + [5] * 3 + [5],
+        }
+    )
+    out = nucleus_sources(
+        rd.from_pandas(df).repartition(3),
+        group_col="source", weight_col="w", p_num=4, p_den=5,
+    ).set_index("source")
+    assert dict(out.kept) == {"a": True, "b": True, "c": False, "d": False}
+    assert out.loc["a", "share"] == 0.5
+    assert out.loc["c", "cum_share"] == 0.95
+    # order is weight desc then name asc
+    assert list(out.index) == ["a", "b", "c", "d"]
+
+
+def test_nucleus_tie_order_and_full_p(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.sampling import nucleus_sources
+
+    df = pd.DataFrame({"source": ["z", "y", "x"], "w": [10, 10, 10]})
+    out = nucleus_sources(
+        rd.from_pandas(df), group_col="source", weight_col="w",
+        p_num=1, p_den=1,
+    )
+    # ties order by name asc; p=1 keeps everything (cum_before < total)
+    assert list(out.source) == ["x", "y", "z"]
+    assert out.kept.all()

@@ -1,6 +1,7 @@
 """Grouped OLS trend (stages/trend.py): numpy-polyfit equivalence,
 degenerate-key semantics, moment-fold stability across block layouts."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -153,3 +154,58 @@ def test_period_over_period_reference(ray_session):
 
     with pytest.raises(ValueError, match="period must be"):
         period_over_period(rd.from_arrow(t), period="week")
+
+
+# --- recency_weighted_mean ---------------------------------------------------
+
+
+def test_recency_weighted_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.trend import (
+        recency_weighted_mean,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 300
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 40 * 86400, n), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("ab"), n),
+            "ts": ts,
+            "v": rng.random(n) * 10,
+        }
+    )
+    out = recency_weighted_mean(
+        rd.from_pandas(df).repartition(5),
+        key_col="k", value_col="v", half_life_days=7.0,
+    ).set_index("k")
+    ref = df.ts.max()
+    age = (ref - df.ts).dt.total_seconds() / 86400.0
+    w = np.exp2(-age / 7.0)
+    for k, sub in df.groupby("k"):
+        wk = w[sub.index]
+        assert out.loc[k, "rw_mean"] == pytest.approx(
+            (wk * sub.v).sum() / wk.sum(), abs=1e-5
+        )
+        assert out.loc[k, "n"] == len(sub)
+
+
+def test_recency_half_life_semantics(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.trend import (
+        recency_weighted_mean,
+    )
+
+    # two observations, 7 days apart, half_life 7: newer has weight 1,
+    # older 1/2 -> mean = (1*new + 0.5*old) / 1.5
+    df = pd.DataFrame(
+        {
+            "k": ["x", "x"],
+            "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-08")],
+            "v": [3.0, 9.0],
+        }
+    )
+    out = recency_weighted_mean(
+        rd.from_pandas(df), key_col="k", value_col="v", half_life_days=7.0
+    )
+    assert out.rw_mean.iloc[0] == pytest.approx((9.0 + 0.5 * 3.0) / 1.5, abs=1e-9)
