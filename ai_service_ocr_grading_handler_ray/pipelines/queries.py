@@ -2080,6 +2080,148 @@ def q180_nucleus_sources(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q181_html_tables(sf_dir: str) -> rd.Dataset:
+    """HTML table extraction (stages/html_tables.py): flat <table>
+    markup → relational (doc, table, row, col, cell, is_header) tuples
+    — the structured-data sibling of the boilerplate stripper (specs /
+    standings / price tables are the highest-value page content).
+    Every even doc gets a (1 header + d%3+1 rows) × (d%4+1 cols) table
+    with attribute noise on every tag.  Scale shape: ONE shuffle-free
+    scan, compiled-regex finditer per payload, html never outlives its
+    task.  Oracle: emits the PLANTED truth via generate_series — any
+    parse miss diverges."""
+    from ..stages.html_tables import extract_tables
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for dv in d:
+            if dv % 2 != 0:
+                payloads.append(b"<html><body><p>no table</p></body></html>")
+                continue
+            r, c = dv % 3 + 1, dv % 4 + 1
+            rows = [
+                "<tr id='hdr'>"
+                + "".join(f"<th scope=col>h{dv}-{ci}</th>" for ci in range(c))
+                + "</tr>"
+            ]
+            for ri in range(1, r + 1):
+                rows.append(
+                    "<tr>"
+                    + "".join(
+                        f'<td class="v">c{dv}-{ri}-{ci}</td>' for ci in range(c)
+                    )
+                    + "</tr>"
+                )
+            payloads.append(
+                (
+                    '<html><body><table class="data">'
+                    + "".join(rows)
+                    + "</table></body></html>"
+                ).encode()
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(payloads, type=pa.binary())}
+        )
+
+    return extract_tables(ds.map_batches(mk, batch_format="pyarrow"))
+
+
+def q182_shard_packing(sf_dir: str) -> pd.DataFrame:
+    """LPT shard bin packing (stages/packing.lpt_shard_assign): sources
+    greedily assigned by descending total chars to the lightest of 4
+    training shards — the epoch-balance step after quota/temperature
+    mixing (one hot shard = epoch wall-time).  Scale shape: per-batch
+    source partials → ONE group-cardinality groupby → |sources| driver
+    heap fold.  Rows-only (stepwise argmin isn't SQL-expressible);
+    balance/determinism invariants pinned by tests/test_packing.py."""
+    from ..stages.packing import lpt_shard_assign
+
+    return lpt_shard_assign(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        group_col="source",
+        weight_col="n_chars",
+        n_shards=4,
+    )
+
+
+def q183_readability(sf_dir: str) -> rd.Dataset:
+    """Per-doc readability statistics (stages/text_analysis.
+    add_readability): words, sentence-punctuation runs, long-word
+    fraction and the Flesch-style proxy score — the readability axis of
+    the quality battery (q96 gates, q139 entropy, q144 compression).
+    ONE shuffle-free vectorized scan over the batch word tape.  Oracle:
+    GENERATED by readability_sql (identical tokenizer, sentence regex
+    and left-associated score expression)."""
+    from ..stages.text_analysis import add_readability
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_readability, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words", "n_sentences", "n_long_words", "flesch_proxy"]
+    )
+
+
+def q184_host_churn(sf_dir: str) -> pd.DataFrame:
+    """Per-host churn between crawl snapshots (stages/snapshots.
+    host_churn over q133's snapshot_diff): the recrawl-budget signal —
+    hosts that churn get crawled often, frozen hosts get demoted
+    (q146's freshness term is the per-page version).  Scale shape:
+    q133's one salted cogroup + one shuffle-free host-extract scan +
+    ONE hosts×4-bounded groupby.  Oracle: the q133 FULL JOIN CTEs +
+    host regexp + conditional counts."""
+    import hashlib as _hl
+
+    from ..stages.snapshots import host_churn, snapshot_diff
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def snap(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = t["text"].to_pylist()
+            urls, hs = [], []
+            for dd, txt in zip(d, texts):
+                if side == "old":
+                    if dd % 17 == 0:
+                        continue
+                    body = f"old:{txt}" if dd % 5 == 0 else txt
+                else:
+                    if dd % 13 == 0:
+                        continue
+                    body = txt
+                urls.append(f"https://h{(dd * 48271) % 97:03d}.example.org/p/{dd}")
+                hs.append(_hl.md5(body.encode()).hexdigest())
+            return pa.table(
+                {
+                    "url": pa.array(urls, type=pa.string()),
+                    "content_hash": pa.array(hs, type=pa.string()),
+                }
+            )
+
+        return f
+
+    diff = snapshot_diff(
+        ds.map_batches(snap("old"), batch_format="pyarrow"),
+        ds.map_batches(snap("new"), batch_format="pyarrow"),
+    )
+    return host_churn(diff)
+
+
+def q185_daily_activity(sf_dir: str) -> pd.DataFrame:
+    """Per-day event volume + EXACT distinct users + repeat rate
+    (stages/profile.daily_activity) — the ingestion monitor (traffic
+    dips, bot storms, dedup-rate drift) next to the table profiler
+    (q149).  Scale shape: per-batch (day, user) dedup partials → ONE
+    exact-distinct groupby bounded by daily actives → |days×blocks|
+    driver fold; one all-to-all total.  Oracle: date_trunc +
+    count(DISTINCT)."""
+    from ..stages.profile import daily_activity
+
+    return daily_activity(_read(sf_dir, "events", ["ts", "user_id"]))
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4733,6 +4875,11 @@ QUERIES = {
     # session 8 additions lead the window: CUBE, classifier eval (AUC),
     # source Gini, degree distribution, C4 line rules, n-gram novelty,
     # encoding repair, RRF hybrid retrieval.
+    "q181_html_tables": q181_html_tables,
+    "q182_shard_packing": q182_shard_packing,
+    "q183_readability": q183_readability,
+    "q184_host_churn": q184_host_churn,
+    "q185_daily_activity": q185_daily_activity,
     "q176_head_meta": q176_head_meta,
     "q177_politeness_schedule": q177_politeness_schedule,
     "q178_recency_reputation": q178_recency_reputation,
@@ -5097,7 +5244,87 @@ from ..stages.trend import recency_weighted_sql as _recency_sql
 from ..stages.profile import category_entropy_sql as _catent_sql
 from ..stages.sampling import nucleus_sources_sql as _nucleus_sql
 
+from ..stages.text_analysis import readability_sql as _readability_sql
+
 ORACLE_SQL = {
+    "q181_html_tables": """
+        WITH dims AS (
+          SELECT doc_id, doc_id % 3 + 1 AS r, doc_id % 4 + 1 AS c
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        hdr AS (
+          SELECT doc_id, 0 AS row_idx,
+                 unnest(generate_series(0, c - 1)) AS col_idx,
+                 TRUE AS is_header
+          FROM dims
+        ),
+        dat AS (
+          SELECT doc_id, unnest(generate_series(1, r)) AS row_idx, c
+          FROM dims
+        ),
+        datc AS (
+          SELECT doc_id, row_idx,
+                 unnest(generate_series(0, c - 1)) AS col_idx,
+                 FALSE AS is_header
+          FROM dat
+        )
+        SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+               CAST(row_idx AS BIGINT) AS row_idx,
+               CAST(col_idx AS BIGINT) AS col_idx,
+               printf('h%d-%d', doc_id, col_idx) AS cell, is_header
+        FROM hdr
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT), CAST(row_idx AS BIGINT),
+               CAST(col_idx AS BIGINT),
+               printf('c%d-%d-%d', doc_id, row_idx, col_idx), is_header
+        FROM datc
+    """,
+    "q183_readability": _readability_sql(
+        table="documents", id_col="doc_id", text_col="text"
+    ),
+    "q184_host_churn": """
+        WITH olds AS (
+          SELECT printf('https://h%03d.example.org/p/%d',
+                        (doc_id*48271)%97, doc_id) AS url,
+                 md5(CASE WHEN doc_id%5=0 THEN 'old:'||text ELSE text END) AS h
+          FROM documents WHERE doc_id%17<>0
+        ), news AS (
+          SELECT printf('https://h%03d.example.org/p/%d',
+                        (doc_id*48271)%97, doc_id) AS url,
+                 md5(text) AS h
+          FROM documents WHERE doc_id%13<>0
+        ), d AS (
+          SELECT regexp_extract(coalesce(o.url, n.url),
+                                '^[^/]*//([^/?#]*)', 1) AS host,
+                 CASE WHEN o.url IS NULL THEN 'added'
+                      WHEN n.url IS NULL THEN 'removed'
+                      WHEN o.h = n.h THEN 'unchanged'
+                      ELSE 'changed' END AS change
+          FROM olds o FULL JOIN news n ON o.url = n.url
+        )
+        SELECT host,
+               CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_added,
+               CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_changed,
+               CAST(sum(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_unchanged,
+               round(sum(CASE WHEN change <> 'unchanged' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+        FROM d GROUP BY host
+    """,
+    "q185_daily_activity": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(count(*) / CAST(count(DISTINCT user_id) AS DOUBLE), 6)
+                 AS events_per_user,
+               round(1.0 - count(DISTINCT user_id) / CAST(count(*) AS DOUBLE), 6)
+                 AS repeat_rate
+        FROM events GROUP BY date_trunc('day', ts)
+    """,
     "q176_head_meta": """
         SELECT doc_id,
                CASE WHEN doc_id % 7 = 3 THEN ''

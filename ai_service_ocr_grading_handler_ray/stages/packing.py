@@ -183,3 +183,61 @@ def select_token_quota(
         .groupby("_part")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def lpt_shard_assign(
+    ds,
+    *,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    n_shards: int = 8,
+) -> "pd.DataFrame":
+    """Longest-processing-time bin packing of groups into ``n_shards``
+    balanced training shards: groups sorted by total weight DESC (ties
+    by name ASC) are assigned greedily to the currently-lightest shard
+    (ties by shard id) — the classic 4/3-approximation that keeps any
+    one shard from dominating epoch wall-time when shards execute in
+    parallel.  Deterministic: a pure function of the (group, weight)
+    table.
+
+    Scale shape: per-batch (group, Σw) Arrow partials → ONE
+    group-cardinality groupby → a |groups|-sized driver heap fold (the
+    greedy is inherently sequential but runs over GROUPS, not rows —
+    sources/hosts, not documents).  Output: (group, w, shard,
+    shard_total) for every group.  Not SQL-expressible (stepwise
+    argmin); invariants pinned by tests/test_packing.py."""
+    import heapq
+
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, weight_col]).group_by([group_col]).aggregate(
+            [(weight_col, "sum")]
+        )
+        return g.rename_columns([group_col, "w"])
+
+    out = (
+        collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(group_col)
+            .aggregate(Sum("w", alias_name="w"))
+        )
+        .to_pandas()
+        .sort_values([group_col])
+        .sort_values(["w"], ascending=False, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    heap = [(0, s) for s in range(n_shards)]  # (load, shard id)
+    heapq.heapify(heap)
+    shard = np.empty(len(out), dtype=np.int64)
+    for i, w in enumerate(out["w"].to_numpy()):
+        load, s = heapq.heappop(heap)
+        shard[i] = s
+        heapq.heappush(heap, (load + int(w), s))
+    out["w"] = out["w"].astype(np.int64)
+    out["shard"] = shard
+    totals = out.groupby("shard")["w"].transform("sum")
+    out["shard_total"] = totals.astype(np.int64)
+    return out

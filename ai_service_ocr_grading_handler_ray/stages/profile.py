@@ -255,3 +255,59 @@ def category_entropy_sql(
         FROM c JOIN t USING ({group_col})
         GROUP BY c.{group_col}, t.tot, t.n_cats
     """
+
+
+def daily_activity(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> pd.DataFrame:
+    """Per-day event volume + EXACT distinct users + repeat rate — the
+    ingestion-monitoring rollup (traffic dips, bot storms, dedup-rate
+    drift) next to the table profiler.  Output: (day, n_events,
+    n_users, events_per_user, repeat_rate = 1 − users/events).
+
+    Scale shape: per-batch (day, user) dedup-count partials → ONE
+    (day, user) groupby (the exact-distinct shuffle, volume bounded by
+    daily actives) → per-batch per-day partials → |days×blocks| driver
+    fold.  One all-to-all total."""
+    import pyarrow.compute as pc
+
+    from .collect import collect_table
+    from .selection import round_half_away
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t[ts_col].cast(pa.timestamp("us")), unit="day")
+        g = pa.table({"day": day, "u": t[user_col]}).group_by(
+            ["day", "u"]
+        ).aggregate([("u", "count")])
+        return g.rename_columns(["day", "u", "n"])
+
+    per_user = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+        .groupby(["day", "u"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day"]).aggregate([("n", "sum"), ("n", "count")])
+        return g.rename_columns(["day", "n_events", "n_users"])
+
+    out = (
+        collect_table(
+            per_user.map_batches(day_partial, batch_format="pyarrow")
+        )
+        .to_pandas()
+        .groupby("day", as_index=False)[["n_events", "n_users"]]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    ev, us = out["n_events"].to_numpy(np.float64), out["n_users"].to_numpy(np.float64)
+    out["events_per_user"] = round_half_away(ev / us, 6)
+    out["repeat_rate"] = round_half_away(1.0 - us / ev, 6)
+    return out

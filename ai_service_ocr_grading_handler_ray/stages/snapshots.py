@@ -93,3 +93,60 @@ def snapshot_diff(
         )
 
     return keyed.groupby("_part").map_groups(diff, batch_format="pandas")
+
+
+def host_churn(
+    diff: rd.Dataset,
+    *,
+    url_col: str = "url",
+    status_col: str = "change",
+) -> "pd.DataFrame":
+    """Per-host churn rollup over a :func:`snapshot_diff` result — the
+    recrawl-budget signal (hosts that churn get crawled often, frozen
+    hosts get demoted; cf. q146's freshness term).  Output per host:
+    the four status counts plus churn_rate = (added + removed +
+    changed) / total, rounded to 6.
+
+    Scale shape: one shuffle-free scan (vectorized host extraction +
+    per-batch (host, status) Arrow count partials) → ONE
+    hosts×4-bounded groupby → |hosts|-sized driver pivot."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+    from .selection import round_half_away
+    from .skew import hosts_of_urls
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = hosts_of_urls(t[url_col])
+        g = pa.table({"host": host, "status": t[status_col]}).group_by(
+            ["host", "status"]
+        ).aggregate([("status", "count")])
+        return g.rename_columns(["host", "status", "n"])
+
+    counts = collect_table(
+        diff.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["host", "status"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    wide = (
+        counts.pivot_table(
+            index="host", columns="status", values="n", fill_value=0
+        )
+        .reindex(columns=["added", "removed", "changed", "unchanged"],
+                 fill_value=0)
+        .reset_index()
+    )
+    wide.columns.name = None
+    for c in ("added", "removed", "changed", "unchanged"):
+        wide[f"n_{c}"] = wide[c].astype("int64")
+        del wide[c]
+    total = (
+        wide["n_added"] + wide["n_removed"] + wide["n_changed"]
+        + wide["n_unchanged"]
+    ).to_numpy("float64")
+    moved = (wide["n_added"] + wide["n_removed"] + wide["n_changed"]).to_numpy(
+        "float64"
+    )
+    wide["churn_rate"] = round_half_away(moved / total, 6)
+    return wide.sort_values("host").reset_index(drop=True)

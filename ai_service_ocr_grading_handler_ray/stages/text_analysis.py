@@ -1411,3 +1411,80 @@ def novelty_sql(
                round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
         FROM sc
     """
+
+
+# --- readability statistics --------------------------------------------------
+
+_SENT_RE = re.compile(r"[.!?]+")
+_READABILITY_LONG = 7  # chars; long-word fraction proxies syllable load
+
+
+def add_readability(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc readability statistics (Flesch-style proxy): word count
+    (the ``string_split(text, ' ')`` convention), sentence count (runs
+    of terminal punctuation, clamped to >= 1), long-word fraction
+    (>= 7 chars — the syllable-load proxy that needs no dictionary) and
+    ``flesch_proxy = 206.835 − 1.015·words/sentence − 84.6·long_frac``
+    — the readability axis of the quality battery (q96/q139/q144).
+    One shuffle-free vectorized pass over the batch word tape; each
+    output float is the same left-associated expression the SQL replay
+    computes."""
+    import pandas as pd
+
+    texts = batch[text_col].to_pylist()
+    words, lens = batch_words(texts)
+    wlen = pd.Series(words, dtype=object).str.len().to_numpy(np.int64)
+    ends = np.cumsum(lens)
+    long_cum = np.concatenate([[0], np.cumsum(wlen >= _READABILITY_LONG)])
+    n_long = long_cum[ends] - long_cum[ends - lens]
+    n_sent = np.array(
+        [len(_SENT_RE.findall(t or "")) for t in texts], dtype=np.int64
+    )
+    ws = lens / np.maximum(n_sent, 1).astype(np.float64)
+    lf = n_long / lens.astype(np.float64)
+    from .selection import round_half_away
+
+    score = 206.835 - 1.015 * ws - 84.6 * lf
+    return (
+        batch.append_column("n_words", pa.array(lens))
+        .append_column("n_sentences", pa.array(n_sent))
+        .append_column("n_long_words", pa.array(n_long.astype(np.int64)))
+        .append_column(
+            "flesch_proxy",
+            pa.array(round_half_away(score, 4), type=pa.float64()),
+        )
+    )
+
+
+def readability_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`add_readability` (single-generator
+    policy): identical tokenizer, identical sentence regex, identical
+    left-associated score expression."""
+    return f"""
+        WITH w AS (
+          SELECT {id_col},
+                 string_split(coalesce({text_col}, ''), ' ') AS ws,
+                 greatest(len(regexp_extract_all(
+                   coalesce({text_col}, ''), '[.!?]+')), 1) AS ns,
+                 len(regexp_extract_all(coalesce({text_col}, ''), '[.!?]+'))
+                   AS n_sent_raw
+          FROM {table}
+        )
+        SELECT {id_col},
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(n_sent_raw AS BIGINT) AS n_sentences,
+               CAST(len(list_filter(ws,
+                 x -> length(x) >= {_READABILITY_LONG})) AS BIGINT)
+                 AS n_long_words,
+               round(206.835
+                     - 1.015 * (len(ws) / CAST(ns AS DOUBLE))
+                     - 84.6 * (len(list_filter(ws,
+                         x -> length(x) >= {_READABILITY_LONG}))
+                       / CAST(len(ws) AS DOUBLE)), 4) AS flesch_proxy
+        FROM w
+    """

@@ -124,6 +124,11 @@ BENCH_QUERIES = [
     "q178_recency_reputation",
     "q179_source_lang_entropy",
     "q180_nucleus_sources",
+    "q181_html_tables",
+    "q182_shard_packing",
+    "q183_readability",
+    "q184_host_churn",
+    "q185_daily_activity",
 ]
 
 

@@ -4,6 +4,7 @@ alone — budget boundaries, custom-LM scoring, OOV handling, empty text,
 the batch tokenizer's segment contract."""
 
 import math
+import pandas as pd
 
 import numpy as np
 import pyarrow as pa
@@ -486,3 +487,55 @@ def test_score_unigram_join_path_oov_floor():
         ds, counts=lm, oov_logprob=-9.0, method="join"
     ).to_pandas()
     assert out["avg_logprob"][0] == pytest.approx(-4.5)
+
+
+# --- lpt_shard_assign ----------------------------------------------------
+
+
+def test_lpt_balance_and_determinism(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.packing import lpt_shard_assign
+
+    rng = np.random.default_rng(8)
+    groups = [f"s{i:02d}" for i in range(30)]
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(groups, 10),
+            "w": rng.integers(1, 1000, 300),
+        }
+    )
+    out = lpt_shard_assign(
+        rd.from_pandas(df).repartition(5), group_col="g", weight_col="w",
+        n_shards=4,
+    )
+    # every group assigned exactly once, shards in range
+    assert sorted(out.g) == groups
+    assert set(out.shard) <= {0, 1, 2, 3}
+    # per-group totals correct
+    exp = df.groupby("g")["w"].sum()
+    for r in out.itertuples():
+        assert r.w == exp[r.g]
+    # LPT balance: max load - min load <= max single group weight
+    loads = out.groupby("shard")["w"].sum()
+    assert loads.max() - loads.min() <= out.w.max()
+    # deterministic
+    out2 = lpt_shard_assign(
+        rd.from_pandas(df).repartition(2), group_col="g", weight_col="w",
+        n_shards=4,
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_lpt_hand_case(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.packing import lpt_shard_assign
+
+    # LPT trace for weights 7,5,4,3,3 into 2 shards:
+    # a(7)->s0, b(5)->s1, c(4)->s1 (5<7 -> 9), d(3)->s0 (7<9 -> 10),
+    # e(3)->s1 (9<10 -> 12)
+    df = pd.DataFrame(
+        {"g": ["a", "b", "c", "d", "e"], "w": [7, 5, 4, 3, 3]}
+    )
+    out = lpt_shard_assign(
+        rd.from_pandas(df), group_col="g", weight_col="w", n_shards=2
+    ).set_index("g")
+    assert dict(out.shard) == {"a": 0, "b": 1, "c": 1, "d": 0, "e": 1}
+    assert dict(out.shard_total) == {"a": 10, "b": 12, "c": 12, "d": 10, "e": 12}

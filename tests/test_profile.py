@@ -135,3 +135,29 @@ def test_category_entropy_pure_group_is_positive_zero(ray_session):
     out = grouped_category_entropy(rd.from_pandas(df), group_col="g", cat_col="c")
     v = out.cat_entropy.iloc[0]
     assert v == 0.0 and not np.signbit(v)
+
+
+# --- daily_activity ----------------------------------------------------------
+
+
+def test_daily_activity_matches_brute(ray_session):
+    import numpy as np
+    from ai_service_ocr_grading_handler_ray.stages.profile import daily_activity
+
+    rng = np.random.default_rng(12)
+    n = 500
+    ts = pd.Timestamp("2024-05-01") + pd.to_timedelta(
+        rng.integers(0, 5 * 86400, n), unit="s"
+    )
+    df = pd.DataFrame({"ts": ts, "user_id": rng.integers(0, 40, n)})
+    out = daily_activity(rd.from_pandas(df).repartition(6)).set_index("day")
+    brute = df.groupby(df.ts.dt.floor("D")).agg(
+        n_events=("user_id", "size"), n_users=("user_id", "nunique")
+    )
+    assert len(out) == len(brute)
+    for day, row in brute.iterrows():
+        got = out.loc[day]
+        assert (got.n_events, got.n_users) == (row.n_events, row.n_users)
+        assert got.repeat_rate == pytest.approx(
+            1 - row.n_users / row.n_events, abs=1e-6
+        )

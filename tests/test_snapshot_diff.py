@@ -67,3 +67,44 @@ def test_partitioning_invariance():
 def test_lazy_dataset_output():
     out = snapshot_diff(rd.from_items(OLD), rd.from_items(NEW))
     assert isinstance(out, rd.Dataset)
+
+
+# --- host_churn ------------------------------------------------------------
+
+
+def test_host_churn_rollup(ray_session):
+    import pandas as pd
+    from ai_service_ocr_grading_handler_ray.stages.snapshots import (
+        host_churn,
+        snapshot_diff,
+    )
+
+    old = pd.DataFrame(
+        {
+            "url": [
+                "https://a.org/1", "https://a.org/2", "https://a.org/3",
+                "https://b.org/1",
+            ],
+            "content_hash": ["h1", "h2", "h3", "h4"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "url": [
+                "https://a.org/1",  # unchanged
+                "https://a.org/2",  # changed
+                "https://a.org/4",  # added
+                "https://b.org/1",  # unchanged
+            ],
+            "content_hash": ["h1", "hX", "h5", "h4"],
+        }
+    )
+    out = host_churn(
+        snapshot_diff(rd.from_pandas(old), rd.from_pandas(new))
+    ).set_index("host")
+    a = out.loc["a.org"]
+    assert (a.n_added, a.n_removed, a.n_changed, a.n_unchanged) == (1, 1, 1, 1)
+    assert a.churn_rate == 0.75
+    b = out.loc["b.org"]
+    assert (b.n_added, b.n_removed, b.n_changed, b.n_unchanged) == (0, 0, 0, 1)
+    assert b.churn_rate == 0.0

@@ -308,3 +308,41 @@ class TestNovelty:
                 )
             )
             novelty_scores(ds, ref_gram_cap=10).to_pandas()
+
+
+# --- readability ---------------------------------------------------------
+
+
+class TestReadability:
+    def _run(self, texts):
+        from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+            add_readability,
+        )
+
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        return add_readability(t)
+
+    def test_counts(self):
+        out = self._run(
+            [
+                "short words here. then a considerably lengthier sentence follows!",
+                "no terminal punctuation at all",
+                "",
+            ]
+        )
+        assert out["n_words"].to_pylist() == [9, 5, 1]  # '' -> one empty token
+        assert out["n_sentences"].to_pylist() == [2, 0, 0]
+        # long words (>=7 chars): considerably, lengthier, sentence, follows!
+        assert out["n_long_words"].to_pylist()[0] == 4
+        assert out["n_long_words"].to_pylist()[1:] == [2, 0]  # terminal, punctuation
+
+    def test_score_formula(self):
+        out = self._run(["one two three four five six."])
+        # 6 words, 1 sentence, 0 long words
+        assert out["flesch_proxy"].to_pylist()[0] == round(
+            206.835 - 1.015 * 6.0 - 84.6 * 0.0, 4
+        )
+
+    def test_multiple_punctuation_is_one_run(self):
+        out = self._run(["really?! yes... ok"])
+        assert out["n_sentences"].to_pylist() == [2]
