@@ -2158,7 +2158,9 @@ def q183_readability(sf_dir: str) -> rd.Dataset:
     from ..stages.text_analysis import add_readability
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(add_readability, batch_format="pyarrow").select_columns(
+    return ds.map_batches(
+        add_readability, batch_format="pyarrow", batch_size=4096
+    ).select_columns(
         ["doc_id", "n_words", "n_sentences", "n_long_words", "flesch_proxy"]
     )
 
