@@ -1709,7 +1709,7 @@ def q169_classifier_eval(sf_dir: str) -> pd.DataFrame:
     quality classifier (stages/evaluation.binary_eval) — the eval step
     of every classifier-curation loop (q120/q158).  Scores/labels are
     integer-arithmetic functions of doc_id (scores k/32 — exact float64,
-    21 distinct values WITH ties, so the tie-corrected average-rank AUC
+    33 distinct values WITH ties, so the tie-corrected average-rank AUC
     path is actually exercised).  Scale shape: per-batch (score, label)
     Arrow partials → ONE small groupby → a |distinct scores|-sized
     driver fold in pure Python-int rank arithmetic (2·ranksum form — no

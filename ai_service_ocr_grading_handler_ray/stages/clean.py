@@ -889,7 +889,8 @@ def c4_line_filter_sql(
         "'" + c.replace("'", "''") + "'" for c in C4_TERMINAL_CHARS
     )
     blocked = " AND ".join(
-        f"NOT contains(lower(trim(line)), '{b}')" for b in C4_BLOCKED_SUBSTRINGS
+        "NOT contains(lower(trim(line)), '" + b.replace("'", "''") + "')"
+        for b in C4_BLOCKED_SUBSTRINGS
     )
     return f"""
         WITH {lines_cte},

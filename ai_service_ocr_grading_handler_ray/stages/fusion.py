@@ -42,6 +42,12 @@ def rrf_fuse(
         raise ValueError("duplicate list names")
     merged: pd.DataFrame | None = None
     for name, df in lists:
+        if df[id_col].duplicated().any():
+            dup = df[id_col][df[id_col].duplicated()].iloc[0]
+            raise ValueError(
+                f"duplicate id {dup!r} in ranked list {name!r} — fused "
+                "scores would silently double-count"
+            )
         ranked = pd.DataFrame(
             {id_col: df[id_col].to_numpy(),
              f"r_{name}": np.arange(1, len(df) + 1, dtype=np.int64)}

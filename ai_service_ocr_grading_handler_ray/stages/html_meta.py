@@ -43,11 +43,13 @@ _DESC_RE = re.compile(
 
 
 def _first_group(ex: pd.DataFrame) -> pd.Series:
-    """Collapse an alternation's group columns to the first non-null."""
+    """Collapse an alternation's group columns to the first non-null
+    (``where`` rather than ``fillna(Series)`` — the latter emits the
+    pandas silent-downcasting FutureWarning on object dtype)."""
     out = ex[0]
     for c in ex.columns[1:]:
-        out = out.fillna(ex[c])
-    return out.fillna("")
+        out = out.where(out.notna(), ex[c])
+    return out.where(out.notna(), "")
 
 
 def add_head_meta(

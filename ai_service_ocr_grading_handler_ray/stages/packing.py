@@ -200,35 +200,17 @@ def lpt_shard_assign(
     parallel.  Deterministic: a pure function of the (group, weight)
     table.
 
-    Scale shape: per-batch (group, Σw) Arrow partials → ONE
-    group-cardinality groupby → a |groups|-sized driver heap fold (the
+    Scale shape: :func:`sampling.group_weight_table` (ONE
+    group-cardinality groupby) + a |groups|-sized driver heap fold (the
     greedy is inherently sequential but runs over GROUPS, not rows —
     sources/hosts, not documents).  Output: (group, w, shard,
     shard_total) for every group.  Not SQL-expressible (stepwise
     argmin); invariants pinned by tests/test_packing.py."""
     import heapq
 
-    from ray.data.aggregate import Sum
+    from .sampling import group_weight_table
 
-    from .collect import collect_table
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.select([group_col, weight_col]).group_by([group_col]).aggregate(
-            [(weight_col, "sum")]
-        )
-        return g.rename_columns([group_col, "w"])
-
-    out = (
-        collect_table(
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-            .groupby(group_col)
-            .aggregate(Sum("w", alias_name="w"))
-        )
-        .to_pandas()
-        .sort_values([group_col])
-        .sort_values(["w"], ascending=False, kind="mergesort")
-        .reset_index(drop=True)
-    )
+    out = group_weight_table(ds, group_col=group_col, weight_col=weight_col)
     heap = [(0, s) for s in range(n_shards)]  # (load, shard id)
     heapq.heapify(heap)
     shard = np.empty(len(out), dtype=np.int64)

@@ -43,7 +43,7 @@ def _fine_table(
         )
         return g.rename_columns(keys + [f"{c}_sum" for c in sum_cols] + ["_n"])
 
-    return (
+    fine = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(keys)
         .aggregate(
@@ -54,6 +54,13 @@ def _fine_table(
         )
         .to_pandas()
     )
+    if fine.empty:
+        # SQL ROLLUP/CUBE on an empty table still emits the () grouping
+        # set with NULL sums — a shape the int-typed pandas fold can't
+        # mirror; fail loudly instead of silently diverging from the
+        # oracle on an empty/fully-filtered corpus.
+        raise ValueError("rollup/cube over an empty dataset")
+    return fine
 
 
 def cube_aggregate(

@@ -535,6 +535,36 @@ def disjoint_split_sql(
     )
 
 
+def group_weight_table(
+    ds: rd.Dataset, *, group_col: str, weight_col: str
+) -> pd.DataFrame:
+    """(group, w=Σweight) ordered by w DESC then group ASC — the shared
+    preamble of every group-granular driver fold (nucleus selection,
+    LPT shard packing): per-batch Arrow partials → ONE group-cardinality
+    groupby → |groups|-sized frame."""
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, weight_col]).group_by([group_col]).aggregate(
+            [(weight_col, "sum")]
+        )
+        return g.rename_columns([group_col, "w"])
+
+    return (
+        collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(group_col)
+            .aggregate(Sum("w", alias_name="w"))
+        )
+        .to_pandas()
+        .sort_values([group_col])
+        .sort_values(["w"], ascending=False, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def nucleus_sources(
     ds: rd.Dataset,
     *,
@@ -552,31 +582,12 @@ def nucleus_sources(
     The keep rule is INTEGER arithmetic (p_den·cum_before < p_num·total
     — a source is kept while the mass BEFORE it is under p), so no FP
     boundary can flip a branch between engine and oracle.  Scale shape:
-    per-batch (group, Σw) Arrow partials → ONE group-cardinality
-    groupby → a |groups|-sized driver fold.  Output: (group, total
-    weight, share, cum_share, kept) for every source."""
-    from ray.data.aggregate import Sum
-
-    from .collect import collect_table
+    :func:`group_weight_table` (ONE group-cardinality groupby) + a
+    |groups|-sized driver fold.  Output: (group, total weight, share,
+    cum_share, kept) for every source."""
     from .selection import round_half_away
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.select([group_col, weight_col]).group_by([group_col]).aggregate(
-            [(weight_col, "sum")]
-        )
-        return g.rename_columns([group_col, "w"])
-
-    out = (
-        collect_table(
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-            .groupby(group_col)
-            .aggregate(Sum("w", alias_name="w"))
-        )
-        .to_pandas()
-        .sort_values([group_col])
-        .sort_values(["w"], ascending=False, kind="mergesort")
-        .reset_index(drop=True)
-    )
+    out = group_weight_table(ds, group_col=group_col, weight_col=weight_col)
     w = [int(v) for v in out["w"].to_numpy()]
     total = sum(w)
     cum_before, kept, cum = 0, [], []

@@ -661,7 +661,7 @@ def grouped_gini_sql(
         SELECT {group_col},
                CAST(max(n) AS BIGINT) AS n,
                CAST(max(s) AS BIGINT) AS total,
-               round(sum(val * (2 * rn - n - 1))
-                     / (CAST(max(n) AS DOUBLE) * max(s)), 6) AS gini
+               coalesce(round(sum(val * (2 * rn - n - 1))
+                     / (CAST(max(n) AS DOUBLE) * max(s)), 6), 0.0) AS gini
         FROM r GROUP BY {group_col}
     """

@@ -30,3 +30,9 @@ def test_errors():
         rrf_fuse([])
     with pytest.raises(ValueError, match="duplicate"):
         rrf_fuse([("x", df), ("x", df)])
+
+
+def test_duplicate_id_within_list_raises():
+    # review finding: a repeated id in one list silently double-counted
+    with pytest.raises(ValueError, match="duplicate id"):
+        rrf_fuse([("x", pd.DataFrame({"doc_id": [1, 1, 2]}))])

@@ -116,3 +116,15 @@ def test_cube_null_key_raises(ray_session):
     t = pa.table({"a": ["x", None], "b": ["p", "q"], "v": [1, 2]})
     with pytest.raises(Exception):
         cube_aggregate(rd.from_arrow(t), ["a", "b"], ["v"])
+
+
+def test_empty_input_raises(ray_session):
+    # review finding: SQL CUBE/ROLLUP emit a NULL-sum () row on empty
+    # input that the int-typed fold can't mirror — fail loudly instead
+    from ai_service_ocr_grading_handler_ray.stages.rollup import cube_aggregate
+
+    t = pa.table({"a": pa.array([], type=pa.string()),
+                  "b": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.int64())})
+    with pytest.raises(Exception, match="empty"):
+        cube_aggregate(rd.from_arrow(t), ["a", "b"], ["v"])

@@ -337,3 +337,23 @@ def test_grouped_gini_negative_raises(ray_session):
     df = pd.DataFrame({"g": ["a", "a"], "v": [1, -2]})
     with pytest.raises(Exception, match="non-negative"):
         grouped_gini(rd.from_pandas(df), value_col="v", group_col="g")
+
+
+def test_grouped_gini_zero_total_matches_oracle(ray_session):
+    # review finding: all-zero group — engine 0.0, SQL used to emit NULL
+    import duckdb
+    from ai_service_ocr_grading_handler_ray.stages.selection import (
+        grouped_gini,
+        grouped_gini_sql,
+    )
+
+    df = pd.DataFrame({"g": ["z", "z", "a"], "v": [0, 0, 5]})
+    out = grouped_gini(rd.from_pandas(df), value_col="v", group_col="g")
+    assert out[out.g == "z"].gini.iloc[0] == 0.0
+    con = duckdb.connect()
+    con.register("src", df)
+    sql = grouped_gini_sql(
+        "v AS (SELECT g, CAST(v AS BIGINT) AS val FROM src)", group_col="g"
+    )
+    ref = con.sql(sql).df().set_index("g")
+    assert ref.loc["z", "gini"] == 0.0
