@@ -2224,6 +2224,141 @@ def q185_daily_activity(sf_dir: str) -> pd.DataFrame:
     return daily_activity(_read(sf_dir, "events", ["ts", "user_id"]))
 
 
+def q186_cume_dist(sf_dir: str) -> rd.Dataset:
+    """Per-group cumulative-distribution normalization
+    (stages/selection.cume_dist_by_group): every event's value becomes
+    P(X ≤ x) within its event_type — the rank calibration applied
+    before mixing scores from different scorers (q175's RRF is the
+    rank-side cousin; this is the score-side).  Scale shape: ONE
+    grouped value-count shuffle (bounded by distinct values), per-group
+    cumulative tables broadcast once, shuffle-free searchsorted scan.
+    Oracle: round(cume_dist() OVER (PARTITION BY ... ORDER BY ...), 6)."""
+    from ..stages.selection import cume_dist_by_group
+
+    return cume_dist_by_group(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        value_col="value",
+        group_col="event_type",
+        keep_cols=["event_id"],
+    )
+
+
+def q187_k_anonymity(sf_dir: str) -> rd.Dataset:
+    """k-anonymity suppression (stages/clean.suppress_small_groups):
+    drop documents whose (lang, source) quasi-identifier combination
+    has fewer than 8 members — the privacy-release gate (rare
+    combinations identify; common ones don't).  Scale shape: ONE
+    combination-cardinality count groupby → keep-set broadcast →
+    shuffle-free membership filter.  Oracle: HAVING-count semi-join."""
+    from ..stages.clean import suppress_small_groups
+
+    return suppress_small_groups(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"]),
+        group_cols=["lang", "source"],
+        k=8,
+    )
+
+
+_Q188_SEEDS = ["h000.example.org", "h007.example.org", "h021.example.org"]
+
+
+def q188_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (stages/graph.pagerank with seeds): random
+    walk with restart to a 3-host seed list over the q118 graph — the
+    topic/trust-rank variant crawl prioritization uses to rank "near my
+    curated seeds" (teleport, dangling mass and r0 all restart at the
+    seeds).  Same scale shape as q118 (one edge reduce, per iteration
+    one broadcast + one shuffle-free sparse-bincount scan).  Oracle:
+    GENERATED by personalized_pagerank_sql over the SAME edge CTE —
+    the unseeded path's float arithmetic is untouched (q118 oracle
+    unchanged)."""
+    from ..stages.graph import pagerank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    out = (
+        pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                 damping=0.85, n_iter=3, seeds=_Q188_SEEDS)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    return _finalize(out[["host", "pagerank"]], {"pagerank": 8})
+
+
+def q189_top_paths(sf_dir: str) -> pd.DataFrame:
+    """Top-20 length-3 event-type paths across user timelines
+    (stages/markov.top_event_paths): the clickstream path-mining step
+    between the first-order transitions (q159) and the fixed-funnel
+    check (q150).  Scale shape: ONE user-hash coarse shuffle,
+    vectorized shifted-mask path extraction per partition, path-vocab
+    groupby folded by per-block top-k (no global sort).  Oracle: two
+    lead() windows + concat + count + the same (n DESC, path) tie-break."""
+    from ..stages.markov import top_event_paths
+
+    return top_event_paths(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        path_len=3,
+        k=20,
+    )
+
+
+def q190_numeric_drift(sf_dir: str) -> pd.DataFrame:
+    """Numeric drift report between two snapshot halves
+    (stages/profile.numeric_drift): events split by event_id parity
+    stand in for consecutive crawls; per column (value, user_id) —
+    n / null fraction / mean / min / max per side + mean shift — the
+    ingestion regression gate next to the profiler (q149).  Scale
+    shape: one moment-partial scan per side, driver fold only.
+    Oracle: two aggregate CTEs joined per column."""
+    from ..stages.profile import numeric_drift
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            d = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(d % 2 == parity))
+
+        return f
+
+    return numeric_drift(
+        ds.map_batches(half(0), batch_format="pyarrow"),
+        ds.map_batches(half(1), batch_format="pyarrow"),
+        ["user_id", "value"],
+    )
+
+
+def q191_daily_burst(sf_dir: str) -> pd.DataFrame:
+    """Burst detection (stages/trend.daily_burst): per-event-type daily
+    totals z-scored against the trailing 7 days (≥3 days history) —
+    the traffic-spike / bot-storm monitor composing q166's daily lags
+    with rolling moments.  sd is the explicit textbook expression on
+    BOTH sides (not the engine-internal stddev_samp), so the oracle is
+    the identical formula; keys×days driver fold.  Oracle: GENERATED
+    by daily_burst_sql."""
+    from ..stages.trend import daily_burst
+
+    return daily_burst(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]),
+        window=7,
+        min_hist=3,
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -4877,6 +5012,12 @@ QUERIES = {
     # session 8 additions lead the window: CUBE, classifier eval (AUC),
     # source Gini, degree distribution, C4 line rules, n-gram novelty,
     # encoding repair, RRF hybrid retrieval.
+    "q186_cume_dist": q186_cume_dist,
+    "q187_k_anonymity": q187_k_anonymity,
+    "q188_personalized_pagerank": q188_personalized_pagerank,
+    "q189_top_paths": q189_top_paths,
+    "q190_numeric_drift": q190_numeric_drift,
+    "q191_daily_burst": q191_daily_burst,
     "q181_html_tables": q181_html_tables,
     "q182_shard_packing": q182_shard_packing,
     "q183_readability": q183_readability,
@@ -5247,8 +5388,85 @@ from ..stages.profile import category_entropy_sql as _catent_sql
 from ..stages.sampling import nucleus_sources_sql as _nucleus_sql
 
 from ..stages.text_analysis import readability_sql as _readability_sql
+from ..stages.graph import personalized_pagerank_sql as _ppr_sql
+from ..stages.trend import daily_burst_sql as _burst_sql
 
 ORACLE_SQL = {
+    "q186_cume_dist": """
+        SELECT event_id, event_type, value,
+               round(cume_dist() OVER (PARTITION BY event_type
+                                       ORDER BY value), 6) AS cume
+        FROM events
+    """,
+    "q187_k_anonymity": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (lang, source) IN (
+          SELECT (lang, source) FROM documents
+          GROUP BY lang, source HAVING count(*) >= 8
+        )
+    """,
+    "q188_personalized_pagerank": None,  # assigned post-dict (needs _Q118_EDGES)
+    "q189_top_paths": """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        p AS (
+          SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT path, n FROM p ORDER BY n DESC, path LIMIT 20
+    """,
+    "q190_numeric_drift": """
+        WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        b AS (SELECT * FROM events WHERE event_id % 2 = 1),
+        stats AS (
+          SELECT 'user_id' AS col,
+                 (SELECT count(*) FROM a) AS n_a,
+                 (SELECT round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) FROM a) AS null_frac_a,
+                 (SELECT round(sum(user_id) / CAST(count(user_id) AS DOUBLE), 6)
+                   FROM a) AS mean_a,
+                 (SELECT CAST(min(user_id) AS DOUBLE) FROM a) AS min_a,
+                 (SELECT CAST(max(user_id) AS DOUBLE) FROM a) AS max_a,
+                 (SELECT count(*) FROM b) AS n_b,
+                 (SELECT round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) FROM b) AS null_frac_b,
+                 (SELECT round(sum(user_id) / CAST(count(user_id) AS DOUBLE), 6)
+                   FROM b) AS mean_b,
+                 (SELECT CAST(min(user_id) AS DOUBLE) FROM b) AS min_b,
+                 (SELECT CAST(max(user_id) AS DOUBLE) FROM b) AS max_b
+          UNION ALL
+          SELECT 'value',
+                 (SELECT count(*) FROM a),
+                 (SELECT round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) FROM a),
+                 (SELECT round(sum(value) / CAST(count(value) AS DOUBLE), 6)
+                   FROM a),
+                 (SELECT CAST(min(value) AS DOUBLE) FROM a),
+                 (SELECT CAST(max(value) AS DOUBLE) FROM a),
+                 (SELECT count(*) FROM b),
+                 (SELECT round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) FROM b),
+                 (SELECT round(sum(value) / CAST(count(value) AS DOUBLE), 6)
+                   FROM b),
+                 (SELECT CAST(min(value) AS DOUBLE) FROM b),
+                 (SELECT CAST(max(value) AS DOUBLE) FROM b)
+        )
+        SELECT col, CAST(n_a AS BIGINT) AS n_a, null_frac_a, mean_a, min_a,
+               max_a, CAST(n_b AS BIGINT) AS n_b, null_frac_b, mean_b, min_b,
+               max_b, round(mean_b - mean_a, 6) AS mean_shift
+        FROM stats
+    """,
+    "q191_daily_burst": _burst_sql(
+        table="events", key_col="event_type", ts_col="ts",
+        value_col="value", window=7, min_hist=3,
+    ),
     "q181_html_tables": """
         WITH dims AS (
           SELECT doc_id, doc_id % 3 + 1 AS r, doc_id % 4 + 1 AS c
@@ -7209,6 +7427,10 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
 }
+
+ORACLE_SQL["q188_personalized_pagerank"] = _ppr_sql(
+    _Q118_EDGES, _Q188_SEEDS, damping=0.85, n_iter=3, node_alias="host"
+)
 
 # q175 composes the q130 bm25_sql generator output as a derived table
 # (assigned post-dict so the generator call sits next to its parameters).

@@ -966,3 +966,57 @@ def add_fixed_encoding(batch: pa.Table, text_col: str = "text") -> pa.Table:
     cols = {c: batch[c] for c in batch.column_names}
     cols[text_col] = pa.array(out, type=pa.string())
     return pa.table(cols).append_column("fixed", pa.array(fixed))
+
+
+# --- k-anonymity small-group suppression -------------------------------------
+
+
+def suppress_small_groups(
+    ds,
+    *,
+    group_cols,
+    k: int = 10,
+):
+    """k-anonymity gate: drop every row whose quasi-identifier
+    combination (``group_cols``) occurs fewer than ``k`` times — the
+    privacy-release rule (a (lang, source, day) combination with 3
+    documents can identify its author; with 10 000 it can't).
+
+    Scale shape: ONE group-cardinality count groupby → the keep-set
+    broadcasts via ``ray.put`` (combination-sized) → one shuffle-free
+    membership filter scan ("␟"-joined composite keys, the host-template
+    convention)."""
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Count
+
+    SEP = "␟"
+
+    def _key(t: pa.Table):
+        import pandas as pd
+
+        key = pd.Series(t[group_cols[0]].to_pylist(), dtype=object).astype(str)
+        for c in group_cols[1:]:
+            key = key + SEP + pd.Series(
+                t[c].to_pylist(), dtype=object
+            ).astype(str)
+        return key
+
+    counts = (
+        ds.groupby(list(group_cols))
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    keep = counts[counts["n"] >= k]
+    keyset = set()
+    for row in keep[list(group_cols)].itertuples(index=False):
+        keyset.add(SEP.join(str(x) for x in row))
+    keep_ref = ray.put(frozenset(keyset))
+
+    def gate(t: pa.Table, _ref=keep_ref) -> pa.Table:
+        ks = ray.get(_ref)
+        key = _key(t)
+        mask = key.map(lambda s: s in ks).to_numpy(dtype=bool)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

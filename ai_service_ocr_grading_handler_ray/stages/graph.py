@@ -146,10 +146,21 @@ def pagerank(
     n_iter: int = 3,
     node_limit: int = 50_000_000,
     rank_col: str = "pagerank",
+    seeds: "list[str] | None" = None,
 ) -> rd.Dataset:
     """Damped PageRank over a (src, dst) edge Dataset; returns a
     node-sized Dataset (node:string, <rank_col>:float64).  See module
-    docstring for the scale shape and the exact update rule."""
+    docstring for the scale shape and the exact update rule.
+
+    ``seeds`` switches to PERSONALIZED PageRank (random-walk-with-
+    restart): the teleport vector (and the dangling-mass sink, and the
+    r0 start) is uniform over the seed hosts present in the graph
+    instead of uniform over all nodes — the topic/trust-rank variant
+    crawl prioritization uses to rank "near my seed list".  Seeds
+    absent from the edge set are ignored; all-absent raises.  The
+    unseeded path keeps its exact original float arithmetic
+    ((1−d)/n vs (1−d)·e differ in the last ulp), so existing oracles
+    are untouched."""
     edges_w = weighted_host_edges(
         edges, src_col=src_col, dst_col=dst_col
     ).materialize()  # host-pair-sized (post-reduce), re-scanned per iteration
@@ -180,7 +191,20 @@ def pagerank(
     dangling = outw == 0.0
     rate_den = np.where(dangling, 1.0, outw)  # avoid div-by-0; dangling rows emit no edges anyway
 
-    r = np.full(n, 1.0 / n, dtype=np.float64)
+    e = None
+    if seeds is not None:
+        seed_arr = np.array(sorted(set(seeds)), dtype=object)
+        pos = np.searchsorted(nodes, seed_arr)
+        pos_c = np.minimum(pos, n - 1)
+        present = nodes[pos_c] == seed_arr
+        sc = int(present.sum())
+        if sc == 0:
+            raise ValueError("personalized pagerank: no seed present in graph")
+        e = np.zeros(n, dtype=np.float64)
+        e[pos_c[present]] = 1.0 / sc
+        r = e.copy()
+    else:
+        r = np.full(n, 1.0 / n, dtype=np.float64)
     for _ in range(n_iter):
         rate = r / rate_den
         rate_ref = ray.put(rate)
@@ -200,7 +224,10 @@ def pagerank(
             np.zeros(n, dtype=np.float64),
         )
         dm = float(r[dangling].sum())
-        r = (1.0 - damping) / n + damping * (contrib + dm / n)
+        if e is None:
+            r = (1.0 - damping) / n + damping * (contrib + dm / n)
+        else:
+            r = (1.0 - damping) * e + damping * (contrib + dm * e)
 
     return rd.from_arrow(
         pa.table({"node": pa.array(nodes, type=pa.string()),
@@ -248,6 +275,57 @@ def pagerank_sql(
             f" LEFT JOIN c{i} ON nodes.h = c{i}.h),",
         ]
     last = parts.pop()[:-1]  # strip trailing comma from the final CTE
+    parts.append(last)
+    parts.append(
+        f"SELECT h AS {node_alias}, round(r, {round_to}) AS {rank_col}"
+        f" FROM r{n_iter}"
+    )
+    return "\n".join(parts)
+
+
+def personalized_pagerank_sql(
+    edge_ctes: str,
+    seeds: "list[str]",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 3,
+    node_alias: str = "node",
+    rank_col: str = "pagerank",
+    round_to: int = 8,
+) -> str:
+    """ANSI-SQL replay of :func:`pagerank` with ``seeds`` (personalized
+    teleport) — same single-generator policy and ``e`` edge contract as
+    :func:`pagerank_sql`; r0 = teleport vector, dangling mass restarts
+    at the seeds."""
+    d = repr(float(damping))
+    in_list = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in sorted(set(seeds))
+    )
+    parts = [
+        f"WITH {edge_ctes},",
+        "nodes AS (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e)),",
+        f"sn AS (SELECT CAST(count(*) AS DOUBLE) AS sc FROM nodes"
+        f" WHERE h IN ({in_list})),",
+        f"ev AS (SELECT h, CASE WHEN h IN ({in_list}) THEN 1.0 / sn.sc"
+        f" ELSE 0.0 END AS e FROM nodes CROSS JOIN sn),",
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),",
+        "r0 AS (SELECT h, e AS r FROM ev),",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS (SELECT COALESCE(SUM(r{p}.r), 0) AS dm FROM r{p}"
+            f" LEFT JOIN outw ON r{p}.h = outw.src WHERE outw.src IS NULL),",
+            f"c{i} AS (SELECT e.dst AS h, SUM(r{p}.r * e.w / outw.ow) AS c"
+            f" FROM e JOIN r{p} ON e.src = r{p}.h"
+            f" JOIN outw ON e.src = outw.src GROUP BY e.dst),",
+            f"r{i} AS (SELECT ev.h,"
+            f" (1.0 - {d}) * ev.e + {d} * (COALESCE(c{i}.c, 0) + d{i}.dm * ev.e) AS r"
+            f" FROM ev CROSS JOIN d{i}"
+            f" LEFT JOIN c{i} ON ev.h = c{i}.h),",
+        ]
+    last = parts.pop()[:-1]
     parts.append(last)
     parts.append(
         f"SELECT h AS {node_alias}, round(r, {round_to}) AS {rank_col}"

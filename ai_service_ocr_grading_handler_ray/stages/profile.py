@@ -311,3 +311,84 @@ def daily_activity(
     out["events_per_user"] = round_half_away(ev / us, 6)
     out["repeat_rate"] = round_half_away(1.0 - us / ev, 6)
     return out
+
+
+def numeric_drift(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    columns: "list[str]",
+) -> pd.DataFrame:
+    """Numeric-column drift report between two dataset snapshots — the
+    ingestion regression gate (a feed whose mean value or null fraction
+    jumps between crawls is broken upstream).  One row per column:
+    n / null fraction / mean / min / max per side plus the mean shift.
+
+    Scale shape: ONE moment-partial scan per side (one row per batch
+    per column: n, nulls, Σ, min, max) folded on the driver — never a
+    shuffle, never row-count-sized driver state.  Means round at 6
+    (partial-order float sums, the q01 convention)."""
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    def partials(cols):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            rows = {"col": [], "n": [], "nulls": [], "s": [], "mn": [], "mx": []}
+            for c in cols:
+                col = t[c]
+                nn = col.null_count
+                v = col.drop_null()
+                rows["col"].append(c)
+                rows["n"].append(t.num_rows)
+                rows["nulls"].append(nn)
+                rows["s"].append(
+                    float(pc.sum(v).as_py() or 0.0) if len(v) else 0.0
+                )
+                rows["mn"].append(
+                    float(pc.min(v).as_py()) if len(v) else float("inf")
+                )
+                rows["mx"].append(
+                    float(pc.max(v).as_py()) if len(v) else float("-inf")
+                )
+            return pa.table(
+                {
+                    "col": pa.array(rows["col"], pa.string()),
+                    "n": pa.array(rows["n"], pa.int64()),
+                    "nulls": pa.array(rows["nulls"], pa.int64()),
+                    "s": pa.array(rows["s"], pa.float64()),
+                    "mn": pa.array(rows["mn"], pa.float64()),
+                    "mx": pa.array(rows["mx"], pa.float64()),
+                }
+            )
+
+        return f
+
+    def fold(ds) -> pd.DataFrame:
+        p = collect_table(
+            ds.map_batches(partials(columns), batch_format="pyarrow",
+                           batch_size=65536)
+        ).to_pandas()
+        return p.groupby("col").agg(
+            n=("n", "sum"), nulls=("nulls", "sum"), s=("s", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+        )
+
+    a, b = fold(ds_a), fold(ds_b)
+    out = pd.DataFrame({"col": sorted(columns)})
+    for side, f in (("a", a), ("b", b)):
+        f = f.reindex(out["col"])
+        out[f"n_{side}"] = f["n"].to_numpy(np.int64)
+        out[f"null_frac_{side}"] = round_half_away(
+            f["nulls"].to_numpy(np.float64) / f["n"].to_numpy(np.float64), 6
+        )
+        out[f"mean_{side}"] = round_half_away(
+            f["s"].to_numpy(np.float64)
+            / (f["n"] - f["nulls"]).to_numpy(np.float64), 6
+        )
+        out[f"min_{side}"] = f["mn"].to_numpy(np.float64)
+        out[f"max_{side}"] = f["mx"].to_numpy(np.float64)
+    out["mean_shift"] = round_half_away(
+        out["mean_b"].to_numpy() - out["mean_a"].to_numpy(), 6
+    )
+    return out

@@ -44,6 +44,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
@@ -453,9 +454,13 @@ def global_top_k(
     asc = [not d for d in descending]
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # all-empty upstream blocks can arrive schema-less
+            return df
         return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
     out = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if out.empty:
+        return out.reset_index(drop=True)
     return (
         out.sort_values(by, ascending=asc, kind="mergesort")
         .head(k)
@@ -665,3 +670,66 @@ def grouped_gini_sql(
                      / (CAST(max(n) AS DOUBLE) * max(s)), 6), 0.0) AS gini
         FROM r GROUP BY {group_col}
     """
+
+
+def cume_dist_by_group(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    keep_cols: Sequence[str] = (),
+) -> rd.Dataset:
+    """Per-group cumulative-distribution normalization: each row gets
+    ``cume = P(X <= x)`` within its group (SQL ``cume_dist()``) — the
+    rank-calibration step before mixing scores from different scorers /
+    groups (a raw BM25 of 12 and a perplexity of −9.1 both become
+    "top 3% of their group").
+
+    Scale shape: ONE grouped (group, value) count shuffle (bounded by
+    distinct values per group — quantize continuous scores first, the
+    q169 rule), a |groups×values|-sized driver fold into per-group
+    sorted (values, cum<=) tables broadcast via ``ray.put``, then a
+    shuffle-free searchsorted scan.  ``cume`` is an exact integer ratio
+    (one double division), rounded to 6 like the SQL replay."""
+    from .collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([(value_col, "count")])
+        return g.rename_columns([group_col, value_col, "n"])
+
+    counts = (
+        collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby([group_col, value_col])
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        .to_pandas()
+        .sort_values([group_col, value_col])
+    )
+    tables = {}
+    for grp, sub in counts.groupby(group_col, sort=False):
+        vals = sub[value_col].to_numpy(np.float64)
+        cum = sub["n"].to_numpy(np.int64).cumsum()
+        tables[grp] = (vals, cum, int(cum[-1]))
+    tab_ref = ray.put(tables)
+
+    cols = [*keep_cols, group_col, value_col]
+
+    def scan(t: pa.Table, _ref=tab_ref) -> pa.Table:
+        tabs = ray.get(_ref)
+        g = pd.Series(t[group_col].to_pylist())
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cume = np.empty(len(v), dtype=np.float64)
+        for grp in g.unique():
+            m = (g == grp).to_numpy()
+            vals, cum, n = tabs[grp]
+            idx = np.searchsorted(vals, v[m], side="right") - 1
+            cume[m] = cum[idx] / float(n)
+        out = t.select(cols)
+        return out.append_column(
+            "cume", pa.array(round_half_away(cume, 6), type=pa.float64())
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

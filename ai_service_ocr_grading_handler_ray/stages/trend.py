@@ -32,6 +32,7 @@ Textbook formulas (replayed exactly by the oracle):
 
 from __future__ import annotations
 
+import math
 import pandas as pd
 import numpy as np
 import pyarrow as pa
@@ -341,4 +342,110 @@ def recency_weighted_sql(
                round(sum(w), 6) AS w_sum,
                round(sum(w * v) / sum(w), 6) AS rw_mean
         FROM w GROUP BY {key_col}
+    """
+
+
+def daily_burst(
+    ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 7,
+    min_hist: int = 3,
+) -> "pd.DataFrame":
+    """Burst detection over per-key daily totals: each day's total is
+    z-scored against the TRAILING ``window`` days (row-frame, needs
+    ``min_hist`` history) — the traffic-spike / bot-storm monitor
+    composing the q166 lag family with rolling moments.  Output:
+    (key, day, total, trail_mean, trail_sd, zscore) for days with
+    enough history; sd is the explicit textbook form
+    sqrt((Σx² − n·μ²)/(n−1)) so the SQL replay is the IDENTICAL
+    expression (not the engine-internal stddev_samp).
+
+    Scale shape: per-batch (key, day) partials → ONE keys×days groupby
+    → a keys×days driver fold (daily series are tiny by construction).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t[ts_col].cast(pa.timestamp("us")), unit="day")
+        g = pa.table(
+            {"k": t[key_col], "day": day, "v": t[value_col]}
+        ).group_by(["k", "day"]).aggregate([("v", "sum")])
+        return g.rename_columns(["k", "day", "t"])
+
+    daily = (
+        collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["k", "day"])
+            .aggregate(Sum("t", alias_name="t"))
+        )
+        .to_pandas()
+        .sort_values(["k", "day"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for key, sub in daily.groupby("k", sort=True):
+        t = sub["t"].to_numpy(np.float64)
+        days = sub["day"].to_numpy()
+        for i in range(len(t)):
+            lo = max(0, i - window)
+            hist = t[lo:i]
+            n = len(hist)
+            if n < min_hist:
+                continue
+            s1 = float(hist.sum())
+            s2 = float((hist * hist).sum())
+            mu = s1 / n
+            sd = math.sqrt(max((s2 - n * mu * mu) / (n - 1), 0.0))
+            z = (t[i] - mu) / sd if sd > 0 else float("nan")
+            rows.append((key, days[i], t[i], mu, sd, z))
+    out = pd.DataFrame(
+        rows, columns=[key_col, "day", "total", "trail_mean", "trail_sd",
+                       "zscore"]
+    )
+    for c in ("total", "trail_mean", "trail_sd", "zscore"):
+        out[c] = round_half_away(out[c].to_numpy(np.float64), 6)
+    return out
+
+
+def daily_burst_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: int = 7,
+    min_hist: int = 3,
+) -> str:
+    """DuckDB replay of :func:`daily_burst` (single-generator policy):
+    windowed Σ and Σx² with the identical explicit sd expression."""
+    frame = f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING"
+    return f"""
+        WITH m AS (
+          SELECT {key_col} AS k, date_trunc('day', {ts_col}) AS day,
+                 sum({value_col}) AS t
+          FROM {table} GROUP BY k, date_trunc('day', {ts_col})
+        ),
+        w AS (
+          SELECT k, day, t,
+                 count(t) OVER (PARTITION BY k ORDER BY day {frame}) AS n,
+                 sum(t) OVER (PARTITION BY k ORDER BY day {frame}) AS s1,
+                 sum(t * t) OVER (PARTITION BY k ORDER BY day {frame}) AS s2
+          FROM m
+        )
+        SELECT k AS {key_col}, CAST(day AS TIMESTAMP) AS day,
+               round(t, 6) AS total,
+               round(s1 / n, 6) AS trail_mean,
+               round(sqrt(greatest((s2 - n * (s1/n) * (s1/n)) / (n - 1),
+                                   0.0)), 6) AS trail_sd,
+               round((t - s1 / n)
+                     / sqrt(greatest((s2 - n * (s1/n) * (s1/n)) / (n - 1),
+                                     0.0)), 6) AS zscore
+        FROM w WHERE n >= {min_hist}
     """

@@ -129,6 +129,12 @@ BENCH_QUERIES = [
     "q183_readability",
     "q184_host_churn",
     "q185_daily_activity",
+    "q186_cume_dist",
+    "q187_k_anonymity",
+    "q188_personalized_pagerank",
+    "q189_top_paths",
+    "q190_numeric_drift",
+    "q191_daily_burst",
 ]
 
 

@@ -270,3 +270,44 @@ class TestFixDoubleEncoding:
         df = ds.to_pandas().set_index("doc_id")
         assert df.loc[0, "text"] == clean and bool(df.loc[0, "fixed"])
         assert df.loc[1, "text"] == "plain text." and not df.loc[1, "fixed"]
+
+
+# --- k-anonymity suppression -------------------------------------------------
+
+
+class TestKAnonymity:
+    def test_small_groups_dropped(self):
+        import pandas as pd
+        import ray.data as rd
+        from ai_service_ocr_grading_handler_ray.stages.clean import (
+            suppress_small_groups,
+        )
+
+        df = pd.DataFrame(
+            {
+                "id": range(10),
+                "a": ["x"] * 6 + ["y"] * 3 + ["z"],
+                "b": ["1"] * 6 + ["1"] * 3 + ["1"],
+            }
+        )
+        out = suppress_small_groups(
+            rd.from_pandas(df).repartition(3), group_cols=["a", "b"], k=3
+        ).to_pandas()
+        assert set(out.a) == {"x", "y"}  # z (n=1) suppressed
+        assert len(out) == 9
+
+    def test_composite_key_no_collision(self):
+        import pandas as pd
+        import ray.data as rd
+        from ai_service_ocr_grading_handler_ray.stages.clean import (
+            suppress_small_groups,
+        )
+
+        # ('a','bc') must not merge with ('ab','c')
+        df = pd.DataFrame(
+            {"x": ["a", "a", "ab"], "y": ["bc", "bc", "c"]}
+        )
+        out = suppress_small_groups(
+            rd.from_pandas(df), group_cols=["x", "y"], k=2
+        ).to_pandas()
+        assert len(out) == 2 and set(out.x) == {"a"}

@@ -414,3 +414,71 @@ def test_degree_distribution_self_loops_dropped(ray_session):
     assert dict(zip(out.direction + "_" + out.deg.astype(str), out.n_hosts)) == {
         "in_1": 2, "out_1": 2
     }
+
+
+# --- personalized pagerank -----------------------------------------------
+
+
+def _dense_ppr(edges_df, seeds, d=0.85, n_iter=3):
+    """Dense numpy replay of the personalized update rule."""
+    ew = edges_df[edges_df.src != edges_df.dst].groupby(
+        ["src", "dst"]
+    ).size().reset_index(name="w")
+    nodes = sorted(set(ew.src) | set(ew.dst))
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for r in ew.itertuples():
+        W[idx[r.src], idx[r.dst]] = r.w
+    outw = W.sum(axis=1)
+    e = np.zeros(n)
+    present = [idx[s] for s in seeds if s in idx]
+    e[present] = 1.0 / len(present)
+    r = e.copy()
+    for _ in range(n_iter):
+        rate = np.where(outw > 0, r / np.where(outw > 0, outw, 1), 0.0)
+        contrib = rate @ W
+        dm = r[outw == 0].sum()
+        r = (1 - d) * e + d * (contrib + dm * e)
+    return dict(zip(nodes, r))
+
+
+def test_personalized_pagerank_matches_dense(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "src": [f"h{x}" for x in rng.integers(0, 15, 300)],
+            "dst": [f"h{x}" for x in rng.integers(0, 15, 300)],
+        }
+    )
+    seeds = ["h0", "h3", "h-not-in-graph"]
+    out = pagerank(
+        rd.from_pandas(df).repartition(4), seeds=seeds, n_iter=3
+    ).to_pandas().set_index("node")["pagerank"]
+    exp = _dense_ppr(df, seeds)
+    for h, v in exp.items():
+        assert out[h] == pytest.approx(v, abs=1e-12)
+    # mass concentrates: seeds rank above the median node
+    med = out.median()
+    assert out["h0"] > med and out["h3"] > med
+
+
+def test_personalized_pagerank_all_seeds_absent_raises(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.graph import pagerank
+
+    df = pd.DataFrame({"src": ["a"], "dst": ["b"]})
+    with pytest.raises(Exception, match="no seed present"):
+        pagerank(rd.from_pandas(df), seeds=["zz"])
+
+
+def test_unseeded_pagerank_unchanged_by_refactor(ray_session):
+    # the seeds=None path must keep its exact original float arithmetic
+    from ai_service_ocr_grading_handler_ray.stages.graph import pagerank
+
+    df = pd.DataFrame(
+        {"src": ["a", "b", "c", "a"], "dst": ["b", "c", "a", "c"]}
+    )
+    out = pagerank(rd.from_pandas(df), n_iter=3).to_pandas()
+    assert abs(out.pagerank.sum() - 1.0) < 1e-12

@@ -93,3 +93,53 @@ def test_empty_and_lone_events(ray_session):
     )
     assert len(empty) == 0
     assert list(empty.columns) == ["cur", "nxt", "n", "p"]
+
+
+# --- top_event_paths -----------------------------------------------------
+
+
+def test_top_paths_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.markov import top_event_paths
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "event_id": np.arange(n),
+            "event_type": rng.choice(list("abcd"), n),
+        }
+    )
+    out = top_event_paths(
+        rd.from_pandas(df).repartition(6), path_len=3, k=10
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    paths = []
+    for _, sub in s.groupby("user_id"):
+        e = sub.event_type.tolist()
+        paths += [">".join(e[i : i + 3]) for i in range(len(e) - 2)]
+    exp = (
+        pd.Series(paths).value_counts().rename_axis("path").reset_index(name="n")
+        .sort_values(["n", "path"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert list(out.path) == list(exp.path)
+    assert list(out.n) == list(exp.n)
+
+
+def test_top_paths_never_crosses_users(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.markov import top_event_paths
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "ts": pd.to_datetime(["2024-01-01"] * 4) + pd.to_timedelta([0, 1, 2, 3], unit="s"),
+            "event_id": [0, 1, 2, 3],
+            "event_type": ["a", "b", "c", "d"],
+        }
+    )
+    out = top_event_paths(rd.from_pandas(df), path_len=3, k=5)
+    assert len(out) == 0  # no user has 3 consecutive events

@@ -161,3 +161,30 @@ def test_daily_activity_matches_brute(ray_session):
         assert got.repeat_rate == pytest.approx(
             1 - row.n_users / row.n_events, abs=1e-6
         )
+
+
+# --- numeric_drift -------------------------------------------------------
+
+
+def test_numeric_drift_matches_brute(ray_session):
+    import numpy as np
+    from ai_service_ocr_grading_handler_ray.stages.profile import numeric_drift
+
+    rng = np.random.default_rng(17)
+    a = pd.DataFrame({"v": rng.random(200) * 10, "u": rng.integers(0, 9, 200)})
+    b = pd.DataFrame({"v": rng.random(300) * 12, "u": rng.integers(0, 9, 300)})
+    a.loc[::10, "v"] = None  # nulls on one side
+    out = numeric_drift(
+        rd.from_pandas(a).repartition(3),
+        rd.from_pandas(b).repartition(4),
+        ["u", "v"],
+    ).set_index("col")
+    assert out.loc["v", "n_a"] == 200 and out.loc["v", "n_b"] == 300
+    assert out.loc["v", "null_frac_a"] == pytest.approx(
+        a.v.isna().mean(), abs=1e-6
+    )
+    assert out.loc["v", "mean_a"] == pytest.approx(a.v.mean(), abs=1e-5)
+    assert out.loc["v", "mean_shift"] == pytest.approx(
+        b.v.mean() - a.v.mean(), abs=1e-5
+    )
+    assert out.loc["u", "min_a"] == a.u.min() and out.loc["u", "max_b"] == b.u.max()

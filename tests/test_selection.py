@@ -357,3 +357,38 @@ def test_grouped_gini_zero_total_matches_oracle(ray_session):
     )
     ref = con.sql(sql).df().set_index("g")
     assert ref.loc["z", "gini"] == 0.0
+
+
+# --- cume_dist_by_group --------------------------------------------------
+
+
+def test_cume_dist_matches_pandas(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.selection import (
+        cume_dist_by_group,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "g": rng.choice(list("ab"), 300),
+            "v": rng.integers(0, 25, 300).astype(np.float64),  # ties
+        }
+    )
+    out = (
+        cume_dist_by_group(
+            rd.from_pandas(df).repartition(5),
+            value_col="v", group_col="g", keep_cols=["id"],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    # pandas rank(method='max', pct=True) == SQL cume_dist
+    exp["cume"] = exp.groupby("g")["v"].rank(method="max", pct=True)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert np.allclose(out["cume"], exp["cume"], atol=1e-6)
+    # top value in each group has cume exactly 1.0
+    for g, sub in out.groupby("g"):
+        assert sub.loc[sub.v.idxmax(), "cume"] == 1.0

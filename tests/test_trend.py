@@ -209,3 +209,59 @@ def test_recency_half_life_semantics(ray_session):
         rd.from_pandas(df), key_col="k", value_col="v", half_life_days=7.0
     )
     assert out.rw_mean.iloc[0] == pytest.approx((9.0 + 0.5 * 3.0) / 1.5, abs=1e-9)
+
+
+# --- daily_burst -----------------------------------------------------------
+
+
+def test_daily_burst_matches_brute(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.trend import daily_burst
+
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["x", "y"], n),
+            "ts": pd.Timestamp("2024-02-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+            "value": rng.random(n) * 50,
+        }
+    )
+    out = daily_burst(
+        rd.from_pandas(df).repartition(5), window=7, min_hist=3
+    )
+    daily = (
+        df.groupby(["event_type", df.ts.dt.floor("D")])["value"].sum()
+        .rename("t").reset_index()
+        .sort_values(["event_type", "ts"])
+    )
+    exp_rows = 0
+    for k, sub in daily.groupby("event_type"):
+        t = sub.t.to_numpy()
+        for i in range(len(t)):
+            hist = t[max(0, i - 7):i]
+            if len(hist) < 3:
+                continue
+            exp_rows += 1
+            mu = hist.sum() / len(hist)
+            sd = np.sqrt((np.sum(hist * hist) - len(hist) * mu * mu) / (len(hist) - 1))
+            row = out[(out.event_type == k) & (out.day == sub.ts.iloc[i])]
+            assert len(row) == 1
+            assert row.zscore.iloc[0] == pytest.approx((t[i] - mu) / sd, abs=1e-4)
+    assert len(out) == exp_rows
+
+
+def test_daily_burst_flags_planted_spike(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.trend import daily_burst
+
+    days = pd.date_range("2024-03-01", periods=10, freq="D")
+    vals = [10.0] * 10
+    vals[8] = 500.0  # the burst
+    df = pd.DataFrame(
+        {"event_type": "e", "ts": days, "value": vals}
+    )
+    # constant history -> sd 0 until the spike enters the window; jitter
+    df["value"] = df["value"] + np.linspace(0, 1, 10)
+    out = daily_burst(rd.from_pandas(df), window=7, min_hist=3)
+    spike = out[out.day == days[8]]
+    assert spike.zscore.iloc[0] > 10
