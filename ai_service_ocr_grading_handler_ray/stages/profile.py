@@ -268,36 +268,42 @@ def daily_activity(
     drift) next to the table profiler.  Output: (day, n_events,
     n_users, events_per_user, repeat_rate = 1 − users/events).
 
-    Scale shape: per-batch (day, user) dedup-count partials → ONE
-    (day, user) groupby (the exact-distinct shuffle, volume bounded by
-    daily actives) → per-batch per-day partials → |days×blocks| driver
-    fold.  One all-to-all total."""
+    Scale shape: per-batch (day, user, n) count partials → ONE coarse
+    user-hash partition shuffle (a user's days co-locate, so the
+    per-partition (day, user) sum is globally exact — the composite
+    (day, user) Ray groupby measured 5 s at sf0.1, the many-tiny-groups
+    anti-pattern) → per-partition per-day (events, distinct-user)
+    partials → |days×partitions| driver fold.  One all-to-all total,
+    volume bounded by daily actives."""
     import pyarrow.compute as pc
 
     from .collect import collect_table
+    from .dedup import add_key_partition
     from .selection import round_half_away
-    from ray.data.aggregate import Sum
 
     def pairs(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t[ts_col].cast(pa.timestamp("us")), unit="day")
         g = pa.table({"day": day, "u": t[user_col]}).group_by(
             ["day", "u"]
         ).aggregate([("u", "count")])
-        return g.rename_columns(["day", "u", "n"])
+        return add_key_partition(
+            g.rename_columns(["day", "u", "n"]), "u", num_parts=64
+        )
 
-    per_user = (
-        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
-        .groupby(["day", "u"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def day_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["day"]).aggregate([("n", "sum"), ("n", "count")])
-        return g.rename_columns(["day", "n_events", "n_users"])
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        per_user = df.groupby(["day", "u"], sort=False)["n"].sum().reset_index()
+        r = per_user.groupby("day", sort=False).agg(
+            n_events=("n", "sum"), n_users=("n", "size")
+        ).reset_index()
+        r["n_events"] = r["n_events"].astype("int64")
+        r["n_users"] = r["n_users"].astype("int64")
+        return r
 
     out = (
         collect_table(
-            per_user.map_batches(day_partial, batch_format="pyarrow")
+            ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+            .groupby("_part")
+            .map_groups(day_partial, batch_format="pandas")
         )
         .to_pandas()
         .groupby("day", as_index=False)[["n_events", "n_users"]]
