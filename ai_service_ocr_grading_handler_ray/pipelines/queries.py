@@ -2359,6 +2359,91 @@ def q191_daily_burst(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q192_source_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Composed capstone: per-source QUALITY DASHBOARD — readability
+    (q183 kernel), character entropy (q139 kernel) and length fused in
+    ONE scan, rolled up per source as n_docs, EXACT median word count
+    (selection.exact_group_quantiles — no sort), avg flesch / avg
+    entropy (per-doc rounded at 4 on BOTH sides, sums associate under
+    round-4), and an integer pass rate (flesch ≥ 40 AND ≥ 50 words on
+    the ROUNDED values — no FP boundary).  The corpus-health report a
+    curation run prints per shard, next to the corpus-build (q98) and
+    crawl-frontier (q146) capstones.  Scale shape: one fused metrics
+    scan materialized SLIM (4 columns — double-consumed by the rollup
+    and the quantile passes, the pagerank-_indexed_edges precedent),
+    per-batch source partials → ONE source-cardinality groupby, plus
+    the quantile refinement scans; |sources|-sized driver join.
+    Oracle: readability_sql as a derived table joined to the q139
+    entropy CTEs and a row_number median — fully composed."""
+    from ..stages.selection import exact_group_quantiles
+    from ..stages.text_analysis import add_char_entropy, add_readability
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        t = add_readability(t, "text")
+        t = add_char_entropy(t, "text")
+        ent = _round_half_away(
+            t["char_entropy"].to_numpy(zero_copy_only=False), 4
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_words": t["n_words"],
+                "flesch_proxy": t["flesch_proxy"],
+                "char_entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    slim = ds.map_batches(
+        metrics, batch_format="pyarrow", batch_size=4096
+    ).materialize()
+
+    def part(t: pa.Table) -> pa.Table:
+        f = t["flesch_proxy"].to_numpy(zero_copy_only=False)
+        w = t["n_words"].to_numpy(zero_copy_only=False)
+        ok = ((f >= 40.0) & (w >= 50)).astype(np.int64)
+        g = pa.table(
+            {
+                "source": t["source"],
+                "f": t["flesch_proxy"],
+                "e": t["char_entropy"],
+                "ok": pa.array(ok),
+            }
+        ).group_by(["source"]).aggregate(
+            [("f", "sum"), ("e", "sum"), ("ok", "sum"), ("ok", "count")]
+        )
+        return g.rename_columns(["source", "f", "e", "ok", "n"])
+
+    agg = (
+        slim.map_batches(part, batch_format="pyarrow", batch_size=65536)
+        .groupby("source")
+        .aggregate(
+            Sum("f", alias_name="f"),
+            Sum("e", alias_name="e"),
+            Sum("ok", alias_name="ok"),
+            Sum("n", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    med = exact_group_quantiles(slim, "n_words", "source", fracs=[0.5])
+    agg["median_words"] = agg["source"].map(
+        {g: int(v[0]) for g, v in med.items()}
+    ).astype(np.int64)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    n = agg["n_docs"].to_numpy(np.float64)
+    agg["avg_flesch"] = _round_half_away(agg["f"].to_numpy(np.float64) / n, 4)
+    agg["avg_entropy"] = _round_half_away(agg["e"].to_numpy(np.float64) / n, 4)
+    agg["pass_rate"] = _round_half_away(agg["ok"].to_numpy(np.float64) / n, 6)
+    return (
+        agg[["source", "n_docs", "median_words", "avg_flesch",
+             "avg_entropy", "pass_rate"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -5012,6 +5097,7 @@ QUERIES = {
     # session 8 additions lead the window: CUBE, classifier eval (AUC),
     # source Gini, degree distribution, C4 line rules, n-gram novelty,
     # encoding repair, RRF hybrid retrieval.
+    "q192_source_quality_report": q192_source_quality_report,
     "q186_cume_dist": q186_cume_dist,
     "q187_k_anonymity": q187_k_anonymity,
     "q188_personalized_pagerank": q188_personalized_pagerank,
@@ -5392,6 +5478,54 @@ from ..stages.graph import personalized_pagerank_sql as _ppr_sql
 from ..stages.trend import daily_burst_sql as _burst_sql
 
 ORACLE_SQL = {
+    "q192_source_quality_report": f"""
+        WITH r AS (SELECT * FROM ({_readability_sql(
+            table="documents", id_col="doc_id", text_col="text")})),
+        chars AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS L FROM counts
+          GROUP BY doc_id
+        ),
+        ent AS (
+          SELECT c.doc_id, -SUM((c.c / t.L) * log2(c.c / t.L)) AS e
+          FROM counts c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+        ),
+        j AS (
+          SELECT d.source, r.n_words, r.flesch_proxy,
+                 round(coalesce(ent.e, 0) + 0, 4) AS char_entropy
+          FROM documents d
+          JOIN r USING (doc_id)
+          LEFT JOIN ent USING (doc_id)
+        ),
+        agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(sum(flesch_proxy) / count(*), 4) AS avg_flesch,
+                 round(sum(char_entropy) / count(*), 4) AS avg_entropy,
+                 round(sum(CASE WHEN flesch_proxy >= 40.0 AND n_words >= 50
+                                THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+          FROM j GROUP BY source
+        ),
+        med AS (
+          SELECT source, CAST(n_words AS BIGINT) AS median_words
+          FROM (
+            SELECT source, n_words,
+                   row_number() OVER (PARTITION BY source ORDER BY n_words)
+                     AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM j
+          ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        )
+        SELECT agg.source, agg.n_docs, med.median_words, agg.avg_flesch,
+               agg.avg_entropy, agg.pass_rate
+        FROM agg JOIN med USING (source)
+    """,
     "q186_cume_dist": """
         SELECT event_id, event_type, value,
                round(cume_dist() OVER (PARTITION BY event_type

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q189_top_paths",
     "q190_numeric_drift",
     "q191_daily_burst",
+    "q192_source_quality_report",
 ]
 
 

@@ -346,3 +346,37 @@ class TestReadability:
     def test_multiple_punctuation_is_one_run(self):
         out = self._run(["really?! yes... ok"])
         assert out["n_sentences"].to_pylist() == [2]
+
+
+def test_source_quality_report_brute(ray_session):
+    """q192 capstone rollup matches a pandas recompute of its own
+    per-doc kernels (median = ceil(n/2)-th smallest, pass on rounded
+    values)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from ai_service_ocr_grading_handler_ray.pipelines.queries import (
+        q192_source_quality_report,
+    )
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        add_char_entropy,
+        add_readability,
+    )
+
+    out = q192_source_quality_report("/root/testdata/sf0.001").set_index("source")
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+    t = add_char_entropy(add_readability(pa.Table.from_pandas(docs)))
+    df = t.to_pandas()
+    df["char_entropy"] = df["char_entropy"].round(4)
+    for src_name, sub in df.groupby("source"):
+        row = out.loc[src_name]
+        assert row.n_docs == len(sub)
+        ws = sorted(sub.n_words)
+        assert row.median_words == ws[math.ceil(0.5 * len(ws)) - 1]
+        assert abs(row.avg_flesch - round(sub.flesch_proxy.sum() / len(sub), 4)) < 2e-4
+        passed = ((sub.flesch_proxy >= 40.0) & (sub.n_words >= 50)).sum()
+        assert abs(row.pass_rate - passed / len(sub)) < 1e-6
