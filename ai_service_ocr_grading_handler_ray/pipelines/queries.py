@@ -2444,6 +2444,111 @@ def q192_source_quality_report(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q193_decile_bins(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth decile binning of document lengths
+    (stages/selection.decile_bins): EXACT global decile thresholds via
+    the histogram-refinement quantile machinery (no sort), bucket =
+    number of thresholds strictly below the value — the length-balanced
+    bucketing curriculum/balanced sampling uses.  Scale shape: the
+    quantile refinement scans + ONE shuffle-free bucket-count scan into
+    a |bins| groupby.  Oracle: row_number threshold extraction at
+    ceil(j·n/10) + the identical strict-less bucket count."""
+    from ..stages.selection import decile_bins
+
+    out = decile_bins(
+        _read(sf_dir, "documents", ["n_chars"]), value_col="n_chars"
+    )
+    out["min_v"] = out["min_v"].astype(np.int64)
+    out["max_v"] = out["max_v"].astype(np.int64)
+    return out
+
+
+def q194_rolling_distinct(sf_dir: str) -> pd.DataFrame:
+    """EXACT 7-day rolling distinct users (stages/profile.
+    rolling_distinct_users): windowed engagement (WAU) — per-day
+    distincts (q185) can't be summed across days; this is the exact
+    sliding-multiset answer.  Scale shape: the daily_activity
+    (day, user) dedup recipe (one coarse shuffle) + ONE O(pairs)
+    driver sweep bounded by window actives.  Oracle: day × window
+    range join + count(DISTINCT)."""
+    from ..stages.profile import rolling_distinct_users
+
+    return rolling_distinct_users(
+        _read(sf_dir, "events", ["ts", "user_id"]), window_days=7
+    )
+
+
+def q195_url_templates(sf_dir: str) -> pd.DataFrame:
+    """URL template mining (stages/url_params.url_templates): digit
+    runs in host+path collapse to '{n}', pages counted per template,
+    top-20 — the structure-discovery step behind crawl canonicalization
+    and per-template caps (q163 profiles the query-string side).  Urls
+    synthesized with shared path shapes + unique ids so real templates
+    emerge.  Scale shape: one shuffle-free regexp scan with per-batch
+    count partials → template-vocab groupby → per-block top-k.
+    Oracle: identical RE2 replace + count + (n DESC, template) order."""
+    from ..stages.url_params import url_templates
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(d).astype(str)
+        host = "https://h" + pd.Series(d % 7).astype(str) + ".example.org"
+        kind = d % 3
+        prod = host + "/product/" + s + "/review/" + pd.Series(d % 13).astype(str)
+        blog = host + "/blog/2024/" + pd.Series(d % 12 + 1).astype(str) + "/post-" + s
+        about = host + "/about?sid=" + s
+        url = prod.where(kind == 0, blog.where(kind == 1, about))
+        return pa.table(
+            {"url": pa.array(url.to_numpy(dtype=object), pa.string())}
+        )
+
+    return url_templates(ds.map_batches(mk, batch_format="pyarrow"), k=20)
+
+
+def q196_table_linearize(sf_dir: str) -> rd.Dataset:
+    """Table-to-text linearization (stages/html_tables.
+    linearize_tables over q181's extractor): each extracted data row
+    becomes 'header: value | ...' ordered by column — how tabular page
+    content enters an LM corpus.  Scale shape: q181's shuffle-free
+    parse + ONE doc-hash coarse-partition shuffle with a vectorized
+    per-partition header merge.  Oracle: string_agg over the SAME
+    planted generate_series truth as q181."""
+    from ..stages.html_tables import extract_tables, linearize_tables
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for dv in d:
+            if dv % 2 != 0:
+                payloads.append(b"<p>none</p>")
+                continue
+            r, c = dv % 3 + 1, dv % 4 + 1
+            rows = [
+                "<tr>"
+                + "".join(f"<th>h{dv}-{ci}</th>" for ci in range(c))
+                + "</tr>"
+            ]
+            for ri in range(1, r + 1):
+                rows.append(
+                    "<tr>"
+                    + "".join(f"<td>c{dv}-{ri}-{ci}</td>" for ci in range(c))
+                    + "</tr>"
+                )
+            payloads.append(
+                ("<table>" + "".join(rows) + "</table>").encode()
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(payloads, type=pa.binary())}
+        )
+
+    cells = extract_tables(ds.map_batches(mk, batch_format="pyarrow"))
+    return linearize_tables(cells)
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -5097,6 +5202,10 @@ QUERIES = {
     # session 8 additions lead the window: CUBE, classifier eval (AUC),
     # source Gini, degree distribution, C4 line rules, n-gram novelty,
     # encoding repair, RRF hybrid retrieval.
+    "q193_decile_bins": q193_decile_bins,
+    "q194_rolling_distinct": q194_rolling_distinct,
+    "q195_url_templates": q195_url_templates,
+    "q196_table_linearize": q196_table_linearize,
     "q192_source_quality_report": q192_source_quality_report,
     "q186_cume_dist": q186_cume_dist,
     "q187_k_anonymity": q187_k_anonymity,
@@ -5478,6 +5587,86 @@ from ..stages.graph import personalized_pagerank_sql as _ppr_sql
 from ..stages.trend import daily_burst_sql as _burst_sql
 
 ORACLE_SQL = {
+    "q193_decile_bins": """
+        WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS val FROM documents),
+        r AS (
+          SELECT val, row_number() OVER (ORDER BY val) AS rn,
+                 count(*) OVER () AS n
+          FROM v
+        ),
+        th AS (
+          SELECT j, max(CASE WHEN rn = CAST(ceil(j * n / 10.0) AS BIGINT)
+                             THEN val END) AS t
+          FROM r CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS j) js
+          GROUP BY j
+        ),
+        b AS (
+          SELECT val,
+                 (SELECT count(*) FROM th WHERE th.t < v.val) AS bucket
+          FROM v
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(val) AS BIGINT) AS min_v,
+               CAST(max(val) AS BIGINT) AS max_v
+        FROM b GROUP BY bucket
+    """,
+    "q194_rolling_distinct": """
+        WITH p AS (
+          SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM p)
+        SELECT CAST(d.day AS TIMESTAMP) AS day,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM days d JOIN p
+          ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    """,
+    "q195_url_templates": """
+        WITH u AS (
+          SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.org'
+                 || CASE doc_id % 3
+                    WHEN 0 THEN '/product/' || CAST(doc_id AS VARCHAR)
+                                || '/review/' || CAST(doc_id % 13 AS VARCHAR)
+                    WHEN 1 THEN '/blog/2024/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                                || '/post-' || CAST(doc_id AS VARCHAR)
+                    ELSE '/about?sid=' || CAST(doc_id AS VARCHAR)
+                    END AS url
+          FROM documents
+        ),
+        t AS (
+          SELECT regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                '[0-9]+', '{n}', 'g') AS template
+          FROM u
+        ),
+        c AS (
+          SELECT template, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY template
+        )
+        SELECT template, n FROM c ORDER BY n DESC, template LIMIT 20
+    """,
+    "q196_table_linearize": """
+        WITH dims AS (
+          SELECT doc_id, doc_id % 3 + 1 AS r, doc_id % 4 + 1 AS c
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        dat AS (
+          SELECT doc_id, unnest(generate_series(1, r)) AS row_idx, c
+          FROM dims
+        ),
+        cells AS (
+          SELECT doc_id, row_idx,
+                 unnest(generate_series(0, c - 1)) AS col_idx
+          FROM dat
+        )
+        SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+               CAST(row_idx AS BIGINT) AS row_idx,
+               string_agg(printf('h%d-%d: c%d-%d-%d', doc_id, col_idx,
+                                 doc_id, row_idx, col_idx),
+                          ' | ' ORDER BY col_idx) AS text
+        FROM cells GROUP BY doc_id, row_idx
+    """,
     "q192_source_quality_report": f"""
         WITH r AS (SELECT * FROM ({_readability_sql(
             table="documents", id_col="doc_id", text_col="text")})),

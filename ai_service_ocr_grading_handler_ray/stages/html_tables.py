@@ -90,3 +90,63 @@ def extract_tables(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def linearize_tables(
+    cells,
+    *,
+    id_col: str = "doc_id",
+    sep: str = " | ",
+    num_parts: int = 64,
+):
+    """Extracted table cells → training-text rows: each DATA row becomes
+    '<header>: <value> | ...' ordered by column — the table-to-text
+    bridge between :func:`extract_tables` and the text-curation surface
+    (linearized tables are how tabular page content enters an LM
+    corpus).  Data cells with no same-column header keep the value
+    alone.  Output: (id, table_idx, row_idx, text).
+
+    Scale shape: ONE doc-hash coarse-partition shuffle (a document's
+    cells co-locate), per-partition vectorized pandas merge of header
+    cells onto data cells + ordered string_agg."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        hdr = df[df["is_header"]][[id_col, "table_idx", "col_idx", "cell"]]
+        hdr = hdr.drop_duplicates([id_col, "table_idx", "col_idx"]).rename(
+            columns={"cell": "hdr"}
+        )
+        dat = df[~df["is_header"]]
+        if dat.empty:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=df[id_col].dtype),
+                 "table_idx": pd.Series([], dtype="int64"),
+                 "row_idx": pd.Series([], dtype="int64"),
+                 "text": pd.Series([], dtype=object)}
+            )
+        m = dat.merge(hdr, on=[id_col, "table_idx", "col_idx"], how="left")
+        piece = m["cell"].astype(str)
+        has = m["hdr"].notna()
+        piece = piece.where(~has, m["hdr"].astype(str) + ": " + piece)
+        m = m.assign(piece=piece).sort_values(
+            [id_col, "table_idx", "row_idx", "col_idx"], kind="mergesort"
+        )
+        out = (
+            m.groupby([id_col, "table_idx", "row_idx"], sort=False)["piece"]
+            .agg(sep.join)
+            .reset_index(name="text")
+        )
+        out["table_idx"] = out["table_idx"].astype("int64")
+        out["row_idx"] = out["row_idx"].astype("int64")
+        return out
+
+    return (
+        cells.map_batches(
+            lambda t: add_key_partition(t, id_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pandas")
+    )

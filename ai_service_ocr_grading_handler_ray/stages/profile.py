@@ -398,3 +398,74 @@ def numeric_drift(
         out["mean_b"].to_numpy() - out["mean_a"].to_numpy(), 6
     )
     return out
+
+
+def rolling_distinct_users(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> pd.DataFrame:
+    """EXACT rolling distinct users (WAU-style): for every active day,
+    the count of distinct users seen in the trailing ``window_days``
+    window (inclusive) — the windowed-engagement monitor next to
+    :func:`daily_activity` (whose per-day distincts can't be summed
+    across days).  Output: (day, wau).
+
+    Scale shape: the (day, user) DISTINCT pair table comes from the
+    same one-coarse-shuffle recipe as daily_activity (a user's days
+    co-locate, per-partition dedup is globally exact); the driver then
+    runs ONE sliding-multiset sweep over the pair table — O(pairs) with
+    a Counter, memory bounded by the window's active users.  Pairs are
+    bounded by Σ daily actives, the same driver budget daily_activity
+    already accepts."""
+    import collections
+
+    import pyarrow.compute as pc
+
+    from .collect import collect_table
+    from .dedup import add_key_partition
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t[ts_col].cast(pa.timestamp("us")), unit="day")
+        g = pa.table({"day": day, "u": t[user_col]}).group_by(
+            ["day", "u"]
+        ).aggregate([])
+        return add_key_partition(g, "u", num_parts=64)
+
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["day", "u"]].drop_duplicates()
+
+    pt = (
+        collect_table(
+            ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+            .groupby("_part")
+            .map_groups(dedup_part, batch_format="pandas")
+        )
+        .to_pandas()
+        .sort_values(["day", "u"])
+        .reset_index(drop=True)
+    )
+    days = pt["day"].drop_duplicates().to_numpy()
+    day_series = pt["day"].to_numpy()
+    users = pt["u"].to_numpy()
+    width = np.timedelta64(window_days - 1, "D").astype("timedelta64[us]")
+    counter: collections.Counter = collections.Counter()
+    lo = hi = 0
+    rows = []
+    for d in days:
+        while hi < len(pt) and day_series[hi] <= d:
+            counter[users[hi]] += 1
+            hi += 1
+        start = d - width
+        while lo < hi and day_series[lo] < start:
+            u = users[lo]
+            counter[u] -= 1
+            if not counter[u]:
+                del counter[u]
+            lo += 1
+        rows.append((d, len(counter)))
+    out = pd.DataFrame(rows, columns=["day", "wau"])
+    out["wau"] = out["wau"].astype(np.int64)
+    return out

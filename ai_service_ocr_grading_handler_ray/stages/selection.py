@@ -746,3 +746,74 @@ def cume_dist_by_group(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def decile_bins(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    n_bins: int = 10,
+) -> pd.DataFrame:
+    """Equi-depth (quantile) binning of a column: EXACT global decile
+    thresholds via :func:`exact_group_quantiles` (rank = ceil(j/10·n),
+    no sort), bucket = number of thresholds strictly below the value —
+    the length-balanced bucketing used for curriculum/balanced sampling
+    (each bucket ≈ n/10 rows up to ties).  Output per bucket:
+    (bucket, n, min_v, max_v).
+
+    Scale shape: the quantile refinement scans (histogram-refinement,
+    bins-sized driver state) + ONE shuffle-free bucket-count scan with
+    per-batch partials → a |bins|-sized groupby."""
+    from fractions import Fraction
+
+    import ray
+
+    from .collect import collect_table
+    from ray.data.aggregate import Max, Min, Sum
+
+    const = "_all"
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g", pa.array(np.full(t.num_rows, const, dtype=object), pa.string())
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    fracs = [Fraction(j, n_bins) for j in range(1, n_bins)]
+    q = exact_group_quantiles(tagged, value_col, "_g", fracs=fracs)
+    thresholds = np.array(sorted(q[const]), dtype=np.float64)
+    thr_ref = ray.put(thresholds)
+
+    def bucket_partial(t: pa.Table, _ref=thr_ref) -> pa.Table:
+        th = ray.get(_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(th, v, side="left")  # count of thresholds < v...
+        # searchsorted(left) counts th < v only when v > th; ties (v == th)
+        # must NOT count that threshold — 'left' gives first i with th[i] >= v,
+        # i.e. exactly |{j: th[j] < v}|.
+        g = pa.table(
+            {"bucket": pa.array(b.astype(np.int64)), "v": t[value_col]}
+        ).group_by(["bucket"]).aggregate(
+            [("v", "count"), ("v", "min"), ("v", "max")]
+        )
+        return g.rename_columns(["bucket", "n", "min_v", "max_v"])
+
+    out = (
+        collect_table(
+            tagged.map_batches(
+                bucket_partial, batch_format="pyarrow", batch_size=65536
+            )
+            .groupby("bucket")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Min("min_v", alias_name="min_v"),
+                Max("max_v", alias_name="max_v"),
+            )
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -123,3 +123,51 @@ def param_cardinality_profile(
         .groupby("_part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+URL_TEMPLATE_TOKEN = "{n}"
+
+
+def url_templates(
+    ds,
+    *,
+    url_col: str = "url",
+    k: int = 20,
+) -> "pd.DataFrame":
+    """URL template mining: collapse every digit run in host+path to
+    ``{n}`` and count pages per template, top-k — the structure
+    discovery step behind crawl canonicalization and per-template
+    sampling caps (a /product/{n}/review/{n} template with 10^9 pages
+    is one TEMPLATE, not 10^9 distinct contents; cf. the q163
+    spider-trap params profile for the query-string side).
+
+    Scale shape: one shuffle-free vectorized regexp_replace scan with
+    per-batch template count partials → ONE template-vocab groupby →
+    per-block top-k (no global sort).  Oracle: the same RE2
+    ``[0-9]+ → {n}`` replace + count + (n DESC, template) tie-break."""
+    import pandas as pd
+
+    from .selection import global_top_k
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[url_col].to_pylist(), dtype=object).fillna("")
+        # strip query+fragment, then collapse digit runs
+        base = s.str.replace(r"[?#].*$", "", regex=True)
+        tpl = base.str.replace(r"[0-9]+", URL_TEMPLATE_TOKEN, regex=True)
+        r = tpl.value_counts()
+        return pa.table(
+            {
+                "template": pa.array(r.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(r.to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("template")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = global_top_k(counts, k=k, by=["n", "template"], descending=[True, False])
+    out["n"] = out["n"].astype(np.int64)
+    return out[["template", "n"]]

@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "q190_numeric_drift",
     "q191_daily_burst",
     "q192_source_quality_report",
+    "q193_decile_bins",
+    "q194_rolling_distinct",
+    "q195_url_templates",
+    "q196_table_linearize",
 ]
 
 

@@ -58,3 +58,32 @@ def test_dataset_stage(ray_session):
         "doc_id": 1, "table_idx": 0, "row_idx": 0, "col_idx": 0,
         "cell": "x", "is_header": False,
     }
+
+
+def test_linearize_tables(ray_session):
+    import pandas as pd
+    from ai_service_ocr_grading_handler_ray.stages.html_tables import (
+        linearize_tables,
+    )
+
+    cells = pd.DataFrame(
+        {
+            "doc_id": [1] * 6 + [2],
+            "table_idx": [0] * 6 + [0],
+            "row_idx": [0, 0, 1, 1, 2, 2, 0],
+            "col_idx": [0, 1, 0, 1, 0, 1, 0],
+            "cell": ["name", "age", "ann", "34", "bo", "9", "lonely"],
+            "is_header": [True, True, False, False, False, False, False],
+        }
+    )
+    out = (
+        linearize_tables(rd.from_pandas(cells))
+        .to_pandas()
+        .sort_values(["doc_id", "row_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out.text) == [
+        "name: ann | age: 34",
+        "name: bo | age: 9",
+        "lonely",  # no header in doc 2 -> value alone
+    ]

@@ -188,3 +188,30 @@ def test_numeric_drift_matches_brute(ray_session):
         b.v.mean() - a.v.mean(), abs=1e-5
     )
     assert out.loc["u", "min_a"] == a.u.min() and out.loc["u", "max_b"] == b.u.max()
+
+
+# --- rolling_distinct_users ---------------------------------------------
+
+
+def test_rolling_distinct_matches_brute(ray_session):
+    import numpy as np
+    from ai_service_ocr_grading_handler_ray.stages.profile import (
+        rolling_distinct_users,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 25 * 86400, n), unit="s"),
+            "user_id": rng.integers(0, 60, n),
+        }
+    )
+    out = rolling_distinct_users(
+        rd.from_pandas(df).repartition(5), window_days=7
+    ).set_index("day")
+    pairs = df.assign(day=df.ts.dt.floor("D"))[["day", "user_id"]].drop_duplicates()
+    for d in pairs.day.unique():
+        w = pairs[(pairs.day <= d) & (pairs.day > d - pd.Timedelta(days=7))]
+        assert out.loc[d, "wau"] == w.user_id.nunique()

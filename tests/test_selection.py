@@ -392,3 +392,23 @@ def test_cume_dist_matches_pandas(ray_session):
     # top value in each group has cume exactly 1.0
     for g, sub in out.groupby("g"):
         assert sub.loc[sub.v.idxmax(), "cume"] == 1.0
+
+
+def test_decile_bins_equi_depth(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.selection import decile_bins
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 10_000, 1000)
+    df = pd.DataFrame({"v": vals})
+    out = decile_bins(rd.from_pandas(df).repartition(4), value_col="v")
+    assert out.n.sum() == 1000
+    # near-equal depth (ties can shift boundaries slightly)
+    assert out.n.max() - out.n.min() <= 10
+    # buckets ordered and non-overlapping
+    assert (out.min_v.to_numpy()[1:] > out.max_v.to_numpy()[:-1]).all()
+    # brute-force bucket for a few values
+    th = np.sort(vals)[[int(np.ceil(j / 10 * len(vals))) - 1 for j in range(1, 10)]]
+    for v in vals[:20]:
+        b = int((th < v).sum())
+        row = out[out.bucket == b]
+        assert row.min_v.iloc[0] <= v <= row.max_v.iloc[0]

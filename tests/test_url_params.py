@@ -73,3 +73,26 @@ def test_no_query_urls_empty(ray_session):
     # schema is the degenerate no-group case, so count, not columns)
     ds = rd.from_arrow(pa.table({"url": ["https://a.com/x", "https://b.com/"]}))
     assert param_cardinality_profile(ds).count() == 0
+
+
+def test_url_templates(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.url_params import url_templates
+
+    urls = (
+        [f"https://a.com/p/{i}/r/{i % 3}" for i in range(30)]
+        + [f"https://a.com/blog/2024/{i}" for i in range(10)]
+        + ["https://a.com/static/page"] * 5
+        + [f"https://a.com/p/{i}/r/9?q={i}#frag" for i in range(4)]
+    )
+    out = url_templates(
+        rd.from_pandas(pd.DataFrame({"url": urls})).repartition(3), k=3
+    )
+    assert list(out.template) == [
+        "https://a.com/p/{n}/r/{n}",   # 30 + 4 (query/fragment stripped)
+        "https://a.com/blog/{n}/{n}",
+        "https://a.com/static/page",
+    ]
+    assert list(out.n) == [34, 10, 5]
