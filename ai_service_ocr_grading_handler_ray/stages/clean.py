@@ -985,16 +985,26 @@ def suppress_small_groups(
     Scale shape: ONE group-cardinality count groupby → the keep-set
     broadcasts via ``ray.put`` (combination-sized) → one shuffle-free
     membership filter scan ("␟"-joined composite keys, the host-template
-    convention)."""
+    convention).  NULL group values RAISE (fail closed — str(None) would
+    silently pool a null group with a literal 'None' string group, and a
+    privacy gate must never widen a group by accident)."""
     import ray
     import ray.data as rd  # noqa: F401
     from ray.data.aggregate import Count
+
+    from .collect import cached_ref
 
     SEP = "␟"
 
     def _key(t: pa.Table):
         import pandas as pd
 
+        for c in group_cols:
+            if t[c].null_count:
+                raise ValueError(
+                    f"NULL in k-anonymity group column {c!r} (fail-closed: "
+                    "fill_null to an explicit sentinel first)"
+                )
         key = pd.Series(t[group_cols[0]].to_pylist(), dtype=object).astype(str)
         for c in group_cols[1:]:
             key = key + SEP + pd.Series(
@@ -1014,7 +1024,7 @@ def suppress_small_groups(
     keep_ref = ray.put(frozenset(keyset))
 
     def gate(t: pa.Table, _ref=keep_ref) -> pa.Table:
-        ks = ray.get(_ref)
+        ks = cached_ref(_ref)
         key = _key(t)
         mask = key.map(lambda s: s in ks).to_numpy(dtype=bool)
         return t.filter(pa.array(mask))

@@ -47,3 +47,23 @@ def collect_table(ds: rd.Dataset) -> pa.Table:
     if live:
         return pa.concat_tables([t.cast(live[0].schema) for t in live]).combine_chunks()
     return tbls[0] if tbls else pa.table({})
+
+
+_REF_CACHE: dict = {}
+
+
+def cached_ref(ref):
+    """Per-worker-process cache of a broadcast object ref: non-numeric
+    payloads (dicts, frozensets, object arrays) are pickle-deserialized
+    by EVERY ``ray.get``, so a bare get per batch rebuilds a large
+    broadcast thousands of times per run.  One entry per object ref —
+    the ref pins the object, the cache pins the deserialized view (the
+    cached-task twin of actor ``__init__`` warm-up)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _REF_CACHE:
+        if len(_REF_CACHE) > 8:  # a worker only ever sees a few refs
+            _REF_CACHE.clear()
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]

@@ -121,7 +121,9 @@ def top_event_paths(
     sort_cols = [key_col, ts_col, *order_cols]
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="mergesort")
+        # null states would TypeError in the string concat below; they
+        # carry no path information — drop them from the timeline
+        g = g[g[state_col].notna()].sort_values(sort_cols, kind="mergesort")
         kk = g[key_col].to_numpy()
         s = g[state_col].to_numpy(dtype=object)
         n = len(g)

@@ -283,16 +283,20 @@ def daily_activity(
 
     def pairs(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t[ts_col].cast(pa.timestamp("us")), unit="day")
+        # count the never-null day column: Arrow "count" skips nulls, so
+        # counting u itself would zero out the null-user group's events
         g = pa.table({"day": day, "u": t[user_col]}).group_by(
             ["day", "u"]
-        ).aggregate([("u", "count")])
+        ).aggregate([("day", "count")])
         return add_key_partition(
             g.rename_columns(["day", "u", "n"]), "u", num_parts=64
         )
 
     def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        per_user = df.groupby(["day", "u"], sort=False)["n"].sum().reset_index()
-        r = per_user.groupby("day", sort=False).agg(
+        # dropna=False: a null user is still an event (and ONE distinct
+        # user), matching the Arrow groupby this refit replaced
+        per_user = df.groupby(["day", "u"], sort=False, dropna=False)["n"].sum().reset_index()
+        r = per_user.groupby("day", sort=False, dropna=False).agg(
             n_events=("n", "sum"), n_users=("n", "size")
         ).reset_index()
         r["n_events"] = r["n_events"].astype("int64")
@@ -384,16 +388,25 @@ def numeric_drift(
     out = pd.DataFrame({"col": sorted(columns)})
     for side, f in (("a", a), ("b", b)):
         f = f.reindex(out["col"])
-        out[f"n_{side}"] = f["n"].to_numpy(np.int64)
-        out[f"null_frac_{side}"] = round_half_away(
-            f["nulls"].to_numpy(np.float64) / f["n"].to_numpy(np.float64), 6
-        )
-        out[f"mean_{side}"] = round_half_away(
-            f["s"].to_numpy(np.float64)
-            / (f["n"] - f["nulls"]).to_numpy(np.float64), 6
-        )
-        out[f"min_{side}"] = f["mn"].to_numpy(np.float64)
-        out[f"max_{side}"] = f["mx"].to_numpy(np.float64)
+        n = f["n"].fillna(0).to_numpy(np.float64)
+        nulls = f["nulls"].fillna(0).to_numpy(np.float64)
+        out[f"n_{side}"] = n.astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[f"null_frac_{side}"] = round_half_away(
+                np.where(n > 0, nulls / np.where(n > 0, n, 1.0), np.nan), 6
+            )
+            nv = n - nulls
+            out[f"mean_{side}"] = round_half_away(
+                np.where(nv > 0,
+                         f["s"].to_numpy(np.float64) / np.where(nv > 0, nv, 1.0),
+                         np.nan), 6
+            )
+        # empty/all-null sides report NULL bounds like the SQL min()/max(),
+        # never the +/-inf fold sentinels
+        mn = f["mn"].to_numpy(np.float64)
+        mx = f["mx"].to_numpy(np.float64)
+        out[f"min_{side}"] = np.where(np.isfinite(mn), mn, np.nan)
+        out[f"max_{side}"] = np.where(np.isfinite(mx), mx, np.nan)
     out["mean_shift"] = round_half_away(
         out["mean_b"].to_numpy() - out["mean_a"].to_numpy(), 6
     )
@@ -428,6 +441,9 @@ def rolling_distinct_users(
     from .dedup import add_key_partition
 
     def pairs(t: pa.Table) -> pa.Table:
+        # null users are excluded, matching SQL count(DISTINCT user_id)
+        # (NaN keys would also never match themselves in the Counter)
+        t = t.filter(pc.is_valid(t[user_col]))
         day = pc.floor_temporal(t[ts_col].cast(pa.timestamp("us")), unit="day")
         g = pa.table({"day": day, "u": t[user_col]}).group_by(
             ["day", "u"]

@@ -694,12 +694,15 @@ def cume_dist_by_group(
     then a shuffle-free searchsorted scan.  Distinct values per group
     must be bounded — quantize continuous scores first, the q169 rule.
     ``cume`` is an exact integer ratio (one double division), rounded
-    to 6 like the SQL replay."""
-    from .collect import collect_table
+    to 6 like the SQL replay.  Rows with a null group or null value are
+    EXCLUDED from both the tables and the output (SQL ``cume_dist``
+    counts nulls in the partition total — ``fill_null`` first for that
+    semantics)."""
+    from .collect import cached_ref, collect_table
     from .dedup import add_key_partition
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.select([group_col, value_col]).group_by(
+        g = t.select([group_col, value_col]).drop_null().group_by(
             [group_col, value_col]
         ).aggregate([(value_col, "count")])
         return add_key_partition(
@@ -731,7 +734,12 @@ def cume_dist_by_group(
     cols = [*keep_cols, group_col, value_col]
 
     def scan(t: pa.Table, _ref=tab_ref) -> pa.Table:
-        tabs = ray.get(_ref)
+        tabs = cached_ref(_ref)
+        # null group/value rows are excluded (docstring) — other columns
+        # may hold nulls freely
+        t = t.filter(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        )
         g = pd.Series(t[group_col].to_pylist())
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         cume = np.empty(len(v), dtype=np.float64)
@@ -764,12 +772,7 @@ def decile_bins(
     Scale shape: the quantile refinement scans (histogram-refinement,
     bins-sized driver state) + ONE shuffle-free bucket-count scan with
     per-batch partials → a |bins|-sized groupby."""
-    from fractions import Fraction
-
-    import ray
-
     from .collect import collect_table
-    from ray.data.aggregate import Max, Min, Sum
 
     const = "_all"
 

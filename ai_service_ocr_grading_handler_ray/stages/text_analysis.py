@@ -1362,24 +1362,7 @@ def novelty_scores(
     return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
 
-_REF_CACHE: dict = {}
-
-
-def _cached_ref(ref):
-    """Per-worker-process cache of a broadcast object: object-dtype
-    numpy arrays are NOT zero-copy, so a bare ``ray.get`` per batch
-    re-deserializes millions of Python strings ~500× at 2M docs /
-    batch_size 4096 (review finding).  One entry per object ref — the
-    ref pins the object, the cache pins the deserialized view (the
-    cached-task twin of the extractor actors' ``__init__`` warm-up)."""
-    import ray
-
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _REF_CACHE:
-        if len(_REF_CACHE) > 8:  # a worker only ever sees a few refs
-            _REF_CACHE.clear()
-        _REF_CACHE[key] = ray.get(ref)
-    return _REF_CACHE[key]
+from .collect import cached_ref as _cached_ref  # shared per-worker cache
 
 
 def _ref_gram_partial(

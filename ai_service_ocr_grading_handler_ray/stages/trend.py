@@ -403,8 +403,11 @@ def daily_burst(
             s2 = float((hist * hist).sum())
             mu = s1 / n
             sd = math.sqrt(max((s2 - n * mu * mu) / (n - 1), 0.0))
-            z = (t[i] - mu) / sd if sd > 0 else float("nan")
-            rows.append((key, days[i], t[i], mu, sd, z))
+            if sd == 0.0:
+                # constant history: z undefined — excluded on BOTH sides
+                # (the SQL generator filters sd > 0 identically)
+                continue
+            rows.append((key, days[i], t[i], mu, sd, (t[i] - mu) / sd))
     out = pd.DataFrame(
         rows, columns=[key_col, "day", "total", "trail_mean", "trail_sd",
                        "zscore"]
@@ -447,5 +450,7 @@ def daily_burst_sql(
                round((t - s1 / n)
                      / sqrt(greatest((s2 - n * (s1/n) * (s1/n)) / (n - 1),
                                      0.0)), 6) AS zscore
-        FROM w WHERE n >= {min_hist}
+        FROM w
+        WHERE n >= {min_hist}
+          AND sqrt(greatest((s2 - n * (s1/n) * (s1/n)) / (n - 1), 0.0)) > 0
     """

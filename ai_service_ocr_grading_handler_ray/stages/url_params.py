@@ -169,5 +169,10 @@ def url_templates(
         .aggregate(Sum("n", alias_name="n"))
     )
     out = global_top_k(counts, k=k, by=["n", "template"], descending=[True, False])
+    if out.empty:  # zero-row input arrives as schema-less empty blocks
+        return pd.DataFrame(
+            {"template": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64")}
+        )
     out["n"] = out["n"].astype(np.int64)
     return out[["template", "n"]]

@@ -311,3 +311,16 @@ class TestKAnonymity:
             rd.from_pandas(df), group_cols=["x", "y"], k=2
         ).to_pandas()
         assert len(out) == 2 and set(out.x) == {"a"}
+
+
+def test_k_anonymity_null_group_raises():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from ai_service_ocr_grading_handler_ray.stages.clean import (
+        suppress_small_groups,
+    )
+
+    df = pd.DataFrame({"a": ["x", None], "b": ["1", "1"]})
+    with pytest.raises(Exception, match="NULL in k-anonymity"):
+        suppress_small_groups(rd.from_pandas(df), group_cols=["a", "b"], k=1).to_pandas()

@@ -215,3 +215,45 @@ def test_rolling_distinct_matches_brute(ray_session):
     for d in pairs.day.unique():
         w = pairs[(pairs.day <= d) & (pairs.day > d - pd.Timedelta(days=7))]
         assert out.loc[d, "wau"] == w.user_id.nunique()
+
+
+def test_daily_activity_counts_null_users(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.profile import daily_activity
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "user_id": pd.array([1, None, None], dtype="Int64"),
+        }
+    )
+    out = daily_activity(rd.from_pandas(df))
+    # null user is still an event and one distinct user
+    assert int(out.n_events.iloc[0]) == 3 and int(out.n_users.iloc[0]) == 2
+
+
+def test_rolling_distinct_excludes_null_users(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.profile import (
+        rolling_distinct_users,
+    )
+
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "user_id": pd.array([7, None, None], dtype="Int64"),
+        }
+    )
+    out = rolling_distinct_users(rd.from_pandas(df))
+    assert int(out.wau.iloc[0]) == 1  # SQL count(DISTINCT) semantics
+
+
+def test_numeric_drift_empty_side_reports_null(ray_session):
+    import numpy as np
+    from ai_service_ocr_grading_handler_ray.stages.profile import numeric_drift
+
+    a = pd.DataFrame({"v": [1.0, 2.0]})
+    b = pd.DataFrame({"v": pd.array([None, None], dtype="Float64")})
+    out = numeric_drift(rd.from_pandas(a), rd.from_pandas(b), ["v"])
+    r = out.iloc[0]
+    assert r.n_b == 2 and r.null_frac_b == 1.0
+    assert np.isnan(r.mean_b) and np.isnan(r.min_b) and np.isnan(r.max_b)
+    assert np.isnan(r.mean_shift)

@@ -265,3 +265,25 @@ def test_daily_burst_flags_planted_spike(ray_session):
     out = daily_burst(rd.from_pandas(df), window=7, min_hist=3)
     spike = out[out.day == days[8]]
     assert spike.zscore.iloc[0] > 10
+
+
+def test_daily_burst_constant_history_excluded(ray_session):
+    # review finding: sd == 0 rows must be absent on BOTH sides (the SQL
+    # filter is sd > 0; the engine skips), not NaN-vs-inf divergent
+    import duckdb
+    from ai_service_ocr_grading_handler_ray.stages.trend import (
+        daily_burst,
+        daily_burst_sql,
+    )
+
+    days = pd.date_range("2024-03-01", periods=8, freq="D")
+    df = pd.DataFrame({"event_type": "e", "ts": days, "value": [5.0] * 8})
+    out = daily_burst(rd.from_pandas(df), window=7, min_hist=3)
+    assert len(out) == 0
+    con = duckdb.connect()
+    con.register("events", df.rename(columns={}))
+    ref = con.sql(
+        daily_burst_sql(table="events", key_col="event_type",
+                        ts_col="ts", value_col="value")
+    ).df()
+    assert len(ref) == 0
