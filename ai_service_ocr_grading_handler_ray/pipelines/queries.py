@@ -5199,9 +5199,13 @@ QUERIES = {
     #     round (double-green r3, unchanged code): q92/q93/q94/q102/
     #     q67/q79/q99/q100 — their oracles still run at both sfs in
     #     tests/test_oracle_parity.py every session.
-    # session 8 additions lead the window: CUBE, classifier eval (AUC),
-    # source Gini, degree distribution, C4 line rules, n-gram novelty,
-    # encoding repair, RRF hybrid retrieval.
+    # session 8 additions lead the window (newest first): the q192
+    # quality-report capstone + decile bins / rolling distinct / URL
+    # templates / table linearization, then the analytics batch
+    # (cume-dist, k-anonymity, personalized PageRank, top paths, drift,
+    # bursts), then q168-q185 (CUBE, AUC eval, Gini, degrees, C4 lines,
+    # novelty, encoding repair, RRF, head meta, scheduler, EWMA,
+    # entropy, nucleus, tables, LPT, readability, churn, daily monitor).
     "q193_decile_bins": q193_decile_bins,
     "q194_rolling_distinct": q194_rolling_distinct,
     "q195_url_templates": q195_url_templates,
