@@ -2549,6 +2549,97 @@ def q196_table_linearize(sf_dir: str) -> rd.Dataset:
     return linearize_tables(cells)
 
 
+def _q197_pages(sf_dir: str) -> rd.Dataset:
+    """Shared q197/q198 fixture: 29-host page table where every 5th doc
+    serves one of 37 mirrored contents (cross-host copies) and the rest
+    keep their unique text; content_hash = md5 (the q133 convention —
+    DuckDB md5 == hashlib)."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        hosts, hs = [], []
+        for dv, txt in zip(d, texts):
+            body = f"mirror {dv % 37}" if dv % 5 == 0 else txt
+            hosts.append(f"h{(dv * 48271) % 29:02d}.example.org")
+            hs.append(_hl.md5(body.encode()).hexdigest())
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "content_hash": pa.array(hs, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def q197_host_dup_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-host duplication profile (stages/mirrors.host_dup_profile):
+    fraction of each host's pages whose content occurs ≥2 times
+    anywhere — the host-level view of what document dedup (q16/q32)
+    removes; a 95%-mirrored host is a copy, not a source.  Scale shape:
+    ONE content-hash coarse shuffle (copies co-locate → partition-local
+    occurrence counts are global), |hosts| driver fold.  Oracle:
+    hash-count join + host rollup."""
+    from ..stages.mirrors import host_dup_profile
+
+    return host_dup_profile(_q197_pages(sf_dir))
+
+
+def q198_mirror_pairs(sf_dir: str) -> pd.DataFrame:
+    """Mirror host-pair detection (stages/mirrors.mirror_host_pairs):
+    top-20 unordered host pairs by DISTINCT shared contents — scraper
+    farms and parked-domain templates surface as near-clique pair
+    groups.  Scale shape: the q197 shuffle, per-partition C(h,2) pair
+    expansion with a loud hosts-per-hash cap, pair-vocab groupby +
+    per-block top-k.  Oracle: distinct (hash, host) self-join a<b +
+    count + (n DESC, a, b) order."""
+    from ..stages.mirrors import mirror_host_pairs
+
+    return mirror_host_pairs(_q197_pages(sf_dir), k=20)
+
+
+def q199_sitemap_coverage(sf_dir: str) -> pd.DataFrame:
+    """Sitemap-vs-crawl coverage gap (stages/sitemaps.sitemap_coverage):
+    per host, the fraction of sitemap-declared urls the crawl fetched
+    (every 13th page missed — the q133 convention) — the crawl-ops
+    completeness metric closing the loop between sitemap ingestion
+    (q136), the frontier (q146) and the fetch log.  Scale shape: ONE
+    url-hash coarse shuffle over both sides, partition-local
+    membership, |hosts| driver fold.  Oracle: distinct LEFT JOIN +
+    host rollup."""
+    from ..stages.sitemaps import sitemap_coverage
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def side(crawled: bool):
+        def f(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if crawled:
+                d = d[d % 13 != 0]
+            host = [f"h{(dv * 48271) % 29:02d}.example.org" for dv in d]
+            url = [
+                f"https://h{(dv * 48271) % 29:02d}.example.org/p/{dv}"
+                for dv in d
+            ]
+            return pa.table(
+                {
+                    "host": pa.array(host, type=pa.string()),
+                    "url": pa.array(url, type=pa.string()),
+                }
+            )
+
+        return f
+
+    return sitemap_coverage(
+        ds.map_batches(side(False), batch_format="pyarrow"),
+        ds.map_batches(side(True), batch_format="pyarrow"),
+    )
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -5206,6 +5297,9 @@ QUERIES = {
     # bursts), then q168-q185 (CUBE, AUC eval, Gini, degrees, C4 lines,
     # novelty, encoding repair, RRF, head meta, scheduler, EWMA,
     # entropy, nucleus, tables, LPT, readability, churn, daily monitor).
+    "q197_host_dup_profile": q197_host_dup_profile,
+    "q198_mirror_pairs": q198_mirror_pairs,
+    "q199_sitemap_coverage": q199_sitemap_coverage,
     "q193_decile_bins": q193_decile_bins,
     "q194_rolling_distinct": q194_rolling_distinct,
     "q195_url_templates": q195_url_templates,
@@ -5591,6 +5685,58 @@ from ..stages.graph import personalized_pagerank_sql as _ppr_sql
 from ..stages.trend import daily_burst_sql as _burst_sql
 
 ORACLE_SQL = {
+    "q197_host_dup_profile": """
+        WITH p AS (
+          SELECT printf('h%02d.example.org', (doc_id*48271)%29) AS host,
+                 md5(CASE WHEN doc_id%5=0 THEN printf('mirror %d', doc_id%37)
+                          ELSE text END) AS h
+          FROM documents
+        ),
+        c AS (SELECT h, count(*) AS n FROM p GROUP BY h)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup,
+               round(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        FROM p JOIN c USING (h) GROUP BY host
+    """,
+    "q198_mirror_pairs": """
+        WITH p AS (
+          SELECT printf('h%02d.example.org', (doc_id*48271)%29) AS host,
+                 md5(CASE WHEN doc_id%5=0 THEN printf('mirror %d', doc_id%37)
+                          ELSE text END) AS h
+          FROM documents
+        ),
+        d AS (SELECT DISTINCT h, host FROM p),
+        pr AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM d a JOIN d b ON a.h = b.h AND a.host < b.host
+          GROUP BY a.host, b.host
+        )
+        SELECT host_a, host_b, n FROM pr
+        ORDER BY n DESC, host_a, host_b LIMIT 20
+    """,
+    "q199_sitemap_coverage": """
+        WITH e AS (
+          SELECT DISTINCT
+                 printf('h%02d.example.org', (doc_id*48271)%29) AS host,
+                 printf('https://h%02d.example.org/p/%d',
+                        (doc_id*48271)%29, doc_id) AS url
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT printf('https://h%02d.example.org/p/%d',
+                                 (doc_id*48271)%29, doc_id) AS url
+          FROM documents WHERE doc_id % 13 <> 0
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_expected,
+               CAST(sum(CASE WHEN g.url IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_covered,
+               round(sum(CASE WHEN g.url IS NULL THEN 0 ELSE 1 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS coverage
+        FROM e LEFT JOIN g USING (url) GROUP BY host
+    """,
     "q193_decile_bins": """
         WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS val FROM documents),
         r AS (

@@ -126,3 +126,85 @@ def sitemap_host_freshness(
             lambda g: final(g.drop(columns=["_part"])), batch_format="pandas"
         )
     )
+
+def sitemap_coverage(
+    expected: rd.Dataset,
+    crawled: rd.Dataset,
+    *,
+    host_col: str = "host",
+    url_col: str = "url",
+    num_parts: int = 64,
+) -> "pd.DataFrame":
+    """Per-host sitemap-vs-crawl coverage gap: of the urls a host's
+    sitemaps declare, what fraction did the crawl actually fetch —
+    the crawl-ops completeness metric that closes the loop between
+    sitemap ingestion (q136), the frontier (q146) and the fetch log.
+    Output: (host, n_expected, n_covered, coverage).
+
+    Scale shape: ONE url-hash coarse-partition shuffle over both sides
+    (an expected url and its fetch co-locate, so membership is
+    partition-local), per-partition vectorized isin, |hosts|-sized
+    driver fold.  Expected urls are deduped; crawled side is a
+    membership set only."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .collect import collect_table
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    def tag(side: int, with_host: bool):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {
+                url_col: t[url_col],
+                "_h": t[host_col] if with_host else pa.nulls(
+                    t.num_rows, pa.string()
+                ),
+                "_side": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int8)
+                ),
+            }
+            return add_key_partition(pa.table(cols), url_col,
+                                     num_parts=num_parts)
+
+        return f
+
+    both = expected.map_batches(
+        tag(0, True), batch_format="pyarrow"
+    ).union(crawled.map_batches(tag(1, False), batch_format="pyarrow"))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        exp = df[df["_side"] == 0].drop_duplicates([url_col])
+        got = set(df.loc[df["_side"] == 1, url_col].to_numpy())
+        if exp.empty:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype=object),
+                 "n_expected": pd.Series([], dtype="int64"),
+                 "n_covered": pd.Series([], dtype="int64")}
+            )
+        cov = exp[url_col].map(lambda u: u in got).astype("int64")
+        r = exp.assign(_c=cov).groupby("_h", sort=False).agg(
+            n_expected=(url_col, "size"), n_covered=("_c", "sum")
+        ).reset_index().rename(columns={"_h": "host"})
+        r["n_expected"] = r["n_expected"].astype("int64")
+        r["n_covered"] = r["n_covered"].astype("int64")
+        return r
+
+    out = (
+        collect_table(
+            both.groupby("_part").map_groups(per_part, batch_format="pandas")
+        )
+        .to_pandas()
+        .groupby("host", as_index=False)[["n_expected", "n_covered"]]
+        .sum()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    out["n_expected"] = out["n_expected"].astype(np.int64)
+    out["n_covered"] = out["n_covered"].astype(np.int64)
+    out["coverage"] = round_half_away(
+        out["n_covered"].to_numpy(np.float64)
+        / out["n_expected"].to_numpy(np.float64), 6
+    )
+    return out

@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "q194_rolling_distinct",
     "q195_url_templates",
     "q196_table_linearize",
+    "q197_host_dup_profile",
+    "q198_mirror_pairs",
+    "q199_sitemap_coverage",
 ]
 
 
