@@ -2640,6 +2640,77 @@ def q199_sitemap_coverage(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q200_jpeg_decode(sf_dir: str) -> rd.Dataset:
+    """REAL JPEG decode through the media actor pool
+    (stages/jpeg.py + multimodal.ImageDecodeActor): every doc renders a
+    deterministic gradient image and encodes it as baseline JPEG —
+    4:4:4, 4:2:0 and grayscale layouts by doc_id, every 9th payload
+    truncated (→ decode_status 'error') — then the actor pool decodes
+    natively (no Pillow/libjpeg; full Huffman + IDCT + chroma
+    upsample).  Closes the compressed-image seam of the multimodal
+    battery (PNG/WAV/Y4M were already native).  Rows-only (a codec is
+    not SQL-expressible); roundtrip fidelity, both layouts, scope
+    errors and this integration are pinned by tests/test_jpeg.py."""
+    from ..stages.jpeg import encode_jpeg
+    from ..stages.multimodal import ImageDecodeActor
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            w = 16 + int(i % 3) * 8
+            h = 16 + int(i % 5) * 4
+            x = np.linspace(0, 255, w)
+            y = np.linspace(0, 255, h)
+            g = ((np.add.outer(y, x) / 2) + (i % 29)).astype(np.uint8)
+            if i % 4 == 0:
+                data = encode_jpeg(g, quality=80)
+            elif i % 4 == 1:
+                rgb = np.stack([g, g[::-1], np.full_like(g, i % 251)], axis=-1)
+                data = encode_jpeg(rgb, quality=85, subsample="420")
+            else:
+                rgb = np.stack([g, g[::-1], np.full_like(g, i % 251)], axis=-1)
+                data = encode_jpeg(rgb, quality=75)
+            if i % 9 == 0:
+                data = data[: len(data) // 3]  # truncated fetch
+            payloads.append(data)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    decoded = ds.map_batches(render, batch_format="pyarrow", batch_size=256).map_batches(
+        # concurrency leaves CPUs free for the read/finish task operators
+        # (an actor pool bound == total CPUs stalls the pipeline — the
+        # documented 4-CPU-driver gotcha)
+        ImageDecodeActor, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        meta = t["image_meta"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array(
+                    [m["width"] for m in meta.to_pylist()], type=pa.int64()
+                ),
+                "height": pa.array(
+                    [m["height"] for m in meta.to_pylist()], type=pa.int64()
+                ),
+                "format": pa.array(
+                    [m["format"] for m in meta.to_pylist()], type=pa.string()
+                ),
+                "decode_status": t["decode_status"],
+            }
+        )
+
+    return decoded.map_batches(finish, batch_format="pyarrow")
+
+
 def q119_bpe_tokenize(sf_dir: str) -> rd.Dataset:
     """Distributed BPE tokenizer train + encode (Sennrich 2016): one
     word-count shuffle reduces the corpus to a capped vocab-sized
@@ -5297,6 +5368,7 @@ QUERIES = {
     # bursts), then q168-q185 (CUBE, AUC eval, Gini, degrees, C4 lines,
     # novelty, encoding repair, RRF, head meta, scheduler, EWMA,
     # entropy, nucleus, tables, LPT, readability, churn, daily monitor).
+    "q200_jpeg_decode": q200_jpeg_decode,
     "q197_host_dup_profile": q197_host_dup_profile,
     "q198_mirror_pairs": q198_mirror_pairs,
     "q199_sitemap_coverage": q199_sitemap_coverage,

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q197_host_dup_profile",
     "q198_mirror_pairs",
     "q199_sitemap_coverage",
+    "q200_jpeg_decode",
 ]
 
 
