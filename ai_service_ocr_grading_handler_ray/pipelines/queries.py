@@ -5336,6 +5336,188 @@ def q108_within_doc_segment_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_Q205_SPLIT_US = 1_705_363_200_000_000  # epoch us of 2024-01-16 00:00:00 UTC
+
+
+def q201_spearman_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Spearman rank correlation of value vs time
+    (stages/trend.grouped_spearman) — the monotone drift detector that
+    is robust to the outliers the OLS trend (q157) is not.  Ranks use
+    the average-tie convention, centered so every moment term is a
+    multiple of 0.25 (fold-order drift ~n·ulp, absorbed by round-6);
+    all-tied axes excluded on both sides (exact-zero test).  Scale
+    shape: ONE coarse group-hash partition shuffle, vectorized
+    per-group ranks inside, group-count driver fold.  Oracle: GENERATED
+    by spearman_sql (rank() + (ties-1)/2 replay, identical centering
+    and division)."""
+    from ..stages.trend import grouped_spearman
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        x = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"event_type": t["event_type"], "x": x, "y": t["value"]}
+        )
+
+    return grouped_spearman(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="event_type", x_col="x", y_col="y",
+    )
+
+
+def q202_user_modal_event(sf_dir: str) -> rd.Dataset:
+    """Most frequent event type per user (stages/profile.grouped_mode)
+    — the modal-label rollup whose ranking key is a per-(group, value)
+    COUNT, which the row-value top-k family (q29) can't express.
+    Deterministic ties: highest count, then smallest type.  Scale
+    shape: per-batch Arrow count partials → ONE coarse user-hash
+    partition shuffle (the q186 many-tiny-groups lesson) → one row per
+    user streams from map_groups.  Oracle: GENERATED by
+    grouped_mode_sql (row_number over (count DESC, value ASC))."""
+    from ..stages.profile import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        group_col="user_id", value_col="event_type",
+    )
+
+
+def q203_json_ld(sf_dir: str) -> rd.Dataset:
+    """JSON-LD structured-data extraction
+    (stages/html_meta.extract_json_ld): first-valid-block @type/name
+    plus parseable-block count from synthesized pages covering both
+    quote styles, a BROKEN first block (trailing comma — consumers
+    skip, not fail), multiple valid blocks, a top-level array (out of
+    scope, skipped), a javascript decoy with braces, and pages with no
+    JSON-LD at all.  The schema.org metadata feeds entity-aware dedup
+    and retrieval the plain-text extractors can't see.  Scale shape:
+    ONE shuffle-free scan, html never outlives the task.  Oracle: emits
+    the PLANTED truth via CASE — any parse miss on any variant
+    diverges."""
+    from ..stages.html_meta import extract_json_ld
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for dv in d:
+            parts = ["<html><head>",
+                     '<script type="text/javascript">var x = {a: 1};</script>']
+            m = dv % 5
+            if m == 0:
+                parts.append(
+                    '<script type="application/ld+json">'
+                    f'{{"@type": "Article", "name": "Item {dv % 23}"}}'
+                    "</script>"
+                )
+            elif m == 1:
+                # broken first block (trailing comma), valid second
+                parts.append(
+                    '<script type="application/ld+json">'
+                    f'{{"@type": "Product", "name": "Item {dv % 23}",}}'
+                    "</script>"
+                )
+                parts.append(
+                    "<script type='application/ld+json'>"
+                    f'{{"@type": "Product", "name": "Item {dv % 23}"}}'
+                    "</script>"
+                )
+            elif m == 2:
+                # two valid blocks: first wins; second still counted
+                parts.append(
+                    '<script type="application/ld+json">'
+                    f'{{"@type": "NewsArticle", "name": "Item {dv % 23}"}}'
+                    "</script>"
+                )
+                parts.append(
+                    '<script type="application/ld+json">'
+                    '{"@type": "WebSite", "name": "decoy"}'
+                    "</script>"
+                )
+            elif m == 3:
+                # top-level array: documented out of scope — not counted
+                parts.append(
+                    '<script type="application/ld+json">'
+                    '[{"@type": "Article", "name": "in-array"}]'
+                    "</script>"
+                )
+            parts.append("</head><body><p>filler</p></body></html>")
+            payloads.append("\n".join(parts).encode("utf-8"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(payloads, type=pa.binary())}
+        )
+
+    return extract_json_ld(
+        ds.map_batches(mk, batch_format="pyarrow"), keep_cols=["doc_id"]
+    )
+
+
+def q204_containment_join(sf_dir: str) -> rd.Dataset:
+    """Asymmetric shingle-containment self-join
+    (stages/simjoin.containment_join): ordered pairs (a contained in b)
+    with |S(a)∩S(b)| >= 0.8·|S(a)| over documents plus derived QUOTE
+    docs (the first ceil(3n/5) words of every 11th document, id + 10^6)
+    — the excerpt/truncated-mirror detector Jaccard (q155) misses
+    because a short quote inside a long page has J ≈ 0.  Integer
+    threshold arithmetic; prefix filter on the probe side, full
+    postings on the indexed side, verify cogroup on b.  Scale shape:
+    one profile scan, one vocab shuffle → broadcast, one candidate
+    shuffle, one pair dedup, one verify cogroup — all bounded, caps
+    loud.  Oracle: GENERATED by containment_join_sql over the SAME
+    union (the quote derivation is replayed with list_slice — exact
+    word semantics both sides)."""
+    from ..stages.simjoin import containment_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for dv, tx in zip(ids, texts):
+            out_id.append(int(dv))
+            out_tx.append(tx)
+            if dv % 11 == 0:
+                words = (tx or "").split()
+                n = len(words)
+                if n >= 5:
+                    k = (3 * n + 4) // 5  # ceil(3n/5)
+                    out_id.append(int(dv) + 1_000_000)
+                    out_tx.append(" ".join(words[:k]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "text": pa.array(out_tx, type=pa.string()),
+            }
+        )
+
+    return containment_join(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        id_col="doc_id", text_col="text", threshold=(4, 5), ngram=3,
+    )
+
+
+def q205_welch_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Welch two-sample test between the early and late
+    halves of the stream (stages/trend.welch_drift, split at
+    2024-01-16) — the significance layer on top of the mean-delta
+    drift report (q190): a mean shift on 3 events is noise, the same
+    shift on 30k is a regression.  Explicit textbook variance / t / df
+    expressions on both sides (not engine-internal var_samp).  Scale
+    shape: TPC-H-Q1 moment partials per (key, side), ONE tiny groupby,
+    key-count driver fold.  Oracle: GENERATED by welch_drift_sql."""
+    from ..stages.trend import welch_drift
+
+    return welch_drift(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        key_col="event_type", ts_col="ts", value_col="value",
+        split_us=_Q205_SPLIT_US,
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -5368,6 +5550,14 @@ QUERIES = {
     # bursts), then q168-q185 (CUBE, AUC eval, Gini, degrees, C4 lines,
     # novelty, encoding repair, RRF, head meta, scheduler, EWMA,
     # entropy, nucleus, tables, LPT, readability, churn, daily monitor).
+    # session 9 additions lead the window: rank/two-sample statistics
+    # (Spearman drift, Welch test), modal-label rollup, JSON-LD
+    # extraction, asymmetric containment join.
+    "q201_spearman_drift": q201_spearman_drift,
+    "q202_user_modal_event": q202_user_modal_event,
+    "q203_json_ld": q203_json_ld,
+    "q204_containment_join": q204_containment_join,
+    "q205_welch_drift": q205_welch_drift,
     "q200_jpeg_decode": q200_jpeg_decode,
     "q197_host_dup_profile": q197_host_dup_profile,
     "q198_mirror_pairs": q198_mirror_pairs,
@@ -5755,8 +5945,54 @@ from ..stages.sampling import nucleus_sources_sql as _nucleus_sql
 from ..stages.text_analysis import readability_sql as _readability_sql
 from ..stages.graph import personalized_pagerank_sql as _ppr_sql
 from ..stages.trend import daily_burst_sql as _burst_sql
+from ..stages.trend import spearman_sql as _spearman_sql
+from ..stages.trend import welch_drift_sql as _welch_sql
+from ..stages.profile import grouped_mode_sql as _mode_sql
+from ..stages.simjoin import containment_join_sql as _containment_sql
 
 ORACLE_SQL = {
+    "q201_spearman_drift": _spearman_sql(
+        table="events", group_col="event_type",
+        x_expr="epoch_us(ts)", y_expr="value",
+        where="value IS NOT NULL",
+    ),
+    "q202_user_modal_event": _mode_sql(
+        table="events", group_col="user_id", value_col="event_type"
+    ),
+    "q203_json_ld": """
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 'Article'
+                               WHEN 1 THEN 'Product'
+                               WHEN 2 THEN 'NewsArticle'
+                               ELSE '' END AS ld_type,
+               CASE WHEN doc_id % 5 <= 2
+                    THEN printf('Item %d', doc_id % 23)
+                    ELSE '' END AS ld_name,
+               CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 1
+                                    WHEN 2 THEN 2 ELSE 0 END
+                    AS BIGINT) AS n_ld_blocks
+        FROM documents
+    """,
+    "q204_containment_join": _containment_sql(
+        table="""(
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string(
+                   list_slice(wl, 1, (3 * len(wl) + 4) // 5), ' ') AS text
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS wl
+            FROM documents WHERE doc_id % 11 = 0
+          ) WHERE len(wl) >= 5
+        ) u""",
+        threshold=(4, 5), ngram=3,
+    ),
+    "q205_welch_drift": _welch_sql(
+        table="events", key_col="event_type", ts_col="ts",
+        value_col="value", split_expr="TIMESTAMP '2024-01-16'",
+    ),
     "q197_host_dup_profile": """
         WITH p AS (
           SELECT printf('h%02d.example.org', (doc_id*48271)%29) AS host,

@@ -105,3 +105,85 @@ def extract_head_meta(
         return out.append_column("has_canonical", has)
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --- JSON-LD structured data -------------------------------------------------
+# Both attribute orders and quote styles; body is non-greedy up to the
+# first </script> (a JSON-LD payload cannot contain that literal —
+# "</script" inside a JSON string would terminate the element in real
+# browsers too, so the non-greedy stop matches producer behavior).
+_JSONLD_RE = re.compile(
+    r"(?is)<script[^>]+type=[\"']?application/ld\+json[\"']?[^>]*>(.*?)</script>"
+)
+
+
+def add_json_ld(
+    batch: pa.Table,
+    *,
+    html_col: str = "html",
+    type_key: str = "@type",
+    name_key: str = "name",
+) -> pa.Table:
+    """Append (ld_type, ld_name, n_ld_blocks) from the page's JSON-LD
+    script blocks: the FIRST block that parses to a JSON object wins
+    (matching consumer behavior — search engines read the first valid
+    block); malformed blocks are skipped, not fatal.  Scope: top-level
+    objects only (no @graph unwrapping, no top-level arrays) —
+    documented, and the planted-truth oracle exercises exactly this
+    scope.  '' sentinels when absent (the SQL-friendly convention)."""
+    import json
+
+    col = batch[html_col]
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        texts = [(b or b"").decode("utf-8", errors="replace") for b in col.to_pylist()]
+    else:
+        texts = [(t or "") for t in col.to_pylist()]
+    types: list[str] = []
+    names: list[str] = []
+    counts: list[int] = []
+    for txt in texts:
+        blocks = _JSONLD_RE.findall(txt)
+        n_ok = 0
+        first_type = ""
+        first_name = ""
+        for raw in blocks:
+            try:
+                obj = json.loads(raw)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            n_ok += 1
+            if n_ok == 1:
+                tv = obj.get(type_key, "")
+                nv = obj.get(name_key, "")
+                first_type = tv if isinstance(tv, str) else ""
+                first_name = nv if isinstance(nv, str) else ""
+        types.append(first_type)
+        names.append(first_name)
+        counts.append(n_ok)
+    return (
+        batch.append_column("ld_type", pa.array(types, type=pa.string()))
+        .append_column("ld_name", pa.array(names, type=pa.string()))
+        .append_column("n_ld_blocks", pa.array(counts, type=pa.int64()))
+    )
+
+
+def extract_json_ld(
+    ds,
+    *,
+    html_col: str = "html",
+    keep_cols: "list[str] | None" = None,
+):
+    """Dataset wrapper: ONE shuffle-free scan producing ``keep_cols`` +
+    (ld_type, ld_name, n_ld_blocks); the html column never outlives
+    its task."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        out = add_json_ld(t, html_col=html_col)
+        cols = keep_cols if keep_cols is not None else [
+            c for c in t.column_names if c != html_col
+        ]
+        return out.select(cols + ["ld_type", "ld_name", "n_ld_blocks"])
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -485,3 +485,80 @@ def rolling_distinct_users(
     out = pd.DataFrame(rows, columns=["day", "wau"])
     out["wau"] = out["wau"].astype(np.int64)
     return out
+
+
+def grouped_mode(
+    ds: rd.Dataset,
+    *,
+    group_col: str = "user_id",
+    value_col: str = "event_type",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Most frequent value per group (deterministic ties: highest count,
+    then SMALLEST value) — the modal-label rollup (a user's dominant
+    event type, a host's dominant language) the top-k family (q29)
+    doesn't express because the ranking key is a per-(group, value)
+    COUNT, not a row value.
+
+    Scale shape: per-batch (group, value) Arrow count partials (the
+    map-side combiner) → ONE coarse group-hash partition shuffle (a
+    group's candidate values co-locate, so the per-partition sum and
+    argmax are globally exact; the composite (group, value) Ray groupby
+    is the many-tiny-groups anti-pattern q186 measured at 10x) → one
+    row per group streams out of map_groups.  Null groups ride the
+    hash sentinel bucket; null values count like any other value.
+    """
+    from .dedup import add_key_partition
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns([group_col, value_col, "n"])
+        return add_key_partition(g, group_col, num_parts=num_parts)
+
+    def mode_partition(df: pd.DataFrame) -> pd.DataFrame:
+        summed = (
+            df.groupby([group_col, value_col], sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        summed = summed.sort_values(
+            [group_col, "n", value_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = summed.drop_duplicates(group_col, keep="first").reset_index(drop=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("_part")
+        .map_groups(mode_partition, batch_format="pandas")
+    )
+
+
+def grouped_mode_sql(
+    *,
+    table: str = "events",
+    group_col: str = "user_id",
+    value_col: str = "event_type",
+) -> str:
+    """DuckDB replay of :func:`grouped_mode` (single-generator policy):
+    count per (group, value), row_number over (count DESC, value ASC)."""
+    return f"""
+        WITH c AS (
+          SELECT {group_col}, {value_col}, count(*) AS n
+          FROM {table} GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY n DESC, {value_col} ASC) AS rn
+          FROM c
+        )
+        SELECT {group_col}, {value_col}, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1
+    """

@@ -345,3 +345,391 @@ def similarity_join_sql(
         JOIN n nb ON nb.id = i.b
         WHERE {den} * inter >= {num} * (na.n + nb.n - inter)
     """
+
+
+
+def _sh_as_list(t: pa.Table) -> pa.Table:
+    """Rebuild the ``sh`` column as plain list<uint64>: a pandas-block
+    round trip (map_groups) converts object-of-ndarray columns to Ray's
+    tensor extension type, whose FIXED-shape variant cannot concat/sort
+    against variable-shaped or list blocks in a later shuffle."""
+    col = t["sh"]
+    if pa.types.is_list(col.type) and pa.types.is_uint64(col.type.value_type):
+        return t
+    vals = col.to_pylist()
+    arr = pa.array(
+        [None if v is None else np.asarray(v, dtype=np.uint64) for v in vals],
+        type=pa.list_(pa.uint64()),
+    )
+    t = t.set_column(t.column_names.index("sh"), "sh", arr)
+    # drop pandas-origin schema metadata: it still records sh as a Ray
+    # TensorDtype, and a later to_pandas would route the plain list
+    # column through TensorDtype.__from_arrow__ (zero-copy assert)
+    return t.replace_schema_metadata(None)
+
+
+def containment_join(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (4, 5),
+    ngram: int = 3,
+    vocab_cap: int = VOCAB_CAP,
+    bucket_pair_cap: int = 200_000,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """ASYMMETRIC shingle containment self-join: all ordered pairs
+    (a, b), a != b, with |S(a) ∩ S(b)| >= (num/den)·|S(a)| — "document
+    a is (mostly) contained in document b".  The quote / excerpt /
+    truncated-mirror detector that Jaccard (:func:`similarity_join`)
+    misses: a 50-word quote inside a 5000-word page has J ~ 0.01 but
+    containment 1.0.  Same shingle convention, same integer threshold
+    arithmetic (``den·inter >= num·na`` — no float boundary).
+
+    Prefix filter (asymmetric): if C(a→b) >= t then among a's first
+    ``|a| - ceil(t·|a|) + 1`` shingles in the global rarest-first order
+    at least one is in S(b) — so candidate generation pairs A-side
+    PREFIX rows against B-side FULL posting rows (the indexed side of
+    an R-S containment join must post everything; a hot shingle almost
+    never enters any prefix, so hot postings meet near-empty prefix
+    sides and buckets stay small — ``bucket_pair_cap`` fails loudly).
+
+    Scale shape:
+    - one shuffle-free profile scan (text never outlives its task);
+    - ONE vocab df shuffle → sorted (hash, df) broadcast (vocab_cap);
+    - ONE candidate shuffle: prefix rows (with a's full sorted set) +
+      slim (h, id) posting rows, coarse-partitioned on hash(h);
+      in-partition per-shingle pairing;
+    - ONE (a)-hash candidate dedup (a pair can meet in several
+      shared prefix shingles);
+    - ONE verify cogroup on hash(b): candidates (carrying a's set)
+      meet b's profile; sorted searchsorted intersection per pair.
+    Output: (a, b, inter:int64, na:int64, containment:float64/6).
+    """
+    from .collect import collect_tables
+    from .dedup import add_key_partition, batch_shingle_hashes
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+
+    def profile(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat, off = batch_shingle_hashes(texts, ngram)
+        sets: list[np.ndarray] = []
+        ids_keep: list[int] = []
+        for i in range(len(texts)):
+            seg = np.unique(flat[off[i] : off[i + 1]])
+            if len(seg):
+                sets.append(seg)
+                ids_keep.append(i)
+        if not sets:
+            return pa.table(
+                {
+                    "id": pa.array([], type=t[id_col].type),
+                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        values = np.concatenate(sets)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        return pa.table(
+            {
+                "id": t[id_col].take(pa.array(ids_keep, type=pa.int64())),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(values, type=pa.uint64())
+                ),
+                "n": pa.array(lens),
+            }
+        )
+
+    prof = ds.map_batches(profile, batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat = (
+            t["sh"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table({"h": pa.array(flat.view(np.int64))})
+
+    df_ds = (
+        prof.map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="df"))
+    )
+    parts = [t for t in collect_tables(df_ds, drop_empty=True)]
+    if parts:
+        merged = pa.concat_tables(parts)
+        hs = (
+            merged["h"].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        dfs = merged["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(hs)
+        hs, dfs = np.ascontiguousarray(hs[order]), dfs[order]
+    else:
+        hs = np.empty(0, dtype=np.uint64)
+        dfs = np.empty(0, dtype=np.int64)
+    if len(hs) > vocab_cap:
+        raise ValueError(
+            f"containment_join: shingle vocabulary {len(hs)} exceeds "
+            f"vocab_cap={vocab_cap}"
+        )
+    df_ref = ray.put((hs, dfs))
+    from .dedup import _column_type
+
+    id_type = _column_type(prof, "id", pa.int64())
+
+    # --- candidate stream: A-prefix rows + slim B-posting rows --------------
+    def prefix_rows(t: pa.Table, _ref=df_ref) -> pa.Table:
+        hs_b, dfs_b = ray.get(_ref)
+        sh = t["sh"].combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "side": pa.array([], type=pa.int8()),
+                    "id": pa.array([], type=t["id"].type),
+                    "n": pa.array([], type=pa.int64()),
+                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                }
+            )
+        dfv = dfs_b[np.searchsorted(hs_b, flat)]
+        seg = np.repeat(np.arange(len(n)), n)
+        order = np.lexsort((flat, dfv, seg))
+        pos = np.arange(len(flat)) - np.repeat(off[:-1], n)
+        p = n - ((num * n + den - 1) // den) + 1  # n - ceil(t*n) + 1
+        take = order[pos < np.repeat(p, n)]
+        doc_of = seg[take]
+        return pa.table(
+            {
+                "h": pa.array(flat[take].view(np.int64)),
+                "side": pa.array(np.zeros(len(take), dtype=np.int8)),
+                "id": t["id"].take(pa.array(doc_of, type=pa.int64())),
+                "n": pa.array(n[doc_of].astype(np.int64)),
+                "sh": sh.take(pa.array(doc_of, type=pa.int64())),
+            }
+        )
+
+    def posting_rows(t: pa.Table) -> pa.Table:
+        sh = t["sh"].combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        seg = np.repeat(np.arange(len(n)), n)
+        return pa.table(
+            {
+                "h": pa.array(flat.view(np.int64)),
+                "side": pa.array(np.ones(len(flat), dtype=np.int8)),
+                "id": t["id"].take(pa.array(seg, type=pa.int64())),
+                "n": pa.array(np.zeros(len(flat), dtype=np.int64)),
+                "sh": pa.nulls(len(flat), type=pa.list_(pa.uint64())),
+            }
+        )
+
+    stream = prof.map_batches(prefix_rows, batch_format="pyarrow").union(
+        prof.map_batches(posting_rows, batch_format="pyarrow")
+    )
+
+    def gen_partition(g: pd.DataFrame) -> pd.DataFrame:
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=g["id"].dtype),
+                    "b": pd.Series([], dtype=g["id"].dtype),
+                    "na": pd.Series([], dtype=np.int64),
+                    "sh": pd.Series([], dtype=object),
+                }
+            )
+
+        out: list[pd.DataFrame] = []
+        for _, grp in g.groupby("h", sort=False):
+            pref = grp[grp["side"] == 0]
+            post = grp[grp["side"] == 1]
+            if pref.empty or post.empty:
+                continue
+            if len(pref) * len(post) > bucket_pair_cap:
+                raise ValueError(
+                    f"containment_join: shingle bucket with {len(pref)} "
+                    f"prefix x {len(post)} posting rows exceeds "
+                    f"bucket_pair_cap={bucket_pair_cap} pairs — a shingle "
+                    "this hot should not be in any prefix; check for "
+                    "degenerate near-constant documents or raise the cap"
+                )
+            ai = np.repeat(np.arange(len(pref)), len(post))
+            bi = np.tile(np.arange(len(post)), len(pref))
+            a_ids = pref["id"].to_numpy()[ai]
+            b_ids = post["id"].to_numpy()[bi]
+            keep = a_ids != b_ids
+            if not keep.any():
+                continue
+            out.append(
+                pd.DataFrame(
+                    {
+                        "a": a_ids[keep],
+                        "b": b_ids[keep],
+                        "na": pref["n"].to_numpy()[ai][keep],
+                        "sh": pref["sh"].to_numpy()[ai][keep],
+                    }
+                )
+            )
+        if not out:
+            return empty()
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        stream.map_batches(
+            lambda t: add_key_partition(t, "h", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(gen_partition, batch_format="pandas")
+    )
+
+    # --- dedup (a, b) then verify against b's profile ------------------------
+    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["a", "b"], kind="mergesort").drop_duplicates(
+            ["a", "b"]
+        )
+
+    deduped = (
+        cand.map_batches(
+            lambda t: add_key_partition(_sh_as_list(t), "a", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(dedup_partition, batch_format="pandas")
+    )
+
+    def cand_tag(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"]) if "_part" in t.column_names else t
+        t = _sh_as_list(t)
+        return pa.table(
+            {
+                "b": t["b"].cast(id_type) if t.num_rows else pa.array([], id_type),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "a": t["a"].cast(id_type) if t.num_rows else pa.array([], id_type),
+                "na": t["na"],
+                "sh": t["sh"],
+            }
+        )
+
+    def prof_tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "b": t["id"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "a": pa.nulls(t.num_rows, type=id_type),
+                "na": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "sh": t["sh"],
+            }
+        )
+
+    both = deduped.map_batches(cand_tag, batch_format="pyarrow").union(
+        prof.map_batches(prof_tag, batch_format="pyarrow")
+    )
+
+    # verify in ARROW batch format: the union pads a/na with nulls on
+    # profile rows, and a pandas cogroup would coerce an int64 id column
+    # to float64 (silent precision loss above 2^53)
+    def verify_partition(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        cands = g.filter(pa.array(side == 0))
+        profs = g.filter(pa.array(side == 1))
+        if cands.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=id_type),
+                    "b": pa.array([], type=id_type),
+                    "inter": pa.array([], type=pa.int64()),
+                    "na": pa.array([], type=pa.int64()),
+                    "containment": pa.array([], type=pa.float64()),
+                }
+            )
+        bsets = dict(zip(profs["b"].to_pylist(), profs["sh"].to_pylist()))
+        keep_idx, out_i, out_n = [], [], []
+        b_vals = cands["b"].to_pylist()
+        na_vals = cands["na"].to_pylist()
+        sh_vals = cands["sh"].to_pylist()
+        for i, (b, na, sh_a) in enumerate(zip(b_vals, na_vals, sh_vals)):
+            B = np.asarray(bsets[b], dtype=np.uint64)
+            A = np.asarray(sh_a, dtype=np.uint64)
+            pos = np.searchsorted(B, A)
+            pos[pos == len(B)] = len(B) - 1
+            inter = int((B[pos] == A).sum())
+            if den * inter >= num * int(na):
+                keep_idx.append(i)
+                out_i.append(inter)
+                out_n.append(int(na))
+        idx = pa.array(keep_idx, type=pa.int64())
+        c = np.array(out_i, dtype=np.float64) / np.maximum(
+            np.array(out_n, dtype=np.float64), 1.0
+        )
+        c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "a": cands["a"].combine_chunks().take(idx).cast(id_type),
+                "b": cands["b"].combine_chunks().take(idx).cast(id_type),
+                "inter": pa.array(out_i, type=pa.int64()),
+                "na": pa.array(out_n, type=pa.int64()),
+                "containment": pa.array(c, type=pa.float64()),
+            }
+        )
+
+    return (
+        both.map_batches(
+            lambda t: add_key_partition(t, "b", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(verify_partition, batch_format="pyarrow")
+    )
+
+
+def containment_join_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (4, 5),
+    ngram: int = 3,
+) -> str:
+    """DuckDB replay of :func:`containment_join` (single-generator
+    policy): brute-force distinct-shingle-string equijoin over ORDERED
+    pairs a != b with the identical integer threshold test."""
+    num, den = threshold
+    gram = " || ' ' || ".join(f"wl[i+{j}]" if j else "wl[i]" for j in range(ngram))
+    return f"""
+        WITH w AS (
+          SELECT {id_col} AS id,
+                 list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                             x -> x <> '') AS wl
+          FROM {table}
+        ),
+        sh AS (
+          SELECT id, unnest(list_distinct(
+            CASE WHEN len(wl) >= {ngram} THEN
+                   list_transform(range(1, len(wl) - {ngram} + 2),
+                                  i -> {gram})
+                 WHEN len(wl) >= 1 THEN [array_to_string(wl, ' ')]
+                 ELSE [] END)) AS s
+          FROM w
+        ),
+        n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        i AS (
+          SELECT a.id AS a, b.id AS b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, CAST(inter AS BIGINT) AS inter,
+               CAST(na.n AS BIGINT) AS na,
+               round(inter * 1.0 / na.n, 6) AS containment
+        FROM i
+        JOIN n na ON na.id = i.a
+        WHERE {den} * inter >= {num} * na.n
+    """

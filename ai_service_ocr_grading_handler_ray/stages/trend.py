@@ -454,3 +454,251 @@ def daily_burst_sql(
         WHERE n >= {min_hist}
           AND sqrt(greatest((s2 - n * (s1/n) * (s1/n)) / (n - 1), 0.0)) > 0
     """
+
+
+def grouped_spearman(
+    ds: rd.Dataset,
+    *,
+    group_col: str = "event_type",
+    x_col: str = "x",
+    y_col: str = "y",
+    num_parts: int = 32,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-group Spearman rank correlation of x vs y — the monotone-
+    association drift detector (is a source's quality score still
+    tracking document length? is a metric decaying with time?) that is
+    robust to the outliers Pearson (q157) is not.
+
+    Ranks use the AVERAGE-tie convention (pandas rank(method="average")
+    == SQL rank() + (tie_count-1)/2 — replayed by :func:`spearman_sql`)
+    and are centered by (n+1)/2 before the moment sums, so every term
+    is a multiple of 0.25 bounded by n²/4: the engine/oracle fold-order
+    FP drift stays ~n·ulp, absorbed by the shared rounding.  rho =
+    Σdxdy / sqrt(Σdx²·Σdy²); degenerate groups (all-tied on either
+    axis: Σd² == 0, exact on both engines) are excluded on both sides.
+
+    Scale shape: ONE coarse group-hash partition shuffle
+    (add_key_partition — each group lands wholly in one partition,
+    ranked vectorized inside), group-count-sized driver fold.  Groups
+    are assumed worker-sized (event types / sources / hosts); corpus-
+    sized single groups belong to the moment-partial family (q157),
+    not a rank statistic.
+    """
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False, dropna=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            rx = grp[x_col].rank(method="average").to_numpy(np.float64)
+            ry = grp[y_col].rank(method="average").to_numpy(np.float64)
+            c = (n + 1) / 2.0
+            dx, dy = rx - c, ry - c
+            sxx = float(np.dot(dx, dx))
+            syy = float(np.dot(dy, dy))
+            if sxx <= 0.0 or syy <= 0.0:
+                continue  # all-tied axis: rho undefined, excluded both sides
+            rows.append((key, n, float(np.dot(dx, dy)) / math.sqrt(sxx * syy)))
+        return pd.DataFrame(rows, columns=[group_col, "n", "spearman"])
+
+    parts = (
+        ds.map_batches(
+            lambda t: add_key_partition(t, group_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(rank_partition, batch_format="pandas")
+    )
+    out = parts.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                group_col: pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "spearman": pd.Series([], dtype=np.float64),
+            }
+        )
+    out["n"] = out["n"].astype(np.int64)
+    out["spearman"] = round_half_away(
+        out["spearman"].to_numpy(np.float64), round_to
+    )
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def spearman_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    x_expr: str = "epoch_us(ts)",
+    y_expr: str = "value",
+    where: str = "value IS NOT NULL",
+) -> str:
+    """DuckDB replay of :func:`grouped_spearman` (single-generator
+    policy): average-tie rank = rank() + (tie_count-1)/2, the identical
+    centering and the identical one division + sqrt."""
+    return f"""
+        WITH f AS (
+          SELECT {group_col} AS g, {x_expr} AS x, {y_expr} AS y
+          FROM {table} WHERE {where}
+        ),
+        r AS (
+          SELECT g,
+                 rank() OVER (PARTITION BY g ORDER BY x)
+                   + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+                 rank() OVER (PARTITION BY g ORDER BY y)
+                   + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM f
+        ),
+        c AS (
+          SELECT g, n, rx - (n + 1) / 2.0 AS dx, ry - (n + 1) / 2.0 AS dy
+          FROM r WHERE n >= 2
+        ),
+        s AS (
+          SELECT g, max(n) AS n, sum(dx * dy) AS sxy,
+                 sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+          FROM c GROUP BY g
+        )
+        SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+               round(sxy / sqrt(sxx * syy), 6) AS spearman
+        FROM s WHERE sxx > 0 AND syy > 0
+    """
+
+
+def welch_drift(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_us: int = 0,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-key Welch two-sample comparison of value between the EARLY
+    (ts < split) and LATE (ts >= split) halves of the stream — the
+    "did this metric shift?" significance layer on top of the
+    mean-delta drift report (q190).
+
+    Sample variance is the EXPLICIT textbook expression on both sides
+    ((Σx² - n·m²)/(n-1), not engine-internal var_samp):
+        t  = (m1 - m2) / sqrt(v1/n1 + v2/n2)
+        df = (v1/n1 + v2/n2)² / ((v1/n1)²/(n1-1) + (v2/n2)²/(n2-1))
+    Keys missing a side, sides with n < 2, or zero pooled variance are
+    excluded identically on both engines (the v1+v2 > 0 test is exact
+    only up to FP fold order — guarded by requiring BOTH engines to
+    compute it from the same rounded-free expression; all-constant
+    sides yield exactly 0 on both).
+
+    Scale shape: TPC-H-Q1 moment partials per (key, side) — one
+    shuffle-free scan, ONE tiny groupby, a finish scan; nothing
+    row-count-sized leaves any task.
+    """
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        mask = pc.is_valid(v)
+        t2 = t.filter(mask)
+        x = t2[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = (
+            t2[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        late = (ts >= split_us).astype(np.int64)
+        aug = pa.table(
+            {
+                key_col: t2[key_col],
+                "late": pa.array(late),
+                "x": pa.array(x),
+                "xx": pa.array(x * x),
+            }
+        )
+        return aug.group_by([key_col, "late"]).aggregate(
+            [("x", "sum"), ("xx", "sum"), ("x", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([key_col, "late"])
+        .aggregate(
+            Sum("x_sum", alias_name="s1"),
+            Sum("xx_sum", alias_name="s2"),
+            Sum("x_count", alias_name="n"),
+        )
+    )
+    df = agg.to_pandas()  # 2 rows per key — key-count-sized
+    early = df[df["late"] == 0].set_index(key_col)
+    late = df[df["late"] == 1].set_index(key_col)
+    keys = sorted(set(early.index) & set(late.index))
+    rows = []
+    for k in keys:
+        n1, n2 = int(early.loc[k, "n"]), int(late.loc[k, "n"])
+        if n1 < 2 or n2 < 2:
+            continue
+        s11, s21 = float(early.loc[k, "s1"]), float(early.loc[k, "s2"])
+        s12, s22 = float(late.loc[k, "s1"]), float(late.loc[k, "s2"])
+        m1, m2 = s11 / n1, s12 / n2
+        v1 = (s21 - n1 * m1 * m1) / (n1 - 1)
+        v2 = (s22 - n2 * m2 * m2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        if se2 <= 0.0:
+            continue
+        t_stat = (m1 - m2) / math.sqrt(se2)
+        dof = (se2 * se2) / (
+            (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+        )
+        rows.append((k, n1, n2, m1, m2, t_stat, dof))
+    out = pd.DataFrame(
+        rows,
+        columns=[key_col, "n_early", "n_late", "mean_early", "mean_late",
+                 "welch_t", "welch_df"],
+    )
+    for c in ("mean_early", "mean_late", "welch_t", "welch_df"):
+        out[c] = round_half_away(out[c].to_numpy(np.float64), round_to)
+    out["n_early"] = out["n_early"].astype(np.int64)
+    out["n_late"] = out["n_late"].astype(np.int64)
+    return out
+
+
+def welch_drift_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_expr: str = "TIMESTAMP '2024-01-16'",
+) -> str:
+    """DuckDB replay of :func:`welch_drift` (single-generator policy):
+    per-(key, side) moments, the identical explicit variance / t / df
+    expressions, the identical exclusion rules."""
+    return f"""
+        WITH m AS (
+          SELECT {key_col} AS k,
+                 CASE WHEN {ts_col} >= {split_expr} THEN 1 ELSE 0 END AS late,
+                 sum({value_col}) AS s1, sum({value_col} * {value_col}) AS s2,
+                 count({value_col}) AS n
+          FROM {table} WHERE {value_col} IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT e.k,
+                 e.n AS n1, l.n AS n2,
+                 e.s1 / e.n AS m1, l.s1 / l.n AS m2,
+                 (e.s2 - e.n * (e.s1/e.n) * (e.s1/e.n)) / (e.n - 1) AS v1,
+                 (l.s2 - l.n * (l.s1/l.n) * (l.s1/l.n)) / (l.n - 1) AS v2
+          FROM m e JOIN m l ON e.k = l.k AND e.late = 0 AND l.late = 1
+          WHERE e.n >= 2 AND l.n >= 2
+        )
+        SELECT k AS {key_col},
+               CAST(n1 AS BIGINT) AS n_early, CAST(n2 AS BIGINT) AS n_late,
+               round(m1, 6) AS mean_early, round(m2, 6) AS mean_late,
+               round((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS welch_t,
+               round((v1/n1 + v2/n2) * (v1/n1 + v2/n2)
+                     / ((v1/n1) * (v1/n1) / (n1 - 1)
+                        + (v2/n2) * (v2/n2) / (n2 - 1)), 6) AS welch_df
+        FROM j WHERE v1/n1 + v2/n2 > 0
+    """

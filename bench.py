@@ -144,6 +144,11 @@ BENCH_QUERIES = [
     "q198_mirror_pairs",
     "q199_sitemap_coverage",
     "q200_jpeg_decode",
+    "q201_spearman_drift",
+    "q202_user_modal_event",
+    "q203_json_ld",
+    "q204_containment_join",
+    "q205_welch_drift",
 ]
 
 

@@ -57,3 +57,70 @@ def test_dataset_wrapper_drops_html(ray_session):
         "doc_id", "title", "canonical", "description", "has_canonical"
     ]
     assert not bool(df.has_canonical.iloc[0])
+
+
+# --------------------------------------------------------------------------
+# JSON-LD
+# --------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.html_meta import (
+    add_json_ld,
+    extract_json_ld,
+)
+
+
+def test_json_ld_first_valid_block_wins():
+    t = _t([
+        '<script type="application/ld+json">{"@type": "A", "name": "one"}'
+        '</script><script type="application/ld+json">'
+        '{"@type": "B", "name": "two"}</script>',
+    ])
+    out = add_json_ld(t)
+    assert out["ld_type"].to_pylist() == ["A"]
+    assert out["ld_name"].to_pylist() == ["one"]
+    assert out["n_ld_blocks"].to_pylist() == [2]
+
+
+def test_json_ld_broken_block_skipped_not_fatal():
+    t = _t([
+        '<script type="application/ld+json">{"@type": "X",}</script>'
+        "<script type='application/ld+json'>{\"@type\": \"Y\"}</script>",
+    ])
+    out = add_json_ld(t)
+    assert out["ld_type"].to_pylist() == ["Y"]
+    assert out["n_ld_blocks"].to_pylist() == [1]
+
+
+def test_json_ld_scope_and_decoys():
+    t = _t([
+        # top-level array: out of scope, not counted
+        '<script type="application/ld+json">[{"@type": "A"}]</script>',
+        # javascript decoy with braces; no ld+json at all
+        '<script type="text/javascript">var x = {"@type": "nope"};</script>',
+        # non-string @type / missing name → '' sentinels, still counted
+        '<script type="application/ld+json">{"@type": ["A", "B"]}</script>',
+    ])
+    out = add_json_ld(t)
+    assert out["ld_type"].to_pylist() == ["", "", ""]
+    assert out["ld_name"].to_pylist() == ["", "", ""]
+    assert out["n_ld_blocks"].to_pylist() == [0, 0, 1]
+
+
+def test_json_ld_string_column_and_attr_order():
+    t = _t(
+        ['<script async type=application/ld+json>'
+         '{"@type": "T", "name": "bare-attr"}</script>'],
+        binary=False,
+    )
+    out = add_json_ld(t)
+    assert out["ld_type"].to_pylist() == ["T"]
+    assert out["ld_name"].to_pylist() == ["bare-attr"]
+
+
+def test_json_ld_dataset_wrapper_drops_html(ray_session):
+    ds = rd.from_arrow(_t([
+        '<script type="application/ld+json">{"@type": "Z", "name": "n"}</script>'
+    ]))
+    out = extract_json_ld(ds, keep_cols=["doc_id"]).to_pandas()
+    assert list(out.columns) == ["doc_id", "ld_type", "ld_name", "n_ld_blocks"]
+    assert out.loc[0, "ld_type"] == "Z"

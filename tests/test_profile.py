@@ -257,3 +257,57 @@ def test_numeric_drift_empty_side_reports_null(ray_session):
     assert r.n_b == 2 and r.null_frac_b == 1.0
     assert np.isnan(r.mean_b) and np.isnan(r.min_b) and np.isnan(r.max_b)
     assert np.isnan(r.mean_shift)
+
+
+# --------------------------------------------------------------------------
+# grouped mode
+# --------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.profile import grouped_mode
+
+
+def _mode_ds(pairs):
+    import pandas as pd
+
+    return rd.from_pandas(pd.DataFrame(pairs, columns=["g", "v"]))
+
+
+def test_grouped_mode_basic_and_ties(ray_session):
+    pairs = (
+        [("u1", "click")] * 3 + [("u1", "view")] * 2
+        # tie: 2-2 → smallest value wins
+        + [("u2", "view")] * 2 + [("u2", "click")] * 2
+        + [("u3", "purchase")]
+    )
+    out = grouped_mode(_mode_ds(pairs), group_col="g", value_col="v").to_pandas()
+    got = {g: (v, int(n)) for g, v, n in zip(out["g"], out["v"], out["n"])}
+    assert got == {"u1": ("click", 3), "u2": ("click", 2), "u3": ("purchase", 1)}
+
+
+def test_grouped_mode_matches_pandas_brute(ray_session):
+    import pandas as pd
+
+    rng = np.random.RandomState(13)
+    pairs = [
+        (f"u{rng.randint(50)}", f"t{rng.randint(6)}") for _ in range(3000)
+    ]
+    out = grouped_mode(_mode_ds(pairs), group_col="g", value_col="v").to_pandas()
+    df = pd.DataFrame(pairs, columns=["g", "v"])
+    c = df.groupby(["g", "v"]).size().reset_index(name="n")
+    c = c.sort_values(["g", "n", "v"], ascending=[True, False, True])
+    ref = c.drop_duplicates("g").set_index("g")
+    assert len(out) == len(ref)
+    for g, v, n in zip(out["g"], out["v"], out["n"]):
+        assert ref.loc[g, "v"] == v and int(ref.loc[g, "n"]) == int(n)
+
+
+def test_grouped_mode_partial_fold_across_blocks(ray_session):
+    # the same (group, value) split across many blocks must sum before
+    # the argmax: 4 blocks of 1×(u,a) must beat one block of 3×(u,b)
+    import pandas as pd
+
+    frames = [pd.DataFrame({"g": ["u"], "v": ["a"]}) for _ in range(4)]
+    frames.append(pd.DataFrame({"g": ["u"] * 3, "v": ["b"] * 3}))
+    ds = rd.from_pandas(frames)
+    out = grouped_mode(ds, group_col="g", value_col="v").to_pandas()
+    assert list(out["v"]) == ["a"] and int(out["n"].iloc[0]) == 4

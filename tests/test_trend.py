@@ -287,3 +287,139 @@ def test_daily_burst_constant_history_excluded(ray_session):
                         ts_col="ts", value_col="value")
     ).df()
     assert len(ref) == 0
+
+
+# --------------------------------------------------------------------------
+# grouped Spearman
+# --------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.trend import (
+    grouped_spearman,
+    welch_drift,
+)
+
+
+def _spearman_ds(rows):
+    import pandas as pd
+
+    return rd.from_pandas(pd.DataFrame(rows, columns=["g", "x", "y"]))
+
+
+def _brute_spearman(rows):
+    """Textbook Pearson-on-average-ranks, per group."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    by_g = defaultdict(list)
+    for g, x, y in rows:
+        by_g[g].append((x, y))
+    out = {}
+    for g, pts in by_g.items():
+        n = len(pts)
+        if n < 2:
+            continue
+        df = pd.DataFrame(pts, columns=["x", "y"])
+        rx = df["x"].rank(method="average").to_numpy()
+        ry = df["y"].rank(method="average").to_numpy()
+        dx, dy = rx - (n + 1) / 2.0, ry - (n + 1) / 2.0
+        sxx, syy = float((dx * dx).sum()), float((dy * dy).sum())
+        if sxx <= 0 or syy <= 0:
+            continue
+        out[g] = float((dx * dy).sum()) / math.sqrt(sxx * syy)
+    return out
+
+
+def test_spearman_perfect_monotone(ray_session):
+    rows = [("a", float(i), float(i * i)) for i in range(20)]
+    rows += [("b", float(i), float(-i) ** 3 if i % 2 else -float(i) ** 3)
+             for i in range(1)]  # degenerate single-row group: excluded
+    rows += [("c", float(i), 100.0 - i) for i in range(15)]
+    out = grouped_spearman(_spearman_ds(rows), group_col="g",
+                           x_col="x", y_col="y")
+    got = dict(zip(out["g"], out["spearman"]))
+    assert got == {"a": 1.0, "c": -1.0}
+    assert dict(zip(out["g"], out["n"])) == {"a": 20, "c": 15}
+
+
+def test_spearman_matches_brute_with_ties(ray_session):
+    rng = np.random.RandomState(11)
+    rows = []
+    for g in ("e1", "e2", "e3"):
+        for _ in range(200):
+            # heavy ties: quantized values
+            rows.append((g, float(rng.randint(10)), float(rng.randint(8))))
+    out = grouped_spearman(_spearman_ds(rows), group_col="g",
+                           x_col="x", y_col="y")
+    got = dict(zip(out["g"], out["spearman"]))
+    ref = _brute_spearman(rows)
+    assert set(got) == set(ref)
+    for g in ref:
+        assert abs(got[g] - ref[g]) < 5.1e-7  # engine output is round-6
+
+
+def test_spearman_all_tied_axis_excluded(ray_session):
+    rows = [("flat", float(i), 7.0) for i in range(10)]
+    rows += [("ok", float(i), float(i)) for i in range(10)]
+    out = grouped_spearman(_spearman_ds(rows), group_col="g",
+                           x_col="x", y_col="y")
+    assert list(out["g"]) == ["ok"]
+
+
+# --------------------------------------------------------------------------
+# Welch drift
+# --------------------------------------------------------------------------
+
+def _welch_events(rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return rd.from_pandas(df)
+
+
+SPLIT_US = 1_705_363_200_000_000  # 2024-01-16
+
+
+def test_welch_matches_textbook(ray_session):
+    rng = np.random.RandomState(5)
+    rows = []
+    early, late = [], []
+    for i in range(60):
+        v = float(rng.normal(10, 2))
+        rows.append((f"2024-01-{(i % 14) + 1:02d}", "k", v))
+        early.append(v)
+    for i in range(40):
+        v = float(rng.normal(12, 3))
+        rows.append((f"2024-01-{(i % 14) + 17:02d}", "k", v))
+        late.append(v)
+    out = welch_drift(_welch_events(rows), split_us=SPLIT_US)
+    assert len(out) == 1
+    import math
+
+    n1, n2 = len(early), len(late)
+    m1, m2 = sum(early) / n1, sum(late) / n2
+    v1 = (sum(v * v for v in early) - n1 * m1 * m1) / (n1 - 1)
+    v2 = (sum(v * v for v in late) - n2 * m2 * m2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t_ref = (m1 - m2) / math.sqrt(se2)
+    assert int(out.loc[0, "n_early"]) == n1
+    assert int(out.loc[0, "n_late"]) == n2
+    assert abs(out.loc[0, "welch_t"] - t_ref) < 1e-5
+    assert out.loc[0, "welch_df"] > min(n1, n2) - 1  # Satterthwaite bound
+
+
+def test_welch_excludes_missing_side_and_tiny_sides(ray_session):
+    rows = [("2024-01-05", "early_only", 1.0), ("2024-01-06", "early_only", 2.0),
+            ("2024-01-20", "late_only", 3.0), ("2024-01-21", "late_only", 4.0),
+            ("2024-01-05", "tiny", 1.0), ("2024-01-20", "tiny", 2.0)]
+    rows += [(f"2024-01-{d:02d}", "ok", float(d)) for d in range(1, 30)]
+    out = welch_drift(_welch_events(rows), split_us=SPLIT_US)
+    assert list(out["event_type"]) == ["ok"]
+
+
+def test_welch_constant_both_sides_excluded(ray_session):
+    rows = [(f"2024-01-{d:02d}", "const", 5.0) for d in range(1, 30)]
+    out = welch_drift(_welch_events(rows), split_us=SPLIT_US)
+    assert len(out) == 0
