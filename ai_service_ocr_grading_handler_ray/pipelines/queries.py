@@ -5518,6 +5518,159 @@ def q205_welch_drift(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q206_apply_changelog(sf_dir: str) -> rd.Dataset:
+    """CDC changelog compaction (stages/changelog.apply_changelog) —
+    the Delta/Hudi-style merge an incremental crawl store runs between
+    recrawls: base snapshot + upsert/delete log → new snapshot, winner
+    per url = greatest seq, delete winners drop, log-only urls insert.
+    Base = every document's url; log touches every 3rd doc (delete when
+    doc_id%9==0, else upsert with new content) and inserts a fresh url
+    for every 10th doc.  Scale shape: lazy union + ONE url-hash coarse
+    cogroup; output streams.  Oracle: GENERATED by apply_changelog_sql
+    over the same printf-rebuilt base and log CTEs."""
+    from ..stages.changelog import apply_changelog
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def base(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://h{(dd * 48271) % 29:02d}.example.org/p/{dd}"
+                     for dd in d],
+                    type=pa.string(),
+                ),
+                "content_hash": pa.array(
+                    [f"c{dd}" for dd in d], type=pa.string()
+                ),
+            }
+        )
+
+    def log(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, seqs, ops, hs = [], [], [], []
+        for dd in d:
+            if dd % 3 == 0:
+                urls.append(
+                    f"https://h{(dd * 48271) % 29:02d}.example.org/p/{dd}"
+                )
+                seqs.append(int(dd))
+                ops.append("delete" if dd % 9 == 0 else "upsert")
+                hs.append("" if dd % 9 == 0 else f"n{dd}")
+            if dd % 10 == 0:
+                urls.append(f"https://new.example.org/p/{dd}")
+                seqs.append(int(dd) + 1)
+                ops.append("upsert")
+                hs.append(f"i{dd}")
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "seq": pa.array(seqs, type=pa.int64()),
+                "op": pa.array(ops, type=pa.string()),
+                "content_hash": pa.array(hs, type=pa.string()),
+            }
+        )
+
+    return apply_changelog(
+        ds.map_batches(base, batch_format="pyarrow"),
+        ds.map_batches(log, batch_format="pyarrow"),
+        key_col="url",
+        value_cols=("content_hash",),
+    )
+
+
+def q207_global_rank(sf_dir: str) -> rd.Dataset:
+    """Distributed global rank (stages/ranksort.global_rank): every
+    non-null-valued event's 1-based position in the total order
+    (value ASC, event_id ASC) — computed WITHOUT a global sort via the
+    sample-based range partitioner (per-block order-statistic samples →
+    cuts → ONE bucket shuffle → in-bucket sort + prefix offsets; cuts
+    affect placement, never the rank).  Oracle: GENERATED by
+    global_rank_sql — one row_number window over the same filter."""
+    from ..stages.ranksort import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+    )
+    return global_rank(ds, key_col="value", id_col="event_id")
+
+
+def q208_group_sample(sf_dir: str) -> rd.Dataset:
+    """Exact-k-per-language document sample
+    (sampling.group_sample): each lang keeps its 20 smallest doc_ids in
+    splitmix64 hash order — the hard-count stratified draw (per-language
+    eval sets) the rate-based stratified_sample can't guarantee.
+    Deterministic pure function of (ids, seed); per-batch keep-k
+    combiner + ONE coarse group-hash shuffle.  Oracle: GENERATED by
+    group_sample_sql (identical splitmix64 bits + row_number replay)."""
+    from ..stages.sampling import group_sample
+
+    return group_sample(
+        _read(sf_dir, "documents", ["lang", "doc_id"]),
+        k=20, group_col="lang", id_col="doc_id",
+    )
+
+
+def q209_ohlc_bars(sf_dir: str) -> rd.Dataset:
+    """Hourly OHLC bars per user (resample.ohlc_bars): open/high/low/
+    close/n per (user, hour) with deterministic (ts, event_id) tie
+    order — the downsample that keeps within-bucket dynamics q153's
+    last-write-wins discards.  ONE user-hash shuffle, vectorized
+    reduceat per partition.  Oracle: GENERATED by ohlc_sql (row_number
+    both directions + plain aggregates)."""
+    from ..stages.resample import ohlc_bars
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["value"]))
+
+    return ohlc_bars(
+        ds.map_batches(drop_null, batch_format="pyarrow"),
+        every_us=3_600_000_000,
+    )
+
+
+def q210_heading_outline(sf_dir: str) -> rd.Dataset:
+    """Heading-outline extraction (html_meta.extract_outline): one row
+    per well-formed h1–h6 over synthesized pages — every doc has an h1,
+    every 3rd adds an h2 with inline markup + entities, every 5th an h3
+    with attributes and ragged whitespace; every page also carries an
+    <h7> decoy and an UNCLOSED h4 that must not match.  ONE shuffle-free
+    scan; html never outlives its task.  Oracle: emits the PLANTED
+    truth (three UNION branches with the position CASE) — any parse
+    miss on any variant diverges."""
+    from ..stages.html_meta import extract_outline
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for dv in d:
+            parts = [f"<html><body><h1>Title {dv % 17}</h1><p>x</p>"]
+            parts.append("<h7>decoy</h7><h4 class='x'>never closed")
+            if dv % 3 == 0:
+                parts.append(
+                    "<h2 id='c'>Chapter <em>two</em> &amp; more</h2>"
+                )
+            if dv % 5 == 0:
+                parts.append(
+                    f"<h3 data-k=\"v\">\n  deep   dive {dv % 7}\n</h3>"
+                )
+            parts.append("</body></html>")
+            payloads.append("".join(parts).encode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "html": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return extract_outline(ds.map_batches(mk, batch_format="pyarrow"))
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -5552,7 +5705,14 @@ QUERIES = {
     # entropy, nucleus, tables, LPT, readability, churn, daily monitor).
     # session 9 additions lead the window: rank/two-sample statistics
     # (Spearman drift, Welch test), modal-label rollup, JSON-LD
-    # extraction, asymmetric containment join.
+    # extraction, asymmetric containment join, then tranche 2: CDC
+    # changelog compaction, sort-free global rank, exact-k stratified
+    # sample, OHLC bars, heading outline.
+    "q206_apply_changelog": q206_apply_changelog,
+    "q207_global_rank": q207_global_rank,
+    "q208_group_sample": q208_group_sample,
+    "q209_ohlc_bars": q209_ohlc_bars,
+    "q210_heading_outline": q210_heading_outline,
     "q201_spearman_drift": q201_spearman_drift,
     "q202_user_modal_event": q202_user_modal_event,
     "q203_json_ld": q203_json_ld,
@@ -5949,8 +6109,63 @@ from ..stages.trend import spearman_sql as _spearman_sql
 from ..stages.trend import welch_drift_sql as _welch_sql
 from ..stages.profile import grouped_mode_sql as _mode_sql
 from ..stages.simjoin import containment_join_sql as _containment_sql
+from ..stages.changelog import apply_changelog_sql as _changelog_sql
+from ..stages.ranksort import global_rank_sql as _grank_sql
+from ..stages.sampling import group_sample_sql as _gsample_sql
+from ..stages.resample import ohlc_sql as _ohlc_sql
 
 ORACLE_SQL = {
+    "q206_apply_changelog": _changelog_sql(
+        base_table="""(
+          SELECT printf('https://h%02d.example.org/p/%d',
+                        (doc_id*48271)%29, doc_id) AS url,
+                 printf('c%d', doc_id) AS content_hash
+          FROM documents
+        )""",
+        log_table="""(
+          SELECT printf('https://h%02d.example.org/p/%d',
+                        (doc_id*48271)%29, doc_id) AS url,
+                 doc_id AS seq,
+                 CASE WHEN doc_id%9=0 THEN 'delete' ELSE 'upsert' END AS op,
+                 CASE WHEN doc_id%9=0 THEN '' ELSE printf('n%d', doc_id)
+                      END AS content_hash
+          FROM documents WHERE doc_id%3=0
+          UNION ALL
+          SELECT printf('https://new.example.org/p/%d', doc_id) AS url,
+                 doc_id + 1 AS seq, 'upsert' AS op,
+                 printf('i%d', doc_id) AS content_hash
+          FROM documents WHERE doc_id%10=0
+        )""",
+        key_col="url",
+        value_cols=("content_hash",),
+    ),
+    "q207_global_rank": _grank_sql(
+        table="(SELECT event_id, value FROM events "
+              "WHERE value IS NOT NULL)",
+        key_col="value", id_col="event_id",
+    ),
+    "q208_group_sample": _gsample_sql(
+        k=20, table="documents", group_col="lang", id_col="doc_id"
+    ),
+    "q209_ohlc_bars": _ohlc_sql(
+        every_us=3_600_000_000, table="events", key_col="user_id",
+        ts_col="ts", value_col="value", id_col="event_id",
+    ),
+    "q210_heading_outline": """
+        SELECT doc_id, CAST(1 AS BIGINT) AS pos, CAST(1 AS BIGINT) AS level,
+               printf('Title %d', doc_id % 17) AS heading
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+               'Chapter two & more'
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT),
+               CAST(3 AS BIGINT),
+               printf('deep dive %d', doc_id % 7)
+        FROM documents WHERE doc_id % 5 = 0
+    """,
     "q201_spearman_drift": _spearman_sql(
         table="events", group_col="event_type",
         x_expr="epoch_us(ts)", y_expr="value",

@@ -187,3 +187,72 @@ def extract_json_ld(
         return out.select(cols + ["ld_type", "ld_name", "n_ld_blocks"])
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --- heading outline ---------------------------------------------------------
+# Well-formed <hN ...>...</hN> pairs only (N matched by backreference);
+# non-greedy body.  Inline markup inside a heading is stripped; the five
+# predefined XML entities are decoded (full entity tables belong to the
+# body extractor).
+_HEADING_RE = re.compile(r"(?is)<h([1-6])(?:\s[^>]*)?>(.*?)</h\1\s*>")
+_INNER_TAG_RE = re.compile(r"(?s)<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so '&amp;lt;' decodes to '&lt;' not '<'
+)
+
+
+def _clean_heading(raw: str) -> str:
+    txt = _INNER_TAG_RE.sub("", raw)
+    for ent, ch in _ENTITIES:
+        txt = txt.replace(ent, ch)
+    return _WS_RE.sub(" ", txt).strip()
+
+
+def extract_outline(
+    ds,
+    *,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> "pa.Table":
+    """Exploded heading outline: one row per well-formed h1–h6 element,
+    ``(id, pos:int64 1-based document order, level:int64, heading)`` —
+    the section structure that feeds structure-aware chunking
+    (``stages/chunking.py`` splits on raw word windows; splitting on
+    outline boundaries keeps sections intact) and title-style dedup
+    signatures.  Pages with no headings emit nothing.
+
+    Scale shape: ONE shuffle-free scan; html never outlives its task;
+    output is heading-count-sized and co-partitioned with the input.
+    """
+
+    def scan(t: pa.Table) -> pa.Table:
+        col = t[html_col]
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            texts = [
+                (b or b"").decode("utf-8", errors="replace")
+                for b in col.to_pylist()
+            ]
+        else:
+            texts = [(s or "") for s in col.to_pylist()]
+        row_idx: list[int] = []
+        poss: list[int] = []
+        levels: list[int] = []
+        heads: list[str] = []
+        for i, txt in enumerate(texts):
+            for pos, m in enumerate(_HEADING_RE.finditer(txt), start=1):
+                row_idx.append(i)
+                poss.append(pos)
+                levels.append(int(m.group(1)))
+                heads.append(_clean_heading(m.group(2)))
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(row_idx, type=pa.int64())),
+                "pos": pa.array(poss, type=pa.int64()),
+                "level": pa.array(levels, type=pa.int64()),
+                "heading": pa.array(heads, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

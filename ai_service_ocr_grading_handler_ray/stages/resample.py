@@ -190,3 +190,125 @@ def resample_sql(
                (v IS NULL) AS filled
         FROM g
     """
+
+
+def ohlc_bars(
+    ds: rd.Dataset,
+    *,
+    every_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Per-(key, bucket) open/high/low/close bars — the downsample that
+    keeps the within-bucket dynamics :func:`resample_last_ffill`'s
+    last-write-wins discards (metric dashboards, crawl-rate series,
+    price-style telemetry).  open/close are the values at the FIRST and
+    LAST (ts, id) of the bucket (deterministic under ts ties); high/low
+    are the bucket max/min; n the event count.  No gap fill — only
+    buckets with events emit (join against the ffill grid when a dense
+    series is needed).
+
+    Scale shape: ONE key-hash coarse shuffle (``add_key_partition`` —
+    a key's events co-locate), then a fully vectorized per-partition
+    pass: one lexsort by (key, bucket, ts, id), run boundaries from a
+    shifted-key mask, open/close by boundary indexing, high/low/n via
+    ``np.maximum.reduceat`` / ``minimum.reduceat`` / boundary diffs.
+    Output is bar-count-sized and streams from map_groups.
+
+    Replayed exactly by :func:`ohlc_sql` (single-generator policy).
+    """
+    from .dedup import add_key_partition
+
+    if every_us <= 0:
+        raise ValueError("every_us must be positive")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g[ts_col].isna().any() or g[value_col].isna().any():
+            raise ValueError(
+                "ohlc_bars: null ts/value rows — drop or fill them "
+                "upstream (the SQL oracle would silently skip them)"
+            )
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bucket = ts // every_us
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        vals = g[value_col].to_numpy().astype(np.float64)
+        if not len(keys):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=g[key_col].dtype),
+                    "bucket_us": pd.Series([], dtype=np.int64),
+                    "open": pd.Series([], dtype=np.float64),
+                    "high": pd.Series([], dtype=np.float64),
+                    "low": pd.Series([], dtype=np.float64),
+                    "close": pd.Series([], dtype=np.float64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        order = np.lexsort((ids, ts, bucket, keys))
+        keys, bucket, vals = keys[order], bucket[order], vals[order]
+        new = np.empty(len(keys), dtype=bool)
+        new[0] = True
+        new[1:] = (keys[1:] != keys[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(keys)) - 1
+        return pd.DataFrame(
+            {
+                key_col: keys[starts],
+                "bucket_us": bucket[starts] * every_us,
+                "open": vals[starts],
+                "high": np.maximum.reduceat(vals, starts),
+                "low": np.minimum.reduceat(vals, starts),
+                "close": vals[ends],
+                "n": (ends - starts + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def ohlc_sql(
+    *,
+    every_us: int,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`ohlc_bars`, generated from the SAME
+    parameters (single-generator policy): open/close via (ts, id)
+    row_numbers in both directions, high/low/n as plain aggregates."""
+    return f"""
+        WITH b AS (
+          SELECT {key_col} AS k, epoch_us({ts_col}) // {every_us} AS b,
+                 {value_col} AS v, {ts_col} AS ts, {id_col} AS id
+          FROM {table}
+          WHERE {value_col} IS NOT NULL
+        ),
+        r AS (
+          SELECT k, b, v,
+                 row_number() OVER (PARTITION BY k, b
+                                    ORDER BY ts, id) AS rn_a,
+                 row_number() OVER (PARTITION BY k, b
+                                    ORDER BY ts DESC, id DESC) AS rn_d
+          FROM b
+        )
+        SELECT k AS {key_col},
+               CAST(b * {every_us} AS BIGINT) AS bucket_us,
+               max(CASE WHEN rn_a = 1 THEN v END) AS open,
+               max(v) AS high, min(v) AS low,
+               max(CASE WHEN rn_d = 1 THEN v END) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY k, b
+    """

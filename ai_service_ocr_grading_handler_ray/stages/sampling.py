@@ -637,3 +637,91 @@ def nucleus_sources_sql(
                {p_den} * cum_before < {p_num} * total AS kept
         FROM o
     """
+
+
+def group_sample(
+    ds: rd.Dataset,
+    *,
+    k: int,
+    group_col: str,
+    id_col: str,
+    seed: int = 0,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Deterministic EXACT-k-per-group sample (stratified sampling with
+    a hard per-stratum count — per-source eval sets, per-language probe
+    corpora): each group keeps its k smallest rows in the splitmix64
+    hash order of the id, so the draw is a pure function of (ids, seed)
+    — independent of row order, block layout and cluster size, and
+    SQL-replayable exactly (:func:`group_sample_sql`).  Complements the
+    rate-based ``stratified_sample`` (≈p per row, no count guarantee)
+    and ``cap_per_group`` (which keeps FIRST-seen rows, order-defined).
+
+    Scale shape: per-batch keep-k combiner (a batch contributes at most
+    k rows per group it touches), ONE coarse group-hash partition
+    shuffle, per-partition keep-k finish; at most k × blocks rows per
+    group exist anywhere.  Output: (group, id), one Ray Dataset row per
+    kept id."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+    from .shuffle import shuffle_hash
+
+    if k <= 0:
+        raise ValueError("group_sample: k must be positive")
+
+    def keep_k(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["_h", id_col], kind="mergesort")
+            .groupby(group_col, sort=False, dropna=False)
+            .head(k)
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = shuffle_hash(t[id_col], seed)
+        df = pd.DataFrame(
+            {
+                group_col: t[group_col].to_pandas(),
+                id_col: t[id_col].to_pandas(),
+                "_h": h,
+            }
+        )
+        out = pa.Table.from_pandas(keep_k(df), preserve_index=False)
+        return add_key_partition(out, group_col, num_parts=num_parts)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return keep_k(g)[[group_col, id_col]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def group_sample_sql(
+    *,
+    k: int,
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB replay of :func:`group_sample`, generated from the SAME
+    parameters (single-generator policy): identical splitmix64 bits,
+    identical (hash ASC, id ASC) per-group order, rn <= k."""
+    from .shuffle import splitmix64_sql
+
+    h = splitmix64_sql(id_col, seed)
+    return f"""
+        WITH keyed AS (
+          SELECT {group_col}, {id_col}, {h} AS h FROM {table}
+        ),
+        r AS (
+          SELECT {group_col}, {id_col},
+                 row_number() OVER (PARTITION BY {group_col}
+                                    ORDER BY h, {id_col}) AS rn
+          FROM keyed
+        )
+        SELECT {group_col}, {id_col} FROM r WHERE rn <= {k}
+    """

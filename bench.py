@@ -149,6 +149,11 @@ BENCH_QUERIES = [
     "q203_json_ld",
     "q204_containment_join",
     "q205_welch_drift",
+    "q206_apply_changelog",
+    "q207_global_rank",
+    "q208_group_sample",
+    "q209_ohlc_bars",
+    "q210_heading_outline",
 ]
 
 

@@ -124,3 +124,40 @@ def test_json_ld_dataset_wrapper_drops_html(ray_session):
     out = extract_json_ld(ds, keep_cols=["doc_id"]).to_pandas()
     assert list(out.columns) == ["doc_id", "ld_type", "ld_name", "n_ld_blocks"]
     assert out.loc[0, "ld_type"] == "Z"
+
+
+# --------------------------------------------------------------------------
+# heading outline
+# --------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.html_meta import extract_outline
+
+
+def _outline(pages, **kw):
+    out = extract_outline(rd.from_arrow(_t(pages)), **kw).to_pandas()
+    if out.empty:
+        return []
+    return list(zip(out["doc_id"], out["pos"], out["level"], out["heading"]))
+
+
+def test_outline_order_levels_and_inline_markup(ray_session):
+    got = _outline([
+        "<h1>Top</h1><p>x</p><h2 class='s'>Chapter <em>two</em></h2>"
+        "<h3>\n  multi\n  line  </h3>",
+    ])
+    assert got == [(0, 1, 1, "Top"), (0, 2, 2, "Chapter two"),
+                   (0, 3, 3, "multi line")]
+
+
+def test_outline_entities_and_decoys(ray_session):
+    got = _outline([
+        # entity decode incl. the &amp;lt; double-escape order
+        "<h2>A &amp; B &lt;tag&gt; &amp;lt;</h2>"
+        # h7 is not a heading; unclosed h2 skipped; mismatched pair skipped
+        "<h7>nope</h7><h2>dangling<h4>closed</h4>",
+    ])
+    assert got == [(0, 1, 2, 'A & B <tag> &lt;'), (0, 2, 4, "closed")]
+
+
+def test_outline_no_headings_emits_nothing(ray_session):
+    assert _outline(["<p>plain</p>", ""]) == []

@@ -128,3 +128,78 @@ def test_resample_sql_generator_parity(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+# --------------------------------------------------------------------------
+# OHLC bars
+# --------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.resample import ohlc_bars
+
+HOUR_US = 3_600_000_000
+
+
+def _ohlc_events(rows):
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return rd.from_pandas(df)
+
+
+def test_ohlc_basic_bars(ray_session):
+    rows = [
+        ("u1", "2024-01-01 10:05", 3.0, 1),
+        ("u1", "2024-01-01 10:20", 9.0, 2),
+        ("u1", "2024-01-01 10:50", 5.0, 3),
+        ("u1", "2024-01-01 11:10", 7.0, 4),
+        ("u2", "2024-01-01 10:30", 2.0, 5),
+    ]
+    out = ohlc_bars(_ohlc_events(rows), every_us=HOUR_US).to_pandas()
+    out = out.sort_values(["user_id", "bucket_us"]).reset_index(drop=True)
+    assert len(out) == 3
+    b0 = out.iloc[0]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"], b0["n"]) == (
+        3.0, 9.0, 3.0, 5.0, 3)
+    assert out.iloc[1]["open"] == out.iloc[1]["close"] == 7.0
+    assert out.iloc[2]["user_id"] == "u2" and out.iloc[2]["n"] == 1
+
+
+def test_ohlc_tie_on_ts_breaks_by_id(ray_session):
+    rows = [
+        ("u", "2024-01-01 10:00", 1.0, 2),
+        ("u", "2024-01-01 10:00", 8.0, 1),   # same ts: id 1 is open
+        ("u", "2024-01-01 10:00", 4.0, 3),   # id 3 is close
+    ]
+    out = ohlc_bars(_ohlc_events(rows), every_us=HOUR_US).to_pandas()
+    assert out.iloc[0]["open"] == 8.0 and out.iloc[0]["close"] == 4.0
+    assert out.iloc[0]["high"] == 8.0 and out.iloc[0]["low"] == 1.0
+
+
+def test_ohlc_null_value_raises(ray_session):
+    rows = [("u", "2024-01-01 10:00", np.nan, 1)]
+    with pytest.raises(Exception, match="null"):
+        ohlc_bars(_ohlc_events(rows), every_us=HOUR_US).to_pandas()
+
+
+def test_ohlc_matches_pandas_brute(ray_session):
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(800):
+        rows.append((
+            f"u{rng.randint(6)}",
+            pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=int(rng.randint(0, 3000))),
+            float(rng.randint(100)),
+            i,
+        ))
+    out = ohlc_bars(_ohlc_events(rows), every_us=HOUR_US).to_pandas()
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    df["bucket_us"] = (
+        df["ts"].astype("datetime64[us]").astype(np.int64) // HOUR_US * HOUR_US
+    )
+    df = df.sort_values(["user_id", "bucket_us", "ts", "event_id"])
+    ref = df.groupby(["user_id", "bucket_us"]).agg(
+        open=("value", "first"), high=("value", "max"),
+        low=("value", "min"), close=("value", "last"), n=("value", "size"),
+    ).reset_index()
+    got = out.sort_values(["user_id", "bucket_us"]).reset_index(drop=True)
+    ref = ref.sort_values(["user_id", "bucket_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)

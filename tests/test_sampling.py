@@ -333,3 +333,73 @@ def test_nucleus_tie_order_and_full_p(ray_session):
     # ties order by name asc; p=1 keeps everything (cum_before < total)
     assert list(out.source) == ["x", "y", "z"]
     assert out.kept.all()
+
+
+# --------------------------------------------------------------------------
+# exact-k-per-group sample
+# --------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.sampling import (
+    group_sample,
+    group_sample_sql,
+)
+from ai_service_ocr_grading_handler_ray.stages.shuffle import shuffle_hash
+
+import pyarrow as pa
+import pytest
+
+
+def _gs_ds(groups, ids):
+    return rd.from_pandas(pd.DataFrame({"g": groups, "id": ids}))
+
+
+def test_group_sample_exact_k_and_deterministic(ray_session):
+    rng = np.random.RandomState(9)
+    n = 4000
+    groups = [f"g{rng.randint(8)}" for _ in range(n)]
+    ids = list(range(n))
+    out1 = group_sample(_gs_ds(groups, ids), k=25, group_col="g",
+                        id_col="id").to_pandas()
+    out2 = group_sample(_gs_ds(groups, ids), k=25, group_col="g",
+                        id_col="id").to_pandas()
+    counts = out1.groupby("g").size()
+    assert (counts == 25).all()
+    a = set(zip(out1["g"], out1["id"]))
+    assert a == set(zip(out2["g"], out2["id"]))
+    # brute: per group, the 25 smallest (hash, id)
+    h = shuffle_hash(pa.array(np.asarray(ids, dtype=np.int64)), 0)
+    df = pd.DataFrame({"g": groups, "id": ids, "h": h})
+    ref = (
+        df.sort_values(["h", "id"], kind="mergesort")
+        .groupby("g", sort=False).head(25)
+    )
+    assert a == set(zip(ref["g"], ref["id"]))
+
+
+def test_group_sample_small_groups_keep_all(ray_session):
+    out = group_sample(_gs_ds(["a", "a", "b"], [1, 2, 3]), k=10,
+                       group_col="g", id_col="id").to_pandas()
+    assert len(out) == 3
+
+
+def test_group_sample_k_positive(ray_session):
+    with pytest.raises(ValueError, match="positive"):
+        group_sample(_gs_ds(["a"], [1]), k=0, group_col="g", id_col="id")
+
+
+def test_group_sample_sql_replays_exactly(ray_session, sf_dir):
+    out = group_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "doc_id"]),
+        k=7, group_col="lang", id_col="doc_id",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ref = con.sql(group_sample_sql(k=7, table="documents", group_col="lang",
+                                   id_col="doc_id")).df()
+    assert set(zip(out["lang"], out["doc_id"])) == set(
+        zip(ref["lang"], ref["doc_id"])
+    )
