@@ -49,6 +49,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -348,26 +349,6 @@ def similarity_join_sql(
 
 
 
-def _sh_as_list(t: pa.Table) -> pa.Table:
-    """Rebuild the ``sh`` column as plain list<uint64>: a pandas-block
-    round trip (map_groups) converts object-of-ndarray columns to Ray's
-    tensor extension type, whose FIXED-shape variant cannot concat/sort
-    against variable-shaped or list blocks in a later shuffle."""
-    col = t["sh"]
-    if pa.types.is_list(col.type) and pa.types.is_uint64(col.type.value_type):
-        return t
-    vals = col.to_pylist()
-    arr = pa.array(
-        [None if v is None else np.asarray(v, dtype=np.uint64) for v in vals],
-        type=pa.list_(pa.uint64()),
-    )
-    t = t.set_column(t.column_names.index("sh"), "sh", arr)
-    # drop pandas-origin schema metadata: it still records sh as a Ray
-    # TensorDtype, and a later to_pandas would route the plain list
-    # column through TensorDtype.__from_arrow__ (zero-copy assert)
-    return t.replace_schema_metadata(None)
-
-
 def containment_join(
     ds: rd.Dataset,
     *,
@@ -395,15 +376,20 @@ def containment_join(
     never enters any prefix, so hot postings meet near-empty prefix
     sides and buckets stay small — ``bucket_pair_cap`` fails loudly).
 
-    Scale shape:
+    Scale shape (all candidate traffic is SLIM — unlike
+    :func:`similarity_join`, whose in-bucket verify needs sets in the
+    bucket, containment verifies against b's profile anyway, so sets
+    are attached by cogroup at the END and never ride the wide
+    shuffles):
     - one shuffle-free profile scan (text never outlives its task);
     - ONE vocab df shuffle → sorted (hash, df) broadcast (vocab_cap);
-    - ONE candidate shuffle: prefix rows (with a's full sorted set) +
-      slim (h, id) posting rows, coarse-partitioned on hash(h);
-      in-partition per-shingle pairing;
-    - ONE (a)-hash candidate dedup (a pair can meet in several
-      shared prefix shingles);
-    - ONE verify cogroup on hash(b): candidates (carrying a's set)
+    - ONE candidate shuffle of slim (h, side, id, n) rows — prefix rows
+      + full posting rows, coarse-partitioned on hash(h); in-partition
+      pairing is a fully VECTORIZED group-expansion (no per-shingle
+      Python loop);
+    - ONE (a)-hash slim pair dedup (a pair can meet in several shared
+      prefix shingles), fused with the cogroup that attaches a's set;
+    - ONE verify cogroup on hash(b): candidates (now carrying a's set)
       meet b's profile; sorted searchsorted intersection per pair.
     Output: (a, b, inter:int64, na:int64, containment:float64/6).
     """
@@ -482,7 +468,7 @@ def containment_join(
 
     id_type = _column_type(prof, "id", pa.int64())
 
-    # --- candidate stream: A-prefix rows + slim B-posting rows --------------
+    # --- candidate stream: SLIM A-prefix rows + SLIM B-posting rows --------
     def prefix_rows(t: pa.Table, _ref=df_ref) -> pa.Table:
         hs_b, dfs_b = ray.get(_ref)
         sh = t["sh"].combine_chunks()
@@ -497,7 +483,6 @@ def containment_join(
                     "side": pa.array([], type=pa.int8()),
                     "id": pa.array([], type=t["id"].type),
                     "n": pa.array([], type=pa.int64()),
-                    "sh": pa.array([], type=pa.list_(pa.uint64())),
                 }
             )
         dfv = dfs_b[np.searchsorted(hs_b, flat)]
@@ -513,7 +498,6 @@ def containment_join(
                 "side": pa.array(np.zeros(len(take), dtype=np.int8)),
                 "id": t["id"].take(pa.array(doc_of, type=pa.int64())),
                 "n": pa.array(n[doc_of].astype(np.int64)),
-                "sh": sh.take(pa.array(doc_of, type=pa.int64())),
             }
         )
 
@@ -528,7 +512,6 @@ def containment_join(
                 "side": pa.array(np.ones(len(flat), dtype=np.int8)),
                 "id": t["id"].take(pa.array(seg, type=pa.int64())),
                 "n": pa.array(np.zeros(len(flat), dtype=np.int64)),
-                "sh": pa.nulls(len(flat), type=pa.list_(pa.uint64())),
             }
         )
 
@@ -536,51 +519,66 @@ def containment_join(
         prof.map_batches(posting_rows, batch_format="pyarrow")
     )
 
-    def gen_partition(g: pd.DataFrame) -> pd.DataFrame:
-        def empty() -> pd.DataFrame:
-            return pd.DataFrame(
+    # fully vectorized pairing: sort by (h, side) so each shingle group
+    # is [prefix rows | posting rows]; expand cp×cb index grids for the
+    # groups that have both sides with one repeat/arange pass
+    def gen_partition(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table(
                 {
-                    "a": pd.Series([], dtype=g["id"].dtype),
-                    "b": pd.Series([], dtype=g["id"].dtype),
-                    "na": pd.Series([], dtype=np.int64),
-                    "sh": pd.Series([], dtype=object),
+                    "a": pa.array([], type=id_type),
+                    "b": pa.array([], type=id_type),
+                    "na": pa.array([], type=pa.int64()),
                 }
             )
 
-        out: list[pd.DataFrame] = []
-        for _, grp in g.groupby("h", sort=False):
-            pref = grp[grp["side"] == 0]
-            post = grp[grp["side"] == 1]
-            if pref.empty or post.empty:
-                continue
-            if len(pref) * len(post) > bucket_pair_cap:
-                raise ValueError(
-                    f"containment_join: shingle bucket with {len(pref)} "
-                    f"prefix x {len(post)} posting rows exceeds "
-                    f"bucket_pair_cap={bucket_pair_cap} pairs — a shingle "
-                    "this hot should not be in any prefix; check for "
-                    "degenerate near-constant documents or raise the cap"
-                )
-            ai = np.repeat(np.arange(len(pref)), len(post))
-            bi = np.tile(np.arange(len(post)), len(pref))
-            a_ids = pref["id"].to_numpy()[ai]
-            b_ids = post["id"].to_numpy()[bi]
-            keep = a_ids != b_ids
-            if not keep.any():
-                continue
-            out.append(
-                pd.DataFrame(
-                    {
-                        "a": a_ids[keep],
-                        "b": b_ids[keep],
-                        "na": pref["n"].to_numpy()[ai][keep],
-                        "sh": pref["sh"].to_numpy()[ai][keep],
-                    }
-                )
-            )
-        if not out:
+        if g.num_rows == 0:
             return empty()
-        return pd.concat(out, ignore_index=True)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, h))
+        h, side = h[order], side[order]
+        ids = g["id"].combine_chunks().take(pa.array(order, type=pa.int64()))
+        ns = g["n"].to_numpy(zero_copy_only=False)[order]
+        new = np.empty(len(h), dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        gid = np.cumsum(new) - 1
+        G = int(gid[-1]) + 1
+        cp = np.bincount(gid[side == 0], minlength=G)
+        cb = np.bincount(gid[side == 1], minlength=G)
+        starts = np.flatnonzero(new)
+        both = np.flatnonzero((cp > 0) & (cb > 0))
+        if not len(both):
+            return empty()
+        pairs = cp[both] * cb[both]
+        if pairs.max() > bucket_pair_cap:
+            worst = both[int(np.argmax(pairs))]
+            raise ValueError(
+                f"containment_join: shingle bucket with {int(cp[worst])} "
+                f"prefix x {int(cb[worst])} posting rows exceeds "
+                f"bucket_pair_cap={bucket_pair_cap} pairs — a shingle "
+                "this hot should not be in any prefix; check for "
+                "degenerate near-constant documents or raise the cap"
+            )
+        offs = np.concatenate([[0], np.cumsum(pairs)[:-1]])
+        total = int(pairs.sum())
+        grp = np.repeat(np.arange(len(both)), pairs)
+        within = np.arange(total, dtype=np.int64) - offs[grp]
+        cbg = cb[both][grp]
+        ai = starts[both][grp] + within // cbg
+        bi = starts[both][grp] + cp[both][grp] + within % cbg
+        a_ids = ids.take(pa.array(ai, type=pa.int64()))
+        b_ids = ids.take(pa.array(bi, type=pa.int64()))
+        keep = pc.invert(pc.equal(a_ids, b_ids))
+        out = pa.table(
+            {
+                "a": a_ids,
+                "b": b_ids,
+                "na": pa.array(ns[ai].astype(np.int64)),
+            }
+        ).filter(keep)
+        return out if out.num_rows else empty()
 
     cand = (
         stream.map_batches(
@@ -588,32 +586,99 @@ def containment_join(
             batch_format="pyarrow",
         )
         .groupby("_part")
-        .map_groups(gen_partition, batch_format="pandas")
+        .map_groups(gen_partition, batch_format="pyarrow")
     )
 
-    # --- dedup (a, b) then verify against b's profile ------------------------
-    def dedup_partition(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["a", "b"], kind="mergesort").drop_duplicates(
-            ["a", "b"]
+    # --- dedup (a, b) fused with attaching a's set (cogroup on a) ----------
+    def cand_tag_a(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"]) if "_part" in t.column_names else t
+        return pa.table(
+            {
+                "k": t["a"].cast(id_type),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "b": t["b"].cast(id_type),
+                "na": t["na"],
+                "sh": pa.nulls(t.num_rows, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    def prof_tag_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["id"],
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "b": pa.nulls(t.num_rows, type=id_type),
+                "na": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "sh": t["sh"],
+            }
+        )
+
+    with_a = cand.map_batches(cand_tag_a, batch_format="pyarrow").union(
+        prof.map_batches(prof_tag_a, batch_format="pyarrow")
+    )
+
+    def attach_partition(g: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table(
+                {
+                    "a": pa.array([], type=id_type),
+                    "b": pa.array([], type=id_type),
+                    "na": pa.array([], type=pa.int64()),
+                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                }
+            )
+
+        side = g["side"].to_numpy(zero_copy_only=False)
+        cands = g.filter(pa.array(side == 0))
+        profs = g.filter(pa.array(side == 1))
+        if cands.num_rows == 0:
+            return empty()
+        # dedup on pandas over the SLIM key columns only; the uint64
+        # shingle lists never leave Arrow (a to_pylist/np.concatenate
+        # round trip sends >2^63 values through float64 and shears the
+        # low mantissa bits off every hash)
+        df = cands.select(["k", "b"]).to_pandas()
+        keep = (
+            df.assign(_pos=np.arange(len(df)))
+            .sort_values(["k", "b"], kind="mergesort")
+            .drop_duplicates(["k", "b"])["_pos"]
+            .to_numpy()
+        )
+        kept = cands.take(pa.array(np.sort(keep), type=pa.int64()))
+        pos = pd.Index(profs["k"].to_pandas()).get_indexer(
+            kept["k"].to_pandas()
+        )
+        if (pos < 0).any():
+            raise RuntimeError(
+                "containment_join: candidate id missing its own profile "
+                "row in the attach partition — partitioning key mismatch"
+            )
+        sh = profs["sh"].combine_chunks().take(pa.array(pos, type=pa.int64()))
+        return pa.table(
+            {
+                "a": kept["k"],
+                "b": kept["b"],
+                "na": kept["na"],
+                "sh": sh,
+            }
         )
 
     deduped = (
-        cand.map_batches(
-            lambda t: add_key_partition(_sh_as_list(t), "a", num_parts=num_parts),
+        with_a.map_batches(
+            lambda t: add_key_partition(t, "k", num_parts=num_parts),
             batch_format="pyarrow",
         )
         .groupby("_part")
-        .map_groups(dedup_partition, batch_format="pandas")
+        .map_groups(attach_partition, batch_format="pyarrow")
     )
 
+    # --- verify against b's profile (cogroup on b) --------------------------
     def cand_tag(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["_part"]) if "_part" in t.column_names else t
-        t = _sh_as_list(t)
         return pa.table(
             {
-                "b": t["b"].cast(id_type) if t.num_rows else pa.array([], id_type),
+                "b": t["b"],
                 "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "a": t["a"].cast(id_type) if t.num_rows else pa.array([], id_type),
+                "a": t["a"],
                 "na": t["na"],
                 "sh": t["sh"],
             }
@@ -689,6 +754,7 @@ def containment_join(
         .groupby("_part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
+
 
 
 def containment_join_sql(
