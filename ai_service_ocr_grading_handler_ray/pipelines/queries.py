@@ -5671,6 +5671,206 @@ def q210_heading_outline(sf_dir: str) -> rd.Dataset:
     return extract_outline(ds.map_batches(mk, batch_format="pyarrow"))
 
 
+def q211_running_totals(sf_dir: str) -> rd.Dataset:
+    """Per-event running count and running value sum over the user's
+    whole history (sequence.running_totals) — the UNBOUNDED-PRECEDING
+    window family the fixed-frame rolling ops (q154) don't cover.
+    Null values filtered on BOTH sides (SQL sum skips NULLs; the int64
+    micro-unit cumsum can't).  ONE user-hash coarse shuffle, vectorized
+    segment cumsum.  Oracle: GENERATED by running_totals_sql."""
+    from ..stages.sequence import running_totals
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return running_totals(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+        ),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="value",
+    )
+
+
+def q212_interarrival(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap statistics (sequence.interarrival_stats)
+    — n_gaps / mean / min / max seconds between consecutive events, the
+    crawl-politeness / user-cadence diagnostic.  Single-event users
+    drop (no gaps), matching the SQL lag-CTE.  Integer-microsecond gap
+    arithmetic until the final divide.  ONE user-hash coarse shuffle.
+    Oracle: GENERATED by interarrival_sql."""
+    from ..stages.sequence import interarrival_stats
+
+    return interarrival_stats(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+    )
+
+
+def q213_attribution(sf_dir: str) -> rd.Dataset:
+    """Last-touch attribution (sequence.last_touch_attribution): for
+    every purchase, the user's most recent strictly-preceding
+    non-purchase event — ``lag(... ) IGNORE NULLS`` as a vectorized
+    segmented forward-fill, not a self-join.  First-touch-less
+    conversions keep SQL LEFT semantics in the operator; THIS query
+    coalesces them to (-1, '') on both sides so the driver's value hash
+    sees no nullable-int dtype skew.  ONE user-hash coarse shuffle.
+    Oracle: GENERATED by attribution_sql (+ the same coalesce)."""
+    from ..stages.sequence import last_touch_attribution
+
+    out = last_touch_attribution(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", conversion="purchase",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "touch_id": pc.fill_null(
+                    t["touch_id"].cast(pa.int64()), -1
+                ),
+                "touch_type": pc.fill_null(t["touch_type"], ""),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def q214_cusum_drift(sf_dir: str) -> rd.Dataset:
+    """Per-event-type CUSUM change-point screen (sequence.cusum_drift):
+    0-anchored max-minus-min range of the cumulative deviations from
+    the key's own mean, plus the sd·sqrt(n)-normalized statistic — the
+    ORDER-SENSITIVE drift test (a level shift mid-stream scores high
+    even when the Welch halves (q205) average it away).  Null values
+    filtered both sides.  ONE key-hash shuffle, two vectorized passes.
+    Oracle: GENERATED by cusum_sql (pure window algebra replay)."""
+    from ..stages.sequence import cusum_drift
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return cusum_drift(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+        ),
+        key_col="event_type", ts_col="ts", id_col="event_id",
+        value_col="value",
+    )
+
+
+def q215_unpivot(sf_dir: str) -> rd.Dataset:
+    """Wide→long melt (reshape.unpivot): lineitem's four measure
+    columns become (metric, value) rows — the inverse of the q58 pivot
+    and the canonical shape for the per-metric profiling family (q190's
+    drift report consumes exactly this layout).  Shuffle-free, 4× rows,
+    streams block by block.  Oracle: GENERATED by unpivot_sql (UNION
+    ALL of one SELECT per measure)."""
+    from ..stages.reshape import unpivot
+
+    return unpivot(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def q216_benford(sf_dir: str) -> pa.Table:
+    """Benford first-significant-digit audit per event type
+    (profile.benford_profile) — the fabricated-feed screen: per (group,
+    digit 1–9) observed count and share vs log10(1+1/d), plus the
+    group's 9-cell chi-square.  Values quantized at 2 decimals; null
+    and non-positive values drop on both sides.  Shuffle-free ≤9-rows-
+    per-(batch,group) partials, (groups×9) driver fold.  Oracle:
+    GENERATED by benford_sql over the same null-filtered view."""
+    from ..stages.profile import benford_profile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return benford_profile(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+        ),
+        group_col="event_type", value_col="value", decimals=2,
+    )
+
+
+def q217_kwic(sf_dir: str) -> rd.Dataset:
+    """Keyword-in-context snippets (kwic.kwic_snippets): for every
+    document containing 'window merge', the 1-based codepoint position
+    of its first occurrence and ±40 codepoints of context — the
+    concordance / search-result view.  Vectorized str.find; only
+    matched rows pay the O(snippet) slice.  Shuffle-free scan.
+    Oracle: GENERATED by kwic_sql (strpos/substr are codepoint-based,
+    matching Python slicing)."""
+    from ..stages.kwic import kwic_snippets
+
+    return kwic_snippets(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        term="window merge", id_col="doc_id", text_col="text", context=40,
+    )
+
+
+def q218_weighted_median(sf_dir: str) -> pa.Table:
+    """Per-language byte-weighted median document length
+    (selection.weighted_median_by_group): the n_chars value below which
+    half the language's corpus BYTES lie — the size-biased median that
+    tells you what a typical BYTE of corpus looks like (the unweighted
+    median (q17 family) tells you what a typical DOCUMENT looks like;
+    under web-scale doc-size skew they differ wildly).  Exact via the
+    histogram-refinement discipline with int64 weight sums riding next
+    to the counts — no sort, driver holds groups × bins rows.  Oracle:
+    GENERATED by weighted_median_sql (RANGE-framed cumulative weight)."""
+    from ..stages.selection import weighted_median_by_group
+
+    return weighted_median_by_group(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        value_col="n_chars", weight_col="n_chars", group_col="lang",
+    )
+
+
+def q219_ks_drift(sf_dir: str) -> rd.Dataset:
+    """Per-event-type exact two-sample Kolmogorov-Smirnov test between
+    the early and late halves of the stream (trend.ks_drift, split at
+    2024-01-16) — the DISTRIBUTION-shift screen: Welch (q205) misses a
+    variance blow-up or a bimodal split with an unchanged mean; the max
+    ECDF gap doesn't.  Distinct-value count partials → ONE key-hash
+    shuffle → vectorized segment cumsums; per-key state is distinct-
+    value-sized.  Oracle: GENERATED by ks_drift_sql."""
+    from ..stages.trend import ks_drift
+
+    return ks_drift(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        key_col="event_type", ts_col="ts", value_col="value",
+        split_us=_Q205_SPLIT_US,
+    )
+
+
+def q220_keyness(sf_dir: str) -> pd.DataFrame:
+    """Distinctive terms per source by Dunning log-likelihood keyness
+    (text_analysis.keyness_by_group): each source's top-10
+    overrepresented tokens vs the rest of the corpus, G² ranked — the
+    "what characterizes this slice" screen corpus curation runs before
+    choosing mixture weights.  Per-batch factorized (group, token)
+    partials, ONE token-hash shuffle (a token's counts across groups
+    co-locate, so c_w and the scores are partition-local), groups-sized
+    totals broadcast, parts × groups × k driver fold.  Oracle:
+    GENERATED by keyness_sql (identical float order, unrounded-G²
+    ordering)."""
+    from ..stages.text_analysis import keyness_by_group
+
+    return keyness_by_group(
+        _read(sf_dir, "documents", ["source", "text"]),
+        text_col="text", group_col="source", top_k=10, min_count=5,
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -5707,7 +5907,20 @@ QUERIES = {
     # (Spearman drift, Welch test), modal-label rollup, JSON-LD
     # extraction, asymmetric containment join, then tranche 2: CDC
     # changelog compaction, sort-free global rank, exact-k stratified
-    # sample, OHLC bars, heading outline.
+    # sample, OHLC bars, heading outline; tranche 3: the ordered-
+    # sequence family (running totals, inter-arrival gaps, last-touch
+    # attribution, CUSUM drift), unpivot, Benford audit, KWIC snippets,
+    # exact weighted median, KS two-sample drift, G² keyness.
+    "q218_weighted_median": q218_weighted_median,
+    "q219_ks_drift": q219_ks_drift,
+    "q220_keyness": q220_keyness,
+    "q211_running_totals": q211_running_totals,
+    "q212_interarrival": q212_interarrival,
+    "q213_attribution": q213_attribution,
+    "q214_cusum_drift": q214_cusum_drift,
+    "q215_unpivot": q215_unpivot,
+    "q216_benford": q216_benford,
+    "q217_kwic": q217_kwic,
     "q206_apply_changelog": q206_apply_changelog,
     "q207_global_rank": q207_global_rank,
     "q208_group_sample": q208_group_sample,
@@ -6113,8 +6326,71 @@ from ..stages.changelog import apply_changelog_sql as _changelog_sql
 from ..stages.ranksort import global_rank_sql as _grank_sql
 from ..stages.sampling import group_sample_sql as _gsample_sql
 from ..stages.resample import ohlc_sql as _ohlc_sql
+from ..stages.sequence import (
+    attribution_sql as _attr_sql,
+    cusum_sql as _cusum_sql,
+    interarrival_sql as _gap_sql,
+    running_totals_sql as _runtot_sql,
+)
+from ..stages.reshape import unpivot_sql as _unpivot_sql
+from ..stages.profile import benford_sql as _benford_sql
+from ..stages.kwic import kwic_sql as _kwic_sql
+
+from ..stages.selection import weighted_median_sql as _wmed_sql
+from ..stages.trend import ks_drift_sql as _ks_sql
+from ..stages.text_analysis import keyness_sql as _keyness_sql
+
+_EVENTS_VALUED = (
+    "(SELECT event_id, ts, user_id, event_type, value "
+    "FROM events WHERE value IS NOT NULL)"
+)
 
 ORACLE_SQL = {
+    "q218_weighted_median": _wmed_sql(
+        table="documents", value_col="n_chars", weight_col="n_chars",
+        group_col="lang",
+    ),
+    "q219_ks_drift": _ks_sql(
+        table="events", key_col="event_type", ts_col="ts",
+        value_col="value", split_expr="TIMESTAMP '2024-01-16'",
+    ),
+    "q220_keyness": _keyness_sql(
+        table="documents", text_col="text", group_col="source",
+        top_k=10, min_count=5,
+    ),
+    "q211_running_totals": _runtot_sql(
+        table=_EVENTS_VALUED, key_col="user_id", ts_col="ts",
+        id_col="event_id", value_col="value",
+    ),
+    "q212_interarrival": _gap_sql(
+        table="events", key_col="user_id", ts_col="ts", id_col="event_id",
+    ),
+    "q213_attribution": f"""
+        SELECT event_id, user_id, ts,
+               coalesce(touch_id, -1) AS touch_id,
+               coalesce(touch_type, '') AS touch_type
+        FROM ({_attr_sql(table="events", key_col="user_id", ts_col="ts",
+                         id_col="event_id", type_col="event_type",
+                         conversion="purchase")})
+    """,
+    "q214_cusum_drift": _cusum_sql(
+        table=_EVENTS_VALUED, key_col="event_type", ts_col="ts",
+        id_col="event_id", value_col="value",
+    ),
+    "q215_unpivot": _unpivot_sql(
+        table="lineitem",
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ),
+    "q216_benford": _benford_sql(
+        table="(SELECT event_type, value FROM events "
+              "WHERE value IS NOT NULL)",
+        group_col="event_type", value_col="value", decimals=2,
+    ),
+    "q217_kwic": _kwic_sql(
+        term="window merge", table="documents", id_col="doc_id",
+        text_col="text", context=40,
+    ),
     "q206_apply_changelog": _changelog_sql(
         base_table="""(
           SELECT printf('https://h%02d.example.org/p/%d',

@@ -562,3 +562,156 @@ def grouped_mode_sql(
         SELECT {group_col}, {value_col}, CAST(n AS BIGINT) AS n
         FROM r WHERE rn = 1
     """
+
+
+def benford_profile(
+    ds: rd.Dataset,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    decimals: int = 2,
+    round_to: int = 6,
+) -> pa.Table:
+    """Benford's-law first-significant-digit audit per group — the
+    fabricated-numbers screen for ingested numeric feeds (Benford 1938;
+    the digit-frequency test auditors run on transaction streams).
+
+    Values are quantized to integers at ``decimals`` places
+    (``round(v * 10^decimals)``; rows quantizing to <= 0 drop — Benford
+    applies to positive magnitudes), the first digit is taken in
+    integer arithmetic, and each group reports ALL NINE digit rows
+    (zero-observed digits included — they still contribute N*p to the
+    chi-square).  Output columns: (group, digit:int64, n:int64,
+    share:f64, expected:f64 = log10(1+1/d), chi2:f64 — the group's full
+    9-cell statistic, repeated on each of its rows).
+
+    Scale shape: one shuffle-free scan emits <= 9 partial-count rows
+    per (batch, group); the driver folds (groups x 9)-sized partials —
+    never row-count-sized (the low-cardinality-group assumption of the
+    q17/q179 family, loudly capped at 10_000 groups).  Returns a
+    pa.Table (bins-sized, like profile_table)."""
+    from .collect import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # half-AWAY-from-zero quantization (SQL ROUND); np.round is
+        # half-to-even and diverges from the oracle on exact halves
+        x = vals * 10.0**decimals
+        iv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        keep = iv > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "grp": pa.array([], type=t[group_col].type),
+                    "digit": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        iv = iv[keep]
+        groups = t[group_col].filter(pa.array(keep))
+        while (big := iv >= 10).any():
+            iv[big] //= 10
+        df = pd.DataFrame({"g": groups.to_pandas(), "d": iv})
+        c = df.groupby(["g", "d"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "grp": pa.Array.from_pandas(c["g"], type=t[group_col].type),
+                "digit": pa.array(c["d"].to_numpy().astype(np.int64)),
+                "n": pa.array(c["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    parts = collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow"), drop_empty=True
+    )
+    if not parts:
+        return pa.table(
+            {
+                "grp": pa.array([], type=pa.string()),
+                "digit": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "share": pa.array([], type=pa.float64()),
+                "expected": pa.array([], type=pa.float64()),
+                "chi2": pa.array([], type=pa.float64()),
+            }
+        )
+    merged = pa.concat_tables(parts).to_pandas()
+    counts = merged.groupby(["grp", "digit"], sort=True)["n"].sum()
+    groups = counts.index.get_level_values(0).unique()
+    if len(groups) > 10_000:
+        raise ValueError(
+            f"benford_profile: {len(groups)} groups exceeds the "
+            "low-cardinality-group assumption (10000); group by a "
+            "coarser key"
+        )
+    full = counts.reindex(
+        pd.MultiIndex.from_product([groups, range(1, 10)], names=["grp", "digit"]),
+        fill_value=0,
+    ).reset_index()
+    digits = full["digit"].to_numpy().astype(np.int64)
+    n = full["n"].to_numpy().astype(np.int64)
+    p = np.log10(1.0 + 1.0 / digits)
+    tot = full.groupby("grp", sort=False)["n"].transform("sum").to_numpy()
+    exp_n = tot * p
+    cell = (n - exp_n) ** 2 / exp_n
+    chi2 = (
+        pd.DataFrame({"grp": full["grp"], "c": cell})
+        .groupby("grp", sort=False)["c"]
+        .transform("sum")
+        .to_numpy()
+    )
+    f = 10.0**round_to
+
+    def rnd(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+    return pa.table(
+        {
+            "grp": pa.Array.from_pandas(full["grp"]),
+            "digit": pa.array(digits),
+            "n": pa.array(n),
+            "share": pa.array(rnd(n / tot)),
+            "expected": pa.array(rnd(p)),
+            "chi2": pa.array(rnd(chi2)),
+        }
+    )
+
+
+def benford_sql(
+    *,
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    decimals: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`benford_profile` (single-generator):
+    integer first digit via VARCHAR head, all nine digits per group via
+    a groups x generate_series cross join."""
+    return f"""
+        WITH q AS (
+            SELECT {group_col} AS grp,
+                   CAST(substr(CAST(CAST(round({value_col} * {10**decimals})
+                        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM {table}
+            WHERE CAST(round({value_col} * {10**decimals}) AS BIGINT) > 0
+        ), c AS (
+            SELECT grp, digit, count(*) AS n FROM q GROUP BY 1, 2
+        ), cells AS (
+            SELECT g.grp, d.digit, coalesce(c.n, 0) AS n
+            FROM (SELECT DISTINCT grp FROM c) g
+            CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) d
+            LEFT JOIN c ON c.grp = g.grp AND c.digit = d.digit
+        ), t AS (
+            SELECT grp, sum(n) AS tot FROM cells GROUP BY 1
+        )
+        SELECT cells.grp, cells.digit, CAST(cells.n AS BIGINT) AS n,
+               round(cells.n / t.tot, {round_to}) AS share,
+               round(ln(1.0 + 1.0 / cells.digit) / ln(10), {round_to})
+                   AS expected,
+               round(sum(pow(cells.n - t.tot * ln(1.0 + 1.0 / cells.digit)
+                                 / ln(10), 2)
+                         / (t.tot * ln(1.0 + 1.0 / cells.digit) / ln(10)))
+                     OVER (PARTITION BY cells.grp), {round_to}) AS chi2
+        FROM cells JOIN t ON cells.grp = t.grp
+    """

@@ -820,3 +820,309 @@ def decile_bins(
     out["bucket"] = out["bucket"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+# --------------------------------------------------------------------------
+# exact weighted median by histogram refinement
+# --------------------------------------------------------------------------
+
+def weighted_median_by_group(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    bins: int = 1024,
+    collect_cap: int = 100_000,
+    num_parts: int = 16,
+    max_rounds: int = 24,
+) -> pa.Table:
+    """Per group, the EXACT lower weighted median of ``value_col`` under
+    integer weights ``weight_col``: the smallest v with
+    ``2 * W(<= v) >= W_total`` — e.g. with weight = n_chars, the
+    document length below which half the corpus BYTES lie (a corpus
+    statistic the unweighted median distorts badly under skewed doc
+    sizes).  Weights must be a non-negative INTEGER column (exact
+    HUGEINT accumulation on the SQL side demands exact int64 cumsums on
+    this side; quantize float weights upstream).  Rows with a null
+    group, value or weight drop on both sides; groups whose total
+    weight is 0 drop (the median is undefined).
+
+    Scale shape: the exact_group_quantiles discipline with weight sums
+    riding next to the counts — one stats scan, <= max_rounds
+    histogram-refinement scans whose shuffle volume is sparse
+    (interval, bin, count, wsum, vmin, vmax) partials, then one
+    <= collect_cap-rows-per-target gather; the driver never holds more
+    than groups x bins rows.  No sort anywhere.
+
+    Returns a pa.Table (group, n:int64, w_total:int64, wmedian:float64),
+    groups in ascending group order.  SQL replay: single-generator
+    :func:`weighted_median_sql`."""
+    from .collect import collect_tables
+    from .skew import partitioned_groupby
+
+    sch = ds.schema()
+    wt = dict(zip(sch.names, sch.types))[weight_col]
+    if not (isinstance(wt, pa.DataType) and pa.types.is_integer(wt)):
+        raise ValueError(
+            f"weighted_median_by_group: weight column {weight_col!r} must "
+            f"be an integer type (got {wt}); quantize float weights upstream"
+        )
+
+    def _gvw(t: pa.Table) -> pa.Table:
+        """Project to internal (_g, _v, _w) names — value_col and
+        weight_col may be the SAME column (the size-biased median), and
+        duplicate names break select/aggregate."""
+        t2 = pa.table(
+            {"_g": t[group_col], "_v": t[value_col], "_w": t[weight_col]}
+        ).drop_null()
+        if pa.types.is_floating(t2["_v"].type):
+            t2 = t2.filter(pc.invert(pc.is_nan(t2["_v"])))
+        return t2
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        return _gvw(t).group_by("_g").aggregate(
+            [("_v", "min"), ("_v", "max"), ("_v", "count"),
+             ("_w", "sum"), ("_w", "min")]
+        )
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("_g")
+        .aggregate(
+            Min("_v_min", alias_name="vmin"),
+            Max("_v_max", alias_name="vmax"),
+            Sum("_v_count", alias_name="n"),
+            Sum("_w_sum", alias_name="wt"),
+            Min("_w_min", alias_name="wmin"),
+        )
+        .to_pandas()
+        .rename(columns={"_g": group_col})
+    )
+    if len(agg) and int(agg["wmin"].min()) < 0:
+        raise ValueError(
+            "weighted_median_by_group: negative weights break the "
+            "cumulative-weight monotonicity the refinement relies on"
+        )
+
+    # per-group state: threshold T = ceil(W/2) (2*cumw >= W), interval
+    # [lo, hi] inclusive, exact int64 weight-before, state machine as in
+    # exact_group_quantiles
+    st: dict[object, dict] = {}
+    for _, row in agg.iterrows():
+        g, n, wt_g = row[group_col], int(row["n"]), int(row["wt"])
+        if wt_g <= 0:
+            continue
+        lo, hi = float(row["vmin"]), float(row["vmax"])
+        s = {"n": n, "wt": wt_g, "T": (wt_g + 1) // 2, "before": 0,
+             "lo": lo, "hi": hi, "state": "refine", "value": math.nan}
+        if lo == hi:
+            s["state"], s["value"] = "done", lo
+        elif n <= collect_cap:
+            s["state"] = "collect"
+        st[g] = s
+
+    def scan_bins(intervals: list[tuple]) -> dict:
+        """intervals: (group, lo, hi) inclusive → per interval
+        (cnt[bins], wsum[bins], vmin[bins], vmax[bins]) exact int64."""
+        groups = [iv[0] for iv in intervals]
+        gset = pa.array(groups)
+        edges = [np.linspace(lo, hi, bins + 1) for (_, lo, hi) in intervals]
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = _gvw(t)
+            v = t["_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+            w = t["_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gidx = pc.fill_null(
+                pc.index_in(t["_g"], value_set=gset), -1
+            ).to_numpy(zero_copy_only=False)
+            ivs, bs, cs, ws, mns, mxs = [], [], [], [], [], []
+            for i, (_, lo, hi) in enumerate(intervals):
+                m = (gidx == i) & (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                vm, wm = v[m], w[m]
+                b = np.searchsorted(edges[i], vm, side="right") - 1
+                np.clip(b, 0, bins - 1, out=b)
+                cnt = np.bincount(b, minlength=bins)
+                wsum = np.bincount(b, weights=wm.astype(np.float64),
+                                   minlength=bins)
+                # float bincount is exact for batch-local weight sums
+                # (< 2^53); the cross-batch fold below is int64
+                nz = np.flatnonzero(cnt)
+                bmin = np.full(bins, np.inf)
+                bmax = np.full(bins, -np.inf)
+                np.minimum.at(bmin, b, vm)
+                np.maximum.at(bmax, b, vm)
+                ivs.append(np.full(len(nz), i, dtype=np.int64))
+                bs.append(nz.astype(np.int64))
+                cs.append(cnt[nz].astype(np.int64))
+                ws.append(np.round(wsum[nz]).astype(np.int64))
+                mns.append(bmin[nz])
+                mxs.append(bmax[nz])
+            if not ivs:
+                return pa.table(
+                    {"_iv": pa.array([], pa.int64()),
+                     "_bin": pa.array([], pa.int64()),
+                     "_cnt": pa.array([], pa.int64()),
+                     "_w": pa.array([], pa.int64()),
+                     "_vmin": pa.array([], pa.float64()),
+                     "_vmax": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {"_iv": pa.array(np.concatenate(ivs)),
+                 "_bin": pa.array(np.concatenate(bs)),
+                 "_cnt": pa.array(np.concatenate(cs)),
+                 "_w": pa.array(np.concatenate(ws)),
+                 "_vmin": pa.array(np.concatenate(mns)),
+                 "_vmax": pa.array(np.concatenate(mxs))}
+            )
+
+        summed = partitioned_groupby(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["_iv", "_bin"],
+            {"n": ("_cnt", "sum"), "w": ("_w", "sum"),
+             "vmin": ("_vmin", "min"), "vmax": ("_vmax", "max")},
+            num_parts=num_parts,
+        ).to_pandas()
+        out = {
+            i: (np.zeros(bins, np.int64), np.zeros(bins, np.int64),
+                np.full(bins, np.inf), np.full(bins, -np.inf))
+            for i in range(len(intervals))
+        }
+        for _, r in summed.iterrows():
+            i, b = int(r["_iv"]), int(r["_bin"])
+            out[i][0][b] = int(r["n"])
+            out[i][1][b] = int(r["w"])
+            out[i][2][b] = float(r["vmin"])
+            out[i][3][b] = float(r["vmax"])
+        return out
+
+    for _ in range(max_rounds):
+        active = [g for g, s in st.items() if s["state"] == "refine"]
+        if not active:
+            break
+        active.sort(key=str)
+        intervals = [(g, st[g]["lo"], st[g]["hi"]) for g in active]
+        res = scan_bins(intervals)
+        for i, g in enumerate(active):
+            s = st[g]
+            cnt, wsum, bmn, bmx = res[i]
+            cumw = np.cumsum(wsum)
+            r = s["T"] - s["before"]
+            j = int(np.searchsorted(cumw, r, side="left"))
+            s["before"] += int(cumw[j - 1]) if j > 0 else 0
+            blo, bhi = float(bmn[j]), float(bmx[j])
+            if blo == bhi:
+                s["state"], s["value"] = "done", blo
+            elif int(cnt[j]) <= collect_cap:
+                s["state"], s["lo"], s["hi"] = "collect", blo, bhi
+            else:
+                s["lo"], s["hi"] = blo, bhi
+    if any(s["state"] == "refine" for s in st.values()):
+        raise RuntimeError(
+            f"weighted_median_by_group: histogram refinement did not "
+            f"converge in {max_rounds} rounds"
+        )
+
+    collects = [g for g, s in st.items() if s["state"] == "collect"]
+    if collects:
+        gset = pa.array(collects)
+        specs = [(i, st[g]["lo"], st[g]["hi"]) for i, g in enumerate(collects)]
+
+        def grab(t: pa.Table) -> pa.Table:
+            t = _gvw(t)
+            v = t["_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+            w = t["_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gidx = pc.fill_null(
+                pc.index_in(t["_g"], value_set=gset), -1
+            ).to_numpy(zero_copy_only=False)
+            tid_out, val_out, w_out = [], [], []
+            for i, lo, hi in specs:
+                m = (gidx == i) & (v >= lo) & (v <= hi)
+                if m.any():
+                    tid_out.append(np.full(int(m.sum()), i, dtype=np.int64))
+                    val_out.append(v[m])
+                    w_out.append(w[m])
+            if not tid_out:
+                return pa.table(
+                    {"_tid": pa.array([], pa.int64()),
+                     "_v": pa.array([], pa.float64()),
+                     "_w": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"_tid": pa.array(np.concatenate(tid_out)),
+                 "_v": pa.array(np.concatenate(val_out)),
+                 "_w": pa.array(np.concatenate(w_out))}
+            )
+
+        tbl = pa.concat_tables(collect_tables(
+            ds.map_batches(grab, batch_format="pyarrow", batch_size=65536),
+            drop_empty=False,
+        ))
+        tid = tbl["_tid"].to_numpy(zero_copy_only=False)
+        vv = tbl["_v"].to_numpy(zero_copy_only=False)
+        ww = tbl["_w"].to_numpy(zero_copy_only=False)
+        for i, g in enumerate(collects):
+            s = st[g]
+            m = tid == i
+            vals, wts = vv[m], ww[m]
+            o = np.argsort(vals, kind="mergesort")
+            vals, wts = vals[o], wts[o]
+            cum = s["before"] + np.cumsum(wts)
+            k = int(np.searchsorted(cum, s["T"], side="left"))
+            if not 0 <= k < len(vals):
+                raise RuntimeError(
+                    f"weighted_median_by_group: weight bookkeeping out of "
+                    f"range for group {g!r}"
+                )
+            s["state"], s["value"] = "done", float(vals[k])
+
+    groups = sorted(st, key=lambda g: (g is None, g))
+    return pa.table(
+        {
+            group_col: pa.array(groups),
+            "n": pa.array([st[g]["n"] for g in groups], type=pa.int64()),
+            "w_total": pa.array([st[g]["wt"] for g in groups],
+                                type=pa.int64()),
+            "wmedian": pa.array([st[g]["value"] for g in groups],
+                                type=pa.float64()),
+        }
+    )
+
+
+def weighted_median_sql(
+    *,
+    table: str,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+) -> str:
+    """DuckDB replay of :func:`weighted_median_by_group`
+    (single-generator).  The RANGE-framed window sum makes cw(v) the
+    weight of ALL rows with value <= v (peers included), so
+    ``min(v) FILTER (2*cw >= W)`` is exactly the lower weighted median;
+    integer weights accumulate exactly (HUGEINT)."""
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS g, {value_col} AS v, {weight_col} AS w
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+              AND {weight_col} IS NOT NULL
+        ), tot AS (
+            SELECT g, count(*) AS n, sum(w) AS wt
+            FROM base GROUP BY g HAVING sum(w) > 0
+        ), cum AS (
+            SELECT g, v,
+                   sum(w) OVER (PARTITION BY g ORDER BY v
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cw
+            FROM base
+        )
+        SELECT t.g AS {group_col}, CAST(t.n AS BIGINT) AS n,
+               CAST(t.wt AS BIGINT) AS w_total,
+               CAST(min(c.v) AS DOUBLE) AS wmedian
+        FROM cum c JOIN tot t ON c.g = t.g
+        WHERE 2 * c.cw >= t.wt
+        GROUP BY t.g, t.n, t.wt
+    """

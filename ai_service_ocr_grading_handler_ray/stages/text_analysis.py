@@ -1523,3 +1523,214 @@ def readability_sql(
                        / CAST(len(ws) AS DOUBLE)), 4) AS flesch_proxy
         FROM w
     """
+
+
+def keyness_by_group(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_k: int = 10,
+    min_count: int = 5,
+    num_parts: int = 32,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Distinctive terms per group by log-likelihood keyness (Dunning
+    1993 G² / Rayson-Garside): for each (group, term), compare the
+    term's rate inside the group against the rest of the corpus,
+        G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),
+        E_a = n_g·(c_w/N),  E_b = (N-n_g)·(c_w/N),
+    keep only OVERREPRESENTED terms (a/n_g > c_w/N) with a >= min_count,
+    and report each group's top_k by (G² desc, term asc) — the "what
+    characterizes this source/language slice" screen corpus curation
+    runs before mixing.  Tokenization is the repo-wide string_split
+    convention (batch_words == SQL ``string_split(text, ' ')``).
+
+    Scale shape: per-batch factorized (group, token) partial counts
+    (vocab-sized rows leave each task, never corpus tokens), ONE coarse
+    TOKEN-hash shuffle — a token's counts across all groups co-locate,
+    so c_w and every group's score for that token are partition-local
+    — plus a groups-sized totals broadcast; each partition emits its
+    per-group top_k candidates and the driver folds
+    parts × groups × top_k rows.  Per-group totals come from ONE tiny
+    groupby over the same partials.  Output: (group, term, n_in:int64,
+    n_out:int64, g2:f64 rounded).  SQL replay: single-generator
+    :func:`keyness_sql` (identical float order: E via cw/N first)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .collect import cached_ref
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))  # null groups excluded
+        texts = t[text_col].to_pylist()
+        words, lens = batch_words(texts)
+        if not len(words):
+            return pa.table(
+                {"g": pa.array([], type=t[group_col].type),
+                 "token": pa.array([], type=pa.string()),
+                 "a": pa.array([], type=pa.int64())}
+            )
+        grows = np.repeat(t[group_col].to_numpy(zero_copy_only=False), lens)
+        tcode, toks = pd.factorize(words, sort=False)
+        gcode, grps = pd.factorize(grows, sort=False)
+        comb = gcode.astype(np.int64) * len(toks) + tcode
+        ccode, uniq = pd.factorize(comb, sort=False)
+        cnt = np.bincount(ccode, minlength=len(uniq))
+        return pa.table(
+            {
+                "g": pa.array(grps[uniq // len(toks)]),
+                "token": pa.array(toks[uniq % len(toks)], type=pa.string()),
+                "a": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    # the partials feed TWO consumers (group totals + the token shuffle)
+    # — checkpoint once so the tokenize pass runs once
+    parts = parts.materialize()
+
+    def gt_partial(t: pa.Table) -> pa.Table:
+        return t.group_by("g").aggregate([("a", "sum")])
+
+    gt = (
+        parts.map_batches(gt_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("a_sum", alias_name="ng"))
+        .to_pandas()
+    )
+    ng_of = dict(zip(gt["g"], gt["ng"].astype(np.int64)))
+    n_total = int(gt["ng"].sum())
+    ref = ray.put((ng_of, n_total))
+
+    def per_partition(g: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "g": pd.Series([], dtype=object),
+                "token": pd.Series([], dtype=object),
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "_g2": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not len(g):
+            return empty
+        ng_map, n = cached_ref(_ref)
+        c = g.groupby(["g", "token"], sort=False)["a"].sum().reset_index()
+        cw = c.groupby("token", sort=False)["a"].transform("sum").to_numpy()
+        a = c["a"].to_numpy().astype(np.int64)
+        b = cw - a
+        ngv = c["g"].map(ng_map).to_numpy().astype(np.float64)
+        nf = float(n)
+        rate = cw.astype(np.float64) / nf
+        keep = (a >= min_count) & (a / ngv > rate)
+        if not keep.any():
+            return empty
+        c, a, b, ngv, rate = c[keep], a[keep], b[keep], ngv[keep], rate[keep]
+        ea = ngv * rate
+        eb = (nf - ngv) * rate
+        bf = b.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g2 = 2.0 * (
+                a * np.log(a / ea)
+                + np.where(b > 0, bf * np.log(bf / eb), 0.0)
+            )
+        out = pd.DataFrame(
+            {"g": c["g"].to_numpy(), "token": c["token"].to_numpy(),
+             "a": a, "b": b.astype(np.int64), "_g2": g2}
+        )
+        out = out.sort_values(
+            ["g", "_g2", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return out.groupby("g", sort=False).head(top_k).reset_index(drop=True)
+
+    cands = (
+        parts.map_batches(
+            lambda t: add_key_partition(t, "token", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(cands):
+        return pd.DataFrame(
+            {group_col: pd.Series([], dtype=object),
+             "term": pd.Series([], dtype=object),
+             "n_in": pd.Series([], dtype=np.int64),
+             "n_out": pd.Series([], dtype=np.int64),
+             "g2": pd.Series([], dtype=np.float64)}
+        )
+    cands = cands.sort_values(
+        ["g", "_g2", "token"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = cands.groupby("g", sort=False).head(top_k).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            group_col: out["g"],
+            "term": out["token"],
+            "n_in": out["a"].astype(np.int64),
+            "n_out": out["b"].astype(np.int64),
+            "g2": round_half_away(out["_g2"].to_numpy(), round_to),
+        }
+    )
+
+
+def keyness_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_k: int = 10,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`keyness_by_group` (single-generator).
+    Float order mirrors the engine exactly: rate = cw / N first, then
+    E_a = ng * rate; ordering for the top-k uses the UNROUNDED g2."""
+    return f"""
+        WITH toks AS (
+            SELECT {group_col} AS g,
+                   unnest(string_split({text_col}, ' ')) AS w
+            FROM {table} WHERE {group_col} IS NOT NULL
+        ), c AS (
+            SELECT g, w, count(*) AS a FROM toks GROUP BY g, w
+        ), gt AS (
+            SELECT g, sum(a) AS ng FROM c GROUP BY g
+        ), wt AS (
+            SELECT w, sum(a) AS cw FROM c GROUP BY w
+        ), tot AS (
+            SELECT sum(a) AS n FROM c
+        ), scored AS (
+            SELECT c.g, c.w, c.a, wt.cw - c.a AS b,
+                   2 * (c.a * ln(c.a / (gt.ng * (wt.cw / CAST(tot.n AS DOUBLE))))
+                        + CASE WHEN wt.cw - c.a > 0
+                               THEN (wt.cw - c.a)
+                                    * ln((wt.cw - c.a)
+                                         / ((tot.n - gt.ng)
+                                            * (wt.cw / CAST(tot.n AS DOUBLE))))
+                               ELSE 0 END) AS g2
+            FROM c
+            JOIN gt USING (g)
+            JOIN wt USING (w)
+            CROSS JOIN tot
+            WHERE c.a >= {min_count}
+              AND c.a / CAST(gt.ng AS DOUBLE)
+                  > wt.cw / CAST(tot.n AS DOUBLE)
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY g
+                                         ORDER BY g2 DESC, w) AS rn
+            FROM scored
+        )
+        SELECT g AS {group_col}, w AS term,
+               CAST(a AS BIGINT) AS n_in, CAST(b AS BIGINT) AS n_out,
+               round(g2, {round_to}) AS g2
+        FROM ranked WHERE rn <= {top_k}
+    """

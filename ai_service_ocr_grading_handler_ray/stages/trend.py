@@ -702,3 +702,166 @@ def welch_drift_sql(
                         + (v2/n2) * (v2/n2) / (n2 - 1)), 6) AS welch_df
         FROM j WHERE v1/n1 + v2/n2 > 0
     """
+
+
+def ks_drift(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_us: int = 0,
+    num_parts: int = 32,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-key exact two-sample Kolmogorov-Smirnov statistic between the
+    EARLY (ts < split) and LATE (ts >= split) halves of the stream —
+    the DISTRIBUTION-shift layer the mean tests miss (Welch (q205) is
+    blind to a variance blow-up or a bimodal split with an unchanged
+    mean; KS is not).  D = max over observed values of
+    |F_early(v) - F_late(v)| with both ECDFs evaluated at every
+    distinct value of the key; ks_stat = D * sqrt(n1*n2/(n1+n2)) (the
+    asymptotic normalization; >= ~1.36 rejects at 5%).  Keys missing a
+    side drop on both engines.
+
+    Scale shape: a per-batch (key, value) count partial collapses the
+    scan to distinct-value rows, ONE coarse key-hash shuffle co-locates
+    each key's distinct values, and the per-partition pass is one
+    lexsort + segment cumsums — the per-key state is distinct-value-
+    sized, never row-count-sized, and the output streams from
+    map_groups (one row per key).  Output: (key, n_early:int64,
+    n_late:int64, ks_d:f64, ks_stat:f64 — rounded).  SQL replay:
+    single-generator :func:`ks_drift_sql`."""
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.is_valid(t[value_col]))
+        ts = (
+            t2[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        early = (ts < split_us).astype(np.int64)
+        aug = pa.table(
+            {
+                key_col: t2[key_col],
+                "v": t2[value_col],
+                "a": pa.array(early),
+                "b": pa.array(1 - early),
+            }
+        )
+        return aug.group_by([key_col, "v"]).aggregate(
+            [("a", "sum"), ("b", "sum")]
+        ).rename_columns([key_col, "v", "a", "b"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=g[key_col].dtype),
+                "n_early": pd.Series([], dtype=np.int64),
+                "n_late": pd.Series([], dtype=np.int64),
+                "ks_d": pd.Series([], dtype=np.float64),
+                "ks_stat": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not len(g):
+            return empty
+        keys = g[key_col].to_numpy()
+        v = g["v"].to_numpy().astype(np.float64)
+        a = g["a"].to_numpy().astype(np.int64)
+        b = g["b"].to_numpy().astype(np.int64)
+        order = np.lexsort((v, keys))
+        keys, a, b = keys[order], a[order], b[order]
+        new = np.empty(len(keys), dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        n1 = np.bincount(seg, weights=a, minlength=nseg).astype(np.int64)
+        n2 = np.bincount(seg, weights=b, minlength=nseg).astype(np.int64)
+        # segmented cumulative counts (reset at key boundaries)
+        ca = np.cumsum(a)
+        cb = np.cumsum(b)
+        seg_first = np.flatnonzero(new)[seg]
+        ca = ca - np.where(seg_first > 0, np.cumsum(a)[np.maximum(seg_first - 1, 0)], 0)
+        cb = cb - np.where(seg_first > 0, np.cumsum(b)[np.maximum(seg_first - 1, 0)], 0)
+        keep = (n1 > 0) & (n2 > 0)
+        if not keep.any():
+            return empty
+        n1f = n1[seg].astype(np.float64)
+        n2f = n2[seg].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            diff = np.abs(ca / n1f - cb / n2f)
+        d = np.zeros(nseg, dtype=np.float64)
+        np.maximum.at(d, seg, np.where(np.isfinite(diff), diff, 0.0))
+        n1k, n2k, dk = n1[keep], n2[keep], d[keep]
+        n1kf, n2kf = n1k.astype(np.float64), n2k.astype(np.float64)
+        stat = dk * np.sqrt(n1kf * n2kf / (n1kf + n2kf))
+        return pd.DataFrame(
+            {
+                key_col: keys[new][keep],
+                "n_early": n1k,
+                "n_late": n2k,
+                "ks_d": round_half_away(dk, round_to),
+                "ks_stat": round_half_away(stat, round_to),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def ks_drift_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_expr: str = "TIMESTAMP '2024-01-16'",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`ks_drift` (single-generator): distinct-
+    value counts per side, ROWS-framed cumulative sums (one row per
+    distinct value, so ROWS == RANGE), max of the ECDF gap.  The
+    normalization forces the DOUBLE multiply before the divide,
+    matching the engine's float order."""
+    return f"""
+        WITH base AS (
+            SELECT {key_col} AS k, {value_col} AS v,
+                   CASE WHEN {ts_col} < {split_expr} THEN 1 ELSE 0 END
+                       AS early
+            FROM {table} WHERE {value_col} IS NOT NULL
+        ), c AS (
+            SELECT k, v, sum(early) AS a, sum(1 - early) AS b
+            FROM base GROUP BY k, v
+        ), tot AS (
+            SELECT k, sum(a) AS n1, sum(b) AS n2 FROM c GROUP BY k
+            HAVING sum(a) > 0 AND sum(b) > 0
+        ), cum AS (
+            SELECT k,
+                   sum(a) OVER w AS ca,
+                   sum(b) OVER w AS cb
+            FROM c
+            WINDOW w AS (PARTITION BY k ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT t.k AS {key_col},
+               CAST(t.n1 AS BIGINT) AS n_early,
+               CAST(t.n2 AS BIGINT) AS n_late,
+               round(max(abs(ca / CAST(t.n1 AS DOUBLE)
+                             - cb / CAST(t.n2 AS DOUBLE))), {round_to})
+                   AS ks_d,
+               round(max(abs(ca / CAST(t.n1 AS DOUBLE)
+                             - cb / CAST(t.n2 AS DOUBLE)))
+                     * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2)),
+                     {round_to}) AS ks_stat
+        FROM cum c JOIN tot t ON c.k = t.k
+        GROUP BY t.k, t.n1, t.n2
+    """

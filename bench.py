@@ -154,6 +154,16 @@ BENCH_QUERIES = [
     "q208_group_sample",
     "q209_ohlc_bars",
     "q210_heading_outline",
+    "q211_running_totals",
+    "q212_interarrival",
+    "q213_attribution",
+    "q214_cusum_drift",
+    "q215_unpivot",
+    "q216_benford",
+    "q217_kwic",
+    "q218_weighted_median",
+    "q219_ks_drift",
+    "q220_keyness",
 ]
 
 
