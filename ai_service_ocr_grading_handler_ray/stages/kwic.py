@@ -48,7 +48,11 @@ def kwic_snippets(
 
     def scan(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pandas()
-        pos0 = texts.str.find(term).to_numpy()  # -1 = no match, codepoints
+        # NULL texts: str.find yields NaN (and floats the whole array) —
+        # treat as no-match, exactly like SQL strpos(NULL) > 0
+        pos0 = (
+            texts.str.find(term).fillna(-1).to_numpy().astype(np.int64)
+        )
         hit = pos0 >= 0
         if not hit.any():
             return pa.table(

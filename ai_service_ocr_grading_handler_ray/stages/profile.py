@@ -660,10 +660,10 @@ def benford_profile(
         .transform("sum")
         .to_numpy()
     )
-    f = 10.0**round_to
+    from .selection import round_half_away
 
     def rnd(x: np.ndarray) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+        return round_half_away(x, round_to)
 
     return pa.table(
         {

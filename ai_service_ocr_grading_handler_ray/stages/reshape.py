@@ -40,10 +40,15 @@ def unpivot(
         raise ValueError(f"unpivot: output names collide with inputs: {overlap}")
 
     def melt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         slices = []
         for m in value_cols:
             cols = {c: t[c] for c in id_cols}
-            cols[metric_col] = pa.array([m] * t.num_rows, type=pa.string())
+            # constant column without a num_rows-long Python list
+            cols[metric_col] = pc.fill_null(
+                pa.nulls(t.num_rows, pa.string()), m
+            )
             cols[value_col] = t[m].cast(pa.float64())
             slices.append(pa.table(cols))
         return pa.concat_tables(slices)

@@ -766,6 +766,12 @@ def ks_drift(
         )
         if not len(g):
             return empty
+        # merge per-batch partials FIRST: the same (key, value) arriving
+        # from two batches would otherwise create a spurious mid-value
+        # ECDF evaluation point and inflate D (e.g. a value occurring
+        # 100x early in one batch and 100x late in another reads D=1.0
+        # where the true D=0.0)
+        g = g.groupby([key_col, "v"], sort=False)[["a", "b"]].sum().reset_index()
         keys = g[key_col].to_numpy()
         v = g["v"].to_numpy().astype(np.float64)
         a = g["a"].to_numpy().astype(np.int64)
@@ -783,8 +789,8 @@ def ks_drift(
         ca = np.cumsum(a)
         cb = np.cumsum(b)
         seg_first = np.flatnonzero(new)[seg]
-        ca = ca - np.where(seg_first > 0, np.cumsum(a)[np.maximum(seg_first - 1, 0)], 0)
-        cb = cb - np.where(seg_first > 0, np.cumsum(b)[np.maximum(seg_first - 1, 0)], 0)
+        ca = ca - np.where(seg_first > 0, ca[np.maximum(seg_first - 1, 0)], 0)
+        cb = cb - np.where(seg_first > 0, cb[np.maximum(seg_first - 1, 0)], 0)
         keep = (n1 > 0) & (n2 > 0)
         if not keep.any():
             return empty

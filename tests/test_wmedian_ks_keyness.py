@@ -194,3 +194,65 @@ def test_keyness_duckdb_parity_inline(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(mine, ref, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_ks_partials_merge_across_blocks(ray_session):
+    # the SAME (key, value) arriving from two separate blocks must merge
+    # before the ECDF cumsum: value 5.0 occurs 100x early (block 1) and
+    # 100x late (block 2) → identical distributions, true D = 0
+    early = pd.DataFrame(
+        {
+            "event_type": ["k"] * 100,
+            "ts": pd.to_datetime([i * US for i in range(100)], unit="us"),
+            "value": [5.0] * 100,
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "event_type": ["k"] * 100,
+            "ts": pd.to_datetime(
+                [(10_000 + i) * US for i in range(100)], unit="us"
+            ),
+            "value": [5.0] * 100,
+        }
+    )
+    ds = rd.from_pandas(early).union(rd.from_pandas(late))
+    out = ks_drift(ds, split_us=5_000 * US).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "ks_d"] == 0.0
+
+
+def test_kwic_null_text(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.kwic import kwic_snippets
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["a needle b", None, "plain"]}
+        )
+    )
+    out = kwic_snippets(ds, term="needle", context=2).to_pandas()
+    assert list(out["id"]) == [1]  # null text = no match, like SQL strpos
+
+
+def test_attribution_string_ids(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.sequence import (
+        last_touch_attribution,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": ["e1", "e2", "e3"],
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime([1 * US, 2 * US, 3 * US], unit="us"),
+            "event_type": ["view", "purchase", "purchase"],
+        }
+    )
+    out = (
+        last_touch_attribution(rd.from_pandas(df), num_parts=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["event_id"]) == ["e2", "e3"]
+    assert out.loc[0, "touch_id"] == "e1"
+    assert out["touch_id"].isna().sum() == 1  # e3 has no touch
