@@ -5871,6 +5871,96 @@ def q220_keyness(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q221_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Population Stability Index between the early and
+    late stream halves (trend.psi_drift, split 2024-01-16, 10 equi-
+    width bins over each key's own range, continuity-smoothed shares) —
+    the binned, magnitude-weighted drift score auditors threshold
+    (<0.1 stable, >0.25 action) next to KS's exact sup-gap (q219).
+    Scale shape: one min/max scan, one binned-count scan, ONE tiny
+    groupby, keys×bins driver fold.  Oracle: GENERATED by psi_sql."""
+    from ..stages.trend import psi_drift
+
+    return psi_drift(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        key_col="event_type", ts_col="ts", value_col="value",
+        split_us=_Q205_SPLIT_US, n_bins=10,
+    )
+
+
+def q222_lang_source_independence(sf_dir: str) -> pd.DataFrame:
+    """Mutual information + chi-square independence + Cramér's V
+    between lang and source (profile.categorical_independence) — the
+    "are my two mixture knobs confounded?" audit a corpus-mixture
+    design runs before treating language and source as independent
+    dials.  Full |X|×|Y| grid, zero cells contribute expectation to
+    chi² and 0 to MI.  Scale shape: grid-sized Arrow partials, ONE tiny
+    groupby, |X|·|Y| driver fold.  Oracle: GENERATED by
+    independence_sql."""
+    from ..stages.profile import categorical_independence
+
+    return categorical_independence(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        x_col="lang", y_col="source",
+    )
+
+
+def q223_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-language inter-decile trimmed mean of document length
+    (selection.trimmed_mean_by_group, trim=1/10): mean of n_chars
+    between the exact 10th and 90th percentile values — the robust
+    location that ignores the spam tail and truncation head without
+    winsorize's (q114) clamping bias.  Threshold-based (values at exact
+    ranks), so tie-safe.  Scale shape: histogram-refinement quantiles
+    (no sort) + one filtered int64 moment scan.  Oracle: GENERATED by
+    trimmed_mean_sql (row_number thresholds at the same ceil ranks)."""
+    from fractions import Fraction as _F
+
+    from ..stages.selection import trimmed_mean_by_group
+
+    return trimmed_mean_by_group(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        value_col="n_chars", group_col="lang", trim=_F(1, 10),
+    )
+
+
+def q224_dedup_impact(sf_dir: str) -> pd.DataFrame:
+    """Dedup impact sizing (mirrors.dedup_impact) over the q197 mirror
+    corpus (md5 content hashes, bytes = n_chars): per duplicate-cluster
+    size, how many clusters / pages exist and how many bytes keep-best
+    dedup would reclaim — the report that decides whether the dedup
+    compute is worth spending.  ONE content-hash coarse shuffle,
+    sizes-bounded folds, exact int64 sums.  Oracle: GENERATED by
+    dedup_impact_sql over the same md5 derivation."""
+    import hashlib as _hl
+
+    from ..stages.mirrors import dedup_impact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        nb = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs, outb = [], []
+        for dv, txt, b in zip(d, texts, nb):
+            if dv % 5 == 0:
+                body = f"mirror {dv % 37}"
+                hs.append(_hl.md5(body.encode()).hexdigest())
+                outb.append(len(body))
+            else:
+                hs.append(_hl.md5(txt.encode()).hexdigest())
+                outb.append(int(b))
+        return pa.table(
+            {
+                "content_hash": pa.array(hs, type=pa.string()),
+                "n_bytes": pa.array(outb, type=pa.int64()),
+            }
+        )
+
+    return dedup_impact(ds.map_batches(mk, batch_format="pyarrow"))
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -5910,7 +6000,12 @@ QUERIES = {
     # sample, OHLC bars, heading outline; tranche 3: the ordered-
     # sequence family (running totals, inter-arrival gaps, last-touch
     # attribution, CUSUM drift), unpivot, Benford audit, KWIC snippets,
-    # exact weighted median, KS two-sample drift, G² keyness.
+    # exact weighted median, KS two-sample drift, G² keyness; tranche 4:
+    # PSI drift, lang×source independence, trimmed mean, dedup impact.
+    "q221_psi_drift": q221_psi_drift,
+    "q222_lang_source_independence": q222_lang_source_independence,
+    "q223_trimmed_mean": q223_trimmed_mean,
+    "q224_dedup_impact": q224_dedup_impact,
     "q218_weighted_median": q218_weighted_median,
     "q219_ks_drift": q219_ks_drift,
     "q220_keyness": q220_keyness,
@@ -6345,7 +6440,33 @@ _EVENTS_VALUED = (
     "FROM events WHERE value IS NOT NULL)"
 )
 
+from ..stages.trend import psi_sql as _psi_sql
+from ..stages.profile import independence_sql as _indep_sql
+from ..stages.selection import trimmed_mean_sql as _tmean_sql
+from ..stages.mirrors import dedup_impact_sql as _dimpact_sql
+
 ORACLE_SQL = {
+    "q221_psi_drift": _psi_sql(
+        table="events", key_col="event_type", ts_col="ts",
+        value_col="value", split_expr="TIMESTAMP '2024-01-16'", n_bins=10,
+    ),
+    "q222_lang_source_independence": _indep_sql(
+        table="documents", x_col="lang", y_col="source",
+    ),
+    "q223_trimmed_mean": _tmean_sql(
+        table="documents", value_col="n_chars", group_col="lang",
+        trim_num=1, trim_den=10,
+    ),
+    "q224_dedup_impact": _dimpact_sql(
+        table="""(
+          SELECT md5(CASE WHEN doc_id%5=0 THEN printf('mirror %d', doc_id%37)
+                          ELSE text END) AS content_hash,
+                 CAST(CASE WHEN doc_id%5=0
+                           THEN length(printf('mirror %d', doc_id%37))
+                           ELSE n_chars END AS BIGINT) AS n_bytes
+          FROM documents
+        )""",
+    ),
     "q218_weighted_median": _wmed_sql(
         table="documents", value_col="n_chars", weight_col="n_chars",
         group_col="lang",

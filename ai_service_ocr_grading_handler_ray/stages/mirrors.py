@@ -22,7 +22,7 @@ import ray.data as rd
 from .dedup import add_key_partition
 from .selection import round_half_away
 
-__all__ = ["host_dup_profile", "mirror_host_pairs"]
+__all__ = ["host_dup_profile", "mirror_host_pairs", "dedup_impact"]
 
 MIRROR_HOSTS_PER_HASH_CAP = 1024
 
@@ -167,3 +167,87 @@ def mirror_host_pairs(
         )
     out["n"] = out["n"].astype(np.int64)
     return out[["host_a", "host_b", "n"]]
+
+
+def dedup_impact(
+    pages: rd.Dataset,
+    *,
+    hash_col: str = "content_hash",
+    bytes_col: str = "n_bytes",
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Dedup impact report — the "what would exact dedup buy us" sizing
+    every corpus team runs BEFORE spending the dedup compute: a
+    histogram over duplicate-cluster sizes with, per size s, the number
+    of clusters, the pages involved, and the bytes the keep-best rule
+    (keep the LARGEST member, drop the rest) would reclaim.
+
+    Scale shape: the q197 discipline — ONE content-hash coarse shuffle
+    (all copies of a content co-locate, so per-partition cluster stats
+    are global), per-partition vectorized pandas folds emitting
+    ≤ distinct-sizes rows each, and a driver fold over (sizes × parts)
+    rows — never page-count-sized.  Sums are exact int64 / HUGEINT on
+    the two engines.  Output: (cluster_size:int64, n_clusters:int64,
+    n_pages:int64, wasted_bytes:int64) ascending by size.  SQL replay:
+    single-generator :func:`dedup_impact_sql`."""
+    from .collect import collect_table
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cl = df.groupby(hash_col, sort=False)[bytes_col].agg(
+            ["size", "sum", "max"]
+        )
+        cl["wasted"] = cl["sum"] - cl["max"]
+        r = cl.groupby("size", sort=False).agg(
+            n_clusters=("sum", "size"), wasted_bytes=("wasted", "sum")
+        ).reset_index()
+        r["cluster_size"] = r["size"].astype("int64")
+        r["n_clusters"] = r["n_clusters"].astype("int64")
+        r["wasted_bytes"] = r["wasted_bytes"].astype("int64")
+        return r[["cluster_size", "n_clusters", "wasted_bytes"]]
+
+    folded = (
+        collect_table(
+            pages.map_batches(
+                lambda t: add_key_partition(
+                    t.select([hash_col, bytes_col]), hash_col,
+                    num_parts=num_parts,
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("_part")
+            .map_groups(per_part, batch_format="pandas")
+        )
+        .to_pandas()
+        .groupby("cluster_size", as_index=False)[["n_clusters", "wasted_bytes"]]
+        .sum()
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    folded["cluster_size"] = folded["cluster_size"].astype(np.int64)
+    folded["n_clusters"] = folded["n_clusters"].astype(np.int64)
+    folded["n_pages"] = (
+        folded["cluster_size"] * folded["n_clusters"]
+    ).astype(np.int64)
+    folded["wasted_bytes"] = folded["wasted_bytes"].astype(np.int64)
+    return folded[["cluster_size", "n_clusters", "n_pages", "wasted_bytes"]]
+
+
+def dedup_impact_sql(
+    *,
+    table: str,
+    hash_col: str = "content_hash",
+    bytes_col: str = "n_bytes",
+) -> str:
+    """DuckDB replay of :func:`dedup_impact` (single-generator)."""
+    return f"""
+        WITH cl AS (
+            SELECT {hash_col} AS h, count(*) AS s,
+                   sum({bytes_col}) AS b, max({bytes_col}) AS mb
+            FROM {table} GROUP BY {hash_col}
+        )
+        SELECT CAST(s AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(s) AS BIGINT) AS n_pages,
+               CAST(sum(b - mb) AS BIGINT) AS wasted_bytes
+        FROM cl GROUP BY s ORDER BY s
+    """

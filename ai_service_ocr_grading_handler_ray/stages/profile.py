@@ -715,3 +715,145 @@ def benford_sql(
                      OVER (PARTITION BY cells.grp), {round_to}) AS chi2
         FROM cells JOIN t ON cells.grp = t.grp
     """
+
+
+def categorical_independence(
+    ds: rd.Dataset,
+    *,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Association audit between two categorical columns — mutual
+    information (nats) and the chi-square independence statistic over
+    the full |X|×|Y| contingency grid (zero-observed cells contribute
+    their expectation to chi²; they add 0 to MI by the p·ln p → 0
+    limit), plus Cramér's V = sqrt(chi² / (n·(min(|X|,|Y|)−1))) — the
+    "is lang confounded with source?" screen a corpus-mixture design
+    needs before treating the two as independent knobs.  Null rows in
+    either column drop on both engines.
+
+    Scale shape: per-batch Arrow (x, y) count partials (grid-sized rows
+    leave each task, never row-count-sized), ONE tiny groupby, a
+    |X|·|Y| driver fold.  Loud cap at 1e6 grid cells.  Output: ONE row
+    (n:int64, n_x:int64, n_y:int64, mi:f64, chi2:f64, df:int64,
+    cramers_v:f64 — rounded).  SQL replay: single-generator
+    :func:`independence_sql` (identical float order: shares divided by
+    n first)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"x": t[x_col], "y": t[y_col]}).drop_null()
+        return t2.group_by(["x", "y"]).aggregate([([], "count_all")])
+
+    c = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["x", "y"])
+        .aggregate(_Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    if not len(c):
+        return pd.DataFrame(
+            {"n": pd.Series([], dtype=np.int64),
+             "n_x": pd.Series([], dtype=np.int64),
+             "n_y": pd.Series([], dtype=np.int64),
+             "mi": pd.Series([], dtype=np.float64),
+             "chi2": pd.Series([], dtype=np.float64),
+             "df": pd.Series([], dtype=np.int64),
+             "cramers_v": pd.Series([], dtype=np.float64)}
+        )
+    piv = c.pivot_table(index="x", columns="y", values="n",
+                        fill_value=0, aggfunc="sum")
+    if piv.size > 1_000_000:
+        raise ValueError(
+            f"categorical_independence: {piv.size} grid cells exceeds the "
+            "1e6 cap; bucket one of the columns first"
+        )
+    obs = piv.to_numpy().astype(np.float64)
+    n = float(obs.sum())
+    cx = obs.sum(axis=1)
+    cy = obs.sum(axis=0)
+    px = cx / n
+    py = cy / n
+    pxy = obs / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mi_cells = np.where(
+            obs > 0, pxy * np.log(pxy / (px[:, None] * py[None, :])), 0.0
+        )
+    e = (cx[:, None] * cy[None, :]) / n
+    chi2 = float((((obs - e) ** 2) / e).sum())
+    mi = float(mi_cells.sum())
+    nx, ny = len(cx), len(cy)
+    df = (nx - 1) * (ny - 1)
+    v = float(np.sqrt(chi2 / (n * (min(nx, ny) - 1)))) if min(nx, ny) > 1 else float("nan")
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "n_x": [np.int64(nx)],
+            "n_y": [np.int64(ny)],
+            "mi": round_half_away(np.array([mi]), round_to),
+            "chi2": round_half_away(np.array([chi2]), round_to),
+            "df": [np.int64(df)],
+            "cramers_v": round_half_away(np.array([v]), round_to),
+        }
+    )
+
+
+def independence_sql(
+    *,
+    table: str = "documents",
+    x_col: str = "lang",
+    y_col: str = "source",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`categorical_independence`
+    (single-generator): full grid via DISTINCT × DISTINCT cross join,
+    identical share arithmetic (divide by n first), identical MI
+    zero-cell and Cramér's V conventions."""
+    return f"""
+        WITH base AS (
+            SELECT {x_col} AS x, {y_col} AS y FROM {table}
+            WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+        ), c AS (
+            SELECT x, y, count(*) AS cnt FROM base GROUP BY x, y
+        ), grid AS (
+            SELECT gx.x, gy.y, coalesce(c.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT x FROM c) gx
+            CROSS JOIN (SELECT DISTINCT y FROM c) gy
+            LEFT JOIN c ON c.x = gx.x AND c.y = gy.y
+        ), cx AS (SELECT x, sum(cnt) AS cx FROM grid GROUP BY x),
+        cy AS (SELECT y, sum(cnt) AS cy FROM grid GROUP BY y),
+        tot AS (
+            SELECT sum(cnt) AS n,
+                   count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+            FROM c
+        ), cells AS (
+            SELECT g.cnt, cx.cx, cy.cy, t.n, t.nx, t.ny,
+                   CASE WHEN g.cnt > 0
+                        THEN (g.cnt / CAST(t.n AS DOUBLE))
+                             * ln((g.cnt / CAST(t.n AS DOUBLE))
+                                  / ((cx.cx / CAST(t.n AS DOUBLE))
+                                     * (cy.cy / CAST(t.n AS DOUBLE))))
+                        ELSE 0 END AS mi_cell,
+                   pow(g.cnt - (CAST(cx.cx AS DOUBLE) * cy.cy / t.n), 2)
+                       / (CAST(cx.cx AS DOUBLE) * cy.cy / t.n) AS chi_cell
+            FROM grid g
+            JOIN cx ON g.x = cx.x
+            JOIN cy ON g.y = cy.y
+            CROSS JOIN tot t
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(max(nx) AS BIGINT) AS n_x,
+               CAST(max(ny) AS BIGINT) AS n_y,
+               round(sum(mi_cell), {round_to}) AS mi,
+               round(sum(chi_cell), {round_to}) AS chi2,
+               CAST((max(nx) - 1) * (max(ny) - 1) AS BIGINT) AS df,
+               round(CASE WHEN least(max(nx), max(ny)) > 1
+                          THEN sqrt(sum(chi_cell)
+                                    / (max(n) * (least(max(nx), max(ny))
+                                                 - 1)))
+                     END, {round_to}) AS cramers_v
+        FROM cells
+    """

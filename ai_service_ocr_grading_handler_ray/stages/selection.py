@@ -1126,3 +1126,141 @@ def weighted_median_sql(
         WHERE 2 * c.cw >= t.wt
         GROUP BY t.g, t.n, t.wt
     """
+
+
+def trimmed_mean_by_group(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    trim: Fraction = Fraction(1, 10),
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-group inter-quantile (trimmed) mean of an INTEGER column: the
+    mean of values v with Q(trim) <= v <= Q(1−trim), where Q(f) is the
+    EXACT ceil(f·n)-th smallest value (exact_group_quantiles) — the
+    robust location estimate that ignores both the spam tail and the
+    truncation head without the winsorizer's clamping bias.  Threshold-
+    based (values at ranks), so ties are multiset-safe: identical
+    results regardless of tie order, unlike a rank-range trim.
+
+    The value column must be integer so the kept-sum accumulates
+    exactly (int64 / HUGEINT on the two engines); the only float op is
+    the final sum/count division, identical on both.
+
+    Scale shape: the quantile machinery's histogram-refinement scans
+    (no sort) + ONE filtered moment scan with a groups-sized threshold
+    broadcast; driver holds groups × 2 thresholds.  Output: (group,
+    n_kept:int64, lo:f64, hi:f64, trimmed_mean:f64 rounded).  SQL
+    replay: single-generator :func:`trimmed_mean_sql` (row_number
+    thresholds at the same ceil ranks)."""
+    import ray
+    from fractions import Fraction as _F
+
+    from .collect import cached_ref
+
+    if not (0 < trim < _F(1, 2)):
+        raise ValueError("trimmed_mean_by_group: trim must be in (0, 1/2)")
+    sch = ds.schema()
+    vt = dict(zip(sch.names, sch.types))[value_col]
+    if not (isinstance(vt, pa.DataType) and pa.types.is_integer(vt)):
+        raise ValueError(
+            f"trimmed_mean_by_group: value column {value_col!r} must be an "
+            "integer type (exact kept-sum accumulation); quantize upstream"
+        )
+
+    q = exact_group_quantiles(
+        ds, value_col, group_col, fracs=(trim, 1 - trim)
+    )
+    thr = {g: (v[0], v[1]) for g, v in q.items()}
+    ref = ray.put(thr)
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        tm = cached_ref(_ref)
+        t2 = pa.table(
+            {"g": t[group_col], "v": t[value_col]}
+        ).drop_null()
+        keys = t2["g"].to_numpy(zero_copy_only=False)
+        v = t2["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = pd.Series(keys)
+        lo = ks.map({g: b[0] for g, b in tm.items()}).to_numpy(np.float64)
+        hi = ks.map({g: b[1] for g, b in tm.items()}).to_numpy(np.float64)
+        m = (v >= lo) & (v <= hi)
+        if not m.any():
+            return pa.table(
+                {"g": pa.array([], type=t2["g"].type),
+                 "s": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        aug = pa.table(
+            {"g": t2["g"].filter(pa.array(m)), "s": pa.array(v[m]),
+             "c": pa.array(np.ones(int(m.sum()), dtype=np.int64))}
+        )
+        return aug.group_by("g").aggregate([("s", "sum"), ("c", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("g")
+        .aggregate(Sum("s_sum", alias_name="s"), Sum("c_sum", alias_name="c"))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    s = agg["s"].to_numpy().astype(np.int64)
+    c = agg["c"].to_numpy().astype(np.int64)
+    lo = np.array([thr[g][0] for g in agg["g"]], dtype=np.float64)
+    hi = np.array([thr[g][1] for g in agg["g"]], dtype=np.float64)
+    return pd.DataFrame(
+        {
+            group_col: agg["g"],
+            "n_kept": c,
+            "lo": lo,
+            "hi": hi,
+            "trimmed_mean": round_half_away(
+                s / c.astype(np.float64), round_to
+            ),
+        }
+    )
+
+
+def trimmed_mean_sql(
+    *,
+    table: str,
+    value_col: str,
+    group_col: str,
+    trim_num: int = 1,
+    trim_den: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`trimmed_mean_by_group`
+    (single-generator): thresholds are the values at row_number ranks
+    ceil(n·trim) and ceil(n·(1−trim)) — the exact order statistics the
+    engine's histogram refinement finds."""
+    lo_rank = f"CAST(ceil(n * {trim_num} / {trim_den}.0) AS BIGINT)"
+    hi_rank = (
+        f"CAST(ceil(n * {trim_den - trim_num} / {trim_den}.0) AS BIGINT)"
+    )
+    return f"""
+        WITH r AS (
+            SELECT {group_col} AS g, {value_col} AS v,
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY {value_col}) AS rn,
+                   count(*) OVER (PARTITION BY {group_col}) AS n
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        ), thr AS (
+            SELECT g,
+                   min(CASE WHEN rn = {lo_rank} THEN v END) AS lo,
+                   min(CASE WHEN rn = {hi_rank} THEN v END) AS hi
+            FROM r GROUP BY g
+        )
+        SELECT r.g AS {group_col},
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(t.lo AS DOUBLE) AS lo,
+               CAST(t.hi AS DOUBLE) AS hi,
+               round(sum(r.v) / CAST(count(*) AS DOUBLE), {round_to})
+                   AS trimmed_mean
+        FROM r JOIN thr t ON r.g = t.g
+        WHERE r.v >= t.lo AND r.v <= t.hi
+        GROUP BY r.g, t.lo, t.hi
+    """

@@ -871,3 +871,191 @@ def ks_drift_sql(
         FROM cum c JOIN tot t ON c.k = t.k
         GROUP BY t.k, t.n1, t.n2
     """
+
+
+def psi_drift(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_us: int = 0,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-key Population Stability Index between the EARLY (ts < split)
+    and LATE halves — the ML-monitoring drift score scorecards run on
+    model inputs: bin the key's values into ``n_bins`` equi-width bins
+    over the key's own [min, max], then
+        PSI = Σ_bins (q_i − p_i) · ln(q_i / p_i),
+    with the continuity-smoothed shares p_i = (a_i + 0.5)/(n1 + B/2)
+    (q_i likewise) so empty bins are defined — the standard fix, applied
+    IDENTICALLY in the SQL replay.  Rule of thumb: < 0.1 stable, > 0.25
+    action.  Keys missing a side drop (PSI vs nothing is undefined).
+    Complements KS (q219): PSI is the binned, magnitude-weighted view
+    auditors threshold; KS is the exact sup-gap.
+
+    Scale shape: one min/max stats scan (tiny groupby), one binned
+    count scan emitting ≤ (batch × keys × bins) partials, ONE tiny
+    groupby, keys × bins driver fold.  Output: (key, n_early:int64,
+    n_late:int64, psi:f64 rounded).  SQL replay: single-generator
+    :func:`psi_sql` (identical bin and smoothing arithmetic)."""
+    import ray
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    from .collect import cached_ref
+    from .selection import round_half_away
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.is_valid(t[value_col]))
+        return pa.table(
+            {key_col: t2[key_col], "v": t2[value_col]}
+        ).group_by(key_col).aggregate([("v", "min"), ("v", "max")])
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(key_col)
+        .aggregate(_Min("v_min", alias_name="mn"), _Max("v_max", alias_name="mx"))
+        .to_pandas()
+    )
+    bounds = {
+        row[key_col]: (float(row["mn"]), float(row["mx"]))
+        for _, row in mm.iterrows()
+    }
+    ref = ray.put(bounds)
+
+    def bin_partial(t: pa.Table, _ref=ref) -> pa.Table:
+        bmap = cached_ref(_ref)
+        t2 = t.filter(pc.is_valid(t[value_col]))
+        keys = t2[key_col].to_numpy(zero_copy_only=False)
+        v = t2[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = (
+            t2[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        early = (ts < split_us).astype(np.int64)
+        # per-key equi-width binning, mirroring the SQL expression
+        # floor((v - mn) / ((mx - mn) / B)) clipped to B-1; degenerate
+        # mx == mn puts everything in bin 0; lookups vectorized (no
+        # per-row Python loop in the scan)
+        ks = pd.Series(keys)
+        mns = ks.map({k: b[0] for k, b in bmap.items()}).to_numpy()
+        mxs = ks.map({k: b[1] for k, b in bmap.items()}).to_numpy()
+        width = (mxs - mns) / float(n_bins)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = np.floor((v - mns) / width)
+        b = np.where(
+            width > 0,
+            np.minimum(np.nan_to_num(raw, nan=0.0), n_bins - 1),
+            0.0,
+        ).astype(np.int64)
+        aug = pa.table(
+            {
+                key_col: t2[key_col],
+                "bin": pa.array(b),
+                "a": pa.array(early),
+                "b_": pa.array(1 - early),
+            }
+        )
+        return aug.group_by([key_col, "bin"]).aggregate(
+            [("a", "sum"), ("b_", "sum")]
+        ).rename_columns([key_col, "bin", "a", "b_"])
+
+    agg = (
+        ds.map_batches(bin_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([key_col, "bin"])
+        .aggregate(Sum("a", alias_name="a"), Sum("b_", alias_name="b"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {key_col: pd.Series([], dtype=object),
+             "n_early": pd.Series([], dtype=np.int64),
+             "n_late": pd.Series([], dtype=np.int64),
+             "psi": pd.Series([], dtype=np.float64)}
+        )
+    keys = sorted(agg[key_col].unique(), key=str)
+    full = agg.set_index([key_col, "bin"]).reindex(
+        pd.MultiIndex.from_product([keys, range(n_bins)],
+                                   names=[key_col, "bin"]),
+        fill_value=0,
+    ).reset_index()
+    a = full["a"].to_numpy().astype(np.float64)
+    b = full["b"].to_numpy().astype(np.float64)
+    n1 = full.groupby(key_col, sort=False)["a"].transform("sum").to_numpy()
+    n2 = full.groupby(key_col, sort=False)["b"].transform("sum").to_numpy()
+    p = (a + 0.5) / (n1 + 0.5 * n_bins)
+    q = (b + 0.5) / (n2 + 0.5 * n_bins)
+    cell = (q - p) * np.log(q / p)
+    psi = (
+        pd.DataFrame({"k": full[key_col], "c": cell})
+        .groupby("k", sort=False)["c"].sum()
+    )
+    n1g = full.groupby(key_col, sort=False)["a"].sum()
+    n2g = full.groupby(key_col, sort=False)["b"].sum()
+    keep = (n1g > 0) & (n2g > 0)
+    out = pd.DataFrame(
+        {
+            key_col: psi.index[keep],
+            "n_early": n1g[keep].to_numpy().astype(np.int64),
+            "n_late": n2g[keep].to_numpy().astype(np.int64),
+            "psi": round_half_away(psi[keep].to_numpy(), round_to),
+        }
+    ).reset_index(drop=True)
+    return out
+
+
+def psi_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_expr: str = "TIMESTAMP '2024-01-16'",
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`psi_drift` (single-generator): identical
+    equi-width bin expression, full keys × bins grid (empty bins
+    smoothed identically), identical share arithmetic."""
+    return f"""
+        WITH base AS (
+            SELECT {key_col} AS k, {value_col} AS v,
+                   CASE WHEN {ts_col} < {split_expr} THEN 1 ELSE 0 END
+                       AS early
+            FROM {table} WHERE {value_col} IS NOT NULL
+        ), mm AS (
+            SELECT k, min(v) AS mn, max(v) AS mx FROM base GROUP BY k
+        ), binned AS (
+            SELECT b.k,
+                   CAST(CASE WHEN m.mx > m.mn
+                             THEN least(floor((b.v - m.mn)
+                                        / ((m.mx - m.mn) / {n_bins}.0)),
+                                        {n_bins - 1})
+                             ELSE 0 END AS BIGINT) AS bin,
+                   b.early
+            FROM base b JOIN mm m ON b.k = m.k
+        ), c AS (
+            SELECT k, bin, sum(early) AS a, sum(1 - early) AS b
+            FROM binned GROUP BY k, bin
+        ), grid AS (
+            SELECT g.k, d.bin, coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
+            FROM (SELECT DISTINCT k FROM c) g
+            CROSS JOIN (SELECT unnest(generate_series(0, {n_bins - 1}))
+                        AS bin) d
+            LEFT JOIN c ON c.k = g.k AND c.bin = d.bin
+        ), tot AS (
+            SELECT k, sum(a) AS n1, sum(b) AS n2 FROM grid GROUP BY k
+            HAVING sum(a) > 0 AND sum(b) > 0
+        )
+        SELECT t.k AS {key_col},
+               CAST(t.n1 AS BIGINT) AS n_early,
+               CAST(t.n2 AS BIGINT) AS n_late,
+               round(sum(((g.b + 0.5) / (t.n2 + 0.5 * {n_bins})
+                          - (g.a + 0.5) / (t.n1 + 0.5 * {n_bins}))
+                         * ln(((g.b + 0.5) / (t.n2 + 0.5 * {n_bins}))
+                              / ((g.a + 0.5) / (t.n1 + 0.5 * {n_bins})))),
+                     {round_to}) AS psi
+        FROM grid g JOIN tot t ON g.k = t.k
+        GROUP BY t.k, t.n1, t.n2
+    """

@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     "q218_weighted_median",
     "q219_ks_drift",
     "q220_keyness",
+    "q221_psi_drift",
+    "q222_lang_source_independence",
+    "q223_trimmed_mean",
+    "q224_dedup_impact",
 ]
 
 
