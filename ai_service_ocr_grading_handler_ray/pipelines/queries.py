@@ -5961,6 +5961,60 @@ def q224_dedup_impact(sf_dir: str) -> pd.DataFrame:
     return dedup_impact(ds.map_batches(mk, batch_format="pyarrow"))
 
 
+def q225_lateness_audit(sf_dir: str) -> rd.Dataset:
+    """Per-user event-time lateness audit (sequence.lateness_audit):
+    in arrival order (event_id), how often and by how much an event's
+    timestamp lands BEHIND the user's running max — the watermark-
+    sizing diagnostic that decides a streaming window's allowed
+    lateness (q28/q84's operational prerequisite).  Integer-µs
+    arithmetic; keys with no late events report NULL max/mean.  ONE
+    user-hash shuffle + segmented cummax.  Oracle: GENERATED by
+    lateness_sql (ROWS ... 1 PRECEDING window max)."""
+    from ..stages.sequence import lateness_audit
+
+    return lateness_audit(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+    )
+
+
+def q226_session_copairs(sf_dir: str) -> pd.DataFrame:
+    """Top co-occurring event-type pairs within sessions
+    (markov.session_copairs, 30-min gaps): the unordered market-basket
+    view next to the ORDERED transition matrix (q159) and top paths
+    (q189) — an (error, purchase) pair surfaces "errors happen in
+    buying sessions" even when never adjacent.  ONE user-hash shuffle,
+    vectorized sessionize, enum-bounded pair expansion, pairs-sized
+    driver fold.  Oracle: GENERATED by session_copairs_sql (the q12
+    sessionize CTE + distinct self-join a<b)."""
+    from ..stages.markov import session_copairs
+
+    return session_copairs(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        gap_s=1800, top_k=20,
+    )
+
+
+def q227_ntile(sf_dir: str) -> rd.Dataset:
+    """SQL NTILE(4) per event type over (value, event_id) order
+    (sequence.ntile_by_group): equal-population quartile labels — the
+    spread-assignment primitive behind per-tier sampling and eval
+    buckets; exact NTILE semantics (first n mod k tiles get one extra
+    row), closed-form tile arithmetic, no per-tile loop.  Null values
+    filtered both sides (ORDER BY NULL ambiguity removed).  ONE
+    key-hash shuffle.  Oracle: GENERATED by ntile_sql."""
+    from ..stages.sequence import ntile_by_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ntile_by_group(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+        ),
+        k=4, key_col="event_type", value_col="value", id_col="event_id",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6001,7 +6055,11 @@ QUERIES = {
     # sequence family (running totals, inter-arrival gaps, last-touch
     # attribution, CUSUM drift), unpivot, Benford audit, KWIC snippets,
     # exact weighted median, KS two-sample drift, G² keyness; tranche 4:
-    # PSI drift, lang×source independence, trimmed mean, dedup impact.
+    # PSI drift, lang×source independence, trimmed mean, dedup impact;
+    # tranche 5: lateness audit, session co-pairs, NTILE.
+    "q225_lateness_audit": q225_lateness_audit,
+    "q226_session_copairs": q226_session_copairs,
+    "q227_ntile": q227_ntile,
     "q221_psi_drift": q221_psi_drift,
     "q222_lang_source_independence": q222_lang_source_independence,
     "q223_trimmed_mean": q223_trimmed_mean,
@@ -6445,7 +6503,21 @@ from ..stages.profile import independence_sql as _indep_sql
 from ..stages.selection import trimmed_mean_sql as _tmean_sql
 from ..stages.mirrors import dedup_impact_sql as _dimpact_sql
 
+from ..stages.sequence import lateness_sql as _late_sql, ntile_sql as _ntile_sql
+from ..stages.markov import session_copairs_sql as _copairs_sql
+
 ORACLE_SQL = {
+    "q225_lateness_audit": _late_sql(
+        table="events", key_col="user_id", ts_col="ts", id_col="event_id",
+    ),
+    "q226_session_copairs": _copairs_sql(
+        table="events", key_col="user_id", ts_col="ts",
+        id_col="event_id", type_col="event_type", gap_s=1800, top_k=20,
+    ),
+    "q227_ntile": _ntile_sql(
+        k=4, table=_EVENTS_VALUED, key_col="event_type",
+        value_col="value", id_col="event_id",
+    ),
     "q221_psi_drift": _psi_sql(
         table="events", key_col="event_type", ts_col="ts",
         value_col="value", split_expr="TIMESTAMP '2024-01-16'", n_bins=10,

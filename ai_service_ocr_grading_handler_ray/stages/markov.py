@@ -161,3 +161,149 @@ def top_event_paths(
         )
     out["n"] = out["n"].astype(np.int64)
     return out[["path", "n"]]
+
+
+def session_copairs(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_s: int = 1800,
+    top_k: int = 20,
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Frequent co-occurring event-type pairs WITHIN sessions: gap-based
+    sessionization (the q12 convention), then each session's DISTINCT
+    unordered type pairs (a < b) counted by the number of sessions they
+    co-occur in, top_k by (n DESC, a, b) — the unordered market-basket
+    view next to the ORDERED transition matrix / top-paths operators
+    (an (error, purchase) pair surfaces "errors happen in buying
+    sessions" even when the two never occur adjacently).
+
+    Scale shape: ONE user-hash coarse shuffle; per partition, every
+    user sessionizes in one vectorized pass, sessions collapse to
+    distinct (session, type) rows, and the pair expansion is a
+    type-vocab-bounded pandas merge per session group (the type vocab
+    is small by construction — event taxonomies are enums, not open
+    sets; loud 10_000-type cap); partitions emit pair-count partials
+    and the driver folds pairs-sized rows.  Output: (type_a, type_b,
+    n_sessions:int64).  SQL replay: single-generator
+    :func:`session_copairs_sql`."""
+    from .dedup import add_key_partition
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(g):
+            return empty
+        if g[type_col].nunique(dropna=True) > 10_000:
+            raise ValueError(
+                "session_copairs: type vocabulary exceeds 10000 — pair "
+                "expansion assumes an enum-sized taxonomy"
+            )
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        gap = g.groupby(key_col, sort=False)[ts_col].diff().dt.total_seconds()
+        new_s = gap.isna() | (gap > gap_s)
+        sid = new_s.cumsum()  # globally unique within the partition
+        st = (
+            pd.DataFrame({"sid": sid, "t": g[type_col]})
+            .dropna(subset=["t"])
+            .drop_duplicates(["sid", "t"])
+        )
+        pairs = st.merge(st, on="sid")
+        pairs = pairs[pairs["t_x"] < pairs["t_y"]]
+        out = (
+            pairs.groupby(["t_x", "t_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out.columns = ["type_a", "type_b", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    folded = (
+        ds.map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(folded):
+        return pd.DataFrame(
+            {"type_a": pd.Series([], dtype=object),
+             "type_b": pd.Series([], dtype=object),
+             "n_sessions": pd.Series([], dtype=np.int64)}
+        )
+    agg = (
+        folded.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+        .sort_values(["n", "type_a", "type_b"],
+                     ascending=[False, True, True], kind="mergesort")
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "type_a": agg["type_a"],
+            "type_b": agg["type_b"],
+            "n_sessions": agg["n"].astype(np.int64),
+        }
+    )
+
+
+def session_copairs_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_s: int = 1800,
+    top_k: int = 20,
+) -> str:
+    """DuckDB replay of :func:`session_copairs` (single-generator):
+    the q12 sessionize CTE, DISTINCT (session, type), self-join a < b,
+    (n DESC, a, b) top-k."""
+    return f"""
+        WITH o AS (
+            SELECT {key_col}, {type_col}, {ts_col}, {id_col},
+                   lag({ts_col}) OVER (PARTITION BY {key_col}
+                                       ORDER BY {ts_col}, {id_col}) AS prev
+            FROM {table}
+        ), m AS (
+            SELECT {key_col}, {type_col}, {ts_col}, {id_col},
+                   CASE WHEN prev IS NULL
+                             OR epoch({ts_col}) - epoch(prev) > {gap_s}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ), s AS (
+            SELECT {key_col}, {type_col},
+                   sum(new_s) OVER (PARTITION BY {key_col}
+                                    ORDER BY {ts_col}, {id_col}
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM m
+        ), st AS (
+            SELECT DISTINCT {key_col}, session_id, {type_col} AS t
+            FROM s WHERE {type_col} IS NOT NULL
+        ), p AS (
+            SELECT a.t AS type_a, b.t AS type_b, count(*) AS n
+            FROM st a
+            JOIN st b ON a.{key_col} = b.{key_col}
+                     AND a.session_id = b.session_id AND a.t < b.t
+            GROUP BY a.t, b.t
+        ), r AS (
+            SELECT *, row_number() OVER (ORDER BY n DESC, type_a, type_b)
+                       AS rn
+            FROM p
+        )
+        SELECT type_a, type_b, CAST(n AS BIGINT) AS n_sessions
+        FROM r WHERE rn <= {top_k}
+    """

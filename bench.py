@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "q222_lang_source_independence",
     "q223_trimmed_mean",
     "q224_dedup_impact",
+    "q225_lateness_audit",
+    "q226_session_copairs",
+    "q227_ntile",
 ]
 
 
