@@ -2549,14 +2549,18 @@ def q196_table_linearize(sf_dir: str) -> rd.Dataset:
     return linearize_tables(cells)
 
 
-def _q197_pages(sf_dir: str) -> rd.Dataset:
-    """Shared q197/q198 fixture: 29-host page table where every 5th doc
-    serves one of 37 mirrored contents (cross-host copies) and the rest
-    keep their unique text; content_hash = md5 (the q133 convention —
-    DuckDB md5 == hashlib)."""
+def _q197_pages(sf_dir: str, *, with_bytes: bool = False) -> rd.Dataset:
+    """Shared q197/q198/q224 fixture: 29-host page table where every
+    5th doc serves one of 37 mirrored contents (cross-host copies) and
+    the rest keep their unique text; content_hash = md5 (the q133
+    convention — DuckDB md5 == hashlib).  ``with_bytes`` adds the
+    served body's byte size (mirror-body length for mirrored docs,
+    n_chars otherwise) — keep the derivation HERE so q197/q198 and
+    q224's oracle subqueries can never silently diverge."""
     import hashlib as _hl
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["n_chars"] if with_bytes else [])
+    ds = _read(sf_dir, "documents", cols)
 
     def mk(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2566,12 +2570,18 @@ def _q197_pages(sf_dir: str) -> rd.Dataset:
             body = f"mirror {dv % 37}" if dv % 5 == 0 else txt
             hosts.append(f"h{(dv * 48271) % 29:02d}.example.org")
             hs.append(_hl.md5(body.encode()).hexdigest())
-        return pa.table(
-            {
-                "host": pa.array(hosts, type=pa.string()),
-                "content_hash": pa.array(hs, type=pa.string()),
-            }
-        )
+        out = {
+            "host": pa.array(hosts, type=pa.string()),
+            "content_hash": pa.array(hs, type=pa.string()),
+        }
+        if with_bytes:
+            nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out["n_bytes"] = pa.array(
+                [len(f"mirror {dv % 37}") if dv % 5 == 0 else int(b)
+                 for dv, b in zip(d, nc)],
+                type=pa.int64(),
+            )
+        return pa.table(out)
 
     return ds.map_batches(mk, batch_format="pyarrow")
 
@@ -5932,33 +5942,9 @@ def q224_dedup_impact(sf_dir: str) -> pd.DataFrame:
     compute is worth spending.  ONE content-hash coarse shuffle,
     sizes-bounded folds, exact int64 sums.  Oracle: GENERATED by
     dedup_impact_sql over the same md5 derivation."""
-    import hashlib as _hl
-
     from ..stages.mirrors import dedup_impact
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-
-    def mk(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t["text"].to_pylist()
-        nb = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hs, outb = [], []
-        for dv, txt, b in zip(d, texts, nb):
-            if dv % 5 == 0:
-                body = f"mirror {dv % 37}"
-                hs.append(_hl.md5(body.encode()).hexdigest())
-                outb.append(len(body))
-            else:
-                hs.append(_hl.md5(txt.encode()).hexdigest())
-                outb.append(int(b))
-        return pa.table(
-            {
-                "content_hash": pa.array(hs, type=pa.string()),
-                "n_bytes": pa.array(outb, type=pa.int64()),
-            }
-        )
-
-    return dedup_impact(ds.map_batches(mk, batch_format="pyarrow"))
+    return dedup_impact(_q197_pages(sf_dir, with_bytes=True))
 
 
 def q225_lateness_audit(sf_dir: str) -> rd.Dataset:

@@ -209,8 +209,13 @@ def session_copairs(
                 "expansion assumes an enum-sized taxonomy"
             )
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
-        gap = g.groupby(key_col, sort=False)[ts_col].diff().dt.total_seconds()
-        new_s = gap.isna() | (gap > gap_s)
+        # SQL lag semantics: a NEW session iff the PREVIOUS row's ts is
+        # NULL/absent or the gap exceeds gap_s — a null-ts CURRENT row
+        # stays in the prior session (NULL > gap_s is falsy), which a
+        # diff().isna() test would wrongly split
+        prev = g.groupby(key_col, sort=False)[ts_col].shift()
+        gap = (g[ts_col] - prev).dt.total_seconds()
+        new_s = prev.isna() | (gap > gap_s)
         sid = new_s.cumsum()  # globally unique within the partition
         st = (
             pd.DataFrame({"sid": sid, "t": g[type_col]})

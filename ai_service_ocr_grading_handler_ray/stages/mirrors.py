@@ -193,7 +193,9 @@ def dedup_impact(
     from .collect import collect_table
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        cl = df.groupby(hash_col, sort=False)[bytes_col].agg(
+        # dropna=False: SQL GROUP BY keeps a NULL-hash cluster; pandas
+        # would silently drop those rows and undercount reclaimable bytes
+        cl = df.groupby(hash_col, sort=False, dropna=False)[bytes_col].agg(
             ["size", "sum", "max"]
         )
         cl["wasted"] = cl["sum"] - cl["max"]

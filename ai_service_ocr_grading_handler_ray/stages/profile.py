@@ -764,13 +764,16 @@ def categorical_independence(
              "df": pd.Series([], dtype=np.int64),
              "cramers_v": pd.Series([], dtype=np.float64)}
         )
-    piv = c.pivot_table(index="x", columns="y", values="n",
-                        fill_value=0, aggfunc="sum")
-    if piv.size > 1_000_000:
+    cells = c["x"].nunique() * c["y"].nunique()
+    if cells > 1_000_000:
+        # BEFORE pivoting — the dense grid is exactly the allocation
+        # the cap exists to prevent
         raise ValueError(
-            f"categorical_independence: {piv.size} grid cells exceeds the "
+            f"categorical_independence: {cells} grid cells exceeds the "
             "1e6 cap; bucket one of the columns first"
         )
+    piv = c.pivot_table(index="x", columns="y", values="n",
+                        fill_value=0, aggfunc="sum")
     obs = piv.to_numpy().astype(np.float64)
     n = float(obs.sum())
     cx = obs.sum(axis=1)

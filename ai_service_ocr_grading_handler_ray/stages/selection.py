@@ -1187,10 +1187,12 @@ def trimmed_mean_by_group(
         hi = ks.map({g: b[1] for g, b in tm.items()}).to_numpy(np.float64)
         m = (v >= lo) & (v <= hi)
         if not m.any():
+            # names must match the non-empty branch's post-aggregate
+            # schema (s_sum/c_sum) or Ray sees mixed block schemas
             return pa.table(
                 {"g": pa.array([], type=t2["g"].type),
-                 "s": pa.array([], type=pa.int64()),
-                 "c": pa.array([], type=pa.int64())}
+                 "s_sum": pa.array([], type=pa.int64()),
+                 "c_sum": pa.array([], type=pa.int64())}
             )
         aug = pa.table(
             {"g": t2["g"].filter(pa.array(m)), "s": pa.array(v[m]),

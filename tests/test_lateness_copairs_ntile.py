@@ -135,3 +135,40 @@ def test_copairs_counts_across_users(ray_session):
     )
     out = session_copairs(ds, gap_s=1800, top_k=10, num_parts=4)
     assert out.loc[0, "n_sessions"] == 2
+
+
+def test_lateness_null_ts(ray_session):
+    # a NULL ts row counts in n_events, is never late, and never
+    # advances the watermark (SQL window-max/comparison semantics)
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime([10 * US, None, 30 * US], unit="us"),
+        }
+    )
+    from ai_service_ocr_grading_handler_ray.stages.sequence import (
+        lateness_audit,
+    )
+
+    out = lateness_audit(rd.from_pandas(df), num_parts=2).to_pandas()
+    assert out.loc[0, "n_events"] == 3
+    assert out.loc[0, "n_late"] == 0
+    assert np.isnan(out.loc[0, "mean_late_s"])
+
+
+def test_copairs_null_ts_stays_in_session(ray_session):
+    # SQL lag semantics: a null-ts row sorts last and stays in the
+    # previous session (NULL gap is not > gap_s), so the pair survives
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [1, 1],
+            "ts": pd.to_datetime([0, None], unit="us"),
+            "event_type": ["view", "click"],
+        }
+    )
+    out = session_copairs(rd.from_pandas(df), gap_s=1800, top_k=5,
+                          num_parts=2)
+    assert len(out) == 1
+    assert out.loc[0, "type_a"] == "click" and out.loc[0, "type_b"] == "view"

@@ -156,3 +156,24 @@ def test_dedup_impact_multiblock(ray_session):
     out = dedup_impact(rd.from_pandas(a).union(rd.from_pandas(b)))
     assert list(out["cluster_size"]) == [5]
     assert out.loc[0, "wasted_bytes"] == 40
+
+
+def test_dedup_impact_null_hash_cluster(ray_session):
+    # SQL GROUP BY keeps a NULL-hash cluster; the engine must too
+    df = pd.DataFrame(
+        {"content_hash": [None, None, "h"], "n_bytes": [10, 20, 5]}
+    )
+    out = dedup_impact(rd.from_pandas(df))
+    two = out[out["cluster_size"] == 2].iloc[0]
+    assert two["n_clusters"] == 1 and two["wasted_bytes"] == 10
+
+
+def test_independence_cap_before_pivot(ray_session):
+    # cap must fire from the sparse counts, not after a dense pivot
+    n = 1200
+    df = pd.DataFrame({"lang": [f"x{i}" for i in range(n)],
+                       "source": [f"y{i}" for i in range(n)]})
+    with pytest.raises(ValueError, match="cap"):
+        categorical_independence(
+            rd.from_pandas(df), x_col="lang", y_col="source"
+        )
