@@ -6001,6 +6001,57 @@ def q227_ntile(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q228_km_conversion(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier days-to-first-purchase curve
+    (survival.km_conversion): right-censoring-aware conversion timing —
+    users who never purchased are censored at their last event, not
+    dropped (a naive mean of converter times is biased toward fast
+    converters).  Steps at each distinct conversion day with at-risk
+    counts and the survival product.  ONE user groupby (per-user rows
+    leave it), days-sized driver fold, exp-of-window-sum SQL replay in
+    the same accumulation order.  Oracle: GENERATED by km_sql."""
+    from ..stages.survival import km_conversion
+
+    return km_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        key_col="user_id", ts_col="ts", type_col="event_type",
+        conversion="purchase",
+    )
+
+
+def q229_quality_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between two document quality raters
+    (agreement.cohens_kappa): rater 1 = length rule (n_chars >= 256),
+    rater 2 = wordcount rule (>= 50 whitespace tokens) — the
+    chance-corrected agreement score that decides whether two cheap
+    quality filters are measuring the same thing (raw agreement is
+    inflated by skewed marginals).  Label-grid partials, ONE tiny
+    groupby, single-row fold.  Oracle: GENERATED by kappa_sql over the
+    same derived labels."""
+    from ..stages.agreement import cohens_kappa
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def label(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        words = np.array(
+            [len([w for w in (x or "").split() if w]) for x in texts],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "r1": pa.array(np.where(nc >= 256, "good", "bad")),
+                "r2": pa.array(np.where(words >= 50, "good", "bad")),
+            }
+        )
+
+    return cohens_kappa(
+        ds.map_batches(label, batch_format="pyarrow"),
+        rater1_col="r1", rater2_col="r2",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6042,7 +6093,10 @@ QUERIES = {
     # attribution, CUSUM drift), unpivot, Benford audit, KWIC snippets,
     # exact weighted median, KS two-sample drift, G² keyness; tranche 4:
     # PSI drift, lang×source independence, trimmed mean, dedup impact;
-    # tranche 5: lateness audit, session co-pairs, NTILE.
+    # tranche 5: lateness audit, session co-pairs, NTILE; tranche 6:
+    # Kaplan-Meier conversion, Cohen's kappa.
+    "q228_km_conversion": q228_km_conversion,
+    "q229_quality_kappa": q229_quality_kappa,
     "q225_lateness_audit": q225_lateness_audit,
     "q226_session_copairs": q226_session_copairs,
     "q227_ntile": q227_ntile,
@@ -6492,7 +6546,25 @@ from ..stages.mirrors import dedup_impact_sql as _dimpact_sql
 from ..stages.sequence import lateness_sql as _late_sql, ntile_sql as _ntile_sql
 from ..stages.markov import session_copairs_sql as _copairs_sql
 
+from ..stages.survival import km_sql as _km_sql
+from ..stages.agreement import kappa_sql as _kappa_sql
+
+_Q229_RATERS = """(
+  SELECT CASE WHEN n_chars >= 256 THEN 'good' ELSE 'bad' END AS r1,
+         CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) >= 50
+              THEN 'good' ELSE 'bad' END AS r2
+  FROM documents
+)"""
+
 ORACLE_SQL = {
+    "q228_km_conversion": _km_sql(
+        table="events", key_col="user_id", ts_col="ts",
+        type_col="event_type", conversion="purchase",
+    ),
+    "q229_quality_kappa": _kappa_sql(
+        table=_Q229_RATERS, rater1_col="r1", rater2_col="r2",
+    ),
     "q225_lateness_audit": _late_sql(
         table="events", key_col="user_id", ts_col="ts", id_col="event_id",
     ),

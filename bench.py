@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "q225_lateness_audit",
     "q226_session_copairs",
     "q227_ntile",
+    "q228_km_conversion",
+    "q229_quality_kappa",
 ]
 
 
