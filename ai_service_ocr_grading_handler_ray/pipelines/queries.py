@@ -6052,6 +6052,119 @@ def q229_quality_kappa(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q230_ab_test(sf_dir: str) -> pd.DataFrame:
+    """Pooled two-proportion z-test between two user variants
+    (abtest.ab_conversion_test): variant = user_id parity, conversion =
+    user has ≥1 purchase event — the experiment readout (rates, lift,
+    z) next to Welch's mean test (q205) and the KM timing curve (q228).
+    Unit of analysis is the USER (any-conversion), so heavy users don't
+    dominate.  ONE user-hash groupby, 2-row fold.  Oracle: GENERATED
+    by ab_test_sql over the same derived columns."""
+    from ..stages.abtest import ab_conversion_test
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"]
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "variant": pa.array(np.where(u % 2 == 0, "A", "B")),
+                "conv": pc.cast(
+                    pc.equal(et, pa.scalar("purchase")), pa.int64()
+                ),
+            }
+        )
+
+    return ab_conversion_test(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        key_col="user_id", variant_col="variant", conv_col="conv",
+    )
+
+
+def q231_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of each event type's daily-count series
+    (trend.grouped_autocorr): the volume-memory diagnostic next to
+    q191's burst flags — consecutive-calendar-day pairs only (q166's
+    calendar-sparse lag semantics), mean/denominator over all observed
+    days.  ONE keys×days groupby, calendar-bounded driver fold.
+    Oracle: GENERATED by autocorr_sql."""
+    from ..stages.trend import grouped_autocorr
+
+    return grouped_autocorr(
+        _read(sf_dir, "events", ["event_type", "ts"]),
+        key_col="event_type", ts_col="ts",
+    )
+
+
+def q232_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability table + ECE for a document-quality score
+    (evaluation.calibration_bins): score = n_chars/(n_chars+300) — one
+    IEEE division, bit-identical on both engines so bin edges can't
+    drift — against the q229 wordcount label (≥50 tokens).  Says
+    whether the score's VALUES (not just its ranking, q169's AUC) can
+    be trusted as sampling weights.  Per-batch bin partials, ONE
+    10-row groupby.  Oracle: GENERATED by calibration_sql."""
+    from ..stages.evaluation import calibration_bins
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        texts = t["text"].to_pylist()
+        words = np.array(
+            [len([w for w in (x or "").split() if w]) for x in texts],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "score": pa.array(nc / (nc + 300.0), type=pa.float64()),
+                "label": pa.array(
+                    (words >= 50).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return calibration_bins(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        score_col="score", label_col="label", n_bins=10,
+    )
+
+
+def q233_path_rollup(sf_dir: str) -> pd.DataFrame:
+    """URL directory-prefix rollup (pathtree.path_prefix_rollup):
+    pages + bytes per /section and /section/subsection across 29 hosts
+    — the inside-the-host descent of q40's host stats that sizes
+    per-directory crawl budgets.  Vectorized split_part-convention
+    parse, depth-bounded explode collapsed by per-batch partials, ONE
+    prefix-space groupby.  Oracle: GENERATED by path_rollup_sql over
+    the printf-rebuilt urls (q163's parse-replay pattern)."""
+    from ..stages.pathtree import path_prefix_rollup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [
+            f"https://h{(dv * 48271) % 29:02d}.example.org/"
+            f"s{dv % 7}/t{dv % 11}/p{dv}"
+            for dv in d
+        ]
+        return pa.table(
+            {"url": pa.array(urls, type=pa.string()), "n_bytes": t["n_chars"]}
+        )
+
+    out = path_prefix_rollup(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        url_col="url", bytes_col="n_bytes", max_depth=2,
+    ).to_pandas()
+    return (
+        out.sort_values(["host", "prefix"])
+        .reset_index(drop=True)[["host", "prefix", "depth", "n_pages", "n_bytes"]]
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6094,7 +6207,13 @@ QUERIES = {
     # exact weighted median, KS two-sample drift, G² keyness; tranche 4:
     # PSI drift, lang×source independence, trimmed mean, dedup impact;
     # tranche 5: lateness audit, session co-pairs, NTILE; tranche 6:
-    # Kaplan-Meier conversion, Cohen's kappa.
+    # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
+    # A/B two-proportion z-test, daily-count autocorrelation,
+    # calibration/ECE, URL path-prefix rollup.
+    "q230_ab_test": q230_ab_test,
+    "q231_daily_autocorr": q231_daily_autocorr,
+    "q232_calibration": q232_calibration,
+    "q233_path_rollup": q233_path_rollup,
     "q228_km_conversion": q228_km_conversion,
     "q229_quality_kappa": q229_quality_kappa,
     "q225_lateness_audit": q225_lateness_audit,
@@ -6549,6 +6668,11 @@ from ..stages.markov import session_copairs_sql as _copairs_sql
 from ..stages.survival import km_sql as _km_sql
 from ..stages.agreement import kappa_sql as _kappa_sql
 
+from ..stages.abtest import ab_test_sql as _ab_sql
+from ..stages.trend import autocorr_sql as _acf_sql
+from ..stages.evaluation import calibration_sql as _calib_sql
+from ..stages.pathtree import path_rollup_sql as _pathroll_sql
+
 _Q229_RATERS = """(
   SELECT CASE WHEN n_chars >= 256 THEN 'good' ELSE 'bad' END AS r1,
          CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
@@ -6558,6 +6682,38 @@ _Q229_RATERS = """(
 )"""
 
 ORACLE_SQL = {
+    "q230_ab_test": _ab_sql(
+        table="""(
+          SELECT user_id,
+                 CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+          FROM events
+        )""",
+        key_col="user_id", variant_col="variant", conv_col="conv",
+    ),
+    "q231_daily_autocorr": _acf_sql(
+        table="events", key_col="event_type", ts_col="ts",
+    ),
+    "q232_calibration": _calib_sql(
+        """s AS (
+          SELECT n_chars / (n_chars + 300.0) AS score,
+                 CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')) >= 50
+                      THEN 1 ELSE 0 END AS label
+          FROM documents
+        )""",
+        n_bins=10,
+    ),
+    "q233_path_rollup": _pathroll_sql(
+        table="""(
+          SELECT printf('https://h%02d.example.org/s%d/t%d/p%d',
+                        (doc_id * 48271) % 29, doc_id % 7, doc_id % 11,
+                        doc_id) AS url,
+                 n_chars AS n_bytes
+          FROM documents
+        )""",
+        url_col="url", bytes_col="n_bytes", max_depth=2,
+    ),
     "q228_km_conversion": _km_sql(
         table="events", key_col="user_id", ts_col="ts",
         type_col="event_type", conversion="purchase",

@@ -36,7 +36,9 @@ from ray.data.aggregate import Sum
 from .collect import collect_table
 from .selection import round_half_away
 
-__all__ = ["binary_eval", "binary_eval_sql"]
+__all__ = [
+    "binary_eval", "binary_eval_sql", "calibration_bins", "calibration_sql",
+]
 
 
 def binary_eval(
@@ -154,4 +156,132 @@ def binary_eval_sql(scored_cte: str, *, threshold: float = 0.5) -> str:
                round(tp / CAST(tp + fp AS DOUBLE), 6) AS prec,
                round(tp / CAST(pos AS DOUBLE), 6) AS rec
         FROM tot
+    """
+
+
+def calibration_bins(
+    ds: rd.Dataset,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Reliability table + Expected Calibration Error — the companion
+    readout to :func:`binary_eval`: AUC says whether the score RANKS
+    documents correctly; calibration says whether score 0.8 actually
+    means "80% positive", which is what a token-budgeted curation
+    pipeline needs before using scores as sampling WEIGHTS (q131-style)
+    rather than a threshold.
+
+        bin    = min(floor(score·k), k-1)     (equal-width on [0, 1])
+        conf_b = Σ_b score / n_b              (mean predicted)
+        acc_b  = Σ_b label / n_b              (observed rate)
+        ece    = Σ_b (n_b / N) · |acc_b − conf_b|
+
+    Scale shape: per-batch (bin, n, Σscore, Σlabel) Arrow partials,
+    ONE k-row groupby, k-row driver fold.  Scores must be the result
+    of the SAME IEEE-double expression on both engines (the caller's
+    contract — a single correctly-rounded division keeps bin edges
+    bit-identical); labels are 0/1 ints.
+
+    Output: one row per OCCUPIED bin (bin:int64, n:int64, conf, acc,
+    gap, ece:f64 rounded; ece repeated on every row — it is the
+    n-weighted sum over the same table, kept denormalized so the
+    single result stays one relation).  SQL replay is GENERATED by
+    :func:`calibration_sql`."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ~(np.isnan(s))
+        s, lab = s[ok], lab[ok]
+        b = np.minimum(np.floor(s * n_bins), n_bins - 1).astype(np.int64)
+        g = pa.table(
+            {"bin": pa.array(b), "score": pa.array(s),
+             "label": pa.array(lab)}
+        ).group_by("bin").aggregate(
+            [("score", "sum"), ("label", "sum"), ([], "count_all")]
+        )
+        return g
+
+    c = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bin")
+        .aggregate(
+            Sum("score_sum", alias_name="s"),
+            Sum("label_sum", alias_name="l"),
+            Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    if not len(c):
+        return pd.DataFrame(
+            {"bin": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64),
+             "conf": pd.Series([], dtype=np.float64),
+             "acc": pd.Series([], dtype=np.float64),
+             "gap": pd.Series([], dtype=np.float64),
+             "ece": pd.Series([], dtype=np.float64)}
+        )
+    n = c["n"].to_numpy(dtype=np.float64)
+    conf = c["s"].to_numpy(dtype=np.float64) / n
+    acc = c["l"].to_numpy(dtype=np.float64) / n
+    gap = np.abs(acc - conf)
+    ece = float((n / n.sum() * gap).sum())
+    return pd.DataFrame(
+        {
+            "bin": c["bin"].astype(np.int64),
+            "n": c["n"].astype(np.int64),
+            "conf": round_half_away(conf, round_to),
+            "acc": round_half_away(acc, round_to),
+            "gap": round_half_away(gap, round_to),
+            "ece": round_half_away(np.full(len(c), ece), round_to),
+        }
+    )
+
+
+def calibration_sql(
+    scored_cte: str,
+    *,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`calibration_bins` (single-generator).
+    ``scored_cte`` must define a CTE ``s`` with columns
+    (score DOUBLE, label BIGINT 0/1) built from the same IEEE-double
+    expression as the engine's input."""
+    return f"""
+        WITH {scored_cte},
+        b AS (
+          SELECT CAST(least(floor(score * {n_bins}), {n_bins - 1})
+                      AS BIGINT) AS bin,
+                 score, label
+          FROM s WHERE score IS NOT NULL AND NOT isnan(score)
+        ),
+        c AS (
+          SELECT bin, count(*) AS n,
+                 sum(score) AS sc, sum(label) AS l
+          FROM b GROUP BY bin
+        ),
+        f AS (
+          SELECT bin, n,
+                 sc / CAST(n AS DOUBLE) AS conf,
+                 l / CAST(n AS DOUBLE) AS acc
+          FROM c
+        ),
+        e AS (
+          SELECT sum(CAST(n AS DOUBLE) / (SELECT sum(n) FROM f)
+                     * abs(acc - conf)) AS ece
+          FROM f
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+               round(conf, {round_to}) AS conf,
+               round(acc, {round_to}) AS acc,
+               round(abs(acc - conf), {round_to}) AS gap,
+               round(e.ece, {round_to}) AS ece
+        FROM f CROSS JOIN e
+        ORDER BY bin
     """

@@ -1059,3 +1059,117 @@ def psi_sql(
         FROM grid g JOIN tot t ON g.k = t.k
         GROUP BY t.k, t.n1, t.n2
     """
+
+
+def grouped_autocorr(
+    ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the per-key DAILY COUNT series — the
+    "is today's volume predicted by yesterday's" memory diagnostic that
+    separates bursty keys (q191 flags the spikes) from autocorrelated
+    ones (regime shifts, weekly habits), and sizes how much history a
+    forecast needs.
+
+        x_d  = count of key's events on day d   (observed days only)
+        x̄   = Σx / n_days
+        den  = Σ_all (x - x̄)²
+        num  = Σ_{d+1 observed} (x_d - x̄)(x_{d+1} - x̄)
+        r1   = num / den        (NULL when den == 0 or no pairs)
+
+    Gap semantics match q166's calendar-sparse lag: only CONSECUTIVE
+    calendar days pair in the numerator (a gap contributes no pair);
+    mean and denominator run over all observed days.  Documented
+    because zero-filling the gaps is a different statistic.
+
+    Scale shape: per-batch Arrow (key, day) count partials, ONE tiny
+    groupby over keys×days rows (days are calendar-bounded), a
+    keys×days driver fold — the q228 shape.  SQL replay is GENERATED
+    by :func:`autocorr_sql` (identical mean order: sum/n first)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {"k": t[key_col],
+             "day": pc.cast(pc.floor_temporal(t[ts_col], unit="day"),
+                            pa.date32())}
+        ).drop_null()
+        return t2.group_by(["k", "day"]).aggregate([([], "count_all")])
+
+    c = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["k", "day"])
+        .aggregate(_Sum("count_all", alias_name="x"))
+        .to_pandas()
+    )
+    out_rows = []
+    for k, g in c.groupby("k", sort=True):
+        g = g.sort_values("day")
+        x = g["x"].to_numpy(dtype=np.float64)
+        days = g["day"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        n = len(x)
+        xbar = x.sum() / n
+        den = ((x - xbar) ** 2).sum()
+        adj = days[1:] - days[:-1] == 1
+        num = ((x[:-1] - xbar) * (x[1:] - xbar))[adj].sum()
+        n_pairs = int(adj.sum())
+        r1 = num / den if (den > 0.0 and n_pairs > 0) else float("nan")
+        out_rows.append((k, n, n_pairs, r1))
+    out = pd.DataFrame(
+        out_rows, columns=[key_col, "n_days", "n_pairs", "r1"]
+    )
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["r1"] = round_half_away(
+        out["r1"].to_numpy(dtype=np.float64), round_to
+    )
+    return out.reset_index(drop=True)
+
+
+def autocorr_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`grouped_autocorr` (single-generator):
+    identical day truncation, consecutive-day pair mask, and float
+    order (x̄ = sum/count first; num only over day+1 pairs)."""
+    return f"""
+        WITH d AS (
+            SELECT {key_col} AS k,
+                   CAST(date_trunc('day', {ts_col}) AS DATE) AS day,
+                   count(*) AS x
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT k, sum(CAST(x AS DOUBLE)) / count(*) AS xbar
+            FROM d GROUP BY k
+        ), j AS (
+            SELECT d.k, d.day, CAST(d.x AS DOUBLE) AS x, m.xbar,
+                   lead(d.day) OVER w AS nday,
+                   CAST(lead(d.x) OVER w AS DOUBLE) AS nx
+            FROM d JOIN m ON d.k = m.k
+            WINDOW w AS (PARTITION BY d.k ORDER BY d.day)
+        )
+        SELECT k AS {key_col},
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(CASE WHEN nday = day + 1 THEN 1 END) AS BIGINT)
+                   AS n_pairs,
+               round(CASE WHEN sum((x - xbar) * (x - xbar)) > 0.0
+                          AND count(CASE WHEN nday = day + 1 THEN 1 END) > 0
+                          THEN sum(CASE WHEN nday = day + 1
+                                        THEN (x - xbar) * (nx - xbar)
+                                        ELSE 0.0 END)
+                               / sum((x - xbar) * (x - xbar)) END,
+                     {round_to}) AS r1
+        FROM j GROUP BY k
+    """

@@ -1,0 +1,157 @@
+"""A/B two-proportion z-test (stages/abtest.py), daily autocorrelation
+(stages/trend.grouped_autocorr), calibration/ECE
+(stages/evaluation.calibration_bins), URL path-prefix rollup
+(stages/pathtree.py): hand-computed fixtures, degenerate branches,
+split_part parse edge cases."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.abtest import ab_conversion_test
+from ai_service_ocr_grading_handler_ray.stages.evaluation import calibration_bins
+from ai_service_ocr_grading_handler_ray.stages.pathtree import path_prefix_rollup
+from ai_service_ocr_grading_handler_ray.stages.trend import grouped_autocorr
+
+
+def _ab_ds(rows):
+    """rows: (key, variant, conv)."""
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "variant": [r[1] for r in rows],
+                "conv": [r[2] for r in rows],
+            }
+        )
+    )
+
+
+def test_ab_test_hand_computed(ray_session):
+    # A: users 1,2,3 (1 converts — two events, counted once); B: 4,5 (both)
+    ds = _ab_ds(
+        [
+            (1, "A", 1), (1, "A", 1), (2, "A", 0), (3, "A", 0),
+            (4, "B", 1), (5, "B", 1),
+        ]
+    )
+    out = ab_conversion_test(ds, key_col="k", variant_col="variant", conv_col="conv")
+    assert out["n_a"].iloc[0] == 3 and out["n_b"].iloc[0] == 2
+    assert out["conv_a"].iloc[0] == 1 and out["conv_b"].iloc[0] == 2
+    ra, rb = 1 / 3, 1.0
+    p = 3 / 5
+    se = math.sqrt(p * (1 - p) * (1 / 3 + 1 / 2))
+    assert out["rate_a"].iloc[0] == pytest.approx(ra, abs=1e-6)
+    assert out["lift"].iloc[0] == pytest.approx(ra / rb - 1, abs=1e-6)
+    assert out["z"].iloc[0] == pytest.approx((ra - rb) / se, abs=1e-6)
+
+
+def test_ab_test_requires_two_variants(ray_session):
+    with pytest.raises(ValueError, match="exactly 2 variants"):
+        ab_conversion_test(
+            _ab_ds([(1, "A", 1)]), key_col="k", variant_col="variant",
+            conv_col="conv",
+        )
+
+
+def test_ab_test_zero_rate_b_null_lift(ray_session):
+    out = ab_conversion_test(
+        _ab_ds([(1, "A", 1), (2, "B", 0)]),
+        key_col="k", variant_col="variant", conv_col="conv",
+    )
+    assert np.isnan(out["lift"].iloc[0])
+
+
+def _days_ds(rows):
+    """rows: (key, day_offset, n_events) — n_events rows on that day."""
+    recs = []
+    for k, d, n in rows:
+        for i in range(n):
+            recs.append((k, pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, seconds=i)))
+    return rd.from_pandas(
+        pd.DataFrame({"k": [r[0] for r in recs], "ts": [r[1] for r in recs]})
+    )
+
+
+def test_autocorr_hand_computed(ray_session):
+    # key 'x': days 0..3 with counts 1,3,1,3 -> xbar=2, den=4,
+    # pairs (1,3),(3,1),(1,3): num = (-1)(1)+(1)(-1)+(-1)(1) = -3
+    ds = _days_ds([("x", 0, 1), ("x", 1, 3), ("x", 2, 1), ("x", 3, 3)])
+    out = grouped_autocorr(ds, key_col="k", ts_col="ts")
+    assert out["n_days"].iloc[0] == 4 and out["n_pairs"].iloc[0] == 3
+    assert out["r1"].iloc[0] == pytest.approx(-0.75, abs=1e-9)
+
+
+def test_autocorr_gap_excludes_pair(ray_session):
+    # days 0,1,3: only (0,1) pairs; day 3 contributes to mean/den only
+    ds = _days_ds([("x", 0, 1), ("x", 1, 2), ("x", 3, 3)])
+    out = grouped_autocorr(ds, key_col="k", ts_col="ts")
+    assert out["n_pairs"].iloc[0] == 1
+    xbar = 2.0
+    den = (1 - xbar) ** 2 + (2 - xbar) ** 2 + (3 - xbar) ** 2
+    num = (1 - xbar) * (2 - xbar)
+    assert out["r1"].iloc[0] == pytest.approx(num / den, abs=1e-9)
+
+
+def test_autocorr_constant_series_null(ray_session):
+    # den == 0 -> NULL r1
+    ds = _days_ds([("x", 0, 2), ("x", 1, 2)])
+    out = grouped_autocorr(ds, key_col="k", ts_col="ts")
+    assert np.isnan(out["r1"].iloc[0])
+
+
+def test_calibration_hand_computed(ray_session):
+    # bin 0: scores .05,.05 labels 1,0 -> conf .05, acc .5, gap .45
+    # bin 9: score 1.0 (edge -> clamped to bin 9) label 1 -> gap 0
+    ds = rd.from_pandas(
+        pd.DataFrame({"score": [0.05, 0.05, 1.0], "label": [1, 0, 1]})
+    )
+    out = calibration_bins(ds, score_col="score", label_col="label")
+    assert list(out["bin"]) == [0, 9]
+    b0 = out[out["bin"] == 0].iloc[0]
+    assert b0["conf"] == pytest.approx(0.05) and b0["acc"] == pytest.approx(0.5)
+    # ece = (2/3)*0.45 + (1/3)*0 = 0.3
+    assert out["ece"].iloc[0] == pytest.approx(0.3, abs=1e-6)
+    assert out["ece"].nunique() == 1
+
+
+def test_path_rollup_parse_semantics(ray_session):
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://h/a/b/p1",       # depth1 /a, depth2 /a/b
+                    "https://h/a/p2",         # depth1 /a, depth2 /a/p2
+                    "https://h/a",            # depth1 /a only
+                    "https://h//x",           # empty seg1 -> nothing
+                    "https://h",              # no path -> nothing
+                ],
+                "b": [10, 20, 30, 40, 50],
+            }
+        )
+    )
+    out = (
+        path_prefix_rollup(ds, url_col="url", bytes_col="b", max_depth=2)
+        .to_pandas()
+        .sort_values(["depth", "prefix"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["depth"] == 1]
+    assert list(d1["prefix"]) == ["/a"]
+    assert d1["n_pages"].iloc[0] == 3 and d1["n_bytes"].iloc[0] == 60
+    d2 = out[out["depth"] == 2].set_index("prefix")
+    assert d2.loc["/a/b", "n_pages"] == 1
+    assert d2.loc["/a/p2", "n_bytes"] == 20
+
+
+def test_path_rollup_no_scheme_and_counts_only(ray_session):
+    # scheme-less url: whole string is the authority+path per the
+    # split_part convention; bytes_col omitted -> no n_bytes column
+    ds = rd.from_pandas(pd.DataFrame({"url": ["h.example.org/x/y/z"]}))
+    out = path_prefix_rollup(ds, url_col="url", max_depth=2).to_pandas()
+    assert "n_bytes" not in out.columns
+    assert set(out["prefix"]) == {"/x", "/x/y"}
+    assert (out["host"] == "h.example.org").all()
