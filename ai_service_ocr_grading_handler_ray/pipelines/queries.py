@@ -6165,6 +6165,149 @@ def q233_path_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q234_position_attribution(sf_dir: str) -> pd.DataFrame:
+    """Position-based (40/20/40 U-shaped) multi-touch attribution
+    (sequence.position_attribution): every session gets ONE unit of
+    credit split first/middles/last — the multi-touch complement of
+    q213's last-touch rule, over the same q12 gap-sessionize
+    convention.  ONE user-hash coarse shuffle, closed-form per-segment
+    position arithmetic, driver folds |event_type| rows.  Oracle:
+    GENERATED by position_attribution_sql over events directly."""
+    from ..stages.sequence import position_attribution
+
+    return position_attribution(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type",
+    )
+
+
+def q235_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """SCD-2 intervalization of a multi-snapshot capture table
+    (snapshots.scd2_history): each url's capture sequence collapses to
+    content RUNS with (valid_from, valid_to, version) — the history
+    table an incremental corpus keeps for point-in-time reconstruction.
+    Captures are synthesized from documents (q133's url scheme): doc d
+    gets 1 + d%4 captures at integer crawl ordinals 0..k, content
+    flips to a ':v2' hash at ordinal 1 + d%3, and every 23rd doc's
+    ordinal-1 capture carries a NULL hash to exercise the null-safe
+    IS-DISTINCT-FROM run boundary on both engines.  ONE salted
+    key-hash shuffle, vectorized shift compare, one output row per RUN.
+    NULL valid_to (current version) coalesces to -1 on both sides so
+    the driver's value hash sees no nullable-int dtype skew (q213
+    precedent).  Oracle: GENERATED by scd2_sql over the same
+    generate_series-rebuilt captures."""
+    import hashlib as _hl
+
+    from ..stages.snapshots import scd2_history
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def caps(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        urls: list[str] = []
+        ords: list[int] = []
+        hs: list[str | None] = []
+        for dd, txt in zip(d, texts):
+            h_base = _hl.md5(txt.encode()).hexdigest()
+            h_v2 = _hl.md5((txt + ":v2").encode()).hexdigest()
+            change = 1 + dd % 3
+            for k in range(1 + dd % 4):
+                urls.append(
+                    f"https://h{(dd * 48271) % 97:03d}.example.org/p/{dd}"
+                )
+                ords.append(k)
+                if dd % 23 == 0 and k == 1:
+                    hs.append(None)
+                elif k < change:
+                    hs.append(h_base)
+                else:
+                    hs.append(h_v2)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "ts": pa.array(ords, type=pa.int64()),
+                "content_hash": pa.array(hs, type=pa.string()),
+            }
+        )
+
+    out = scd2_history(
+        ds.map_batches(caps, batch_format="pyarrow"),
+        key_col="url", ts_col="ts", hash_col="content_hash",
+    ).to_pandas()
+    out["valid_from"] = out["valid_from"].astype(np.int64)
+    out["valid_to"] = out["valid_to"].fillna(-1).astype(np.int64)
+    out["version"] = out["version"].astype(np.int64)
+    return (
+        out.sort_values(["url", "valid_from"])
+        .reset_index(drop=True)
+        [["url", "content_hash", "valid_from", "valid_to", "version"]]
+    )
+
+
+def q236_lexical_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source lexical diversity (text_analysis.lexical_diversity):
+    tokens / types / hapax / TTR / hapax share per source — the
+    vocabulary-health screen next to q220's keyness (WHICH terms
+    differ vs HOW MUCH vocabulary each slice carries).  Per-batch
+    factorized (source, token) partials, ONE token-hash groupby, a
+    shuffle-free fold to per-source triples, driver holds |sources|
+    rows.  Oracle: GENERATED by lexical_diversity_sql (string_split
+    tokenizer convention)."""
+    from ..stages.text_analysis import lexical_diversity
+
+    return lexical_diversity(
+        _read(sf_dir, "documents", ["text", "source"]),
+        text_col="text", group_col="source",
+    )
+
+
+def q237_tag_histogram(sf_dir: str) -> pd.DataFrame:
+    """HTML tag-frequency profile per host (tagstats.tag_histogram):
+    <p>/<div>/<a> opener counts + page counts per host over
+    deterministic repeat()-built markup (1 + d%5 paragraphs, d%4
+    link divs, q233's 29-host scheme) — the structural fingerprint
+    read BEFORE extraction (link farms vs article hosts).  The html
+    travels as BINARY to exercise the zero-copy cast; counters only
+    leave each task (per-batch Arrow group_by partial, ONE 29-row
+    groupby).  Oracle: GENERATED by tag_histogram_sql via the
+    length-difference substring-count identity over the same
+    repeat()-rebuilt markup."""
+    from ..stages.tagstats import tag_histogram
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = [f"h{(dd * 48271) % 29:02d}.example.org" for dd in d]
+        html = [
+            (
+                "<html><body>"
+                + "<p>x</p>" * (1 + int(dd) % 5)
+                + '<div><a href="/x">l</a></div>' * (int(dd) % 4)
+                + "</body></html>"
+            ).encode()
+            for dd in d
+        ]
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "html": pa.array(html, type=pa.binary()),
+            }
+        )
+
+    out = tag_histogram(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        html_col="html", group_col="host",
+    ).to_pandas()
+    out = out.rename(columns={"g": "host"})
+    return (
+        out.sort_values("host")
+        .reset_index(drop=True)[["host", "n_pages", "n_p", "n_div", "n_a"]]
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6210,6 +6353,12 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-11 tranche 1: position attribution, SCD-2 history,
+    # lexical diversity, tag histogram.
+    "q234_position_attribution": q234_position_attribution,
+    "q235_scd2_history": q235_scd2_history,
+    "q236_lexical_diversity": q236_lexical_diversity,
+    "q237_tag_histogram": q237_tag_histogram,
     "q230_ab_test": q230_ab_test,
     "q231_daily_autocorr": q231_daily_autocorr,
     "q232_calibration": q232_calibration,
@@ -6672,6 +6821,34 @@ from ..stages.abtest import ab_test_sql as _ab_sql
 from ..stages.trend import autocorr_sql as _acf_sql
 from ..stages.evaluation import calibration_sql as _calib_sql
 from ..stages.pathtree import path_rollup_sql as _pathroll_sql
+from ..stages.sequence import position_attribution_sql as _posattr_sql
+from ..stages.snapshots import scd2_sql as _scd2_sql
+from ..stages.text_analysis import lexical_diversity_sql as _lexdiv_sql
+from ..stages.tagstats import tag_histogram_sql as _taghist_sql
+
+# q235's derived capture table (shared scheme with the Arrow fixture):
+# 1 + d%4 captures per doc at integer crawl ordinals, ':v2' content flip
+# at ordinal 1 + d%3, NULL hash at ordinal 1 for every 23rd doc.
+_Q235_CAPS = """(
+  SELECT printf('https://h%03d.example.org/p/%d',
+                (doc_id * 48271) % 97, doc_id) AS url,
+         k AS ts,
+         CASE WHEN doc_id % 23 = 0 AND k = 1 THEN NULL
+              WHEN k < 1 + doc_id % 3 THEN md5(text)
+              ELSE md5(text || ':v2') END AS content_hash
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, doc_id % 4)) AS k
+        FROM documents)
+)"""
+
+# q237's derived page table (shared scheme with the Arrow fixture).
+_Q237_PAGES = """(
+  SELECT printf('h%02d.example.org', (doc_id * 48271) % 29) AS host,
+         '<html><body>' || repeat('<p>x</p>', 1 + doc_id % 5)
+           || repeat('<div><a href="/x">l</a></div>', doc_id % 4)
+           || '</body></html>' AS html
+  FROM documents
+)"""
 
 _Q229_RATERS = """(
   SELECT CASE WHEN n_chars >= 256 THEN 'good' ELSE 'bad' END AS r1,
@@ -6682,6 +6859,24 @@ _Q229_RATERS = """(
 )"""
 
 ORACLE_SQL = {
+    "q234_position_attribution": _posattr_sql(
+        table="events", key_col="user_id", ts_col="ts",
+        id_col="event_id", type_col="event_type",
+    ),
+    "q235_scd2_history": f"""
+        SELECT url, content_hash, valid_from,
+               coalesce(valid_to, -1) AS valid_to, version
+        FROM ({_scd2_sql(table=_Q235_CAPS, key_col="url", ts_col="ts",
+                         hash_col="content_hash")})
+    """,
+    "q236_lexical_diversity": _lexdiv_sql(
+        table="documents", text_col="text", group_col="source",
+    ),
+    "q237_tag_histogram": f"""
+        SELECT g AS host, n_pages, n_p, n_div, n_a
+        FROM ({_taghist_sql(table=_Q237_PAGES, html_col="html",
+                            group_col="host")})
+    """,
     "q230_ab_test": _ab_sql(
         table="""(
           SELECT user_id,

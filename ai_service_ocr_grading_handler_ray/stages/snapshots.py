@@ -150,3 +150,98 @@ def host_churn(
     )
     wide["churn_rate"] = round_half_away(moved / total, 6)
     return wide.sort_values("host").reset_index(drop=True)
+
+
+def scd2_history(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    num_parts: int = 32,
+) -> rd.Dataset:
+    """Slowly-changing-dimension (type 2) intervalization of a
+    multi-snapshot capture table: collapse each key's (ts-ordered)
+    capture sequence into CONTENT RUNS — one row per distinct
+    consecutive content version with ``valid_from`` (first capture of
+    the run), ``valid_to`` (first capture of the NEXT run; NULL for
+    the current version) and a per-key ``version`` counter.  This is
+    the history table an incremental corpus keeps so any past crawl
+    date can be reconstructed with a point-in-time predicate
+    (``valid_from <= d < coalesce(valid_to, 'inf')``) — the temporal
+    generalization of :func:`snapshot_diff`'s two-snapshot compare.
+
+    Run-boundary semantics (shared with the SQL replay): a row starts
+    a new run iff it is the key's first capture or its hash IS
+    DISTINCT FROM the previous capture's (null-safe: NULL→'x',
+    'x'→NULL are changes; NULL→NULL is not).  (key, ts) must be unique
+    (run CDX keep-latest first — :mod:`.surt`); null key/ts rows drop
+    on both engines.
+
+    Scale shape: ONE salted key-hash shuffle, vectorized per-partition
+    shift compare (no Python loop), lazy Dataset out — one output row
+    per content RUN, never per capture.  SQL replay is GENERATED by
+    :func:`scd2_sql` (single-generator policy)."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[key_col, ts_col]).sort_values(
+            [key_col, ts_col], kind="mergesort"
+        )
+        pk = g[key_col].shift()
+        ph = g[hash_col].shift()
+        h = g[hash_col]
+        same_hash = (h == ph) | (h.isna() & ph.isna())
+        new_run = (g[key_col] != pk) | pk.isna() | ~same_hash
+        r = g[new_run]
+        nk = r[key_col].shift(-1)
+        valid_to = r[ts_col].shift(-1).where(nk == r[key_col])
+        version = r.groupby(key_col, sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                key_col: r[key_col],
+                hash_col: r[hash_col],
+                "valid_from": r[ts_col],
+                "valid_to": valid_to,
+                "version": version.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def scd2_sql(
+    *,
+    table: str,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+) -> str:
+    """DuckDB replay of :func:`scd2_history` (single-generator):
+    identical null-safe run-boundary predicate and lead() interval
+    close."""
+    return f"""
+        WITH base AS (
+            SELECT {key_col} AS k, {ts_col} AS ts, {hash_col} AS h
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        ), o AS (
+            SELECT k, ts, h, lag(ts) OVER w AS pts, lag(h) OVER w AS ph
+            FROM base WINDOW w AS (PARTITION BY k ORDER BY ts)
+        ), r AS (
+            SELECT k, ts, h FROM o
+            WHERE pts IS NULL OR (h IS DISTINCT FROM ph)
+        )
+        SELECT k AS {key_col}, h AS {hash_col},
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY k ORDER BY ts)
+                    AS BIGINT) AS version
+        FROM r
+    """

@@ -1734,3 +1734,140 @@ def keyness_sql(
                round(g2, {round_to}) AS g2
         FROM ranked WHERE rn <= {top_k}
     """
+
+
+def lexical_diversity(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Per-group lexical diversity: total tokens, distinct types, hapax
+    legomena (frequency-1 types), type-token ratio and hapax share —
+    the vocabulary-health screen corpus curation runs per source/slice
+    (a boilerplate-heavy or template-generated source shows a crashed
+    TTR; OCR noise and spam show an inflated hapax share).  Pairs with
+    :func:`keyness_by_group` (WHICH terms differ) by measuring HOW MUCH
+    vocabulary each slice carries.
+
+        ttr         = n_types / n_tokens
+        hapax_ratio = n_hapax / n_types
+
+    Tokenization is the repo-wide string_split convention
+    (:func:`batch_words` == SQL ``string_split(coalesce(text,''), ' ')``
+    — null text is '', '' is one empty token).  Null groups drop.
+
+    Scale shape: per-batch factorized (group, token) count partials
+    (vocab-sized rows leave each task, never corpus tokens), ONE
+    token-hash groupby — each (group, token) row is then globally
+    unique, so a shuffle-free second partial scan folds them to
+    per-group (types, hapax, tokens) triples and ONE groups-sized
+    groupby finishes; the driver holds |groups| rows.  SQL replay is
+    GENERATED by :func:`lexical_diversity_sql` (single-generator)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        texts = t[text_col].to_pylist()
+        words, lens = batch_words(texts)
+        if not len(words):
+            return pa.table(
+                {"g": pa.array([], type=t.schema.field(group_col).type),
+                 "token": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        grows = np.repeat(t[group_col].to_numpy(zero_copy_only=False), lens)
+        tcode, toks = pd.factorize(words, sort=False)
+        gcode, grps = pd.factorize(grows, sort=False)
+        comb = gcode.astype(np.int64) * len(toks) + tcode
+        ccode, uniq = pd.factorize(comb, sort=False)
+        cnt = np.bincount(ccode, minlength=len(uniq))
+        return pa.table(
+            {
+                "g": pa.array(grps[uniq // len(toks)]),
+                "token": pa.array(toks[uniq % len(toks)], type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["g", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.table(
+            {"g": t["g"], "n_tokens": pa.array(n),
+             "one": pa.array(np.ones(len(n), dtype=np.int64)),
+             "hapax": pa.array((n == 1).astype(np.int64))}
+        )
+        return tt.group_by("g").aggregate(
+            [("n_tokens", "sum"), ("one", "sum"), ("hapax", "sum")]
+        )
+
+    out = (
+        counts.map_batches(fold, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n_tokens_sum", alias_name="n_tokens"),
+            Sum("one_sum", alias_name="n_types"),
+            Sum("hapax_sum", alias_name="n_hapax"),
+        )
+        .to_pandas()
+        .sort_values("g", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ttr = out["n_types"].to_numpy(dtype=np.float64) / out[
+        "n_tokens"
+    ].to_numpy(dtype=np.float64)
+    hr = out["n_hapax"].to_numpy(dtype=np.float64) / out[
+        "n_types"
+    ].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            group_col: out["g"],
+            "n_tokens": out["n_tokens"].astype(np.int64),
+            "n_types": out["n_types"].astype(np.int64),
+            "n_hapax": out["n_hapax"].astype(np.int64),
+            "ttr": round_half_away(ttr, round_to),
+            "hapax_ratio": round_half_away(hr, round_to),
+        }
+    )
+
+
+def lexical_diversity_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`lexical_diversity` (single-generator):
+    identical tokenizer (string_split on ' '), identical ratios."""
+    return f"""
+        WITH w AS (
+            SELECT {group_col} AS g,
+                   unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS tok
+            FROM {table} WHERE {group_col} IS NOT NULL
+        ), c AS (
+            SELECT g, tok, count(*) AS n FROM w GROUP BY g, tok
+        )
+        SELECT g AS {group_col},
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               round(count(*) / CAST(sum(n) AS DOUBLE), {round_to}) AS ttr,
+               round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), {round_to})
+                   AS hapax_ratio
+        FROM c GROUP BY g
+    """

@@ -192,3 +192,75 @@ def test_empty_input(ray_session):
     assert interarrival_stats(ds, num_parts=2).count() == 0
     assert last_touch_attribution(ds, num_parts=2).count() == 0
     assert cusum_drift(ds, key_col="user_id", num_parts=2).count() == 0
+
+
+# --- position-based (40/20/40) attribution ---------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.sequence import (  # noqa: E402
+    position_attribution,
+)
+
+
+def test_position_attribution_hand_computed(ray_session):
+    # user 1: one 4-touch session (a,b,c,d) -> 0.4, 0.1, 0.1, 0.4
+    # user 2: a 2-touch session (a,b) -> 0.5, 0.5; then after the gap a
+    #         1-touch session (c) -> 1.0
+    ds = _events(
+        [
+            (1, 1, 0 * US, "a", 0.0),
+            (2, 1, 10 * US, "b", 0.0),
+            (3, 1, 20 * US, "c", 0.0),
+            (4, 1, 30 * US, "d", 0.0),
+            (5, 2, 0 * US, "a", 0.0),
+            (6, 2, 10 * US, "b", 0.0),
+            (7, 2, 5000 * US, "c", 0.0),
+        ]
+    )
+    out = position_attribution(ds, gap_s=1800).set_index("event_type")
+    assert out.loc["a", "credit"] == pytest.approx(0.9)   # 0.4 + 0.5
+    assert out.loc["b", "credit"] == pytest.approx(0.6)   # 0.2/2 + 0.5
+    assert out.loc["c", "credit"] == pytest.approx(1.1)   # 0.2/2 + 1.0
+    assert out.loc["d", "credit"] == pytest.approx(0.4)
+    assert out["n_touches"].to_list() == [2, 2, 2, 1]
+    # every session's credit sums to 1 -> total == number of sessions (3)
+    assert out["credit"].sum() == pytest.approx(3.0)
+
+
+def test_position_attribution_null_type_holds_position(ray_session):
+    # 3-touch session where the MIDDLE type is null: positions still
+    # count it (first/last keep 0.4 each) but its credit is dropped.
+    ds = _events([(1, 1, 0, "a", 0.0), (3, 1, 20 * US, "b", 0.0)]).union(
+        rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [2],
+                    "user_id": [1],
+                    "ts": pd.to_datetime([10 * US], unit="us"),
+                    "event_type": [None],
+                    "value": [0.0],
+                }
+            )
+        )
+    )
+    out = position_attribution(ds, gap_s=1800).set_index("event_type")
+    assert set(out.index) == {"a", "b"}
+    assert out.loc["a", "credit"] == pytest.approx(0.4)
+    assert out.loc["b", "credit"] == pytest.approx(0.4)
+
+
+@pytest.mark.parametrize("num_parts", [1, 3, 32])
+def test_position_attribution_partition_invariance(ray_session, num_parts):
+    rng = np.random.default_rng(5)
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 9)),
+            int(rng.integers(0, 10_000)) * US,
+            ["view", "click", "buy"][int(rng.integers(0, 3))],
+            0.0,
+        )
+        for i in range(400)
+    ]
+    base = position_attribution(_events(rows), num_parts=32)
+    got = position_attribution(_events(rows), num_parts=num_parts)
+    pd.testing.assert_frame_equal(got, base, check_dtype=False)

@@ -108,3 +108,87 @@ def test_host_churn_rollup(ray_session):
     b = out.loc["b.org"]
     assert (b.n_added, b.n_removed, b.n_changed, b.n_unchanged) == (0, 0, 0, 1)
     assert b.churn_rate == 0.0
+
+
+# --- SCD-2 history ----------------------------------------------------------
+
+from ai_service_ocr_grading_handler_ray.stages.snapshots import (  # noqa: E402
+    scd2_history,
+)
+
+
+def _scd2(rows, **kw):
+    out = scd2_history(
+        rd.from_pandas(
+            pd.DataFrame(rows, columns=["url", "ts", "content_hash"])
+        ),
+        **kw,
+    ).to_pandas()
+    return out.sort_values(["url", "valid_from"]).reset_index(drop=True)
+
+
+def test_scd2_runs_and_intervals():
+    out = _scd2(
+        [
+            ("a", 0, "h1"),
+            ("a", 1, "h1"),   # same content -> same run
+            ("a", 2, "h2"),   # change -> new run
+            ("a", 3, "h2"),
+            ("b", 0, "h9"),   # single capture
+        ]
+    )
+    a = out[out.url == "a"]
+    assert a["content_hash"].to_list() == ["h1", "h2"]
+    assert a["valid_from"].to_list() == [0, 2]
+    assert a["valid_to"].to_list()[0] == 2
+    assert pd.isna(a["valid_to"].to_list()[1])     # current version open
+    assert a["version"].to_list() == [1, 2]
+    b = out[out.url == "b"]
+    assert len(b) == 1 and b["version"].iloc[0] == 1
+
+
+def test_scd2_null_safe_boundary():
+    # x -> NULL and NULL -> x are changes; NULL -> NULL is NOT.
+    out = _scd2(
+        [
+            ("a", 0, "h1"),
+            ("a", 1, None),
+            ("a", 2, None),
+            ("a", 3, "h1"),
+        ]
+    )
+    assert out["valid_from"].to_list() == [0, 1, 3]
+    assert out["content_hash"].to_list()[1] is None
+    assert out["version"].to_list() == [1, 2, 3]
+
+
+def test_scd2_null_key_ts_drop_and_key_isolation():
+    out = _scd2(
+        [
+            ("a", 0, "h1"),
+            (None, 1, "h1"),
+            ("b", None, "h1"),
+            ("b", 5, "h1"),   # b starts its own run even though hash == a's
+        ]
+    )
+    assert out["url"].to_list() == ["a", "b"]
+    assert out["version"].to_list() == [1, 1]
+
+
+@pytest.mark.parametrize("num_parts", [1, 5, 32])
+def test_scd2_partition_invariance(num_parts):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (
+            f"u{int(rng.integers(0, 40))}",
+            int(i),
+            f"h{int(rng.integers(0, 3))}",
+        )
+        for i in range(600)
+    ]
+    # make (url, ts) unique: ts is the global row index, unique anyway
+    base = _scd2(rows, num_parts=32)
+    got = _scd2(rows, num_parts=num_parts)
+    pd.testing.assert_frame_equal(got, base, check_dtype=False)

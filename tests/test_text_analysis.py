@@ -380,3 +380,51 @@ def test_source_quality_report_brute(ray_session):
         assert abs(row.avg_flesch - round(sub.flesch_proxy.sum() / len(sub), 4)) < 2e-4
         passed = ((sub.flesch_proxy >= 40.0) & (sub.n_words >= 50)).sum()
         assert abs(row.pass_rate - passed / len(sub)) < 1e-6
+
+
+# --- lexical diversity -------------------------------------------------------
+
+
+def test_lexical_diversity_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        lexical_diversity,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "text": ["a b a", "b c", None, "x x x x"],
+                "source": ["s1", "s1", "s1", "s2"],
+            }
+        )
+    )
+    out = lexical_diversity(ds).set_index("source")
+    # s1 tokens: a b a b c + '' (null text -> one empty token) = 6
+    # types: a, b, c, '' = 4; hapax: c, '' = 2
+    assert out.loc["s1", "n_tokens"] == 6
+    assert out.loc["s1", "n_types"] == 4
+    assert out.loc["s1", "n_hapax"] == 2
+    assert out.loc["s1", "ttr"] == round(4 / 6, 6)
+    assert out.loc["s1", "hapax_ratio"] == 0.5
+    # s2: 4 tokens, 1 type, 0 hapax
+    assert out.loc["s2", "n_tokens"] == 4
+    assert out.loc["s2", "n_types"] == 1
+    assert out.loc["s2", "n_hapax"] == 0
+
+
+def test_lexical_diversity_null_group_drops(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        lexical_diversity,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": ["a", "b"], "source": ["s1", None]})
+    )
+    out = lexical_diversity(ds)
+    assert out["source"].to_list() == ["s1"]
