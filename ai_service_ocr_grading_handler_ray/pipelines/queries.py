@@ -6308,6 +6308,95 @@ def q237_tag_histogram(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q238_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf rank-frequency fit per source
+    (text_analysis.zipf_slope_by_group): OLS slope/intercept of
+    log-freq on log-rank over each source's top-512 tokens — the
+    vocabulary-SHAPE health check next to q236's vocabulary-SIZE
+    screen.  ONE token-hash shuffle + per-block per-group top-K
+    partials; driver folds sources × K rows.  Oracle: GENERATED by
+    zipf_sql (identical rank tie-break and closed-form OLS)."""
+    from ..stages.text_analysis import zipf_slope_by_group
+
+    return zipf_slope_by_group(
+        _read(sf_dir, "documents", ["text", "source"]),
+        text_col="text", group_col="source", top_k=512,
+    )
+
+
+def q239_mann_whitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test between the q230 user-parity
+    variants over per-event value (abtest.mann_whitney_u): the
+    nonparametric location test next to Welch (q205, means) and the
+    pooled z (q230, proportions).  Range-bucketed tie-averaged rank
+    partials — ONE bucket groupby, driver folds num_buckets rows.
+    Oracle: GENERATED by mann_whitney_sql (per-distinct-value
+    cumulative form; rank sums are dyadic halves, so both engines are
+    exact)."""
+    from ..stages.abtest import mann_whitney_u
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "variant": pa.array(np.where(u % 2 == 0, "A", "B")),
+                "value": t["value"],
+            }
+        )
+
+    return mann_whitney_u(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        variant_col="variant", value_col="value",
+    )
+
+
+def q240_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM quintile segmentation over the event stream
+    (rfm.rfm_segments): recency/frequency/monetary quintile scores per
+    user folded to ≤125 segment rows — the per-user VALUE rollup next
+    to cohort (q151) and funnel (q150).  Integer metrics throughout
+    (days / counts / cents), so threshold comparisons cannot drift.
+    ONE user shuffle + histogram-refinement thresholds + shuffle-free
+    scoring scan.  Oracle: GENERATED by rfm_sql."""
+    from ..stages.rfm import rfm_segments
+
+    return rfm_segments(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+    )
+
+
+def q241_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/MAU stickiness per event type (trend.stickiness): average
+    daily actives over average monthly actives — the engagement-depth
+    ratio next to q185's daily monitor and q231's autocorrelation.
+    ONE (type, day, user) distinct shuffle; month level re-dedups the
+    day-distinct triples; int-ratio folds.  Oracle: GENERATED by
+    stickiness_sql."""
+    from ..stages.trend import stickiness
+
+    return stickiness(
+        _read(sf_dir, "events", ["event_type", "ts", "user_id"]),
+    )
+
+
+def q242_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources
+    (text_analysis.vocab_overlap): which sources are near-clones of
+    each other BEFORE any per-document dedup — the cross-corpus
+    similarity screen over distinct token sets.  ONE token-hash
+    shuffle (shared with q236/q238's counts stage) + a token-partition
+    self-merge pair emission; driver folds |sources|² rows.  Oracle:
+    GENERATED by vocab_overlap_sql (distinct self-join on token)."""
+    from ..stages.text_analysis import vocab_overlap
+
+    return vocab_overlap(
+        _read(sf_dir, "documents", ["text", "source"]),
+        text_col="text", group_col="source",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6353,6 +6442,13 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-11 tranche 2: Zipf slope, Mann-Whitney U, RFM segments,
+    # DAU/MAU stickiness, source vocabulary overlap.
+    "q238_zipf_slope": q238_zipf_slope,
+    "q239_mann_whitney": q239_mann_whitney,
+    "q240_rfm_segments": q240_rfm_segments,
+    "q241_stickiness": q241_stickiness,
+    "q242_vocab_overlap": q242_vocab_overlap,
     # Session-11 tranche 1: position attribution, SCD-2 history,
     # lexical diversity, tag histogram.
     "q234_position_attribution": q234_position_attribution,
@@ -6822,6 +6918,11 @@ from ..stages.trend import autocorr_sql as _acf_sql
 from ..stages.evaluation import calibration_sql as _calib_sql
 from ..stages.pathtree import path_rollup_sql as _pathroll_sql
 from ..stages.sequence import position_attribution_sql as _posattr_sql
+from ..stages.text_analysis import zipf_sql as _zipf_sql
+from ..stages.text_analysis import vocab_overlap_sql as _vocover_sql
+from ..stages.abtest import mann_whitney_sql as _mwu_sql
+from ..stages.rfm import rfm_sql as _rfm_sql
+from ..stages.trend import stickiness_sql as _stick_sql
 from ..stages.snapshots import scd2_sql as _scd2_sql
 from ..stages.text_analysis import lexical_diversity_sql as _lexdiv_sql
 from ..stages.tagstats import tag_histogram_sql as _taghist_sql
@@ -6859,6 +6960,29 @@ _Q229_RATERS = """(
 )"""
 
 ORACLE_SQL = {
+    "q238_zipf_slope": _zipf_sql(
+        table="documents", text_col="text", group_col="source", top_k=512,
+    ),
+    "q239_mann_whitney": _mwu_sql(
+        table="""(
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                     AS variant,
+                 value
+          FROM events
+        )""",
+        variant_col="variant", value_col="value",
+    ),
+    "q240_rfm_segments": _rfm_sql(
+        table="events", user_col="user_id", ts_col="ts",
+        value_col="value",
+    ),
+    "q241_stickiness": _stick_sql(
+        table="events", key_col="event_type", ts_col="ts",
+        user_col="user_id",
+    ),
+    "q242_vocab_overlap": _vocover_sql(
+        table="documents", text_col="text", group_col="source",
+    ),
     "q234_position_attribution": _posattr_sql(
         table="events", key_col="user_id", ts_col="ts",
         id_col="event_id", type_col="event_type",

@@ -1736,6 +1736,49 @@ def keyness_sql(
     """
 
 
+def group_token_counts(ds, *, text_col: str = "text",
+                       group_col: str = "source"):
+    """(group, token, n) term frequencies per group as a lazy Dataset —
+    the shared first stage of :func:`lexical_diversity`,
+    :func:`zipf_slope_by_group` and :func:`vocab_overlap`.  Per-batch
+    factorized partials (vocab-sized rows leave each task, never corpus
+    tokens) + ONE token-hash groupby.  Tokenization is the repo-wide
+    string_split convention (:func:`batch_words`); null groups drop."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        texts = t[text_col].to_pylist()
+        words, lens = batch_words(texts)
+        if not len(words):
+            return pa.table(
+                {"g": pa.array([], type=t.schema.field(group_col).type),
+                 "token": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        grows = np.repeat(t[group_col].to_numpy(zero_copy_only=False), lens)
+        tcode, toks = pd.factorize(words, sort=False)
+        gcode, grps = pd.factorize(grows, sort=False)
+        comb = gcode.astype(np.int64) * len(toks) + tcode
+        ccode, uniq = pd.factorize(comb, sort=False)
+        cnt = np.bincount(ccode, minlength=len(uniq))
+        return pa.table(
+            {
+                "g": pa.array(grps[uniq // len(toks)]),
+                "token": pa.array(toks[uniq % len(toks)], type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["g", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def lexical_diversity(
     ds,
     *,
@@ -1766,40 +1809,11 @@ def lexical_diversity(
     groupby finishes; the driver holds |groups| rows.  SQL replay is
     GENERATED by :func:`lexical_diversity_sql` (single-generator)."""
     import pandas as pd
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from .selection import round_half_away
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[group_col]))
-        texts = t[text_col].to_pylist()
-        words, lens = batch_words(texts)
-        if not len(words):
-            return pa.table(
-                {"g": pa.array([], type=t.schema.field(group_col).type),
-                 "token": pa.array([], type=pa.string()),
-                 "n": pa.array([], type=pa.int64())}
-            )
-        grows = np.repeat(t[group_col].to_numpy(zero_copy_only=False), lens)
-        tcode, toks = pd.factorize(words, sort=False)
-        gcode, grps = pd.factorize(grows, sort=False)
-        comb = gcode.astype(np.int64) * len(toks) + tcode
-        ccode, uniq = pd.factorize(comb, sort=False)
-        cnt = np.bincount(ccode, minlength=len(uniq))
-        return pa.table(
-            {
-                "g": pa.array(grps[uniq // len(toks)]),
-                "token": pa.array(toks[uniq % len(toks)], type=pa.string()),
-                "n": pa.array(cnt.astype(np.int64)),
-            }
-        )
-
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-        .groupby(["g", "token"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+    counts = group_token_counts(ds, text_col=text_col, group_col=group_col)
 
     def fold(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1870,4 +1884,272 @@ def lexical_diversity_sql(
                      / CAST(count(*) AS DOUBLE), {round_to})
                    AS hapax_ratio
         FROM c GROUP BY g
+    """
+
+
+def zipf_slope_by_group(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 512,
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Zipf rank-frequency fit per group: OLS slope/intercept of
+    log(freq) on log(rank) over each group's TOP-K tokens — the
+    power-law health check corpus curation runs per source (natural
+    text sits near slope −1; template/boilerplate-generated sources
+    flatten, spam/OCR noise steepens).  Pairs with
+    :func:`lexical_diversity` (vocabulary SIZE) by measuring vocabulary
+    SHAPE.
+
+    Fit convention (shared with the SQL replay): ranks are
+    ``row_number() OVER (PARTITION BY group ORDER BY n DESC, token)``
+    (deterministic tie-break), x = ln(rank), y = ln(n), slope =
+    (k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/k.
+    Fitting on the top-K head is the standard estimator shape (the
+    tail's rank plateau biases a full-vocab fit anyway) and what makes
+    it scale: after :func:`group_token_counts`' ONE token-hash shuffle,
+    every count block emits its own per-group top-K inside
+    ``map_batches``, so at most groups × K × blocks slim rows exist
+    anywhere and the driver merge + fold is groups × K.
+
+    Output: (group, k_fit:int64, slope, intercept) sorted by group.
+    SQL replay GENERATED by :func:`zipf_sql` (single-generator)."""
+    import pandas as pd
+
+    from .selection import round_half_away
+
+    counts = group_token_counts(ds, text_col=text_col, group_col=group_col)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (
+            df.sort_values(["g", "n", "token"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("g", sort=False)
+            .head(top_k)
+        )
+
+    head = (
+        counts.map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["g", "n", "token"],
+                     ascending=[True, False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(top_k)
+    )
+    if head.empty:
+        return pd.DataFrame(
+            {group_col: pd.Series([], dtype=object),
+             "k_fit": pd.Series([], dtype=np.int64),
+             "slope": pd.Series([], dtype=np.float64),
+             "intercept": pd.Series([], dtype=np.float64)}
+        )
+    head["rank"] = head.groupby("g", sort=False).cumcount() + 1
+    x = np.log(head["rank"].to_numpy(dtype=np.float64))
+    y = np.log(head["n"].to_numpy(dtype=np.float64))
+    head = head.assign(x=x, y=y, xy=x * y, xx=x * x)
+    agg = head.groupby("g", as_index=False).agg(
+        k_fit=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+        sxy=("xy", "sum"), sxx=("xx", "sum"),
+    )
+    k = agg["k_fit"].to_numpy(dtype=np.float64)
+    denom = k * agg["sxx"].to_numpy() - agg["sx"].to_numpy() ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (k * agg["sxy"].to_numpy()
+                 - agg["sx"].to_numpy() * agg["sy"].to_numpy()) / denom
+        intercept = (agg["sy"].to_numpy() - slope * agg["sx"].to_numpy()) / k
+    return pd.DataFrame(
+        {
+            group_col: agg["g"],
+            "k_fit": agg["k_fit"].astype(np.int64),
+            "slope": round_half_away(slope, round_to),
+            "intercept": round_half_away(intercept, round_to),
+        }
+    ).sort_values(group_col, kind="mergesort").reset_index(drop=True)
+
+
+def zipf_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 512,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`zipf_slope_by_group` (single-generator):
+    identical tokenizer, rank tie-break and closed-form OLS."""
+    return f"""
+        WITH w AS (
+            SELECT {group_col} AS g,
+                   unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS tok
+            FROM {table} WHERE {group_col} IS NOT NULL
+        ), c AS (
+            SELECT g, tok, count(*) AS n FROM w GROUP BY g, tok
+        ), r AS (
+            SELECT g, n,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY n DESC, tok) AS rn
+            FROM c QUALIFY rn <= {top_k}
+        ), p AS (
+            SELECT g, ln(rn) AS x, ln(n) AS y FROM r
+        ), s AS (
+            SELECT g, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM p GROUP BY g
+        )
+        SELECT g AS {group_col}, CAST(k AS BIGINT) AS k_fit,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx),
+                     {round_to}) AS slope,
+               round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                     / k, {round_to}) AS intercept
+        FROM s
+    """
+
+
+def vocab_overlap(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Pairwise vocabulary Jaccard between groups: for every group pair
+    (a < b), |V_a ∩ V_b| / |V_a ∪ V_b| over the groups' distinct token
+    sets — the cross-corpus similarity screen that says WHICH sources
+    are near-clones of each other (mirror feeds, shared templates)
+    before any per-document dedup runs.  Complements q110's
+    subtraction (removes known overlap) by MEASURING overlap first.
+
+    Scale shape: :func:`group_token_counts`' ONE token-hash shuffle
+    makes (group, token) rows globally unique, so each count block is
+    already a distinct-set fragment: a shuffle-free scan emits
+    per-group vocab-size partials, and ONE token groupby cogroups each
+    token's group set (≤ |groups| rows per token) to emit group-pair
+    partials — the driver folds |groups|² pair rows and |groups| size
+    rows, never vocab-sized state.
+
+    Output: (group_a, group_b, n_common, n_a, n_b, jaccard) for a < b,
+    sorted.  SQL replay GENERATED by :func:`vocab_overlap_sql`."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .selection import round_half_away
+
+    counts = group_token_counts(
+        ds, text_col=text_col, group_col=group_col
+    ).materialize()
+
+    # per-group vocab sizes: rows of counts are distinct (g, token)
+    def size_part(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"g": t["g"],
+                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
+            .group_by("g").aggregate([("one", "sum")])
+        )
+
+    sizes: dict = {}
+    for t in collect_tables(
+        counts.map_batches(size_part, batch_format="pyarrow"),
+        drop_empty=True,
+    ):
+        for g, n in zip(t["g"].to_pylist(), t["one_sum"].to_pylist()):
+            sizes[g] = sizes.get(g, 0) + int(n)
+
+    from .dedup import add_key_partition
+
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-token pair emission: self-merge on token
+        # (each token carries ≤ |groups| rows, so the merge blow-up is
+        # ≤ |groups| × partition rows), keep the a < b triangle.
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=object),
+             "b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        slim = df[["token", "g"]]
+        m = slim.merge(slim, on="token")
+        m = m[m["g_x"] < m["g_y"]]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby(["g_x", "g_y"], sort=False).size()
+            .rename("n_common").reset_index()
+            .rename(columns={"g_x": "a", "g_y": "b"})
+        )
+        out["n_common"] = out["n_common"].astype(np.int64)
+        return out
+
+    pairs = (
+        counts.map_batches(
+            lambda t: add_key_partition(t, "token"),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(pair_part, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"group_a": pd.Series([], dtype=object),
+             "group_b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype=np.int64),
+             "n_a": pd.Series([], dtype=np.int64),
+             "n_b": pd.Series([], dtype=np.int64),
+             "jaccard": pd.Series([], dtype=np.float64)}
+        )
+    na = pairs["a"].map(sizes).to_numpy(dtype=np.int64)
+    nb = pairs["b"].map(sizes).to_numpy(dtype=np.int64)
+    inter = pairs["n_common"].to_numpy(dtype=np.int64)
+    jac = inter.astype(np.float64) / (na + nb - inter)
+    out = pd.DataFrame(
+        {
+            "group_a": pairs["a"],
+            "group_b": pairs["b"],
+            "n_common": inter,
+            "n_a": na,
+            "n_b": nb,
+            "jaccard": round_half_away(jac, round_to),
+        }
+    )
+    return out.sort_values(["group_a", "group_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def vocab_overlap_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`vocab_overlap` (single-generator):
+    distinct token sets, self-join on token with a < b."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {group_col} AS g,
+                   unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS tok
+            FROM {table} WHERE {group_col} IS NOT NULL
+        ), v AS (
+            SELECT g, count(*) AS n FROM d GROUP BY g
+        ), p AS (
+            SELECT a.g AS ga, b.g AS gb, count(*) AS n_common
+            FROM d a JOIN d b ON a.tok = b.tok AND a.g < b.g
+            GROUP BY a.g, b.g
+        )
+        SELECT p.ga AS group_a, p.gb AS group_b,
+               CAST(p.n_common AS BIGINT) AS n_common,
+               CAST(va.n AS BIGINT) AS n_a, CAST(vb.n AS BIGINT) AS n_b,
+               round(p.n_common
+                     / CAST(va.n + vb.n - p.n_common AS DOUBLE),
+                     {round_to}) AS jaccard
+        FROM p JOIN v va ON p.ga = va.g JOIN v vb ON p.gb = vb.g
     """

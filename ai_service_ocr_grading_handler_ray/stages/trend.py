@@ -1173,3 +1173,167 @@ def autocorr_sql(
                      {round_to}) AS r1
         FROM j GROUP BY k
     """
+
+
+def stickiness(
+    ds,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """DAU/MAU stickiness per key: average daily active users divided
+    by average monthly active users — the engagement-depth ratio
+    (habitual keys near 1, episodic keys near 1/30) next to q185's
+    daily-activity monitor and q231's volume autocorrelation.
+
+        avg_dau   = Σ_day |users(key, day)|   / #observed days
+        avg_mau   = Σ_month |users(key, mo)|  / #observed months
+        stickiness = avg_dau / avg_mau
+
+    Days/months are UTC calendar buckets (numpy datetime64[D]/[M] ==
+    SQL CAST(ts AS DATE) / date_trunc('month')); only observed buckets
+    count.  Null key/ts/user rows drop on both engines.  All folds are
+    int ratios — no float accumulation order to drift.
+
+    Scale shape: per-batch local dedup partials, ONE (key, day, user)
+    distinct shuffle over the corpus; the month level re-dedups the
+    already day-distinct triples (a strictly smaller second shuffle),
+    then keys×buckets-sized count folds — the driver holds |keys|
+    rows.  SQL replay GENERATED by :func:`stickiness_sql`."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from .selection import round_half_away
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[key_col, ts_col, user_col])
+        # integer day/bucket ids (epoch days) — avoids Arrow's lossy
+        # datetime64[D] conversion; bucket IDENTITY is all that counts
+        out = pd.DataFrame(
+            {
+                "k": df[key_col],
+                "d": df[ts_col].to_numpy()
+                .astype("datetime64[D]").astype(np.int64),
+                "u": df[user_col],
+            }
+        )
+        return out.drop_duplicates()
+
+    day_triples = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby(["k", "d", "u"])
+        .aggregate(_Count())
+        .materialize()
+    )
+
+    def dau_part(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"k": t["k"], "d": t["d"],
+                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
+            .group_by(["k", "d"]).aggregate([("one", "sum")])
+        )
+
+    dau = (
+        day_triples.map_batches(dau_part, batch_format="pyarrow")
+        .groupby(["k", "d"])
+        .aggregate(_Sum("one_sum", alias_name="c"))
+        .to_pandas()
+    )
+
+    def month_project(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": df["k"],
+                "m": df["d"].to_numpy().astype("datetime64[D]")
+                .astype("datetime64[M]").astype(np.int64),
+                "u": df["u"],
+            }
+        )
+        return out.drop_duplicates()
+
+    mau = (
+        day_triples.map_batches(month_project, batch_format="pandas")
+        .groupby(["k", "m", "u"])
+        .aggregate(_Count())
+        .map_batches(
+            lambda t: pa.table(
+                {"k": t["k"], "m": t["m"],
+                 "one": pa.array(np.ones(len(t), dtype=np.int64))}
+            ).group_by(["k", "m"]).aggregate([("one", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby(["k", "m"])
+        .aggregate(_Sum("one_sum", alias_name="c"))
+        .to_pandas()
+    )
+
+    a = dau.groupby("k", as_index=False).agg(
+        s_dau=("c", "sum"), n_days=("c", "size")
+    )
+    b = mau.groupby("k", as_index=False).agg(
+        s_mau=("c", "sum"), n_months=("c", "size")
+    )
+    out = a.merge(b, on="k")
+    avg_dau = out["s_dau"].to_numpy(dtype=np.float64) / out[
+        "n_days"
+    ].to_numpy(dtype=np.float64)
+    avg_mau = out["s_mau"].to_numpy(dtype=np.float64) / out[
+        "n_months"
+    ].to_numpy(dtype=np.float64)
+    res = pd.DataFrame(
+        {
+            key_col: out["k"],
+            "n_days": out["n_days"].astype(np.int64),
+            "n_months": out["n_months"].astype(np.int64),
+            "avg_dau": round_half_away(avg_dau, round_to),
+            "avg_mau": round_half_away(avg_mau, round_to),
+            "stickiness": round_half_away(avg_dau / avg_mau, round_to),
+        }
+    )
+    return res.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def stickiness_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`stickiness` (single-generator):
+    identical calendar bucketing and int-ratio folds."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {key_col} AS k, CAST({ts_col} AS DATE) AS day,
+                   {user_col} AS u
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+                  AND {user_col} IS NOT NULL
+        ), dau AS (
+            SELECT k, day, count(*) AS c FROM d GROUP BY k, day
+        ), a AS (
+            SELECT k, sum(c) AS s_dau, count(*) AS n_days
+            FROM dau GROUP BY k
+        ), mo AS (
+            SELECT DISTINCT k, date_trunc('month', day) AS m, u FROM d
+        ), mau AS (
+            SELECT k, m, count(*) AS c FROM mo GROUP BY k, m
+        ), b AS (
+            SELECT k, sum(c) AS s_mau, count(*) AS n_months
+            FROM mau GROUP BY k
+        )
+        SELECT a.k AS {key_col},
+               CAST(a.n_days AS BIGINT) AS n_days,
+               CAST(b.n_months AS BIGINT) AS n_months,
+               round(a.s_dau / CAST(a.n_days AS DOUBLE), {round_to})
+                   AS avg_dau,
+               round(b.s_mau / CAST(b.n_months AS DOUBLE), {round_to})
+                   AS avg_mau,
+               round((a.s_dau / CAST(a.n_days AS DOUBLE))
+                     / (b.s_mau / CAST(b.n_months AS DOUBLE)),
+                     {round_to}) AS stickiness
+        FROM a JOIN b ON a.k = b.k
+    """

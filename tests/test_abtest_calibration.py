@@ -155,3 +155,77 @@ def test_path_rollup_no_scheme_and_counts_only(ray_session):
     assert "n_bytes" not in out.columns
     assert set(out["prefix"]) == {"/x", "/x/y"}
     assert (out["host"] == "h.example.org").all()
+
+
+# --- Mann-Whitney U ----------------------------------------------------------
+
+
+def test_mwu_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.abtest import mann_whitney_u
+
+    # A = {1, 2}, B = {3, 4}: ranks 1,2 vs 3,4 -> R_A = 3, U_A = 0
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"g": ["A", "A", "B", "B"], "v": [1.0, 2.0, 3.0, 4.0]}
+        )
+    )
+    out = mann_whitney_u(ds, variant_col="g", value_col="v")
+    assert out["n_a"].iloc[0] == 2 and out["n_b"].iloc[0] == 2
+    assert out["u_a"].iloc[0] == 0.0
+
+
+def test_mwu_ties_average_ranks(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.abtest import mann_whitney_u
+
+    # all values equal: every rank is (n+1)/2, U_A = n_a*n_b/2, z = NaN
+    # (variance collapses to 0 under full ties)
+    ds = rd.from_pandas(
+        pd.DataFrame({"g": ["A", "B", "A", "B"], "v": [5.0] * 4})
+    )
+    out = mann_whitney_u(ds, variant_col="g", value_col="v")
+    assert out["u_a"].iloc[0] == 2.0     # R_A = 2*2.5 = 5; 5 - 3 = 2
+    assert np.isnan(out["z"].iloc[0])
+
+
+def test_mwu_matches_scipy_formula_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.abtest import mann_whitney_u
+
+    rng = np.random.default_rng(3)
+    v = np.round(rng.normal(size=500), 1)      # heavy ties
+    g = np.where(rng.integers(0, 2, size=500) == 0, "A", "B")
+    ds = rd.from_pandas(pd.DataFrame({"g": g, "v": v}))
+    out = mann_whitney_u(ds, variant_col="g", value_col="v")
+    # brute force with tie-averaged ranks
+    order = pd.Series(v).rank(method="average").to_numpy()
+    n_a = int((g == "A").sum()); n_b = len(v) - n_a
+    r_a = order[g == "A"].sum()
+    u_a = r_a - n_a * (n_a + 1) / 2
+    _, cnt = np.unique(v, return_counts=True)
+    ties = float((cnt.astype(float) ** 3 - cnt).sum())
+    n = len(v)
+    var = n_a * n_b / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / np.sqrt(var)
+    assert out["u_a"].iloc[0] == round(u_a, 6)
+    assert out["z"].iloc[0] == pytest.approx(round(z, 6), abs=1e-6)
+
+
+def test_mwu_requires_two_variants(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.abtest import mann_whitney_u
+
+    ds = rd.from_pandas(pd.DataFrame({"g": ["A", "A"], "v": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="exactly 2"):
+        mann_whitney_u(ds, variant_col="g", value_col="v")

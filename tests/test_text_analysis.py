@@ -428,3 +428,81 @@ def test_lexical_diversity_null_group_drops(ray_session):
     )
     out = lexical_diversity(ds)
     assert out["source"].to_list() == ["s1"]
+
+
+# --- zipf slope / vocab overlap ---------------------------------------------
+
+
+def test_zipf_slope_perfect_powerlaw(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        zipf_slope_by_group,
+    )
+
+    # construct token counts that are an exact power law n = 64 / rank
+    # (ranks 1,2,4,8,... via word repetition): slope must be ~-1.
+    words = []
+    for i, w in enumerate(["a", "b", "c", "d"]):
+        words.extend([w] * (64 >> i))      # 64, 32, 16, 8
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": [" ".join(words)], "source": ["s"]})
+    )
+    out = zipf_slope_by_group(ds, top_k=4)
+    assert out["k_fit"].to_list() == [4]
+    # exact: y = ln(64) - 1 * ln(rank) ... but ranks are 1..4 while the
+    # law is n = 64 / 2^(rank-1); slope of ln n on ln rank is not -1
+    # exactly — instead verify against a brute-force OLS
+    import numpy as np
+    r = np.arange(1, 5, dtype=float)
+    n = np.array([64, 32, 16, 8], dtype=float)
+    x, y = np.log(r), np.log(n)
+    k = 4.0
+    slope = (k * (x * y).sum() - x.sum() * y.sum()) / (
+        k * (x * x).sum() - x.sum() ** 2
+    )
+    assert out["slope"].iloc[0] == round(slope, 6)
+
+
+def test_zipf_rank_tiebreak_by_token(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        zipf_slope_by_group,
+    )
+
+    # two tokens with equal counts: rank order must be (token ASC);
+    # with top_k=1 only the lexicographically first is fit -> k_fit=1
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": ["b a b a"], "source": ["s"]})
+    )
+    out = zipf_slope_by_group(ds, top_k=1)
+    assert out["k_fit"].to_list() == [1]
+
+
+def test_vocab_overlap_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        vocab_overlap,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "text": ["a b c", "b c d", "x y"],
+                "source": ["s1", "s2", "s3"],
+            }
+        )
+    )
+    out = vocab_overlap(ds)
+    row = out.set_index(["group_a", "group_b"])
+    # s1={a,b,c}, s2={b,c,d}: inter=2, union=4
+    assert row.loc[("s1", "s2"), "n_common"] == 2
+    assert row.loc[("s1", "s2"), "jaccard"] == 0.5
+    # disjoint pairs do not appear
+    assert ("s1", "s3") not in row.index
+    assert ("s2", "s3") not in row.index
