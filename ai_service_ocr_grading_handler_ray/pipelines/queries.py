@@ -6182,6 +6182,43 @@ def q234_position_attribution(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q235_caps_batch(t: pa.Table) -> pa.Table:
+    """The q235/q247 multi-snapshot capture fixture (Arrow half of the
+    shared scheme — the SQL half is _Q235_CAPS): doc d gets 1 + d%4
+    captures at integer crawl ordinals 0..k, content flips to a ':v2'
+    hash at ordinal 1 + d%3, every 23rd doc's ordinal-1 capture is a
+    NULL hash (exercises the null-safe IS-DISTINCT-FROM boundary)."""
+    import hashlib as _hl
+
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = t["text"].to_pylist()
+    urls: list[str] = []
+    ords: list[int] = []
+    hs: list[str | None] = []
+    for dd, txt in zip(d, texts):
+        h_base = _hl.md5(txt.encode()).hexdigest()
+        h_v2 = _hl.md5((txt + ":v2").encode()).hexdigest()
+        change = 1 + dd % 3
+        for k in range(1 + dd % 4):
+            urls.append(
+                f"https://h{(dd * 48271) % 97:03d}.example.org/p/{dd}"
+            )
+            ords.append(k)
+            if dd % 23 == 0 and k == 1:
+                hs.append(None)
+            elif k < change:
+                hs.append(h_base)
+            else:
+                hs.append(h_v2)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "ts": pa.array(ords, type=pa.int64()),
+            "content_hash": pa.array(hs, type=pa.string()),
+        }
+    )
+
+
 def q235_scd2_history(sf_dir: str) -> pd.DataFrame:
     """SCD-2 intervalization of a multi-snapshot capture table
     (snapshots.scd2_history): each url's capture sequence collapses to
@@ -6197,43 +6234,12 @@ def q235_scd2_history(sf_dir: str) -> pd.DataFrame:
     the driver's value hash sees no nullable-int dtype skew (q213
     precedent).  Oracle: GENERATED by scd2_sql over the same
     generate_series-rebuilt captures."""
-    import hashlib as _hl
-
     from ..stages.snapshots import scd2_history
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def caps(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t["text"].to_pylist()
-        urls: list[str] = []
-        ords: list[int] = []
-        hs: list[str | None] = []
-        for dd, txt in zip(d, texts):
-            h_base = _hl.md5(txt.encode()).hexdigest()
-            h_v2 = _hl.md5((txt + ":v2").encode()).hexdigest()
-            change = 1 + dd % 3
-            for k in range(1 + dd % 4):
-                urls.append(
-                    f"https://h{(dd * 48271) % 97:03d}.example.org/p/{dd}"
-                )
-                ords.append(k)
-                if dd % 23 == 0 and k == 1:
-                    hs.append(None)
-                elif k < change:
-                    hs.append(h_base)
-                else:
-                    hs.append(h_v2)
-        return pa.table(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "ts": pa.array(ords, type=pa.int64()),
-                "content_hash": pa.array(hs, type=pa.string()),
-            }
-        )
-
     out = scd2_history(
-        ds.map_batches(caps, batch_format="pyarrow"),
+        ds.map_batches(_q235_caps_batch, batch_format="pyarrow"),
         key_col="url", ts_col="ts", hash_col="content_hash",
     ).to_pandas()
     out["valid_from"] = out["valid_from"].astype(np.int64)
@@ -6397,6 +6403,134 @@ def q242_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q243_source_jsd(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    DISTRIBUTIONS (text_analysis.jsd_by_group): the distributional
+    complement of q242's set-based vocabulary Jaccard (shared tokens,
+    different weights ⇒ Jaccard 1, JSD ≫ 0) — the corpus-similarity
+    screen mixture design runs before picking sampling weights.  ONE
+    token-hash shuffle (shared group_token_counts stage), groups-sized
+    total fold, token-partition self-merge pair partials; driver folds
+    |sources|² rows.  Pairs with no common token come out exactly ln 2
+    on both engines.  Oracle: GENERATED by jsd_sql."""
+    from ..stages.text_analysis import jsd_by_group
+
+    return jsd_by_group(
+        _read(sf_dir, "documents", ["text", "source"]),
+        text_col="text", group_col="source",
+    )
+
+
+def q244_host_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition (k=3) of a heterogeneous 97-host link graph
+    (graph.kcore_members): iterative degree peel to the fixed point —
+    the mutual-density certificate next to PageRank/HITS (rank vs
+    cohesion; a pendant chain can't fabricate core membership).  The
+    fixture is built to peel non-trivially: a degree-2 ring over all
+    97 hosts (peels in round one) + a dense pseudo-random cluster on
+    hosts 0..19 (survives).  Scale shape: ONE canonical-edge dedup
+    shuffle, then per round ONE node-sized alive-mask broadcast + ONE
+    shuffle-free bincount scan + a node-sized fold; RAISES past
+    max_rounds (the oracle unrolls exactly that many layers, so the
+    engines cannot silently diverge).  Oracle: GENERATED by kcore_sql
+    over _Q244_EDGES (single-generator on both halves)."""
+    from ..stages.graph import kcore_members
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        cl = d[d % 3 == 0]
+        src = np.concatenate([base, (cl * 31) % 20])
+        dst = np.concatenate([(base + 1) % H, (cl * 37 + 7) % 20])
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    return kcore_members(
+        ds.map_batches(edges, batch_format="pyarrow"), k=3, max_rounds=12
+    ).rename(columns={"node": "host"})
+
+
+def q245_entry_exit(sf_dir: str) -> pd.DataFrame:
+    """Session entry/exit/bounce profile per event type
+    (sequence.entry_exit_pages): which types OPEN sessions, CLOSE
+    them, or are one-event dead ends — the landing/abandonment screen
+    next to last-touch (q213) and position (q234) attribution, over
+    the same q12 gap-sessionize convention.  ONE user-hash coarse
+    shuffle, vectorized per-partition sessionize + positional
+    first/last (ASC row numbers, never a DESC re-sort — null-ts
+    placement differs between engines under DESC); driver folds
+    |types| rows.  Oracle: GENERATED by entry_exit_sql."""
+    from ..stages.sequence import entry_exit_pages
+
+    return entry_exit_pages(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type",
+    )
+
+
+def q246_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) layout plan over (epoch-hour, user-shard) for
+    the event stream (stages/zorder.zorder_layout): bit-interleave the
+    two dimensions and bucket rows into target files by zkey prefix,
+    then report per-file row counts and min/max of BOTH dimensions —
+    the Delta/Iceberg OPTIMIZE-ZORDER primitive that makes time
+    filters AND user filters prunable from one physical sort.  The
+    user dimension is Fibonacci-hashed (uid · 2654435761 mod 2¹⁶) so
+    both 16-bit lanes are actually exercised (raw uid/day values
+    cluster in the low bits and would collapse every row into one
+    file).  Shuffle-free SWAR spread scan + ONE |files|-sized groupby
+    of min/max/count partials.  Oracle: GENERATED by zorder_sql
+    (identical mask-and-shift chain as a nested BIGINT expression)."""
+    import pyarrow.compute as pc
+
+    from ..stages.zorder import zorder_layout
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["user_id"]))
+        t = t.filter(keep)
+        hour = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[h]").astype(np.int64)
+        )
+        uid = (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * np.int64(2654435761)
+        )
+        return pa.table({"hour": pa.array(hour), "ushard": pa.array(uid)})
+
+    return zorder_layout(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        x_col="hour", y_col="ushard", file_shift=26,
+    )
+
+
+def q247_change_rate(sf_dir: str) -> rd.Dataset:
+    """Per-url content change-rate + revisit-priority bucket from the
+    q235 multi-snapshot capture fixture (snapshots.change_rate): the
+    Cho/Garcia-Molina-style frequency estimate an incremental crawl
+    derives from its own history to size revisit intervals — feeds the
+    crawl frontier (q146) the way q235's SCD-2 feeds point-in-time
+    reads.  ONE salted url-hash shuffle, vectorized shift compare,
+    lazy url-sized Dataset out (nothing returns to the driver).
+    Single-capture urls report the −1.0 sentinel + 'unknown' (q235
+    dtype convention).  Oracle: GENERATED by change_rate_sql over the
+    same generate_series-rebuilt captures (_Q235_CAPS)."""
+    from ..stages.snapshots import change_rate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return change_rate(
+        ds.map_batches(_q235_caps_batch, batch_format="pyarrow"),
+        key_col="url", ts_col="ts", hash_col="content_hash",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6442,6 +6576,13 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 1: source JSD, host k-core, entry/exit/bounce,
+    # Z-order layout plan, capture change-rate.
+    "q243_source_jsd": q243_source_jsd,
+    "q244_host_kcore": q244_host_kcore,
+    "q245_entry_exit": q245_entry_exit,
+    "q246_zorder_layout": q246_zorder_layout,
+    "q247_change_rate": q247_change_rate,
     # Session-11 tranche 2: Zipf slope, Mann-Whitney U, RFM segments,
     # DAU/MAU stickiness, source vocabulary overlap.
     "q238_zipf_slope": q238_zipf_slope,
@@ -6959,7 +7100,49 @@ _Q229_RATERS = """(
   FROM documents
 )"""
 
+from ..stages.graph import kcore_sql as _kcore_sql
+from ..stages.sequence import entry_exit_sql as _entry_exit_sql
+from ..stages.snapshots import change_rate_sql as _chrate_sql
+from ..stages.text_analysis import jsd_sql as _jsd_sql
+from ..stages.zorder import zorder_sql as _zorder_sql
+
+# q244's derived edge table (shared scheme with the Arrow fixture):
+# a degree-2 ring over all 97 hosts + a dense pseudo-random cluster on
+# hosts 0..19 for every 3rd doc — built to peel non-trivially at k=3.
+_Q244_EDGES = """e0 AS (
+  SELECT (doc_id * 48271) % 97 AS s, ((doc_id * 48271) % 97 + 1) % 97 AS t
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 31) % 20, (doc_id * 37 + 7) % 20
+  FROM documents WHERE doc_id % 3 = 0
+),
+e AS (
+  SELECT 'h' || lpad(CAST(s AS VARCHAR), 3, '0') || '.example.org' AS src,
+         'h' || lpad(CAST(t AS VARCHAR), 3, '0') || '.example.org' AS dst
+  FROM e0 WHERE s <> t
+)"""
+
 ORACLE_SQL = {
+    "q243_source_jsd": _jsd_sql(
+        table="documents", text_col="text", group_col="source",
+    ),
+    "q244_host_kcore": _kcore_sql(
+        _Q244_EDGES, k=3, max_rounds=12, node_col="host"
+    ),
+    "q245_entry_exit": _entry_exit_sql(
+        table="events", key_col="user_id", ts_col="ts",
+        id_col="event_id", type_col="event_type",
+    ),
+    "q246_zorder_layout": _zorder_sql(
+        table_expr="events",
+        x_expr="CAST(floor(epoch(ts) / 3600) AS BIGINT)",
+        y_expr="user_id * 2654435761",
+        file_shift=26,
+    ),
+    "q247_change_rate": _chrate_sql(
+        table=_Q235_CAPS, key_col="url", ts_col="ts",
+        hash_col="content_hash",
+    ),
     "q238_zipf_slope": _zipf_sql(
         table="documents", text_col="text", group_col="source", top_k=512,
     ),

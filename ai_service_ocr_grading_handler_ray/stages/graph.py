@@ -1055,3 +1055,142 @@ def degree_distribution_sql(edge_ctes: str) -> str:
                      / sum(n_hosts) OVER (PARTITION BY direction), 6) AS ccdf
         FROM h
     """
+
+
+def kcore_members(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    max_rounds: int = 12,
+    node_limit: int = 50_000_000,
+) -> "pd.DataFrame":
+    """k-core decomposition of the UNDIRECTED host graph: iteratively
+    peel nodes whose degree (within the surviving subgraph) is < k
+    until a fixed point — the survivors are the k-core, the densest
+    "everyone here has ≥ k neighbours here" backbone.  Crawl/quality
+    use: the k-core separates the genuinely interlinked web (navigable
+    hubs, topical clusters) from pendant leaf hosts and chains that a
+    single spam campaign can fabricate; PageRank ranks nodes, k-core
+    certifies MUTUAL density (a node cannot buy its way in without k
+    in-core neighbours).
+
+    Scale shape (the pagerank cost model): the edge list is reduced by
+    :func:`canonical_edges`' ONE dedup shuffle to the distinct
+    undirected pair table, int-indexed against the sorted node
+    universe and materialized; each peel round is ONE ``ray.put`` of
+    the node-sized alive bitmask + ONE shuffle-free ``map_batches``
+    scan emitting sparse bincount degree partials + a node-sized
+    driver fold.  Rounds are data-bounded (every round either removes
+    a node or terminates); after ``max_rounds`` without convergence it
+    RAISES (the unrolled SQL replay has exactly ``max_rounds`` layers,
+    so a silent partial peel could desync the engines).
+
+    Output: (node:string, core_degree:int64) for k-core members —
+    core_degree is the degree within the final core — sorted by node.
+    SQL replay GENERATED by :func:`kcore_sql` (single-generator)."""
+    import pandas as pd
+
+    from .linalg import fold_sparse_partials
+
+    ce = canonical_edges(edges, src_col=src_col, dst_col=dst_col).materialize()
+    nodes = _node_universe(ce, src_col="u", dst_col="v", node_limit=node_limit)
+    n = len(nodes)
+    idx_ref = ray.put(nodes)
+
+    def to_idx(t: pa.Table, _ref=idx_ref) -> pa.Table:
+        uni = ray.get(_ref)
+        s = np.searchsorted(uni, t["u"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(uni, t["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(s.astype(np.int64)),
+                         "di": pa.array(d.astype(np.int64))})
+
+    eidx = ce.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    alive = np.ones(n, dtype=bool)
+    deg = np.zeros(n, dtype=np.float64)
+    for _ in range(max_rounds + 1):
+        alive_ref = ray.put(alive)
+
+        def deg_partial(t: pa.Table, _ref=alive_ref) -> pa.Table:
+            a = ray.get(_ref)
+            s = t["si"].to_numpy(zero_copy_only=False)
+            d = t["di"].to_numpy(zero_copy_only=False)
+            keep = a[s] & a[d]
+            s, d = s[keep], d[keep]
+            acc = np.bincount(s, minlength=n).astype(np.float64)
+            acc += np.bincount(d, minlength=n)
+            present = np.flatnonzero(acc)
+            return pa.table({"i": pa.array(present.astype(np.int64)),
+                             "v": pa.array(acc[present])})
+
+        deg = fold_sparse_partials(
+            eidx.map_batches(deg_partial, batch_format="pyarrow"),
+            np.zeros(n, dtype=np.float64),
+        )
+        new_alive = alive & (deg >= k)
+        if (new_alive == alive).all():
+            break
+        alive = new_alive
+    else:
+        raise RuntimeError(
+            f"kcore_members: peel did not converge within max_rounds="
+            f"{max_rounds} (graph has a deeper peel sequence); raise "
+            "max_rounds — the SQL replay must be regenerated with the "
+            "same value"
+        )
+
+    members = np.flatnonzero(alive)
+    return pd.DataFrame(
+        {
+            "node": pd.Series(nodes[members], dtype=object),
+            "core_degree": deg[members].astype(np.int64),
+        }
+    ).sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+def kcore_sql(edge_ctes: str, *, k: int = 3, max_rounds: int = 12,
+              node_col: str = "node") -> str:
+    """DuckDB replay of :func:`kcore_members` (single-generator):
+    ``edge_ctes`` must define ``e(src, dst, ...)``; the peel is
+    unrolled to exactly ``max_rounds`` fixed-point layers (extra
+    layers past convergence are no-ops, and the engine RAISES if it
+    would need more — the two can never silently diverge)."""
+    layers = []
+    prev = "n0"
+    for i in range(1, max_rounds + 1):
+        cur = f"a{i}"
+        layers.append(f"""{cur} AS MATERIALIZED (
+            SELECT v FROM (
+                SELECT v, count(*) AS c FROM (
+                    SELECT u.a AS v FROM u
+                    JOIN {prev} x ON u.a = x.v JOIN {prev} y ON u.b = y.v
+                    UNION ALL
+                    SELECT u.b FROM u
+                    JOIN {prev} x ON u.a = x.v JOIN {prev} y ON u.b = y.v
+                ) GROUP BY v
+            ) WHERE c >= {k}
+        )""")
+        prev = cur
+    chain = ",\n".join(layers)
+    return f"""
+        WITH {edge_ctes},
+        u AS MATERIALIZED (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst AND src IS NOT NULL
+                  AND dst IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        n0 AS (SELECT a AS v FROM u UNION SELECT b FROM u),
+        {chain}
+        SELECT v AS {node_col}, CAST(c AS BIGINT) AS core_degree FROM (
+            SELECT v, count(*) AS c FROM (
+                SELECT u.a AS v FROM u
+                JOIN {prev} x ON u.a = x.v JOIN {prev} y ON u.b = y.v
+                UNION ALL
+                SELECT u.b FROM u
+                JOIN {prev} x ON u.a = x.v JOIN {prev} y ON u.b = y.v
+            ) GROUP BY v
+        ) WHERE c >= {k}
+    """

@@ -245,3 +245,131 @@ def scd2_sql(
                     AS BIGINT) AS version
         FROM r
     """
+
+
+def change_rate(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    fast_threshold: float = 0.5,
+    num_parts: int = 32,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Per-key content change-rate estimate from a multi-snapshot
+    capture table: across each key's ts-ordered captures, the fraction
+    of revisits that found NEW content —
+
+        change_rate = n_changes / (n_caps − 1)
+
+    with the same null-safe IS-DISTINCT-FROM boundary as
+    :func:`scd2_history` — plus a revisit-priority bucket: ``fast``
+    (rate ≥ fast_threshold — re-crawl often), ``slow`` (changed at
+    least once), ``static`` (never changed — longest revisit
+    interval), ``unknown`` (single capture, no evidence).  This is the
+    scheduler input an incremental crawl derives from its own history:
+    Cho & Garcia-Molina-style frequency estimation collapsed to the
+    bucketed policy a frontier (pipelines/crawl.py) actually consumes.
+
+    Single-capture keys report change_rate = −1.0 (the engine/oracle
+    hash-stable sentinel for "undefined", the q235 convention) and
+    bucket ``unknown``.  Null key/ts rows drop on both engines.
+
+    Scale shape: ONE salted key-hash shuffle, vectorized per-partition
+    factorize + shift compare, lazy Dataset out — one row per key,
+    never per capture; nothing returns to the driver.  SQL replay is
+    GENERATED by :func:`change_rate_sql` (single-generator)."""
+    from .selection import round_half_away
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[key_col, ts_col]).sort_values(
+            [key_col, ts_col], kind="mergesort"
+        )
+        if not len(g):
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=object),
+                 "n_caps": pd.Series([], dtype=np.int64),
+                 "n_changes": pd.Series([], dtype=np.int64),
+                 "change_rate": pd.Series([], dtype=np.float64),
+                 "revisit": pd.Series([], dtype=object)}
+            )
+        pk = g[key_col].shift()
+        ph = g[hash_col].shift()
+        h = g[hash_col]
+        same_hash = (h == ph) | (h.isna() & ph.isna())
+        changed = (g[key_col] == pk) & ~same_hash
+        agg = pd.DataFrame({"k": g[key_col], "c": changed.astype(np.int64)})
+        out = agg.groupby("k", sort=False).agg(
+            n_caps=("c", "size"), n_changes=("c", "sum")
+        ).reset_index()
+        caps = out["n_caps"].to_numpy(dtype=np.int64)
+        chg = out["n_changes"].to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(caps > 1, chg / np.maximum(caps - 1, 1), -1.0)
+        bucket = np.where(
+            caps == 1, "unknown",
+            np.where(rate >= fast_threshold, "fast",
+                     np.where(chg > 0, "slow", "static")),
+        )
+        return pd.DataFrame(
+            {
+                key_col: out["k"],
+                "n_caps": caps,
+                "n_changes": chg,
+                "change_rate": round_half_away(rate, round_to),
+                "revisit": bucket.astype(object),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def change_rate_sql(
+    *,
+    table: str,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    fast_threshold: float = 0.5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`change_rate` (single-generator):
+    identical IS-DISTINCT-FROM boundary, −1.0 sentinel, buckets."""
+    return f"""
+        WITH base AS (
+            SELECT {key_col} AS k, {ts_col} AS ts, {hash_col} AS h
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        ), o AS (
+            SELECT k, h,
+                   lag(h) OVER (PARTITION BY k ORDER BY ts) AS ph,
+                   row_number() OVER (PARTITION BY k ORDER BY ts) AS rn
+            FROM base
+        ), c AS (
+            SELECT k,
+                   count(*) AS n_caps,
+                   sum(CASE WHEN rn > 1 AND h IS DISTINCT FROM ph
+                            THEN 1 ELSE 0 END) AS n_changes
+            FROM o GROUP BY k
+        )
+        SELECT k AS {key_col},
+               CAST(n_caps AS BIGINT) AS n_caps,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CASE WHEN n_caps = 1 THEN -1.0
+                    ELSE round(n_changes / CAST(n_caps - 1 AS DOUBLE),
+                               {round_to}) END AS change_rate,
+               CASE WHEN n_caps = 1 THEN 'unknown'
+                    WHEN n_changes / CAST(n_caps - 1 AS DOUBLE)
+                         >= {fast_threshold} THEN 'fast'
+                    WHEN n_changes > 0 THEN 'slow'
+                    ELSE 'static' END AS revisit
+        FROM c
+    """

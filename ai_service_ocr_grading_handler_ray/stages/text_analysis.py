@@ -2153,3 +2153,189 @@ def vocab_overlap_sql(
                      {round_to}) AS jaccard
         FROM p JOIN v va ON p.ga = va.g JOIN v vb ON p.gb = vb.g
     """
+
+
+def jsd_by_group(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Pairwise Jensen-Shannon divergence between the groups' unigram
+    DISTRIBUTIONS: for every group pair (a < b),
+
+        JSD(P, Q) = 0.5·KL(P‖M) + 0.5·KL(Q‖M),  M = (P + Q) / 2
+
+    in nats (0 = identical distributions, ln 2 = disjoint supports) —
+    the distributional complement of :func:`vocab_overlap`'s set-based
+    Jaccard (two sources can share every token yet weight them very
+    differently: Jaccard 1, JSD ≫ 0).  This is the standard corpus-
+    similarity screen for mixture design ("is src3 just src7 with
+    different traffic?") before any per-document dedup runs.
+
+    Decomposition that makes it one-pass: tokens absent from the other
+    side contribute 0.5·p·ln 2, and Σ_t p_t = 1 per group, so
+
+        JSD(a, b) = 0.5·ln 2 · (2 − Σ_common p_t − Σ_common q_t)
+                    + Σ_common [0.5p·ln(2p/(p+q)) + 0.5q·ln(2q/(p+q))]
+
+    — only tokens present in BOTH groups ever pair up; pairs sharing
+    no token come out exactly ln 2 (via empty sums), with no special
+    case on either engine.
+
+    Scale shape: :func:`group_token_counts`' ONE token-hash shuffle
+    (rows globally unique), a groups-sized total fold, then ONE token
+    groupby whose partitions self-merge on token (≤ |groups| rows per
+    token) and emit per-pair partial sums — the driver folds |groups|²
+    rows, never vocab-sized state.  Output: (group_a, group_b,
+    n_common:int64, jsd) for a < b, sorted.  SQL replay GENERATED by
+    :func:`jsd_sql` (single-generator)."""
+    import pandas as pd
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    counts = group_token_counts(
+        ds, text_col=text_col, group_col=group_col
+    ).materialize()
+
+    # per-group token totals: groups-sized driver fold
+    def tot_part(t: pa.Table) -> pa.Table:
+        return pa.table({"g": t["g"], "n": t["n"]}).group_by("g").aggregate(
+            [("n", "sum")]
+        )
+
+    totals: dict = {}
+    for t in collect_tables(
+        counts.map_batches(tot_part, batch_format="pyarrow"), drop_empty=True
+    ):
+        for g, n in zip(t["g"].to_pylist(), t["n_sum"].to_pylist()):
+            totals[g] = totals.get(g, 0) + int(n)
+
+    def pair_part(df: "pd.DataFrame", _tot=totals) -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=object),
+             "b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype=np.int64),
+             "sp": pd.Series([], dtype=np.float64),
+             "sq": pd.Series([], dtype=np.float64),
+             "sterm": pd.Series([], dtype=np.float64)}
+        )
+        if df.empty:
+            return empty
+        slim = df[["token", "g", "n"]]
+        m = slim.merge(slim, on="token")
+        m = m[m["g_x"] < m["g_y"]]
+        if m.empty:
+            return empty
+        p = (m["n_x"].to_numpy(dtype=np.float64)
+             / m["g_x"].map(_tot).to_numpy(dtype=np.float64))
+        q = (m["n_y"].to_numpy(dtype=np.float64)
+             / m["g_y"].map(_tot).to_numpy(dtype=np.float64))
+        s = p + q
+        term = 0.5 * p * np.log(2.0 * p / s) + 0.5 * q * np.log(2.0 * q / s)
+        out = pd.DataFrame(
+            {"a": m["g_x"].to_numpy(dtype=object),
+             "b": m["g_y"].to_numpy(dtype=object),
+             "n_common": np.ones(len(m), dtype=np.int64),
+             "sp": p, "sq": q, "sterm": term}
+        )
+        return out.groupby(["a", "b"], as_index=False).agg(
+            n_common=("n_common", "sum"), sp=("sp", "sum"),
+            sq=("sq", "sum"), sterm=("sterm", "sum"),
+        )
+
+    pairs = (
+        counts.map_batches(
+            lambda t: add_key_partition(t, "token"), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(pair_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs):
+        pairs = pairs.groupby(["a", "b"], as_index=False).agg(
+            n_common=("n_common", "sum"), sp=("sp", "sum"),
+            sq=("sq", "sum"), sterm=("sterm", "sum"),
+        )
+    # full pair universe: pairs with no common token are exactly ln 2
+    gs = sorted(totals)
+    uni = pd.DataFrame(
+        [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
+        columns=["a", "b"],
+    )
+    if uni.empty:
+        return pd.DataFrame(
+            {"group_a": pd.Series([], dtype=object),
+             "group_b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype=np.int64),
+             "jsd": pd.Series([], dtype=np.float64)}
+        )
+    out = uni.merge(pairs, on=["a", "b"], how="left") if len(pairs) else (
+        uni.assign(n_common=0, sp=0.0, sq=0.0, sterm=0.0)
+    )
+    for c, fill in (("n_common", 0), ("sp", 0.0), ("sq", 0.0), ("sterm", 0.0)):
+        out[c] = out[c].fillna(fill)
+    jsd = (0.5 * np.log(2.0)
+           * (2.0 - out["sp"].to_numpy(dtype=np.float64)
+              - out["sq"].to_numpy(dtype=np.float64))
+           + out["sterm"].to_numpy(dtype=np.float64))
+    return pd.DataFrame(
+        {
+            "group_a": out["a"],
+            "group_b": out["b"],
+            "n_common": out["n_common"].astype(np.int64),
+            "jsd": round_half_away(jsd, round_to),
+        }
+    ).sort_values(["group_a", "group_b"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def jsd_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`jsd_by_group` (single-generator):
+    identical tokenizer, identical common-token decomposition (absent-
+    side mass enters through 0.5·ln2·(2 − Σp − Σq))."""
+    return f"""
+        WITH w AS (
+            SELECT {group_col} AS g,
+                   unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS tok
+            FROM {table} WHERE {group_col} IS NOT NULL
+        ), c AS (
+            SELECT g, tok, count(*) AS n FROM w GROUP BY g, tok
+        ), tot AS (
+            SELECT g, sum(n) AS t FROM c GROUP BY g
+        ), m AS (
+            SELECT a.g AS ga, b.g AS gb,
+                   a.n / CAST(ta.t AS DOUBLE) AS p,
+                   b.n / CAST(tb.t AS DOUBLE) AS q
+            FROM c a
+            JOIN c b ON a.tok = b.tok AND a.g < b.g
+            JOIN tot ta ON ta.g = a.g
+            JOIN tot tb ON tb.g = b.g
+        ), s AS (
+            SELECT ga, gb, count(*) AS n_common,
+                   sum(p) AS sp, sum(q) AS sq,
+                   sum(0.5 * p * ln(2 * p / (p + q))
+                       + 0.5 * q * ln(2 * q / (p + q))) AS sterm
+            FROM m GROUP BY ga, gb
+        ), uni AS (
+            SELECT va.g AS ga, vb.g AS gb
+            FROM tot va JOIN tot vb ON va.g < vb.g
+        )
+        SELECT uni.ga AS group_a, uni.gb AS group_b,
+               CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common,
+               round(0.5 * ln(2) * (2 - coalesce(s.sp, 0)
+                                      - coalesce(s.sq, 0))
+                     + coalesce(s.sterm, 0), {round_to}) AS jsd
+        FROM uni LEFT JOIN s ON uni.ga = s.ga AND uni.gb = s.gb
+    """
