@@ -6531,6 +6531,117 @@ def q247_change_rate(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q248_cocitation(sf_dir: str) -> pd.DataFrame:
+    """Co-citation similarity between the q118 97-host graph's source
+    hosts (graph.cocitation_similarity): Jaccard over distinct
+    OUT-neighbour sets — "who links ALIKE", the link-structure twin of
+    the content-based mirror detector (q198), with a deterministic
+    in-degree cap excluding signal-free mega-hubs before the
+    per-destination pair expansion.  ONE (src,dst) distinct shuffle +
+    dst-partition self-merge; driver folds co-cited pairs only.
+    Oracle: GENERATED by cocitation_sql over _Q118_EDGES
+    (single-generator on both halves)."""
+    from ..stages.graph import cocitation_similarity
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        keep = src != dst
+        return pa.table({"src": pa.array(hosts[src[keep]], type=pa.string()),
+                         "dst": pa.array(hosts[dst[keep]], type=pa.string())})
+
+    return cocitation_similarity(
+        ds.map_batches(edges, batch_format="pyarrow")
+    )
+
+
+def q249_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall τ-b between the daily volumes of 'click' and 'purchase'
+    (trend.kendall_tau_daily): the tie-corrected rank-concordance
+    drift statistic next to Spearman (q201) and the OLS trend (q177)
+    — integer-exact C−D and tie terms, one days-sized groupby, an
+    O(days²) driver fold bounded by the calendar.  Oracle: GENERATED
+    by kendall_sql (identical i<j sign-product sum)."""
+    from ..stages.trend import kendall_tau_daily
+
+    return kendall_tau_daily(
+        _read(sf_dir, "events", ["ts", "event_type"]),
+        type_a="click", type_b="purchase",
+    )
+
+
+def q250_wilson_ranking(sf_dir: str) -> pd.DataFrame:
+    """Host quality ranking by the Wilson 95% LOWER bound of the
+    pass rate (abtest.wilson_lower_bound) over the q233 29-host
+    scheme with the q229 length rule (n_chars ≥ 256) as the quality
+    gate — the small-n-honest ranking that keeps a lucky ten-page
+    host from jumping the re-crawl queue (raw-rate ranking does not).
+    Shuffle-free integer moment partials + ONE 29-row groupby; the
+    closed form runs once per host on the driver.  Oracle: GENERATED
+    by wilson_sql over the same derived page table."""
+    from ..stages.abtest import wilson_lower_bound
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"host": pa.array(
+                [f"h{dd:02d}.example.org" for dd in (d * 48271) % 29],
+                type=pa.string()),
+             "ok": pa.array((n >= 256).astype(np.int64))}
+        )
+
+    return wilson_lower_bound(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        group_col="host", success_col="ok",
+    )
+
+
+def q251_union_coverage(sf_dir: str) -> rd.Dataset:
+    """Per-user active time as the UNION of 5-minute activity windows
+    (intervals.union_coverage): overlapping windows merge, so bursts
+    don't double-count — the honest engagement-seconds metric next to
+    q12's session counts, in exact integer µs end-to-end.  ONE
+    user-hash coarse shuffle, vectorized sorted-stream sweep
+    (Σ min(next−ts, window)), lazy |users|-sized Dataset out.
+    Oracle: GENERATED by union_coverage_sql (identical lead/least
+    integer form)."""
+    from ..stages.intervals import union_coverage
+
+    return union_coverage(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id", ts_col="ts",
+    )
+
+
+def q252_longest_streak(sf_dir: str) -> rd.Dataset:
+    """Longest consecutive-active-day streak per user
+    (sequence.longest_daily_streak): the gaps-and-islands classic
+    (day − rank constant within a run) — habit strength next to
+    q241's stickiness and q184's churn.  Per-batch (user, day) dedup
+    partials, ONE distinct shuffle, vectorized run-length scan, lazy
+    |users|-sized Dataset out.  Oracle: GENERATED by streak_sql
+    (row_number difference trick)."""
+    from ..stages.sequence import longest_daily_streak
+
+    return longest_daily_streak(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id", ts_col="ts",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6576,6 +6687,13 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 2: co-citation similarity, Kendall tau-b,
+    # Wilson ranking, interval union coverage, longest streak.
+    "q248_cocitation": q248_cocitation,
+    "q249_kendall_tau": q249_kendall_tau,
+    "q250_wilson_ranking": q250_wilson_ranking,
+    "q251_union_coverage": q251_union_coverage,
+    "q252_longest_streak": q252_longest_streak,
     # Session-12 tranche 1: source JSD, host k-core, entry/exit/bounce,
     # Z-order layout plan, capture change-rate.
     "q243_source_jsd": q243_source_jsd,
@@ -7122,7 +7240,34 @@ e AS (
   FROM e0 WHERE s <> t
 )"""
 
+from ..stages.abtest import wilson_sql as _wilson_sql
+from ..stages.graph import cocitation_sql as _cocite_sql
+from ..stages.intervals import union_coverage_sql as _ucov_sql
+from ..stages.sequence import streak_sql as _streak_sql
+from ..stages.trend import kendall_sql as _kendall_sql
+
+# q250's derived page table (shared scheme with the Arrow fixture):
+# the q233 29-host scheme + the q229 length rule as the quality gate.
+_Q250_PAGES = """(
+  SELECT printf('h%02d.example.org', (doc_id * 48271) % 29) AS host,
+         CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END AS ok
+  FROM documents
+)"""
+
 ORACLE_SQL = {
+    "q248_cocitation": _cocite_sql(_Q118_EDGES),
+    "q249_kendall_tau": _kendall_sql(
+        table="events", type_a="click", type_b="purchase",
+    ),
+    "q250_wilson_ranking": _wilson_sql(
+        table_expr=_Q250_PAGES, group_col="host", success_col="ok",
+    ),
+    "q251_union_coverage": _ucov_sql(
+        table="events", key_col="user_id", ts_col="ts",
+    ),
+    "q252_longest_streak": _streak_sql(
+        table="events", key_col="user_id", ts_col="ts",
+    ),
     "q243_source_jsd": _jsd_sql(
         table="documents", text_col="text", group_col="source",
     ),

@@ -1194,3 +1194,159 @@ def kcore_sql(edge_ctes: str, *, k: int = 3, max_rounds: int = 12,
             ) GROUP BY v
         ) WHERE c >= {k}
     """
+
+
+def cocitation_similarity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_in_degree: int = 10_000,
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Co-citation similarity between source hosts: Jaccard over their
+    distinct OUT-neighbour sets, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — two
+    hosts are similar when they link to the same places, the
+    link-structure analogue of the content-based mirror detector
+    (stages/mirrors.py) and the set-based twin of PageRank's
+    "who links to whom" (here: "who links ALIKE").  Classic use:
+    grouping syndication networks / link farms whose PAGES differ but
+    whose out-link profiles are near-identical.
+
+    Destinations whose in-degree exceeds ``max_in_degree`` are
+    EXCLUDED before pairing (both engines): a mega-hub everyone links
+    to carries no similarity signal and would blow the per-destination
+    pair expansion up quadratically (the standard co-citation
+    practice; the threshold is the q204-style loud-cap convention but
+    deterministic, so the SQL replay applies the same HAVING filter).
+
+    Scale shape: ONE (src, dst) distinct shuffle; per-source set sizes
+    fold to a |hosts|-sized driver dict; ONE dst-hash groupby whose
+    partitions self-merge on dst (≤ min(in-degree, cap) rows per dst)
+    and emit pair-count partials — the driver folds co-cited-pairs
+    rows only (pairs sharing nothing never materialize; they'd be
+    Jaccard 0).  Output: (host_a, host_b, n_common:int64, n_a:int64,
+    n_b:int64, jaccard) for a < b with ≥ 1 shared destination,
+    sorted.  SQL replay GENERATED by :func:`cocitation_sql`."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_tables
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    distinct = (
+        edges.groupby([src_col, dst_col])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns([src_col, dst_col])
+        .materialize()
+    )
+
+    # per-src out-set sizes over ALL dsts (sizes count the full
+    # neighbourhood; only the PAIRING excludes mega-hubs)
+    def size_part(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"s": t[src_col],
+                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
+            .group_by("s").aggregate([("one", "sum")])
+        )
+
+    sizes: dict = {}
+    for t in collect_tables(
+        distinct.map_batches(size_part, batch_format="pyarrow"),
+        drop_empty=True,
+    ):
+        for s, n in zip(t["s"].to_pylist(), t["one_sum"].to_pylist()):
+            sizes[s] = sizes.get(s, 0) + int(n)
+
+    def pair_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=object),
+             "b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        indeg = df.groupby(dst_col, sort=False)[src_col].transform("size")
+        df = df[indeg <= max_in_degree]
+        if df.empty:
+            return empty
+        slim = df[[dst_col, src_col]]
+        m = slim.merge(slim, on=dst_col)
+        m = m[m[f"{src_col}_x"] < m[f"{src_col}_y"]]
+        if m.empty:
+            return empty
+        out = (
+            m.groupby([f"{src_col}_x", f"{src_col}_y"], sort=False).size()
+            .rename("n_common").reset_index()
+        )
+        out.columns = ["a", "b", "n_common"]
+        out["n_common"] = out["n_common"].astype(np.int64)
+        return out
+
+    pairs = (
+        distinct.map_batches(
+            lambda t: add_key_partition(t, dst_col), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(pair_part, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"host_a": pd.Series([], dtype=object),
+             "host_b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype=np.int64),
+             "n_a": pd.Series([], dtype=np.int64),
+             "n_b": pd.Series([], dtype=np.int64),
+             "jaccard": pd.Series([], dtype=np.float64)}
+        )
+    na = pairs["a"].map(sizes).to_numpy(dtype=np.int64)
+    nb = pairs["b"].map(sizes).to_numpy(dtype=np.int64)
+    inter = pairs["n_common"].to_numpy(dtype=np.int64)
+    jac = inter.astype(np.float64) / (na + nb - inter)
+    return pd.DataFrame(
+        {
+            "host_a": pairs["a"],
+            "host_b": pairs["b"],
+            "n_common": inter,
+            "n_a": na,
+            "n_b": nb,
+            "jaccard": round_half_away(jac, round_to),
+        }
+    ).sort_values(["host_a", "host_b"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def cocitation_sql(
+    edge_ctes: str, *, max_in_degree: int = 10_000, round_to: int = 6
+) -> str:
+    """DuckDB replay of :func:`cocitation_similarity`
+    (single-generator): ``edge_ctes`` must define ``e(src, dst, ...)``;
+    identical distinct sets, in-degree cap, a < b triangle."""
+    return f"""
+        WITH {edge_ctes},
+        d AS (SELECT DISTINCT src, dst FROM e),
+        v AS (SELECT src, count(*) AS n FROM d GROUP BY src),
+        keep AS (
+            SELECT dst FROM d GROUP BY dst
+            HAVING count(*) <= {max_in_degree}
+        ),
+        p AS (
+            SELECT a.src AS ga, b.src AS gb, count(*) AS n_common
+            FROM d a
+            JOIN d b ON a.dst = b.dst AND a.src < b.src
+            JOIN keep k ON k.dst = a.dst
+            GROUP BY a.src, b.src
+        )
+        SELECT p.ga AS host_a, p.gb AS host_b,
+               CAST(p.n_common AS BIGINT) AS n_common,
+               CAST(va.n AS BIGINT) AS n_a, CAST(vb.n AS BIGINT) AS n_b,
+               round(p.n_common
+                     / CAST(va.n + vb.n - p.n_common AS DOUBLE),
+                     {round_to}) AS jaccard
+        FROM p JOIN v va ON p.ga = va.src JOIN v vb ON p.gb = vb.src
+    """

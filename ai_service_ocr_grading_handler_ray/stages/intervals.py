@@ -154,3 +154,96 @@ def interval_join_points(
     pt = points.map_batches(prep_points, batch_format="pyarrow")
     it = intervals.map_batches(prep_intervals, batch_format="pyarrow")
     return pt.union(it).groupby("_b").map_groups(join_bucket, batch_format="pandas")
+
+
+def union_coverage(
+    points: "rd.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 300_000_000,
+    num_parts: int = 32,
+) -> "rd.Dataset":
+    """Per-key UNION length of fixed-width activity windows: every
+    event opens a [ts, ts + window) interval; overlapping intervals
+    merge; the output is the total covered time per key — the honest
+    "active seconds" metric (summing per-event windows double-counts
+    bursts; the union doesn't), the classic interval-merge sweep
+    collapsed to its sorted-stream closed form:
+
+        covered = Σ_events min(next_ts − ts, window)   (last → window)
+
+    Exact integer µs arithmetic end-to-end (no float drift); null
+    key/ts rows drop on both engines.  Scale shape: ONE key-hash
+    coarse shuffle, per-partition vectorized sort + shift (no Python
+    loop), lazy |keys|-sized Dataset out.  Output: (key, n_events:
+    int64, covered_us:int64).  SQL replay GENERATED by
+    :func:`union_coverage_sql` (identical lead/least form)."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.dropna(subset=[key_col, ts_col]).sort_values(
+            [key_col, ts_col], kind="mergesort"
+        )
+        if not len(g):
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=object),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "covered_us": pd.Series([], dtype=np.int64)}
+            )
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        key = g[key_col].to_numpy()
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        same_key = np.empty(len(g), dtype=bool)
+        same_key[:-1] = key[:-1] == key[1:]
+        same_key[-1] = False
+        gap = np.where(same_key, nxt - ts, np.int64(window_us))
+        contrib = np.minimum(gap, np.int64(window_us))
+        out = pd.DataFrame({"k": key, "c": contrib})
+        agg = out.groupby("k", sort=False).agg(
+            n_events=("c", "size"), covered_us=("c", "sum")
+        ).reset_index()
+        return pd.DataFrame(
+            {key_col: agg["k"],
+             "n_events": agg["n_events"].astype(np.int64),
+             "covered_us": agg["covered_us"].astype(np.int64)}
+        )
+
+    return (
+        points.map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def union_coverage_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 300_000_000,
+) -> str:
+    """DuckDB replay of :func:`union_coverage` (single-generator):
+    identical lead/least integer-µs form."""
+    return f"""
+        WITH o AS (
+            SELECT {key_col} AS k, epoch_us({ts_col}) AS t,
+                   lead(epoch_us({ts_col})) OVER (
+                       PARTITION BY {key_col} ORDER BY {ts_col}
+                   ) AS nxt
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        )
+        SELECT k AS {key_col},
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(least(coalesce(nxt - t, {window_us}),
+                              {window_us})) AS BIGINT) AS covered_us
+        FROM o GROUP BY k
+    """

@@ -1337,3 +1337,143 @@ def stickiness_sql(
                      {round_to}) AS stickiness
         FROM a JOIN b ON a.k = b.k
     """
+
+
+def kendall_tau_daily(
+    ds,
+    *,
+    type_a: str,
+    type_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Kendall's τ-b between the DAILY VOLUMES of two event types —
+    the rank-concordance drift check next to Spearman (q201, which
+    needs full rankings) and Pearson-style OLS (q177): τ-b reads
+    directly as "how often do the two series move the same way", is
+    robust to monotone re-scaling, and its tie correction makes it
+    honest on low-count days where both series repeat values.
+
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2,  n1/n2 = Σ t(t−1)/2 over tied x / y values
+
+    Days are UTC calendar buckets over ALL observed days (either
+    type); a day where one type is absent counts 0 for it.  Every
+    quantity up to the final division is integer-exact on both
+    engines.
+
+    Scale shape: per-batch (day, type) count partials, ONE days-sized
+    groupby; the driver folds |days| rows (bounded by the calendar —
+    366/year) and evaluates C − D with a vectorized O(days²) upper-
+    triangle sign product, which is trivial at calendar size and
+    NEVER corpus-sized.  Output: one row (n_days, nc_minus_nd:int64,
+    tau_b).  SQL replay GENERATED by :func:`kendall_sql`."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[ts_col]),
+                       pc.is_in(t[type_col],
+                                value_set=pa.array([type_a, type_b])))
+        t = t.filter(keep)
+        day = (
+            t[ts_col].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        is_a = np.asarray(
+            pc.equal(t[type_col], pa.scalar(type_a)).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        return (
+            pa.table(
+                {"day": pa.array(day),
+                 "xa": pa.array(is_a.astype(np.int64)),
+                 "xb": pa.array((~is_a).astype(np.int64))}
+            )
+            .group_by("day")
+            .aggregate([("xa", "sum"), ("xb", "sum")])
+        )
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("xa_sum", alias_name="x"),
+                   Sum("xb_sum", alias_name="y"))
+        .to_pandas()
+    )
+    n = len(days)
+    if n < 2:
+        return pd.DataFrame(
+            {"n_days": pd.Series([n], dtype=np.int64),
+             "nc_minus_nd": pd.Series([0], dtype=np.int64),
+             "tau_b": pd.Series([np.nan], dtype=np.float64)}
+        )
+    x = days["x"].to_numpy(dtype=np.int64)
+    y = days["y"].to_numpy(dtype=np.int64)
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, k=1)
+    cd = int((sx[iu] * sy[iu]).sum())
+    n0 = n * (n - 1) // 2
+    _, cx = np.unique(x, return_counts=True)
+    _, cy = np.unique(y, return_counts=True)
+    n1 = int((cx * (cx - 1) // 2).sum())
+    n2 = int((cy * (cy - 1) // 2).sum())
+    denom = float(n0 - n1) * float(n0 - n2)
+    tau = cd / np.sqrt(denom) if denom > 0 else np.nan
+    return pd.DataFrame(
+        {"n_days": pd.Series([n], dtype=np.int64),
+         "nc_minus_nd": pd.Series([cd], dtype=np.int64),
+         "tau_b": pd.Series(round_half_away(np.array([tau]), round_to))}
+    )
+
+
+def kendall_sql(
+    *,
+    table: str = "events",
+    type_a: str,
+    type_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`kendall_tau_daily` (single-generator):
+    identical day bucketing, i < j sign-product sum, tie terms."""
+    return f"""
+        WITH days AS (
+            SELECT CAST({ts_col} AS DATE) AS day,
+                   sum(CASE WHEN {type_col} = '{type_a}' THEN 1
+                            ELSE 0 END) AS x,
+                   sum(CASE WHEN {type_col} = '{type_b}' THEN 1
+                            ELSE 0 END) AS y
+            FROM {table}
+            WHERE {ts_col} IS NOT NULL
+                  AND {type_col} IN ('{type_a}', '{type_b}')
+            GROUP BY day
+        ), cd AS (
+            SELECT sum(sign(a.x - b.x) * sign(a.y - b.y)) AS v
+            FROM days a JOIN days b ON a.day < b.day
+        ), nn AS (
+            SELECT count(*) AS n FROM days
+        ), t1 AS (
+            SELECT sum(c * (c - 1) // 2) AS v
+            FROM (SELECT count(*) AS c FROM days GROUP BY x)
+        ), t2 AS (
+            SELECT sum(c * (c - 1) // 2) AS v
+            FROM (SELECT count(*) AS c FROM days GROUP BY y)
+        )
+        SELECT CAST(nn.n AS BIGINT) AS n_days,
+               CAST(coalesce(cd.v, 0) AS BIGINT) AS nc_minus_nd,
+               round(coalesce(cd.v, 0)
+                     / sqrt((nn.n * (nn.n - 1) // 2 - t1.v)
+                            * CAST(nn.n * (nn.n - 1) // 2 - t2.v
+                                   AS DOUBLE)),
+                     {round_to}) AS tau_b
+        FROM nn, cd, t1, t2
+    """
