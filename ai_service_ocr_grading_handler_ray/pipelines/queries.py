@@ -6642,6 +6642,80 @@ def q252_longest_streak(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q253_approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct users per event type
+    (sketches.approx_distinct_by_group, p=9): the per-slice
+    cardinality screen that replaces an exact-distinct shuffle of
+    corpus-sized (type, user) pairs with types × 512 register rows —
+    and, unusually for a sketch, EXACTLY hash-checkable: the oracle
+    replays the bit-exact splitmix64 registers (q106's generator),
+    reads rho off bin(), and sums exact powers of two.  Per-batch
+    max-rho partials, ONE register-sized groupby, types × 512 driver
+    fold.  Oracle: GENERATED by approx_distinct_sql."""
+    from ..stages.sketches import approx_distinct_by_group
+
+    return approx_distinct_by_group(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        group_col="event_type", value_col="user_id",
+    )
+
+
+def q254_revisit_schedule(sf_dir: str) -> pd.DataFrame:
+    """Per-host revisit scheduling priorities
+    (snapshots.revisit_priorities) — the capstone composing q247's
+    per-url change rates into the number a crawl frontier consumes:
+    priority = 0.5·share_fast + 0.5·max(mean_rate, 0) per host, with
+    the −1.0 no-evidence sentinel.  ONE url-hash shuffle (inherited
+    from change_rate) + a shuffle-free host-extraction partial scan +
+    ONE |hosts| groupby.  Oracle: GENERATED by revisit_priorities_sql
+    (the change-rate CTE verbatim + the same rollup)."""
+    from ..stages.snapshots import revisit_priorities
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return revisit_priorities(
+        ds.map_batches(_q235_caps_batch, batch_format="pyarrow"),
+        key_col="url", ts_col="ts", hash_col="content_hash",
+    )
+
+
+_Q255_LANGS = ("en", "de", "fr", "es", "it")
+
+
+def q255_hreflang_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per-target-language rollup of <link rel=alternate hreflang>
+    head annotations (html_meta.hreflang_rollup) — the i18n surface a
+    multilingual crawl reads to find translation clusters (the
+    cheapest aligned-document candidates for parallel-corpus mining).
+    Markup is rebuilt per doc (1 + d%6 links cycling a 5-language
+    list, so some pages repeat a language: n_links ≠ n_pages) and
+    travels as BINARY; the engine PARSES it with the compiled-regex
+    scan while the oracle REGENERATES the counts arithmetically (the
+    q237 build-vs-parse identity).  Shuffle-free count partials + ONE
+    |langs| groupby.  Oracle: GENERATED inline over generate_series."""
+    from ..stages.html_meta import hreflang_rollup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        html = []
+        for dd in d:
+            links = "".join(
+                '<link rel="alternate" '
+                f'hreflang="{_Q255_LANGS[(dd + i) % 5]}" '
+                f'href="https://ex.org/{_Q255_LANGS[(dd + i) % 5]}/p/{dd}">'
+                for i in range(1 + int(dd) % 6)
+            )
+            html.append(
+                f"<html><head>{links}</head><body></body></html>".encode()
+            )
+        return pa.table({"html": pa.array(html, type=pa.binary())})
+
+    return hreflang_rollup(
+        ds.map_batches(mk, batch_format="pyarrow"), html_col="html"
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6687,6 +6761,11 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 3: SQL-replayable per-group HLL, revisit
+    # scheduler capstone, hreflang rollup.
+    "q253_approx_distinct": q253_approx_distinct,
+    "q254_revisit_schedule": q254_revisit_schedule,
+    "q255_hreflang_rollup": q255_hreflang_rollup,
     # Session-12 tranche 2: co-citation similarity, Kendall tau-b,
     # Wilson ranking, interval union coverage, longest streak.
     "q248_cocitation": q248_cocitation,
@@ -7254,7 +7333,37 @@ _Q250_PAGES = """(
   FROM documents
 )"""
 
+from ..stages.sketches import approx_distinct_sql as _adist_sql
+from ..stages.snapshots import revisit_priorities_sql as _revisit_sql
+
+# q255's generated-links oracle: regenerate the hreflang emission
+# arithmetically (1 + d%6 links cycling the 5-language list) — the
+# engine PARSES the markup, the oracle REPLAYS the generator.
+_Q255_SQL = """
+    WITH l AS (
+        SELECT doc_id,
+               (['en', 'de', 'fr', 'es', 'it'])[
+                   CAST((doc_id + i) % 5 AS INTEGER) + 1
+               ] AS lang
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 6)) AS i
+              FROM documents)
+    )
+    SELECT lang AS hreflang,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+    FROM l GROUP BY lang
+"""
+
 ORACLE_SQL = {
+    "q253_approx_distinct": _adist_sql(
+        table="events", group_col="event_type", value_col="user_id",
+    ),
+    "q254_revisit_schedule": _revisit_sql(
+        table=_Q235_CAPS, key_col="url", ts_col="ts",
+        hash_col="content_hash",
+    ),
+    "q255_hreflang_rollup": _Q255_SQL,
     "q248_cocitation": _cocite_sql(_Q118_EDGES),
     "q249_kendall_tau": _kendall_sql(
         table="events", type_a="click", type_b="purchase",

@@ -377,3 +377,157 @@ def tree_merge_blobs(
         if blk.num_rows and blob_col in blk.column_names:
             out.extend(blk[blob_col].to_pylist())
     return out
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length over uint64 (0 → 0), exact — no float
+    log2 (values above 2^53 would round at power-of-two boundaries)."""
+    v = w.astype(np.uint64, copy=True)
+    bl = np.zeros(len(v), dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += np.uint64(s)
+        v[big] >>= np.uint64(s)
+    return (bl + v).astype(np.int64)  # v is 0/1 after the cascade
+
+
+def approx_distinct_by_group(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    p: int = 9,
+    round_to: int = 4,
+) -> pd.DataFrame:
+    """HyperLogLog approximate COUNT(DISTINCT value) PER GROUP — the
+    per-slice cardinality screen (distinct users per event type,
+    distinct urls per host) that replaces an exact-distinct shuffle of
+    corpus-sized (group, value) pairs with ``groups × 2^p`` register
+    rows (p=9 → 512 registers, ~4.6% relative error).  Flajolet et
+    al.'s estimator with the standard small-range (linear counting)
+    correction; 64-bit hashes need no large-range correction.
+
+    The whole register pipeline is EXACTLY SQL-replayable (unusual for
+    a sketch, and the reason this can be hash-checked rather than
+    tolerance-checked): values hash with the bit-exact splitmix64 the
+    reproducible shuffle (q106) already replays, the register index is
+    the hash's top p bits, rho is integer bit-length arithmetic (the
+    oracle reads it off ``bin()``), and Σ2^−M sums exact powers of
+    two.  Null group/value rows drop on both engines.
+
+    Scale shape: per-batch (group, register) max-rho partials (each
+    batch emits ≤ groups × 2^p rows, never values), ONE register-sized
+    groupby, a groups × 2^p driver fold.  Output: (group,
+    n_set:int64, approx_distinct) sorted by group.  SQL replay
+    GENERATED by :func:`approx_distinct_sql` (single-generator)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from .hashing import splitmix64
+    from .selection import round_half_away
+
+    m = 1 << p
+    wbits = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        v = (
+            t[value_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        h = splitmix64(v)
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & np.uint64((1 << wbits) - 1)
+        rho = wbits - _bit_length_u64(w) + 1
+        return (
+            pa.table({"g": t[group_col], "bucket": pa.array(bucket),
+                      "rho": pa.array(rho)})
+            .group_by(["g", "bucket"])
+            .aggregate([("rho", "max")])
+        )
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "bucket"])
+        .aggregate(Max("rho_max", alias_name="rho"))
+        .to_pandas()
+    )
+    if regs.empty:
+        return pd.DataFrame(
+            {group_col: pd.Series([], dtype=object),
+             "n_set": pd.Series([], dtype=np.int64),
+             "approx_distinct": pd.Series([], dtype=np.float64)}
+        )
+    rho = regs["rho"].to_numpy(dtype=np.int64)
+    regs = regs.assign(_pow=np.ldexp(1.0, -rho))
+    agg = regs.groupby("g", as_index=False).agg(
+        n_set=("bucket", "size"), s=("_pow", "sum")
+    )
+    n_set = agg["n_set"].to_numpy(dtype=np.int64)
+    s = agg["s"].to_numpy(dtype=np.float64)
+    denom = s + (m - n_set).astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * (m * m) / denom
+    zeros = m - n_set
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    est = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+    return pd.DataFrame(
+        {
+            group_col: agg["g"],
+            "n_set": n_set,
+            "approx_distinct": round_half_away(est, round_to),
+        }
+    ).sort_values(group_col, kind="mergesort").reset_index(drop=True)
+
+
+def approx_distinct_sql(
+    *,
+    table: str,
+    group_col: str,
+    value_col: str,
+    p: int = 9,
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of :func:`approx_distinct_by_group`
+    (single-generator): bit-exact splitmix64 registers (rho via
+    ``bin()`` string length — exact integer bit arithmetic, no float
+    log), identical estimator constants and correction branch."""
+    from .shuffle import splitmix64_sql
+
+    m = 1 << p
+    wbits = 64 - p
+    h = splitmix64_sql(value_col)
+    return f"""
+        WITH hashed AS (
+            SELECT {group_col} AS g, {h} AS h
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        ), r AS (
+            SELECT g,
+                   CAST(h >> {wbits} AS BIGINT) AS bucket,
+                   {wbits} - length(ltrim(
+                       bin(CAST(h & {(1 << wbits) - 1} AS BIGINT)), '0'
+                   )) + 1 AS rho
+            FROM hashed
+        ), regs AS (
+            SELECT g, bucket, max(rho) AS rho FROM r GROUP BY g, bucket
+        ), agg AS (
+            SELECT g, count(*) AS n_set,
+                   sum(power(2.0, -rho)) AS s
+            FROM regs GROUP BY g
+        )
+        SELECT g AS {group_col},
+               CAST(n_set AS BIGINT) AS n_set,
+               round(CASE WHEN (0.7213 / (1 + 1.079 / {m}))
+                               * ({m} * {m})
+                               / (s + ({m} - n_set)) <= 2.5 * {m}
+                          AND {m} - n_set > 0
+                          THEN {m} * ln({m}
+                                        / CAST({m} - n_set AS DOUBLE))
+                          ELSE (0.7213 / (1 + 1.079 / {m}))
+                               * ({m} * {m}) / (s + ({m} - n_set))
+                     END, {round_to}) AS approx_distinct
+        FROM agg
+    """

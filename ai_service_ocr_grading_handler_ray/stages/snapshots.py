@@ -373,3 +373,158 @@ def change_rate_sql(
                     ELSE 'static' END AS revisit
         FROM c
     """
+
+
+def revisit_priorities(
+    caps: rd.Dataset,
+    *,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    fast_threshold: float = 0.5,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Per-HOST revisit scheduling priorities composed from the per-url
+    :func:`change_rate` estimates — the capstone that turns capture
+    history into the number a crawl frontier actually consumes: hosts
+    whose content churns get budget, static archives don't.
+
+        share_fast = fast urls / urls
+        mean_rate  = avg change_rate over multi-capture urls
+                     (−1.0 sentinel when the host has none)
+        priority   = 0.5·share_fast + 0.5·max(mean_rate, 0)
+
+    Scale shape: :func:`change_rate`'s ONE url-hash shuffle, then a
+    shuffle-free host-extraction partial scan (the stages/skew.py
+    Arrow regex kernel) folding to ONE |hosts|-sized groupby; the
+    driver holds hosts rows.  Output: (host, n_urls:int64,
+    n_known:int64, n_fast:int64, mean_rate, priority) sorted by
+    (priority DESC, host).  SQL replay GENERATED by
+    :func:`revisit_priorities_sql` (full CTE replay of the change-rate
+    pass + the same rollup)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .selection import round_half_away
+    from .skew import hosts_of_urls
+
+    cr = change_rate(
+        caps, key_col=key_col, ts_col=ts_col, hash_col=hash_col,
+        fast_threshold=fast_threshold, round_to=round_to,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = hosts_of_urls(t[key_col])
+        known = pc.greater(t["n_caps"], pa.scalar(1))
+        known_i = np.asarray(known.to_numpy(zero_copy_only=False),
+                             dtype=bool).astype(np.int64)
+        rate = t["change_rate"].to_numpy(zero_copy_only=False)
+        fast = np.asarray(
+            pc.equal(t["revisit"], pa.scalar("fast")).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        ).astype(np.int64)
+        return (
+            pa.table(
+                {"host": host,
+                 "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                 "known": pa.array(known_i),
+                 "fast": pa.array(fast),
+                 "rate_sum": pa.array(np.where(known_i == 1, rate, 0.0))}
+            )
+            .group_by("host")
+            .aggregate([("one", "sum"), ("known", "sum"),
+                        ("fast", "sum"), ("rate_sum", "sum")])
+        )
+
+    out = (
+        cr.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("one_sum", alias_name="n_urls"),
+            Sum("known_sum", alias_name="n_known"),
+            Sum("fast_sum", alias_name="n_fast"),
+            Sum("rate_sum_sum", alias_name="rate_sum"),
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"host": pd.Series([], dtype=object),
+             "n_urls": pd.Series([], dtype=np.int64),
+             "n_known": pd.Series([], dtype=np.int64),
+             "n_fast": pd.Series([], dtype=np.int64),
+             "mean_rate": pd.Series([], dtype=np.float64),
+             "priority": pd.Series([], dtype=np.float64)}
+        )
+    n_urls = out["n_urls"].to_numpy(dtype=np.int64)
+    n_known = out["n_known"].to_numpy(dtype=np.int64)
+    n_fast = out["n_fast"].to_numpy(dtype=np.int64)
+    rate_sum = out["rate_sum"].to_numpy(dtype=np.float64)
+    share_fast = n_fast / n_urls
+    mean_rate = np.where(
+        n_known > 0, rate_sum / np.maximum(n_known, 1), -1.0
+    )
+    priority = 0.5 * share_fast + 0.5 * np.maximum(mean_rate, 0.0)
+    res = pd.DataFrame(
+        {
+            "host": out["host"],
+            "n_urls": n_urls,
+            "n_known": n_known,
+            "n_fast": n_fast,
+            "mean_rate": round_half_away(mean_rate, round_to),
+            "priority": round_half_away(priority, round_to),
+        }
+    )
+    return res.sort_values(["priority", "host"], ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def revisit_priorities_sql(
+    *,
+    table: str,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    fast_threshold: float = 0.5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`revisit_priorities` (single-generator):
+    the change-rate CTE verbatim + the same host rollup (urlsplit
+    netloc regex, identical sentinel/priority arithmetic)."""
+    inner = change_rate_sql(
+        table=table, key_col=key_col, ts_col=ts_col, hash_col=hash_col,
+        fast_threshold=fast_threshold, round_to=round_to,
+    )
+    return f"""
+        WITH cr AS ({inner}),
+        g AS (
+            SELECT coalesce(
+                       regexp_extract({key_col},
+                                      '^[^/]*//([^/?#]*)', 1), ''
+                   ) AS host,
+                   count(*) AS n_urls,
+                   sum(CASE WHEN n_caps > 1 THEN 1 ELSE 0 END) AS n_known,
+                   sum(CASE WHEN revisit = 'fast' THEN 1 ELSE 0 END)
+                       AS n_fast,
+                   sum(CASE WHEN n_caps > 1 THEN change_rate
+                            ELSE 0 END) AS rate_sum
+            FROM cr GROUP BY 1
+        )
+        SELECT host,
+               CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(n_known AS BIGINT) AS n_known,
+               CAST(n_fast AS BIGINT) AS n_fast,
+               CASE WHEN n_known > 0
+                    THEN round(rate_sum / CAST(n_known AS DOUBLE),
+                               {round_to})
+                    ELSE -1.0 END AS mean_rate,
+               round(0.5 * (n_fast / CAST(n_urls AS DOUBLE))
+                     + 0.5 * greatest(
+                           CASE WHEN n_known > 0
+                                THEN rate_sum / CAST(n_known AS DOUBLE)
+                                ELSE -1.0 END, 0.0),
+                     {round_to}) AS priority
+        FROM g
+    """
