@@ -7387,10 +7387,14 @@ ORACLE_SQL = {
         table="events", key_col="user_id", ts_col="ts",
         id_col="event_id", type_col="event_type",
     ),
+    # y: low-16 ring homomorphism — (a·b) mod 2^16 == ((a mod 2^16)
+    # · (b mod 2^16)) mod 2^16, so the reduced product (31153 =
+    # 2654435761 & 0xFFFF) replays the engine's wrapping int64
+    # multiply without overflowing DuckDB's checked BIGINT
     "q246_zorder_layout": _zorder_sql(
         table_expr="events",
         x_expr="CAST(floor(epoch(ts) / 3600) AS BIGINT)",
-        y_expr="user_id * 2654435761",
+        y_expr="(user_id % 65536) * 31153",
         file_shift=26,
     ),
     "q247_change_rate": _chrate_sql(

@@ -1095,7 +1095,20 @@ def kcore_members(
     from .linalg import fold_sparse_partials
 
     ce = canonical_edges(edges, src_col=src_col, dst_col=dst_col).materialize()
-    nodes = _node_universe(ce, src_col="u", dst_col="v", node_limit=node_limit)
+    try:
+        nodes = _node_universe(
+            ce, src_col="u", dst_col="v", node_limit=node_limit
+        )
+    except ValueError as e:
+        if "empty edge set" not in str(e):
+            raise
+        # only self-loops / null endpoints survive canonicalization:
+        # the k-core of the empty graph is empty (the SQL replay
+        # returns zero rows here too, so the engines stay in sync)
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object),
+             "core_degree": pd.Series([], dtype=np.int64)}
+        )
     n = len(nodes)
     idx_ref = ray.put(nodes)
 

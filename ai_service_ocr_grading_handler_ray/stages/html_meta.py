@@ -282,14 +282,16 @@ def hreflang_rollup(
     shuffle-free per-batch (lang, links, pages) count partials, ONE
     |langs|-sized groupby; the driver holds |langs| rows.  Output:
     (hreflang, n_links:int64, n_pages:int64) sorted by hreflang."""
-    import pyarrow.compute as pc
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         col = t[html_col]
-        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            col = pc.cast(col, pa.string())
+        raw = col.to_pylist()
+        docs = [
+            d.decode("utf-8", errors="replace") if isinstance(d, bytes)
+            else d
+            for d in raw
+        ]
         empty = pa.table(
             {"hreflang": pa.array([], type=pa.string()),
              "links": pa.array([], type=pa.int64()),
@@ -299,7 +301,7 @@ def hreflang_rollup(
         link_n: list[int] = []
         page_n: list[int] = []
         acc: dict[str, list[int]] = {}
-        for doc in col.to_pylist():
+        for doc in docs:
             if not doc:
                 continue
             found = _HREFLANG_RE.findall(doc)

@@ -283,8 +283,11 @@ def change_rate(
     from .selection import round_half_away
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # hash_col as the (key, ts) tie-break: without it, tied
+        # captures carrying different hashes make n_changes depend on
+        # block-arrival order (and on the oracle's undefined lag order)
         g = g.dropna(subset=[key_col, ts_col]).sort_values(
-            [key_col, ts_col], kind="mergesort"
+            [key_col, ts_col, hash_col], kind="mergesort"
         )
         if not len(g):
             return pd.DataFrame(
@@ -350,8 +353,9 @@ def change_rate_sql(
             WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
         ), o AS (
             SELECT k, h,
-                   lag(h) OVER (PARTITION BY k ORDER BY ts) AS ph,
-                   row_number() OVER (PARTITION BY k ORDER BY ts) AS rn
+                   lag(h) OVER (PARTITION BY k ORDER BY ts, h) AS ph,
+                   row_number() OVER (PARTITION BY k ORDER BY ts, h)
+                       AS rn
             FROM base
         ), c AS (
             SELECT k,

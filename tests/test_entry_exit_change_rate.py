@@ -119,3 +119,26 @@ def test_change_rate_threshold_boundary(ray_session):
     out = change_rate(ds).to_pandas()
     assert out.iloc[0]["revisit"] == "fast"
     assert out.iloc[0]["change_rate"] == 0.5
+
+
+def test_entry_exit_null_user_drops(ray_session):
+    # null-key rows own no session on EITHER engine (pandas would give
+    # each its own session; a SQL window would merge all NULLs) —
+    # review fix: both now drop them
+    out = entry_exit_pages(
+        _ev([(1, 0, None, "a"), (2, 60 * US, None, "b"),
+             (3, 0, 1, "a")])
+    )
+    got = out.set_index("event_type")
+    assert got.loc["a"].tolist() == [1, 1, 1]  # only user 1's bounce
+    assert "b" not in got.index
+
+
+def test_change_rate_tied_ts_breaks_by_hash(ray_session):
+    # equal (url, ts) captures with different hashes: the hash
+    # tie-break pins visit order to a-then-b on both engines
+    # (a@4, then ties a,b at 5 -> changes: a->a no, a->b yes = 1)
+    ds = _caps([("u", 5, "b"), ("u", 4, "a"), ("u", 5, "a")])
+    out = change_rate(ds).to_pandas()
+    assert out.iloc[0]["n_changes"] == 1
+    assert out.iloc[0]["n_caps"] == 3

@@ -140,3 +140,15 @@ def test_hreflang_case_insensitive_and_quotes(ray_session):
         "<head><LINK REL='alternate' HREFLANG='pt-BR' HREF='/br'></head>",
     ]))
     assert out.iloc[0]["hreflang"] == "pt-BR"
+
+
+def test_hreflang_non_utf8_html_replaces(ray_session):
+    # FIXTURES.md promises ~5% non-UTF8 garbage html rows: the decode
+    # must replace bad bytes, not raise ArrowInvalid (review fix)
+    bad = b"\xff\xfe<head><link rel=\"alternate\" hreflang=\"de\" " \
+          b"href=\"/de\"></head>"
+    ds = rd.from_arrow(
+        pa.table({"html": pa.array([bad], type=pa.binary())})
+    )
+    out = hreflang_rollup(ds)
+    assert out.iloc[0]["hreflang"] == "de"

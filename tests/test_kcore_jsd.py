@@ -117,3 +117,11 @@ def test_jsd_null_source_drops(ray_session):
     )
     out = jsd_by_group(rd.from_arrow(t))
     assert len(out) == 0  # one group -> no pairs
+
+
+def test_kcore_self_loops_only_is_empty(ray_session):
+    # canonicalization drops everything -> empty frame, not a raise
+    # (the SQL replay returns zero rows on the same input)
+    out = kcore_members(_edges([("a", "a"), ("b", "b")]), k=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "core_degree"]
