@@ -6716,6 +6716,77 @@ def q255_hreflang_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q256_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity (Newman r) of the q244 heterogeneous
+    ring+cluster graph (graph.assortativity): do hubs link hubs or
+    leaves — the one-number degree-MIXING check next to the degree
+    distribution (q171) and k-core (q244).  ONE canonical-edge dedup
+    shuffle, node-sized degree fold, ONE shuffle-free moment scan with
+    the degree vector broadcast once.  Oracle: GENERATED by
+    assortativity_sql over _Q244_EDGES."""
+    from ..stages.graph import assortativity
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        cl = d[d % 3 == 0]
+        src = np.concatenate([base, (cl * 31) % 20])
+        dst = np.concatenate([(base + 1) % H, (cl * 37 + 7) % 20])
+        return pa.table({"src": pa.array(hosts[src], type=pa.string()),
+                         "dst": pa.array(hosts[dst], type=pa.string())})
+
+    return assortativity(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def q257_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Reciprocity of the DIRECTED q118 link graph
+    (graph.reciprocity): what fraction of distinct edges are mutual —
+    broadcast networks (spam points AT targets that never point back)
+    vs partner networks; the hub edges make (0,26)/(0,52) mutual while
+    the rotation edges stay one-way, so the fixture is non-trivial on
+    both axes.  ONE distinct shuffle + a canonical direction-bit pair
+    groupby; single counter row on the driver.  Oracle: GENERATED by
+    reciprocity_sql over _Q118_EDGES."""
+    from ..stages.graph import reciprocity
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    H = 97
+    hosts = np.array([f"h{i:03d}.example.org" for i in range(H)], dtype=object)
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (d * 48271) % H
+        hub_src = base[d % 4 == 0]
+        src = np.concatenate([base, base, hub_src])
+        dst = np.concatenate(
+            [(base + 26) % H, (base + 52) % H,
+             np.zeros(len(hub_src), dtype=np.int64)]
+        )
+        keep = src != dst
+        return pa.table({"src": pa.array(hosts[src[keep]], type=pa.string()),
+                         "dst": pa.array(hosts[dst[keep]], type=pa.string())})
+
+    return reciprocity(ds.map_batches(edges, batch_format="pyarrow"))
+
+
+def q258_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) per event type over
+    consecutive same-type gaps (sequence.burstiness_by_type): clock vs
+    Poisson vs flash-crowd regularity — the axis mean gaps (q212) and
+    daily autocorrelation (q231) can't see.  ONE type-hash coarse
+    shuffle, vectorized diff, |types| driver fold.  Oracle: GENERATED
+    by burstiness_sql (identical population moments)."""
+    from ..stages.sequence import burstiness_by_type
+
+    return burstiness_by_type(
+        _read(sf_dir, "events", ["event_type", "ts", "event_id"]),
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6761,6 +6832,11 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 4: graph health (assortativity, reciprocity)
+    # and stream regularity (burstiness).
+    "q256_assortativity": q256_assortativity,
+    "q257_reciprocity": q257_reciprocity,
+    "q258_burstiness": q258_burstiness,
     # Session-12 tranche 3: SQL-replayable per-group HLL, revisit
     # scheduler capstone, hreflang rollup.
     "q253_approx_distinct": q253_approx_distinct,
@@ -7355,7 +7431,14 @@ _Q255_SQL = """
     FROM l GROUP BY lang
 """
 
+from ..stages.graph import assortativity_sql as _assort_sql
+from ..stages.graph import reciprocity_sql as _recip_sql
+from ..stages.sequence import burstiness_sql as _bursty_sql
+
 ORACLE_SQL = {
+    "q256_assortativity": _assort_sql(_Q244_EDGES),
+    "q257_reciprocity": _recip_sql(_Q118_EDGES),
+    "q258_burstiness": _bursty_sql(table="events"),
     "q253_approx_distinct": _adist_sql(
         table="events", group_col="event_type", value_col="user_id",
     ),

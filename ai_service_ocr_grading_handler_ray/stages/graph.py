@@ -1363,3 +1363,237 @@ def cocitation_sql(
                      {round_to}) AS jaccard
         FROM p JOIN v va ON p.ga = va.src JOIN v vb ON p.gb = vb.src
     """
+
+
+def assortativity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_limit: int = 50_000_000,
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Degree assortativity coefficient of the undirected graph
+    (Newman 2002): the Pearson correlation of endpoint degrees across
+    edges — positive when hubs link hubs (social-style cores),
+    negative when hubs link leaves (web/spam star patterns).  The
+    single-number structure check next to the degree DISTRIBUTION
+    (q171: what degrees exist) and k-core (q244: where density is):
+    assortativity says how degrees MIX.
+
+        e2 = Σ(j+k) / 2M,   r = (Σjk/M − e2²) / (Σ(j²+k²)/2M − e2²)
+
+    over the M distinct undirected edges with endpoint degrees (j, k).
+
+    Scale shape: ONE canonical-edge dedup shuffle; degrees are ONE
+    node-sized bincount fold (the pagerank cost model: hosts ≪ pages);
+    the moment pass is ONE shuffle-free scan with the degree vector
+    broadcast once via ray.put, folding 4 float sums per batch.
+    Output: one row (n_edges:int64, r) — r is NULL/NaN on degenerate
+    (degree-constant) graphs on both engines.  SQL replay GENERATED
+    by :func:`assortativity_sql`."""
+    import pandas as pd
+
+    from .collect import collect_tables
+    from .linalg import fold_sparse_partials
+
+    ce = canonical_edges(edges, src_col=src_col, dst_col=dst_col).materialize()
+    try:
+        nodes = _node_universe(
+            ce, src_col="u", dst_col="v", node_limit=node_limit
+        )
+    except ValueError as e:
+        if "empty edge set" not in str(e):
+            raise
+        return pd.DataFrame(
+            {"n_edges": pd.Series([0], dtype=np.int64),
+             "r": pd.Series([np.nan], dtype=np.float64)}
+        )
+    n = len(nodes)
+    idx_ref = ray.put(nodes)
+
+    def to_idx(t: pa.Table, _ref=idx_ref) -> pa.Table:
+        uni = ray.get(_ref)
+        s = np.searchsorted(uni, t["u"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(uni, t["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"si": pa.array(s.astype(np.int64)),
+                         "di": pa.array(d.astype(np.int64))})
+
+    eidx = ce.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t["si"].to_numpy(zero_copy_only=False)
+        d = t["di"].to_numpy(zero_copy_only=False)
+        acc = np.bincount(s, minlength=n).astype(np.float64)
+        acc += np.bincount(d, minlength=n)
+        present = np.flatnonzero(acc)
+        return pa.table({"i": pa.array(present.astype(np.int64)),
+                         "v": pa.array(acc[present])})
+
+    deg = fold_sparse_partials(
+        eidx.map_batches(deg_partial, batch_format="pyarrow"),
+        np.zeros(n, dtype=np.float64),
+    )
+    deg_ref = ray.put(deg)
+
+    def moment_partial(t: pa.Table, _ref=deg_ref) -> pa.Table:
+        dv = ray.get(_ref)
+        j = dv[t["si"].to_numpy(zero_copy_only=False)]
+        k = dv[t["di"].to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {"m": pa.array([np.int64(len(j))]),
+             "sjk": pa.array([float((j * k).sum())]),
+             "sjpk": pa.array([float((j + k).sum())]),
+             "sj2k2": pa.array([float((j * j + k * k).sum())])}
+        )
+
+    m = 0
+    sjk = sjpk = sj2k2 = 0.0
+    for t in collect_tables(
+        eidx.map_batches(moment_partial, batch_format="pyarrow"),
+        drop_empty=True,
+    ):
+        m += int(sum(t["m"].to_pylist()))
+        sjk += float(sum(t["sjk"].to_pylist()))
+        sjpk += float(sum(t["sjpk"].to_pylist()))
+        sj2k2 += float(sum(t["sj2k2"].to_pylist()))
+    e2 = sjpk / (2.0 * m)
+    num = sjk / m - e2 * e2
+    den = sj2k2 / (2.0 * m) - e2 * e2
+    from .selection import round_half_away
+
+    r = num / den if den != 0.0 else np.nan
+    return pd.DataFrame(
+        {"n_edges": pd.Series([m], dtype=np.int64),
+         "r": pd.Series(round_half_away(np.array([r]), round_to))}
+    )
+
+
+def assortativity_sql(edge_ctes: str, *, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`assortativity` (single-generator):
+    identical canonicalization, degree join, moment arithmetic."""
+    return f"""
+        WITH {edge_ctes},
+        u AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst AND src IS NOT NULL
+                  AND dst IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        degs AS (
+            SELECT v, CAST(count(*) AS DOUBLE) AS d FROM (
+                SELECT a AS v FROM u UNION ALL SELECT b FROM u
+            ) GROUP BY v
+        ),
+        mom AS (
+            SELECT count(*) AS m,
+                   sum(da.d * db.d) AS sjk,
+                   sum(da.d + db.d) AS sjpk,
+                   sum(da.d * da.d + db.d * db.d) AS sj2k2
+            FROM u JOIN degs da ON u.a = da.v JOIN degs db ON u.b = db.v
+        )
+        SELECT CAST(m AS BIGINT) AS n_edges,
+               round((sjk / m - (sjpk / (2.0 * m)) * (sjpk / (2.0 * m)))
+                     / (sj2k2 / (2.0 * m)
+                        - (sjpk / (2.0 * m)) * (sjpk / (2.0 * m))),
+                     {round_to}) AS r
+        FROM mom
+    """
+
+
+def reciprocity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Reciprocity of the DIRECTED graph: the fraction of distinct
+    non-loop edges whose reverse edge also exists — mutual-linking
+    structure (blogrolls, partner networks) vs one-way broadcast
+    (spam farms point AT targets that never point back).  Complements
+    assortativity (degree mixing) and k-core (density) as the third
+    one-number graph-health check.
+
+    Scale shape: ONE (src, dst) distinct shuffle, a shuffle-free
+    canonical-fold partial scan (each distinct edge maps to its
+    unordered pair carrying a direction bit), ONE pair groupby; pairs
+    present in BOTH directions contribute 2 reciprocal edges.  The
+    driver folds a single counter row.  Output: one row
+    (n_edges:int64, n_reciprocal:int64, reciprocity).  SQL replay
+    GENERATED by :func:`reciprocity_sql`."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from .collect import collect_tables
+    from .selection import round_half_away
+
+    def canon_dir(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col])),
+            pc.not_equal(t[src_col], t[dst_col]),
+        )
+        kept = t.filter(pc.fill_null(keep, False))
+        s = kept[src_col].to_numpy(zero_copy_only=False)
+        d = kept[dst_col].to_numpy(zero_copy_only=False)
+        fwd = s < d
+        lo = np.where(fwd, s, d)
+        hi = np.where(fwd, d, s)
+        return pa.table(
+            {"u": pa.array(lo, type=pa.string()),
+             "v": pa.array(hi, type=pa.string()),
+             "f": pa.array(fwd.astype(np.int64)),
+             "r": pa.array((~fwd).astype(np.int64))}
+        )
+
+    pairs = (
+        edges.map_batches(canon_dir, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Max("f", alias_name="has_f"),
+                   Max("r", alias_name="has_r"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        f = t["has_f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["has_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_edges = int((f + r).sum())
+        n_rec = int(2 * (f & r).sum())
+        return pa.table({"n_edges": pa.array([n_edges]),
+                         "n_rec": pa.array([n_rec])})
+
+    n_edges = n_rec = 0
+    for t in collect_tables(
+        pairs.map_batches(fold, batch_format="pyarrow"), drop_empty=True
+    ):
+        n_edges += int(sum(t["n_edges"].to_pylist()))
+        n_rec += int(sum(t["n_rec"].to_pylist()))
+    rec = n_rec / n_edges if n_edges else np.nan
+    return pd.DataFrame(
+        {"n_edges": pd.Series([n_edges], dtype=np.int64),
+         "n_reciprocal": pd.Series([n_rec], dtype=np.int64),
+         "reciprocity": pd.Series(
+             round_half_away(np.array([rec]), round_to))}
+    )
+
+
+def reciprocity_sql(edge_ctes: str, *, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`reciprocity` (single-generator):
+    distinct non-loop edges, reverse-membership self-join."""
+    return f"""
+        WITH {edge_ctes},
+        d AS (
+            SELECT DISTINCT src, dst FROM e
+            WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+        ),
+        rec AS (
+            SELECT count(*) AS n_rec
+            FROM d a JOIN d b ON a.src = b.dst AND a.dst = b.src
+        ),
+        tot AS (SELECT count(*) AS n_edges FROM d)
+        SELECT CAST(tot.n_edges AS BIGINT) AS n_edges,
+               CAST(rec.n_rec AS BIGINT) AS n_reciprocal,
+               round(rec.n_rec / CAST(tot.n_edges AS DOUBLE),
+                     {round_to}) AS reciprocity
+        FROM tot, rec
+    """

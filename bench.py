@@ -173,6 +173,35 @@ BENCH_QUERIES = [
     "q227_ntile",
     "q228_km_conversion",
     "q229_quality_kappa",
+    "q230_ab_test",
+    "q231_daily_autocorr",
+    "q232_calibration",
+    "q233_url_path_rollup",
+    "q234_position_attribution",
+    "q235_scd2_history",
+    "q236_lexical_diversity",
+    "q237_tag_histogram",
+    "q238_zipf_slope",
+    "q239_mann_whitney",
+    "q240_rfm_segments",
+    "q241_stickiness",
+    "q242_vocab_overlap",
+    "q243_source_jsd",
+    "q244_host_kcore",
+    "q245_entry_exit",
+    "q246_zorder_layout",
+    "q247_change_rate",
+    "q248_cocitation",
+    "q249_kendall_tau",
+    "q250_wilson_ranking",
+    "q251_union_coverage",
+    "q252_longest_streak",
+    "q253_approx_distinct",
+    "q254_revisit_schedule",
+    "q255_hreflang_rollup",
+    "q256_assortativity",
+    "q257_reciprocity",
+    "q258_burstiness",
 ]
 
 
