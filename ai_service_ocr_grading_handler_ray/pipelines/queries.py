@@ -6787,6 +6787,61 @@ def q258_burstiness(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q259_heaps_fit(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth fit (text_analysis.heaps_fit):
+    OLS of ln V on ln N over power-of-two document checkpoints, where
+    V(n) needs NO sequential scan — it's a threshold count over each
+    token's FIRST document (one min-fold) — the growth-side companion
+    of Zipf (q238) that sizes tokenizer vocab budgets as the corpus
+    scales.  ONE token-hash shuffle + two |checkpoints|-integer count
+    scans; OLS on ≤ 40 points.  Oracle: GENERATED by heaps_sql."""
+    from ..stages.text_analysis import heaps_fit
+
+    return heaps_fit(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        text_col="text", id_col="doc_id",
+    )
+
+
+def q260_ring_balance(sf_dir: str) -> pd.DataFrame:
+    """Consistent-hash ring balance audit (stages/ring.ring_balance):
+    assign the 97 q118 hosts (weighted by page count) to 8 shards ×
+    16 vnodes and report per-shard keys/rows/load share — the
+    pre-deploy capacity check for host-affine crawl ownership (low-V
+    rings are lumpy even on uniform keys; empty shards MUST surface).
+    Bit-exact splitmix64 ring and key hashes (q106's generator),
+    clockwise-min pick with wrap, smallest-shard tie-break.  ONE host
+    groupby; ring arithmetic is closed-form driver-side over the
+    hosts-sized fold.  Oracle: GENERATED by ring_balance_sql."""
+    from ..stages.ring import ring_balance
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hostkey(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"hk": pa.array((d * 48271) % 97)})
+
+    return ring_balance(
+        ds.map_batches(hostkey, batch_format="pyarrow"),
+        key_col="hk", n_shards=8, vnodes=16,
+    )
+
+
+def q261_vocab_coverage(sf_dir: str) -> pd.DataFrame:
+    """Smallest head vocabulary covering 95% of token mass
+    (text_analysis.vocab_coverage): the tokenizer/embedding-table
+    sizing number, exact in integers end-to-end (ceil target, whole
+    frequency classes + a partial boundary class).  ONE token-hash
+    shuffle + a frequency-of-frequency fold (|distinct counts| rows);
+    the head walk runs over that tiny histogram.  Oracle: GENERATED
+    by vocab_coverage_sql (window cumsum replay)."""
+    from ..stages.text_analysis import vocab_coverage
+
+    return vocab_coverage(
+        _read(sf_dir, "documents", ["text"]), text_col="text",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6832,6 +6887,11 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 5: Heaps'-law growth fit, consistent-hash
+    # ring balance, 95%-mass vocabulary coverage.
+    "q259_heaps_fit": q259_heaps_fit,
+    "q260_ring_balance": q260_ring_balance,
+    "q261_vocab_coverage": q261_vocab_coverage,
     # Session-12 tranche 4: graph health (assortativity, reciprocity)
     # and stream regularity (burstiness).
     "q256_assortativity": q256_assortativity,
@@ -7435,7 +7495,19 @@ from ..stages.graph import assortativity_sql as _assort_sql
 from ..stages.graph import reciprocity_sql as _recip_sql
 from ..stages.sequence import burstiness_sql as _bursty_sql
 
+from ..stages.ring import ring_balance_sql as _ring_sql
+from ..stages.text_analysis import heaps_sql as _heaps_sql
+from ..stages.text_analysis import vocab_coverage_sql as _vcov_sql
+
 ORACLE_SQL = {
+    "q259_heaps_fit": _heaps_sql(
+        table="documents", text_col="text", id_col="doc_id",
+    ),
+    "q260_ring_balance": _ring_sql(
+        table_expr="(SELECT (doc_id * 48271) % 97 AS hk FROM documents)",
+        key_col="hk", n_shards=8, vnodes=16,
+    ),
+    "q261_vocab_coverage": _vcov_sql(table="documents", text_col="text"),
     "q256_assortativity": _assort_sql(_Q244_EDGES),
     "q257_reciprocity": _recip_sql(_Q118_EDGES),
     "q258_burstiness": _bursty_sql(table="events"),

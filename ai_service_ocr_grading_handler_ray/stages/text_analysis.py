@@ -2339,3 +2339,331 @@ def jsd_sql(
                      + coalesce(s.sterm, 0), {round_to}) AS jsd
         FROM uni LEFT JOIN s ON uni.ga = s.ga AND uni.gb = s.gb
     """
+
+
+def heaps_fit(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_exp: int = 3,
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Heaps'-law fit of vocabulary growth: OLS of ln V on ln N over
+    power-of-two document checkpoints, where V(n) = distinct tokens
+    seen in docs with id < n and N(n) = docs with id < n — the
+    vocabulary-GROWTH health check next to Zipf's frequency SHAPE
+    (q238): natural corpora grow V ≈ K·N^β with β ≈ 0.4–0.6;
+    template/boilerplate corpora flatten (β → 0), id-spam inflates
+    (β → 1).  Directly sizes tokenizer vocab budgets as a corpus
+    scales.
+
+    The curve needs NO sequential scan: V(n) is a threshold count over
+    each token's FIRST document (one min-fold), so the whole curve
+    costs one token-hash shuffle + two tiny threshold-count scans —
+    checkpoint thresholds are 2^j for j ≥ min_exp up to max id, plus
+    the full corpus (max id + 1).
+
+    Scale shape: per-batch (token, min doc) partials, ONE token
+    groupby; threshold counts fold as |checkpoints| integers; the OLS
+    runs on ≤ ~40 points on the driver.  Output: one row
+    (n_points:int64, beta, logk) — the fit needs ≥ 2 points with
+    V > 0, else NaN.  SQL replay GENERATED by :func:`heaps_sql`."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .collect import collect_tables
+    from .selection import round_half_away
+
+    def fd_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_col]))
+        texts = t[text_col].to_pylist()
+        words, lens = batch_words(texts)
+        if not len(words):
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "fd": pa.array([], type=pa.int64())}
+            )
+        drows = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        code, toks = pd.factorize(words, sort=False)
+        first = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, code, drows)
+        return pa.table(
+            {"token": pa.array(toks, type=pa.string()),
+             "fd": pa.array(first)}
+        )
+
+    fd = (
+        ds.map_batches(fd_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Min("fd", alias_name="fd"))
+        .materialize()
+    )
+
+    # max doc id: slim per-batch max partials
+    def max_partial(t: pa.Table) -> pa.Table:
+        v = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array([int(np.max(v))])})
+
+    mx = None
+    for t in collect_tables(
+        ds.map_batches(max_partial, batch_format="pyarrow"), drop_empty=True
+    ):
+        for v in t["m"].to_pylist():
+            mx = v if mx is None else max(mx, v)
+    empty = pd.DataFrame(
+        {"n_points": pd.Series([0], dtype=np.int64),
+         "beta": pd.Series([np.nan], dtype=np.float64),
+         "logk": pd.Series([np.nan], dtype=np.float64)}
+    )
+    if mx is None:
+        return empty
+    th = [1 << j for j in range(min_exp, 64) if (1 << j) <= mx + 1]
+    if mx + 1 not in th:
+        th.append(mx + 1)
+    th_arr = np.array(sorted(th), dtype=np.int64)
+
+    def count_below(source, col) -> np.ndarray:
+        def part(t: pa.Table, _th=th_arr) -> pa.Table:
+            v = np.sort(
+                t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            c = np.searchsorted(v, _th, side="left")  # strictly <
+            return pa.table(
+                {"j": pa.array(np.arange(len(_th), dtype=np.int64)),
+                 "c": pa.array(c.astype(np.int64))}
+            )
+
+        acc = np.zeros(len(th_arr), dtype=np.int64)
+        for t in collect_tables(
+            source.map_batches(part, batch_format="pyarrow"),
+            drop_empty=True,
+        ):
+            acc[np.asarray(t["j"].to_pylist())] += np.asarray(
+                t["c"].to_pylist()
+            )
+        return acc
+
+    n_docs = count_below(ds, id_col)
+    v_toks = count_below(fd, "fd")
+    keep = (n_docs > 0) & (v_toks > 0)
+    x = np.log(n_docs[keep].astype(np.float64))
+    y = np.log(v_toks[keep].astype(np.float64))
+    k = len(x)
+    if k < 2:
+        return empty
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    denom = k * sxx - sx * sx
+    if denom == 0:
+        return empty
+    beta = (k * sxy - sx * sy) / denom
+    logk = (sy - beta * sx) / k
+    return pd.DataFrame(
+        {"n_points": pd.Series([k], dtype=np.int64),
+         "beta": pd.Series(round_half_away(np.array([beta]), round_to)),
+         "logk": pd.Series(round_half_away(np.array([logk]), round_to))}
+    )
+
+
+def heaps_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_exp: int = 3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`heaps_fit` (single-generator): identical
+    tokenizer, first-doc folds, power-of-two thresholds, OLS."""
+    return f"""
+        WITH w AS (
+            SELECT {id_col} AS d,
+                   unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS tok
+            FROM {table} WHERE {id_col} IS NOT NULL
+        ), fd AS (
+            SELECT tok, min(d) AS fd FROM w GROUP BY tok
+        ), mx AS (
+            SELECT max({id_col}) AS m FROM {table}
+        ), th AS (
+            SELECT DISTINCT t FROM (
+                SELECT (CAST(1 AS BIGINT) << j) AS t
+                FROM generate_series({min_exp}, 62) g(j), mx
+                WHERE (CAST(1 AS BIGINT) << j) <= m + 1
+                UNION ALL
+                SELECT m + 1 FROM mx
+            )
+        ), pts AS (
+            SELECT th.t,
+                   (SELECT count(*) FROM {table} dd
+                    WHERE dd.{id_col} < th.t) AS nd,
+                   (SELECT count(*) FROM fd WHERE fd.fd < th.t) AS v
+            FROM th
+        ), p AS (
+            SELECT ln(CAST(nd AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+            FROM pts WHERE nd > 0 AND v > 0
+        ), s AS (
+            SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM p
+        )
+        SELECT CAST(k AS BIGINT) AS n_points,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx),
+                     {round_to}) AS beta,
+               round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                     / k, {round_to}) AS logk
+        FROM s
+    """
+
+
+def vocab_coverage(
+    ds,
+    *,
+    text_col: str = "text",
+    share_pct: int = 95,
+) -> "pd.DataFrame":
+    """Smallest head vocabulary covering ``share_pct`` % of the token
+    MASS: rank tokens by frequency (desc) and count how many are
+    needed before the running mass first reaches the target — the
+    vocab-budget sizing number for tokenizer/embedding tables ("how
+    big a lexicon covers 95% of what the model will read"), exact in
+    integers end-to-end (target = ceil(total·pct/100); ties within a
+    frequency class are interchangeable, so the count is unique).
+
+    Scale shape: per-batch factorized token-count partials, ONE
+    token-hash shuffle, then a shuffle-free frequency-OF-frequency
+    fold (vocab rows → |distinct counts| rows — thousands at any
+    corpus size); the head walk runs on the driver over that tiny
+    histogram.  Output: one row (total_tokens, vocab_size, k_cover,
+    boundary_freq, covered_tokens — all int64).  SQL replay GENERATED
+    by :func:`vocab_coverage_sql` (window cumsum over the same
+    histogram)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        words, _ = batch_words(texts)
+        if not len(words):
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        code, toks = pd.factorize(words, sort=False)
+        cnt = np.bincount(code, minlength=len(toks))
+        return pa.table(
+            {"token": pa.array(toks, type=pa.string()),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def ff_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pa.table({"c": pa.array(n),
+                      "one": pa.array(np.ones(len(n), dtype=np.int64))})
+            .group_by("c").aggregate([("one", "sum")])
+        )
+
+    ff: dict = {}
+    for t in collect_tables(
+        counts.map_batches(ff_partial, batch_format="pyarrow"),
+        drop_empty=True,
+    ):
+        for c, n in zip(t["c"].to_pylist(), t["one_sum"].to_pylist()):
+            ff[int(c)] = ff.get(int(c), 0) + int(n)
+    cols = ["total_tokens", "vocab_size", "k_cover", "boundary_freq",
+            "covered_tokens"]
+    if not ff:
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    total = sum(c * n for c, n in ff.items())
+    vocab = sum(ff.values())
+    target = (total * share_pct + 99) // 100  # ceil, nonneg ints
+    cum_mass = 0
+    cum_tokens = 0
+    k_cover = boundary = covered = 0
+    for c in sorted(ff, reverse=True):
+        n = ff[c]
+        if cum_mass + c * n >= target:
+            need = target - cum_mass
+            extra = (need + c - 1) // c  # ceil, nonneg ints
+            k_cover = cum_tokens + extra
+            boundary = c
+            covered = cum_mass + extra * c
+            break
+        cum_mass += c * n
+        cum_tokens += n
+    return pd.DataFrame(
+        {
+            "total_tokens": pd.Series([total], dtype=np.int64),
+            "vocab_size": pd.Series([vocab], dtype=np.int64),
+            "k_cover": pd.Series([k_cover], dtype=np.int64),
+            "boundary_freq": pd.Series([boundary], dtype=np.int64),
+            "covered_tokens": pd.Series([covered], dtype=np.int64),
+        }
+    )
+
+
+def vocab_coverage_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    share_pct: int = 95,
+) -> str:
+    """DuckDB replay of :func:`vocab_coverage` (single-generator):
+    identical tokenizer, frequency histogram, ceil walk."""
+    return f"""
+        WITH w AS (
+            SELECT unnest(string_split(coalesce({text_col}, ''), ' '))
+                       AS tok
+            FROM {table}
+        ), c AS (
+            SELECT tok, count(*) AS n FROM w GROUP BY tok
+        ), ff AS (
+            SELECT n AS c, count(*) AS nt FROM c GROUP BY n
+        ), tot AS (
+            SELECT sum(c * nt) AS total, sum(nt) AS vocab FROM ff
+        ), cum AS (
+            SELECT c, nt,
+                   coalesce(sum(c * nt) OVER (
+                       ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS mass_before,
+                   coalesce(sum(nt) OVER (
+                       ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS toks_before
+            FROM ff
+        ), tgt AS (
+            -- ceil via nonneg ints: DuckDB // truncates toward zero
+            SELECT (total * {share_pct} + 99) // 100 AS target FROM tot
+        ), hit AS (
+            SELECT c, mass_before, toks_before,
+                   toks_before + (target - mass_before + c - 1) // c
+                       AS k_cover,
+                   mass_before
+                   + ((target - mass_before + c - 1) // c) * c AS covered
+            FROM cum, tgt
+            WHERE mass_before + c * nt >= target
+            ORDER BY c DESC LIMIT 1
+        )
+        SELECT CAST(tot.total AS BIGINT) AS total_tokens,
+               CAST(tot.vocab AS BIGINT) AS vocab_size,
+               CAST(hit.k_cover AS BIGINT) AS k_cover,
+               CAST(hit.c AS BIGINT) AS boundary_freq,
+               CAST(hit.covered AS BIGINT) AS covered_tokens
+        FROM tot, hit
+    """

@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "q256_assortativity",
     "q257_reciprocity",
     "q258_burstiness",
+    "q259_heaps_fit",
+    "q260_ring_balance",
+    "q261_vocab_coverage",
 ]
 
 
