@@ -6842,6 +6842,46 @@ def q261_vocab_coverage(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q262_ring_resize(sf_dir: str) -> pd.DataFrame:
+    """Key movement under a fleet resize 8 → 9 shards
+    (stages/ring.resize_movement): consistent hashing moves only the
+    keys whose arcs the new shard captures (≈ 1/9) while naive mod
+    placement moves ≈ 8/9 — the audit that justifies the ring before
+    a resize is scheduled, over the same q260 host keys.  Same ONE
+    host groupby; both assignments are driver-side searchsorteds over
+    the hosts-sized fold.  Oracle: GENERATED by resize_movement_sql
+    (prefix-stable ring growth on both engines)."""
+    from ..stages.ring import resize_movement
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hostkey(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"hk": pa.array((d * 48271) % 97)})
+
+    return resize_movement(
+        ds.map_batches(hostkey, batch_format="pyarrow"),
+        key_col="hk", n_shards=8, vnodes=16,
+    )
+
+
+def q263_shard_digests(sf_dir: str) -> pd.DataFrame:
+    """Order-insensitive per-shard content digests over documents
+    (stages/ring.shard_digests, key=doc_id, value=n_chars): the
+    anti-entropy primitive — verify a 100-TB copy by comparing 8 hex
+    strings; any flipped value / lost row / duplicate changes the
+    wrapping mod-2⁶⁴ sum, and commutativity makes row order and
+    partitioning irrelevant.  ONE shuffle-free scan of shards-sized
+    partials; shards × blocks driver fold.  Oracle: GENERATED by
+    shard_digests_sql (HUGEINT mod-2⁶⁴ replay, bit-exact)."""
+    from ..stages.ring import shard_digests
+
+    return shard_digests(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        key_col="doc_id", value_col="n_chars", n_shards=8,
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6887,6 +6927,9 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 6: ring resize movement, anti-entropy digests.
+    "q262_ring_resize": q262_ring_resize,
+    "q263_shard_digests": q263_shard_digests,
     # Session-12 tranche 5: Heaps'-law growth fit, consistent-hash
     # ring balance, 95%-mass vocabulary coverage.
     "q259_heaps_fit": q259_heaps_fit,
@@ -7499,7 +7542,18 @@ from ..stages.ring import ring_balance_sql as _ring_sql
 from ..stages.text_analysis import heaps_sql as _heaps_sql
 from ..stages.text_analysis import vocab_coverage_sql as _vcov_sql
 
+from ..stages.ring import resize_movement_sql as _resize_sql
+from ..stages.ring import shard_digests_sql as _sdig_sql
+
 ORACLE_SQL = {
+    "q262_ring_resize": _resize_sql(
+        table_expr="(SELECT (doc_id * 48271) % 97 AS hk FROM documents)",
+        key_col="hk", n_shards=8, vnodes=16,
+    ),
+    "q263_shard_digests": _sdig_sql(
+        table_expr="documents", key_col="doc_id", value_col="n_chars",
+        n_shards=8,
+    ),
     "q259_heaps_fit": _heaps_sql(
         table="documents", text_col="text", id_col="doc_id",
     ),

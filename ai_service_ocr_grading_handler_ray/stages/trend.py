@@ -1181,6 +1181,7 @@ def stickiness(
     key_col: str = "event_type",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    num_parts: int = 32,
     round_to: int = 6,
 ) -> pd.DataFrame:
     """DAU/MAU stickiness per key: average daily active users divided
@@ -1197,14 +1198,21 @@ def stickiness(
     count.  Null key/ts/user rows drop on both engines.  All folds are
     int ratios — no float accumulation order to drift.
 
-    Scale shape: per-batch local dedup partials, ONE (key, day, user)
-    distinct shuffle over the corpus; the month level re-dedups the
-    already day-distinct triples (a strictly smaller second shuffle),
-    then keys×buckets-sized count folds — the driver holds |keys|
-    rows.  SQL replay GENERATED by :func:`stickiness_sql`."""
+    Scale shape: per-batch local dedup partials, then ONE user-hash
+    coarse shuffle — ALL of a user's (key, bucket, user) rows
+    co-locate, so both the day- and month-level distincts dedup
+    INSIDE the partition and each partition emits keys×buckets-sized
+    active-count partials that sum exactly across partitions (every
+    (key, bucket, user) combination lives in exactly one).  The first
+    version ran a 3-key Ray groupby per level (4 all-to-alls; the
+    triple groupby alone cost 8 s at sf0.1 on tiny-group sort
+    latency); this shape is 1 shuffle and the driver folds
+    keys×buckets integers.  SQL replay GENERATED by
+    :func:`stickiness_sql`."""
     import pyarrow as pa
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
 
+    from .collect import collect_tables as _collect
+    from .dedup import add_key_partition
     from .selection import round_half_away
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
@@ -1221,78 +1229,99 @@ def stickiness(
         )
         return out.drop_duplicates()
 
-    day_triples = (
-        ds.map_batches(project, batch_format="pandas")
-        .groupby(["k", "d", "u"])
-        .aggregate(_Count())
-        .materialize()
-    )
-
-    def dau_part(t: pa.Table) -> pa.Table:
-        return (
-            pa.table({"k": t["k"], "d": t["d"],
-                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
-            .group_by(["k", "d"]).aggregate([("one", "sum")])
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"level": pd.Series([], dtype=object),
+             "k": pd.Series([], dtype=object),
+             "b": pd.Series([], dtype=np.int64),
+             "c": pd.Series([], dtype=np.int64)}
         )
-
-    dau = (
-        day_triples.map_batches(dau_part, batch_format="pyarrow")
-        .groupby(["k", "d"])
-        .aggregate(_Sum("one_sum", alias_name="c"))
-        .to_pandas()
-    )
-
-    def month_project(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+        if not len(g):
+            return empty
+        day = g[["k", "d", "u"]].drop_duplicates()
+        dau = (
+            day.groupby(["k", "d"], sort=False).size().reset_index(
+                name="c"
+            )
+        )
+        mon = pd.DataFrame(
             {
-                "k": df["k"],
-                "m": df["d"].to_numpy().astype("datetime64[D]")
+                "k": day["k"],
+                "m": day["d"].to_numpy().astype("datetime64[D]")
                 .astype("datetime64[M]").astype(np.int64),
-                "u": df["u"],
+                "u": day["u"],
             }
+        ).drop_duplicates()
+        mau = (
+            mon.groupby(["k", "m"], sort=False).size().reset_index(
+                name="c"
+            )
         )
-        return out.drop_duplicates()
+        return pd.concat(
+            [
+                pd.DataFrame({"level": "d", "k": dau["k"],
+                              "b": dau["d"].astype(np.int64),
+                              "c": dau["c"].astype(np.int64)}),
+                pd.DataFrame({"level": "m", "k": mau["k"],
+                              "b": mau["m"].astype(np.int64),
+                              "c": mau["c"].astype(np.int64)}),
+            ],
+            ignore_index=True,
+        )
 
-    mau = (
-        day_triples.map_batches(month_project, batch_format="pandas")
-        .groupby(["k", "m", "u"])
-        .aggregate(_Count())
+    partials = (
+        ds.map_batches(project, batch_format="pandas")
         .map_batches(
-            lambda t: pa.table(
-                {"k": t["k"], "m": t["m"],
-                 "one": pa.array(np.ones(len(t), dtype=np.int64))}
-            ).group_by(["k", "m"]).aggregate([("one", "sum")]),
+            lambda t: add_key_partition(t, "u", num_parts=num_parts),
             batch_format="pyarrow",
         )
-        .groupby(["k", "m"])
-        .aggregate(_Sum("one_sum", alias_name="c"))
-        .to_pandas()
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
     )
-
-    a = dau.groupby("k", as_index=False).agg(
-        s_dau=("c", "sum"), n_days=("c", "size")
-    )
-    b = mau.groupby("k", as_index=False).agg(
-        s_mau=("c", "sum"), n_months=("c", "size")
-    )
-    out = a.merge(b, on="k")
-    avg_dau = out["s_dau"].to_numpy(dtype=np.float64) / out[
-        "n_days"
-    ].to_numpy(dtype=np.float64)
-    avg_mau = out["s_mau"].to_numpy(dtype=np.float64) / out[
-        "n_months"
-    ].to_numpy(dtype=np.float64)
+    acc: dict = {}
+    for t in _collect(partials, drop_empty=True):
+        for lv, k, b, c in zip(t["level"].to_pylist(), t["k"].to_pylist(),
+                               t["b"].to_pylist(), t["c"].to_pylist()):
+            kk = (lv, k, b)
+            acc[kk] = acc.get(kk, 0) + int(c)
+    stats: dict = {}
+    for (lv, k, _b), c in acc.items():
+        s_cnt, n_b = stats.get((lv, k), (0, 0))
+        stats[(lv, k)] = (s_cnt + c, n_b + 1)
+    keys = sorted({k for (_lv, k) in stats})
+    rows = []
+    for k in keys:
+        s_dau, n_days = stats.get(("d", k), (0, 0))
+        s_mau, n_months = stats.get(("m", k), (0, 0))
+        if not n_days or not n_months:
+            continue
+        avg_dau = s_dau / n_days
+        avg_mau = s_mau / n_months
+        rows.append((k, n_days, n_months, avg_dau, avg_mau))
+    if not rows:
+        return pd.DataFrame(
+            {key_col: pd.Series([], dtype=object),
+             "n_days": pd.Series([], dtype=np.int64),
+             "n_months": pd.Series([], dtype=np.int64),
+             "avg_dau": pd.Series([], dtype=np.float64),
+             "avg_mau": pd.Series([], dtype=np.float64),
+             "stickiness": pd.Series([], dtype=np.float64)}
+        )
     res = pd.DataFrame(
-        {
-            key_col: out["k"],
-            "n_days": out["n_days"].astype(np.int64),
-            "n_months": out["n_months"].astype(np.int64),
-            "avg_dau": round_half_away(avg_dau, round_to),
-            "avg_mau": round_half_away(avg_mau, round_to),
-            "stickiness": round_half_away(avg_dau / avg_mau, round_to),
-        }
+        rows, columns=[key_col, "n_days", "n_months", "avg_dau", "avg_mau"]
     )
-    return res.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+    ad = res["avg_dau"].to_numpy(dtype=np.float64)
+    am = res["avg_mau"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            key_col: res[key_col],
+            "n_days": res["n_days"].astype(np.int64),
+            "n_months": res["n_months"].astype(np.int64),
+            "avg_dau": round_half_away(ad, round_to),
+            "avg_mau": round_half_away(am, round_to),
+            "stickiness": round_half_away(ad / am, round_to),
+        }
+    ).reset_index(drop=True)
 
 
 def stickiness_sql(

@@ -176,7 +176,7 @@ BENCH_QUERIES = [
     "q230_ab_test",
     "q231_daily_autocorr",
     "q232_calibration",
-    "q233_url_path_rollup",
+    "q233_path_rollup",
     "q234_position_attribution",
     "q235_scd2_history",
     "q236_lexical_diversity",
@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "q259_heaps_fit",
     "q260_ring_balance",
     "q261_vocab_coverage",
+    "q262_ring_resize",
+    "q263_shard_digests",
 ]
 
 
@@ -322,6 +324,12 @@ def run_headline() -> tuple[float, int, dict]:
 
 def run_queries() -> tuple[dict[str, float], dict[str, dict]]:
     from ai_service_ocr_grading_handler_ray.pipelines.queries import QUERIES
+
+    # fail fast and loudly on a battery/registry name drift — a KeyError
+    # mid-battery silently costs the whole run's numbers
+    unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"bench battery names not in QUERIES: {unknown}")
 
     out: dict[str, float] = {}
     spread: dict[str, dict] = {}

@@ -1,0 +1,100 @@
+"""Ring resize movement and anti-entropy shard digests
+(stages/ring.py): prefix-stable growth, movement bounds, digest
+sensitivity/commutativity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.ring import (
+    resize_movement,
+    ring_points,
+    shard_digests,
+)
+
+
+def _keys(ks):
+    return rd.from_arrow(pa.table({"k": pa.array(ks, type=pa.int64())}))
+
+
+def test_ring_growth_is_prefix_stable():
+    h8, s8 = ring_points(8, 16)
+    h9, s9 = ring_points(9, 16)
+    # every 8-shard point survives in the 9-shard ring unchanged
+    assert set(zip(h8.tolist(), s8.tolist())) <= set(
+        zip(h9.tolist(), s9.tolist())
+    )
+
+
+def test_resize_movement_ring_beats_mod(ray_session):
+    out = resize_movement(_keys(list(range(2000))), key_col="k",
+                          n_shards=8, vnodes=16)
+    r = out.iloc[0]
+    assert r["n_keys"] == 2000
+    # consistent hashing: a modest fraction moves; mod: almost all
+    assert r["ring_moved_share"] < 0.35
+    assert r["mod_moved_share"] > 0.75
+    assert r["ring_moved_share"] < r["mod_moved_share"]
+
+
+def test_resize_movement_weights_count_rows(ray_session):
+    # duplicate keys weight the movement by row count
+    out = resize_movement(_keys([1, 1, 1, 2]), key_col="k",
+                          n_shards=2, vnodes=8)
+    assert out.iloc[0]["n_rows"] == 4
+    assert out.iloc[0]["n_keys"] == 2
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+             "n_chars": pa.array([r[1] for r in rows], type=pa.int64())}
+        )
+    )
+
+
+def test_shard_digests_order_insensitive(ray_session):
+    a = shard_digests(_docs([(1, 10), (2, 20), (3, 30)]),
+                      key_col="doc_id", value_col="n_chars", n_shards=4)
+    b = shard_digests(_docs([(3, 30), (1, 10), (2, 20)]),
+                      key_col="doc_id", value_col="n_chars", n_shards=4)
+    assert a.equals(b)
+
+
+def test_shard_digests_value_flip_detected(ray_session):
+    a = shard_digests(_docs([(1, 10), (2, 20)]),
+                      key_col="doc_id", value_col="n_chars", n_shards=2)
+    b = shard_digests(_docs([(1, 10), (2, 21)]),
+                      key_col="doc_id", value_col="n_chars", n_shards=2)
+    assert not a["digest"].equals(b["digest"])
+    assert a["n_rows"].equals(b["n_rows"])  # counts alone miss it
+
+
+def test_shard_digests_duplicate_row_detected(ray_session):
+    a = shard_digests(_docs([(1, 10)]), key_col="doc_id",
+                      value_col="n_chars", n_shards=2)
+    b = shard_digests(_docs([(1, 10), (1, 10)]), key_col="doc_id",
+                      value_col="n_chars", n_shards=2)
+    assert not a.equals(b)
+
+
+def test_shard_digests_empty_shard_sentinel(ray_session):
+    out = shard_digests(_docs([(1, 10)]), key_col="doc_id",
+                        value_col="n_chars", n_shards=8)
+    assert (out[out["n_rows"] == 0]["digest"]
+            == "0000000000000000").all()
+    assert len(out) == 8
+
+
+def test_shard_digests_null_value_is_zero_sentinel(ray_session):
+    t = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "n_chars": pa.array([None], type=pa.int64())}
+    )
+    a = shard_digests(rd.from_arrow(t), key_col="doc_id",
+                      value_col="n_chars", n_shards=2)
+    b = shard_digests(_docs([(1, 0)]), key_col="doc_id",
+                      value_col="n_chars", n_shards=2)
+    assert a.equals(b)
