@@ -6882,6 +6882,40 @@ def q263_shard_digests(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q264_lang_script_audit(sf_dir: str) -> pd.DataFrame:
+    """Declared-lang vs dominant-script cross-audit
+    (text_analysis.lang_script_audit): per (lang, script) doc counts,
+    within-lang shares and an expected-script flag — the language-ID
+    QA gate run BEFORE the trigram lang-ID (q35), which assumes an
+    alphabetic script exactly where this audit flags (en-tagged CJK
+    pages, zh-tagged Latin pinyin/spam).  The add_script_mix single-
+    scan kernel feeds a langs×scripts groupby; driver holds the tiny
+    grid.  Oracle: composes the GENERATED script_mix_sql verbatim
+    (single-generator ranges/tie-break) via lang_script_audit_sql."""
+    from ..stages.text_analysis import lang_script_audit
+
+    return lang_script_audit(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        text_col="text", lang_col="lang",
+    )
+
+
+def q265_centroid_cosines(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (linalg.label_centroid_cosines): the semantic-space complement of
+    the token-level screens (q243 JSD / q242 vocab Jaccard) — near-1
+    centroid pairs are merge candidates or label noise; the mixture
+    designer reads this matrix before weighting.  ONE shuffle-free
+    moment scan (labels × d per batch), labels² driver matmul.
+    Oracle: GENERATED by centroid_cosines_sql (the q111
+    generate_subscripts pattern)."""
+    from ..stages.linalg import label_centroid_cosines
+
+    return label_centroid_cosines(
+        _read(sf_dir, "embeddings", ["embedding", "label"]),
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6927,6 +6961,9 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 7: lang-script audit, centroid cosines.
+    "q264_lang_script_audit": q264_lang_script_audit,
+    "q265_centroid_cosines": q265_centroid_cosines,
     # Session-12 tranche 6: ring resize movement, anti-entropy digests.
     "q262_ring_resize": q262_ring_resize,
     "q263_shard_digests": q263_shard_digests,
@@ -7545,7 +7582,16 @@ from ..stages.text_analysis import vocab_coverage_sql as _vcov_sql
 from ..stages.ring import resize_movement_sql as _resize_sql
 from ..stages.ring import shard_digests_sql as _sdig_sql
 
+from ..stages.linalg import centroid_cosines_sql as _ccos_sql
+from ..stages.text_analysis import lang_script_audit_sql as _lsa_sql
+
 ORACLE_SQL = {
+    "q264_lang_script_audit": _lsa_sql(
+        table="documents", text_col="text", lang_col="lang",
+    ),
+    "q265_centroid_cosines": _ccos_sql(
+        table="embeddings", vec_col="embedding", label_col="label",
+    ),
     "q262_ring_resize": _resize_sql(
         table_expr="(SELECT (doc_id * 48271) % 97 AS hk FROM documents)",
         key_col="hk", n_shards=8, vnodes=16,

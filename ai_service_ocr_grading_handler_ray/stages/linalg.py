@@ -125,3 +125,144 @@ def pca_project(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def label_centroid_cosines(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Pairwise cosine similarity between per-label embedding
+    CENTROIDS: the semantic-space complement of the token-level
+    distribution screens (q243 JSD, q242 vocab Jaccard) — two classes
+    whose centroids sit at cosine ≈ 1 are candidates for merging (or
+    evidence of label noise), and a mixture designer reads the matrix
+    before weighting sources.  Centroid quality is the k-means-free
+    first look (q104 buys the full clustering).
+
+    Scale shape: ONE shuffle-free moment scan — each batch emits per-
+    label (count, Σvec) rows (labels × d floats, never row-count
+    state); the driver folds labels × blocks rows, forms centroids,
+    and the pairwise cosines are a labels² dense matmul at
+    driver-trivial size.  Null label/vector rows drop.  Output:
+    (label_a:int64, label_b:int64, n_a:int64, n_b:int64, cosine) for
+    a < b, sorted.  SQL replay GENERATED by
+    :func:`centroid_cosines_sql` (the q111 generate_subscripts
+    pattern)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[label_col]), pc.is_valid(t[vec_col]))
+        t = t.filter(keep)
+        if not t.num_rows:
+            return pa.table(
+                {"label": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.list_(pa.float64()))}
+            )
+        V = _as_matrix(t[vec_col]).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, code = np.unique(lab, return_inverse=True)
+        n = np.bincount(code, minlength=len(uniq))
+        S = np.zeros((len(uniq), V.shape[1]), dtype=np.float64)
+        np.add.at(S, code, V)
+        return pa.table(
+            {"label": pa.array(uniq.astype(np.int64)),
+             "n": pa.array(n.astype(np.int64)),
+             "s": pa.array(list(S), type=pa.list_(pa.float64()))}
+        )
+
+    acc_n: dict = {}
+    acc_s: dict = {}
+    for t in collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow"), drop_empty=True
+    ):
+        labs = t["label"].to_pylist()
+        ns = t["n"].to_pylist()
+        S = _as_matrix(t["s"])
+        for i, (lb, nn) in enumerate(zip(labs, ns)):
+            acc_n[lb] = acc_n.get(lb, 0) + int(nn)
+            if lb in acc_s:
+                acc_s[lb] = acc_s[lb] + S[i]
+            else:
+                acc_s[lb] = S[i].copy()
+    import pandas as pd
+
+    labels = sorted(acc_n)
+    if len(labels) < 2:
+        return pd.DataFrame(
+            {"label_a": pd.Series([], dtype=np.int64),
+             "label_b": pd.Series([], dtype=np.int64),
+             "n_a": pd.Series([], dtype=np.int64),
+             "n_b": pd.Series([], dtype=np.int64),
+             "cosine": pd.Series([], dtype=np.float64)}
+        )
+    C = np.stack([acc_s[lb] / acc_n[lb] for lb in labels])
+    norms = np.sqrt((C * C).sum(axis=1))
+    rows = []
+    for i, la in enumerate(labels):
+        for j in range(i + 1, len(labels)):
+            lb = labels[j]
+            denom = norms[i] * norms[j]
+            cos = float(C[i] @ C[j] / denom) if denom > 0 else np.nan
+            rows.append((la, lb, acc_n[la], acc_n[lb], cos))
+    out = pd.DataFrame(
+        rows, columns=["label_a", "label_b", "n_a", "n_b", "cosine"]
+    )
+    for c in ("label_a", "label_b", "n_a", "n_b"):
+        out[c] = out[c].astype(np.int64)
+    out["cosine"] = round_half_away(
+        out["cosine"].to_numpy(dtype=np.float64), round_to
+    )
+    return out
+
+
+def centroid_cosines_sql(
+    *,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`label_centroid_cosines`
+    (single-generator): per-dimension centroid means via
+    generate_subscripts (the q111 pattern), a < b cosine join."""
+    return f"""
+        WITH e AS (
+            SELECT {label_col} AS label,
+                   generate_subscripts({vec_col}, 1) AS i,
+                   unnest(CAST({vec_col} AS DOUBLE[])) AS v
+            FROM {table}
+            WHERE {label_col} IS NOT NULL AND {vec_col} IS NOT NULL
+        ), m AS (
+            SELECT label, i, sum(v) / count(*) AS mu
+            FROM e GROUP BY label, i
+        ), norms AS (
+            SELECT label, sqrt(sum(mu * mu)) AS nrm FROM m GROUP BY label
+        ), counts AS (
+            SELECT {label_col} AS label, count(*) AS n
+            FROM {table}
+            WHERE {label_col} IS NOT NULL AND {vec_col} IS NOT NULL
+            GROUP BY {label_col}
+        ), p AS (
+            SELECT a.label AS la, b.label AS lb,
+                   sum(a.mu * b.mu) AS dot
+            FROM m a JOIN m b ON a.i = b.i AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT CAST(p.la AS BIGINT) AS label_a,
+               CAST(p.lb AS BIGINT) AS label_b,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               round(p.dot / (na.nrm * nb.nrm), {round_to}) AS cosine
+        FROM p
+        JOIN counts ca ON ca.label = p.la
+        JOIN counts cb ON cb.label = p.lb
+        JOIN norms na ON na.label = p.la
+        JOIN norms nb ON nb.label = p.lb
+    """

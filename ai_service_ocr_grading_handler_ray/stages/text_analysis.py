@@ -2667,3 +2667,135 @@ def vocab_coverage_sql(
                CAST(hit.covered AS BIGINT) AS covered_tokens
         FROM tot, hit
     """
+
+
+def lang_script_audit(
+    ds,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    expected: "dict[str, str] | None" = None,
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Declared-language vs dominant-SCRIPT cross-audit: count docs per
+    (lang, dominant_script) cell and flag whether the script is the
+    one the language is written in — the cheapest language-ID QA gate
+    (a page tagged ``en`` whose codepoints are CJK is a mislabeled or
+    mis-decoded page; a tagged-``zh`` page in Latin is pinyin/spam).
+    Runs BEFORE the trigram language-ID (q35), which assumes an
+    alphabetic script and silently misfires exactly where this audit
+    flags.
+
+    ``expected`` maps lang → script class (defaults cover the corpus
+    languages: en/de/fr/es → latin, zh → cjk, ru → cyrillic, ar →
+    arabic, el → greek); unknown langs get is_expected = 0 for every
+    script (no claim, surfaced rather than guessed).  Null lang rows
+    drop on both engines.
+
+    Scale shape: the :func:`add_script_mix` single-scan kernel feeds
+    per-batch (lang, dominant) count partials, ONE langs×scripts-sized
+    groupby; shares compute per lang on the driver over that tiny
+    grid.  Output: (lang, dominant_script, n_docs:int64, share,
+    is_expected:int64) sorted.  SQL replay composes the GENERATED
+    :func:`script_mix_sql` (single-generator for the ranges/tie-break)
+    via :func:`lang_script_audit_sql`."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .selection import round_half_away
+
+    exp = expected or {"en": "latin", "de": "latin", "fr": "latin",
+                       "es": "latin", "it": "latin", "pt": "latin",
+                       "zh": "cjk", "ja": "cjk", "ru": "cyrillic",
+                       "ar": "arabic", "el": "greek"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[lang_col]))
+        sm = add_script_mix(t, text_col=text_col)
+        return (
+            pa.table(
+                {"lang": t[lang_col],
+                 "dominant_script": sm["dominant_script"],
+                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            )
+            .group_by(["lang", "dominant_script"])
+            .aggregate([("one", "sum")])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "dominant_script"])
+        .aggregate(Sum("one_sum", alias_name="n_docs"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=object),
+             "dominant_script": pd.Series([], dtype=object),
+             "n_docs": pd.Series([], dtype=np.int64),
+             "share": pd.Series([], dtype=np.float64),
+             "is_expected": pd.Series([], dtype=np.int64)}
+        )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    tot = out.groupby("lang")["n_docs"].transform("sum")
+    share = out["n_docs"].to_numpy(dtype=np.float64) / tot.to_numpy(
+        dtype=np.float64
+    )
+    is_exp = np.fromiter(
+        (1 if exp.get(lg) == sc else 0
+         for lg, sc in zip(out["lang"], out["dominant_script"])),
+        dtype=np.int64, count=len(out),
+    )
+    res = pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "dominant_script": out["dominant_script"],
+            "n_docs": out["n_docs"],
+            "share": round_half_away(share, round_to),
+            "is_expected": is_exp,
+        }
+    )
+    return res.sort_values(["lang", "dominant_script"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def lang_script_audit_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    expected: "dict[str, str] | None" = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`lang_script_audit` — wraps the GENERATED
+    :func:`script_mix_sql` (single-generator for ranges / whitespace /
+    tie-break) with the same grouping, share, expected map."""
+    exp = expected or {"en": "latin", "de": "latin", "fr": "latin",
+                       "es": "latin", "it": "latin", "pt": "latin",
+                       "zh": "cjk", "ja": "cjk", "ru": "cyrillic",
+                       "ar": "arabic", "el": "greek"}
+    inner = script_mix_sql(table=table, text_col=text_col, id_col=id_col)
+    exp_case = "CASE " + " ".join(
+        f"WHEN g.{lang_col} = '{lg}' AND g.dominant_script = '{sc}' "
+        f"THEN 1"
+        for lg, sc in sorted(exp.items())
+    ) + " ELSE 0 END"
+    return f"""
+        WITH sm AS ({inner}),
+        g AS (
+            SELECT d.{lang_col}, sm.dominant_script,
+                   count(*) AS n_docs
+            FROM sm JOIN {table} d USING ({id_col})
+            WHERE d.{lang_col} IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT g.{lang_col} AS lang, g.dominant_script,
+               CAST(g.n_docs AS BIGINT) AS n_docs,
+               round(g.n_docs / CAST(sum(g.n_docs) OVER (
+                   PARTITION BY g.{lang_col}) AS DOUBLE),
+                   {round_to}) AS share,
+               CAST({exp_case} AS BIGINT) AS is_expected
+        FROM g
+    """
