@@ -191,8 +191,6 @@ def label_centroid_cosines(
                 acc_s[lb] = acc_s[lb] + S[i]
             else:
                 acc_s[lb] = S[i].copy()
-    import pandas as pd
-
     labels = sorted(acc_n)
     if len(labels) < 2:
         return pd.DataFrame(

@@ -1209,8 +1209,6 @@ def stickiness(
     latency); this shape is 1 shuffle and the driver folds
     keys×buckets integers.  SQL replay GENERATED by
     :func:`stickiness_sql`."""
-    import pyarrow as pa
-
     from .collect import collect_tables as _collect
     from .dedup import add_key_partition
     from .selection import round_half_away

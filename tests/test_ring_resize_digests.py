@@ -98,3 +98,41 @@ def test_shard_digests_null_value_is_zero_sentinel(ray_session):
     b = shard_digests(_docs([(1, 0)]), key_col="doc_id",
                       value_col="n_chars", n_shards=2)
     assert a.equals(b)
+
+
+def test_shard_digests_negative_value_wraps_like_sql(ray_session):
+    # engine wraps negative values mod 2^64 (uint64 view); the SQL
+    # replay must do the same instead of throwing on the UBIGINT cast
+    import duckdb
+
+    from ai_service_ocr_grading_handler_ray.stages.ring import (
+        shard_digests_sql,
+    )
+
+    eng = shard_digests(_docs([(1, -5), (2, 7)]), key_col="doc_id",
+                        value_col="n_chars", n_shards=2)
+    q = shard_digests_sql(
+        table_expr="(SELECT * FROM (VALUES (1, -5), (2, 7))"
+                   " t(doc_id, n_chars))",
+        key_col="doc_id", value_col="n_chars", n_shards=2,
+    )
+    ref = duckdb.sql(q).df().sort_values("shard").reset_index(drop=True)
+    assert eng["digest"].tolist() == ref["digest"].tolist()
+    assert eng["n_rows"].tolist() == ref["n_rows"].tolist()
+
+
+def test_resize_movement_sql_empty_input_matches_engine():
+    import duckdb
+
+    from ai_service_ocr_grading_handler_ray.stages.ring import (
+        resize_movement_sql,
+    )
+
+    q = resize_movement_sql(
+        table_expr="(SELECT CAST(NULL AS BIGINT) AS k WHERE false)",
+        key_col="k", n_shards=4, vnodes=8,
+    )
+    ref = duckdb.sql(q).df()
+    assert ref.iloc[0]["n_rows"] == 0
+    assert ref.iloc[0]["ring_moved_share"] == 0.0
+    assert ref.iloc[0]["mod_moved_share"] == 0.0
