@@ -6916,6 +6916,30 @@ def q265_centroid_cosines(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q266_rendezvous(sf_dir: str) -> pd.DataFrame:
+    """Rendezvous (HRW) sharding audit over the q260 host keys
+    (stages/ring.rendezvous_balance): per-shard load under
+    highest-random-weight assignment — no vnode variance at all, the
+    small-fleet alternative to the ring — plus the grow-movement
+    column (rows leaving each shard when a 9th is added; HRW moves
+    ≈ 1/9 total, same bound q262 demonstrates for the ring).  The
+    shared _key_weights fold + a keys × (S+1) vectorized splitmix64
+    score matrix on the driver.  Oracle: GENERATED by rendezvous_sql
+    (identical nested hashes, DESC/shard-asc argmax ties)."""
+    from ..stages.ring import rendezvous_balance
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hostkey(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"hk": pa.array((d * 48271) % 97)})
+
+    return rendezvous_balance(
+        ds.map_batches(hostkey, batch_format="pyarrow"),
+        key_col="hk", n_shards=8,
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6961,6 +6985,8 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 8: rendezvous (HRW) sharding audit.
+    "q266_rendezvous": q266_rendezvous,
     # Session-12 tranche 7: lang-script audit, centroid cosines.
     "q264_lang_script_audit": q264_lang_script_audit,
     "q265_centroid_cosines": q265_centroid_cosines,
@@ -7585,7 +7611,13 @@ from ..stages.ring import shard_digests_sql as _sdig_sql
 from ..stages.linalg import centroid_cosines_sql as _ccos_sql
 from ..stages.text_analysis import lang_script_audit_sql as _lsa_sql
 
+from ..stages.ring import rendezvous_sql as _rdv_sql
+
 ORACLE_SQL = {
+    "q266_rendezvous": _rdv_sql(
+        table_expr="(SELECT (doc_id * 48271) % 97 AS hk FROM documents)",
+        key_col="hk", n_shards=8,
+    ),
     "q264_lang_script_audit": _lsa_sql(
         table="documents", text_col="text", lang_col="lang",
     ),

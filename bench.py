@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "q261_vocab_coverage",
     "q262_ring_resize",
     "q263_shard_digests",
+    "q264_lang_script_audit",
+    "q265_centroid_cosines",
+    "q266_rendezvous",
 ]
 
 

@@ -5,6 +5,7 @@ sensitivity/commutativity."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from ai_service_ocr_grading_handler_ray.stages.ring import (
@@ -136,3 +137,42 @@ def test_resize_movement_sql_empty_input_matches_engine():
     assert ref.iloc[0]["n_rows"] == 0
     assert ref.iloc[0]["ring_moved_share"] == 0.0
     assert ref.iloc[0]["mod_moved_share"] == 0.0
+
+
+def test_rendezvous_covers_all_rows(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.ring import (
+        rendezvous_balance,
+    )
+
+    out = rendezvous_balance(_keys(list(range(2000))), key_col="k",
+                             n_shards=8)
+    assert len(out) == 8
+    assert out["n_rows"].sum() == 2000
+    assert out["load_share"].sum() == pytest.approx(1.0, abs=1e-4)
+    # HRW has no vnode variance: 2000 uniform keys over 8 shards stay
+    # within a loose 3-sigma band of 250
+    assert out["n_rows"].max() < 400 and out["n_rows"].min() > 120
+
+
+def test_rendezvous_grow_moves_about_a_ninth(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.ring import (
+        rendezvous_balance,
+    )
+
+    out = rendezvous_balance(_keys(list(range(3000))), key_col="k",
+                             n_shards=8)
+    moved = out["n_rows_out"].sum()
+    # expected 3000/9 = 333; allow a wide deterministic band
+    assert 200 < moved < 500
+
+
+def test_rendezvous_empty_input(ray_session):
+    import pyarrow as pa
+
+    from ai_service_ocr_grading_handler_ray.stages.ring import (
+        rendezvous_balance,
+    )
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([], type="int64")}))
+    out = rendezvous_balance(ds, key_col="k", n_shards=4)
+    assert (out["n_rows"] == 0).all() and (out["load_share"] == 0.0).all()
