@@ -1215,6 +1215,7 @@ def cocitation_similarity(
     src_col: str = "src",
     dst_col: str = "dst",
     max_in_degree: int = 10_000,
+    num_parts: int = 32,
     round_to: int = 6,
 ) -> "pd.DataFrame":
     """Co-citation similarity between source hosts: Jaccard over their
@@ -1233,81 +1234,87 @@ def cocitation_similarity(
     practice; the threshold is the q204-style loud-cap convention but
     deterministic, so the SQL replay applies the same HAVING filter).
 
-    Scale shape: ONE (src, dst) distinct shuffle; per-source set sizes
-    fold to a |hosts|-sized driver dict; ONE dst-hash groupby whose
-    partitions self-merge on dst (≤ min(in-degree, cap) rows per dst)
-    and emit pair-count partials — the driver folds co-cited-pairs
-    rows only (pairs sharing nothing never materialize; they'd be
-    Jaccard 0).  Output: (host_a, host_b, n_common:int64, n_a:int64,
-    n_b:int64, jaccard) for a < b with ≥ 1 shared destination,
-    sorted.  SQL replay GENERATED by :func:`cocitation_sql`."""
+    Scale shape: per-batch local (src, dst) dedup partials, then ONE
+    dst-hash coarse shuffle — every dst's rows co-locate, so the
+    GLOBAL distinct, the in-degree cap, the per-src set-size partials
+    AND the pair emission all happen inside the partition scan (the
+    first version ran a separate distinct groupby + a sizes execution
+    + a pair shuffle — three sequential all-to-alls whose fixed
+    latency dominated at sf0.1); sizes and pair counts fold
+    driver-side (|hosts| + co-cited-pairs rows — pairs sharing nothing
+    never materialize; they'd be Jaccard 0).  Output: (host_a, host_b,
+    n_common:int64, n_a:int64, n_b:int64, jaccard) for a < b with ≥ 1
+    shared destination, sorted.  SQL replay GENERATED by
+    :func:`cocitation_sql`."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
 
     from .collect import collect_tables
     from .dedup import add_key_partition
     from .selection import round_half_away
 
-    distinct = (
-        edges.groupby([src_col, dst_col])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns([src_col, dst_col])
-        .materialize()
-    )
+    def local_distinct(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col]))
+        t = t.filter(keep).select([src_col, dst_col])
+        return t.group_by([src_col, dst_col]).aggregate([])
 
-    # per-src out-set sizes over ALL dsts (sizes count the full
-    # neighbourhood; only the PAIRING excludes mega-hubs)
-    def size_part(t: pa.Table) -> pa.Table:
-        return (
-            pa.table({"s": t[src_col],
-                      "one": pa.array(np.ones(len(t), dtype=np.int64))})
-            .group_by("s").aggregate([("one", "sum")])
-        )
-
-    sizes: dict = {}
-    for t in collect_tables(
-        distinct.map_batches(size_part, batch_format="pyarrow"),
-        drop_empty=True,
-    ):
-        for s, n in zip(t["s"].to_pylist(), t["one_sum"].to_pylist()):
-            sizes[s] = sizes.get(s, 0) + int(n)
-
-    def pair_part(df: "pd.DataFrame") -> "pd.DataFrame":
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
-            {"a": pd.Series([], dtype=object),
+            {"kind": pd.Series([], dtype=object),
+             "a": pd.Series([], dtype=object),
              "b": pd.Series([], dtype=object),
-             "n_common": pd.Series([], dtype=np.int64)}
+             "n": pd.Series([], dtype=np.int64)}
         )
         if df.empty:
             return empty
+        # global distinct: all rows of a dst live in THIS partition
+        df = df[[src_col, dst_col]].drop_duplicates()
+        # per-src set-size partials over ALL dsts (sizes count the
+        # full neighbourhood; only the PAIRING excludes mega-hubs)
+        sizes = (
+            df.groupby(src_col, sort=False).size().reset_index(name="n")
+        )
+        sizes.insert(0, "kind", "s")
+        sizes["b"] = ""
+        sizes.columns = ["kind", "a", "n", "b"]
         indeg = df.groupby(dst_col, sort=False)[src_col].transform("size")
-        df = df[indeg <= max_in_degree]
-        if df.empty:
-            return empty
-        slim = df[[dst_col, src_col]]
-        m = slim.merge(slim, on=dst_col)
-        m = m[m[f"{src_col}_x"] < m[f"{src_col}_y"]]
-        if m.empty:
-            return empty
-        out = (
-            m.groupby([f"{src_col}_x", f"{src_col}_y"], sort=False).size()
-            .rename("n_common").reset_index()
-        )
-        out.columns = ["a", "b", "n_common"]
-        out["n_common"] = out["n_common"].astype(np.int64)
+        kept = df[indeg <= max_in_degree]
+        parts = [sizes[["kind", "a", "b", "n"]]]
+        if len(kept):
+            slim = kept[[dst_col, src_col]]
+            m = slim.merge(slim, on=dst_col)
+            m = m[m[f"{src_col}_x"] < m[f"{src_col}_y"]]
+            if len(m):
+                pairs = (
+                    m.groupby([f"{src_col}_x", f"{src_col}_y"],
+                              sort=False).size().reset_index(name="n")
+                )
+                pairs.columns = ["a", "b", "n"]
+                pairs.insert(0, "kind", "p")
+                parts.append(pairs[["kind", "a", "b", "n"]])
+        out = pd.concat(parts, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
         return out
 
-    pairs = (
-        distinct.map_batches(
-            lambda t: add_key_partition(t, dst_col), batch_format="pyarrow"
+    folded = (
+        edges.map_batches(local_distinct, batch_format="pyarrow")
+        .map_batches(
+            lambda t: add_key_partition(t, dst_col, num_parts=num_parts),
+            batch_format="pyarrow",
         )
         .groupby("_part")
-        .map_groups(pair_part, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("n_common", alias_name="n_common"))
-        .to_pandas()
+        .map_groups(per_partition, batch_format="pandas")
     )
-    if pairs.empty:
+    sizes: dict = {}
+    pair_n: dict = {}
+    for t in collect_tables(folded, drop_empty=True):
+        for kind, a, b, n in zip(t["kind"].to_pylist(), t["a"].to_pylist(),
+                                 t["b"].to_pylist(), t["n"].to_pylist()):
+            if kind == "s":
+                sizes[a] = sizes.get(a, 0) + int(n)
+            else:
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + int(n)
+    if not pair_n:
         return pd.DataFrame(
             {"host_a": pd.Series([], dtype=object),
              "host_b": pd.Series([], dtype=object),
@@ -1316,6 +1323,10 @@ def cocitation_similarity(
              "n_b": pd.Series([], dtype=np.int64),
              "jaccard": pd.Series([], dtype=np.float64)}
         )
+    pairs = pd.DataFrame(
+        [(a, b, n) for (a, b), n in pair_n.items()],
+        columns=["a", "b", "n_common"],
+    )
     na = pairs["a"].map(sizes).to_numpy(dtype=np.int64)
     nb = pairs["b"].map(sizes).to_numpy(dtype=np.int64)
     inter = pairs["n_common"].to_numpy(dtype=np.int64)
@@ -1324,7 +1335,7 @@ def cocitation_similarity(
         {
             "host_a": pairs["a"],
             "host_b": pairs["b"],
-            "n_common": inter,
+            "n_common": inter.astype(np.int64),
             "n_a": na,
             "n_b": nb,
             "jaccard": round_half_away(jac, round_to),
