@@ -7022,6 +7022,11 @@ QUERIES = {
     "q245_entry_exit": q245_entry_exit,
     "q246_zorder_layout": q246_zorder_layout,
     "q247_change_rate": q247_change_rate,
+    # The session-12 block above (q243-q266) + sessions 10-11 below
+    # (q230-q242) are round-4-new and never driver-checked: they fill
+    # the 50-entry window front-to-back; everything after position 50
+    # has a driver-green row from earlier rounds or runs at both sfs
+    # in tests/test_oracle_parity.py every session.
     # Session-11 tranche 2: Zipf slope, Mann-Whitney U, RFM segments,
     # DAU/MAU stickiness, source vocabulary overlap.
     "q238_zipf_slope": q238_zipf_slope,
