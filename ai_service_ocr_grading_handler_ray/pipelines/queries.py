@@ -6940,6 +6940,25 @@ def q266_rendezvous(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q267_content_survival(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level content-survival curve over capture age
+    (snapshots.content_survival) from the q235 capture fixture:
+    hazard(k) = changed/at-risk per revisit age, survival as the
+    running product — the content half-life that sets DEFAULT revisit
+    intervals before per-url evidence exists (q247 per url, q254 per
+    host, this the corpus prior; the q228 right-censoring + exp-of-
+    cumulative-ln replay conventions).  ONE salted url-hash shuffle,
+    ages-sized driver fold.  Oracle: GENERATED by
+    content_survival_sql over _Q235_CAPS."""
+    from ..stages.snapshots import content_survival
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return content_survival(
+        ds.map_batches(_q235_caps_batch, batch_format="pyarrow"),
+        key_col="url", ts_col="ts", hash_col="content_hash",
+    )
+
+
 QUERIES = {
     # --- first 50 = the driver's oracle window this round (round 4) ---
     # (0) session-new, never driver-checked (lead the window):
@@ -6985,6 +7004,8 @@ QUERIES = {
     # Kaplan-Meier conversion, Cohen's kappa.  Session-10 tranche 1:
     # A/B two-proportion z-test, daily-count autocorrelation,
     # calibration/ECE, URL path-prefix rollup.
+    # Session-12 tranche 9: corpus content-survival curve.
+    "q267_content_survival": q267_content_survival,
     # Session-12 tranche 8: rendezvous (HRW) sharding audit.
     "q266_rendezvous": q266_rendezvous,
     # Session-12 tranche 7: lang-script audit, centroid cosines.
@@ -7618,7 +7639,13 @@ from ..stages.text_analysis import lang_script_audit_sql as _lsa_sql
 
 from ..stages.ring import rendezvous_sql as _rdv_sql
 
+from ..stages.snapshots import content_survival_sql as _csurv_sql
+
 ORACLE_SQL = {
+    "q267_content_survival": _csurv_sql(
+        table=_Q235_CAPS, key_col="url", ts_col="ts",
+        hash_col="content_hash",
+    ),
     "q266_rendezvous": _rdv_sql(
         table_expr="(SELECT (doc_id * 48271) % 97 AS hk FROM documents)",
         key_col="hk", n_shards=8,

@@ -532,3 +532,164 @@ def revisit_priorities_sql(
                      {round_to}) AS priority
         FROM g
     """
+
+
+def content_survival(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    num_parts: int = 32,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Corpus-level content-survival curve over capture AGE: for each
+    revisit age k ≥ 1 (the k-th recapture of a url, in per-url capture
+    order),
+
+        hazard(k)   = changed_at_k / at_risk_k
+        survival(k) = Π_{j ≤ k} (1 − hazard(j))
+
+    — the content half-life a crawl planner reads to set DEFAULT
+    revisit intervals before per-url evidence exists (q247 estimates
+    per url, q254 rolls up per host; this is the corpus prior).
+    "Changed" is the scd2 null-safe IS-DISTINCT-FROM boundary with the
+    hash tie-break; at_risk_k counts urls with ≥ k+1 captures
+    (right-censoring by capture depth, the q228 Kaplan-Meier
+    convention).
+
+    Survival multiplies UNROUNDED hazards via exp-of-cumulative-ln in
+    the SAME age order on both engines (the q228 replay trick); a
+    hazard of exactly 1 extinguishes the curve (survival 0 from that
+    age on) via an explicit flag on both sides — DuckDB's ln(0)
+    throws.  Scale shape: ONE salted url-hash shuffle, vectorized
+    per-partition shift compare folding to ages-sized (at_risk,
+    changed) partials; the driver holds |ages| rows (bounded by the
+    max capture depth).  Output: (age:int64, n_at_risk:int64,
+    n_changed:int64, hazard, survival) sorted by age.  SQL replay
+    GENERATED by :func:`content_survival_sql`."""
+    from .collect import collect_tables
+    from .selection import round_half_away
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"age": pd.Series([], dtype=np.int64),
+             "at_risk": pd.Series([], dtype=np.int64),
+             "changed": pd.Series([], dtype=np.int64)}
+        )
+        g = g.dropna(subset=[key_col, ts_col])
+        if not len(g):
+            return empty
+        g = g.sort_values([key_col, ts_col, hash_col], kind="mergesort")
+        pk = g[key_col].shift()
+        ph = g[hash_col].shift()
+        h = g[hash_col]
+        same_key = g[key_col] == pk
+        same_hash = (h == ph) | (h.isna() & ph.isna())
+        age = g.groupby(key_col, sort=False).cumcount()
+        rows = pd.DataFrame(
+            {"age": age[same_key].to_numpy(dtype=np.int64),
+             "chg": (~same_hash[same_key]).to_numpy().astype(np.int64)}
+        )
+        if rows.empty:
+            return empty
+        agg = rows.groupby("age", sort=False).agg(
+            at_risk=("chg", "size"), changed=("chg", "sum")
+        ).reset_index()
+        return pd.DataFrame(
+            {"age": agg["age"].astype(np.int64),
+             "at_risk": agg["at_risk"].astype(np.int64),
+             "changed": agg["changed"].astype(np.int64)}
+        )
+
+    folded = (
+        ds.map_batches(
+            lambda t: add_key_partition(t, key_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+    acc: dict = {}
+    for t in collect_tables(folded, drop_empty=True):
+        for a, r, c in zip(t["age"].to_pylist(), t["at_risk"].to_pylist(),
+                           t["changed"].to_pylist()):
+            ar, ch = acc.get(a, (0, 0))
+            acc[a] = (ar + int(r), ch + int(c))
+    if not acc:
+        return pd.DataFrame(
+            {"age": pd.Series([], dtype=np.int64),
+             "n_at_risk": pd.Series([], dtype=np.int64),
+             "n_changed": pd.Series([], dtype=np.int64),
+             "hazard": pd.Series([], dtype=np.float64),
+             "survival": pd.Series([], dtype=np.float64)}
+        )
+    ages = sorted(acc)
+    at_risk = np.array([acc[a][0] for a in ages], dtype=np.int64)
+    changed = np.array([acc[a][1] for a in ages], dtype=np.int64)
+    hazard = changed / at_risk
+    dead = np.maximum.accumulate(hazard >= 1.0)
+    with np.errstate(divide="ignore"):
+        lns = np.where(hazard < 1.0, np.log(1.0 - hazard), 0.0)
+    survival = np.where(dead, 0.0, np.exp(np.cumsum(lns)))
+    return pd.DataFrame(
+        {
+            "age": np.array(ages, dtype=np.int64),
+            "n_at_risk": at_risk,
+            "n_changed": changed,
+            "hazard": round_half_away(hazard, round_to),
+            "survival": round_half_away(survival, round_to),
+        }
+    )
+
+
+def content_survival_sql(
+    *,
+    table: str,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`content_survival` (single-generator):
+    identical age indexing, IS-DISTINCT boundary with hash tie-break,
+    exp-of-cumulative-ln survival with the extinction flag (ln(0)
+    throws in DuckDB, so dead ages short-circuit to 0.0)."""
+    return f"""
+        WITH base AS (
+            SELECT {key_col} AS k, {ts_col} AS ts, {hash_col} AS h
+            FROM {table}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        ), o AS (
+            SELECT k, h,
+                   lag(h) OVER (PARTITION BY k ORDER BY ts, h) AS ph,
+                   row_number() OVER (PARTITION BY k ORDER BY ts, h) - 1
+                       AS age
+            FROM base
+        ), per_age AS (
+            SELECT age, count(*) AS n_at_risk,
+                   sum(CASE WHEN h IS DISTINCT FROM ph THEN 1 ELSE 0 END)
+                       AS n_changed
+            FROM o WHERE age >= 1 GROUP BY age
+        ), hz AS (
+            SELECT age, n_at_risk, n_changed,
+                   n_changed / CAST(n_at_risk AS DOUBLE) AS h
+            FROM per_age
+        ), surv AS (
+            SELECT age, n_at_risk, n_changed, h,
+                   max(CASE WHEN h >= 1 THEN 1 ELSE 0 END) OVER (
+                       ORDER BY age ROWS UNBOUNDED PRECEDING
+                   ) AS dead,
+                   sum(CASE WHEN h < 1 THEN ln(1 - h) ELSE 0 END) OVER (
+                       ORDER BY age ROWS UNBOUNDED PRECEDING
+                   ) AS lnsum
+            FROM hz
+        )
+        SELECT CAST(age AS BIGINT) AS age,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(n_changed AS BIGINT) AS n_changed,
+               round(h, {round_to}) AS hazard,
+               CASE WHEN dead = 1 THEN 0.0
+                    ELSE round(exp(lnsum), {round_to}) END AS survival
+        FROM surv
+    """

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q264_lang_script_audit",
     "q265_centroid_cosines",
     "q266_rendezvous",
+    "q267_content_survival",
 ]
 
 

@@ -142,3 +142,43 @@ def test_change_rate_tied_ts_breaks_by_hash(ray_session):
     out = change_rate(ds).to_pandas()
     assert out.iloc[0]["n_changes"] == 1
     assert out.iloc[0]["n_caps"] == 3
+
+
+def test_content_survival_hand_computed(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.snapshots import (
+        content_survival,
+    )
+
+    # url u1: a,a,b  (age1 unchanged, age2 changed)
+    # url u2: a,b    (age1 changed)
+    # age1: at_risk 2, changed 1 -> hazard .5, survival .5
+    # age2: at_risk 1, changed 1 -> hazard 1 -> survival 0 (extinction)
+    ds = _caps([("u1", 0, "a"), ("u1", 1, "a"), ("u1", 2, "b"),
+                ("u2", 0, "a"), ("u2", 1, "b")])
+    out = content_survival(ds).set_index("age")
+    assert out.loc[1][["n_at_risk", "n_changed"]].tolist() == [2, 1]
+    assert out.loc[1]["hazard"] == 0.5
+    assert out.loc[1]["survival"] == 0.5
+    assert out.loc[2]["hazard"] == 1.0
+    assert out.loc[2]["survival"] == 0.0
+
+
+def test_content_survival_null_hash_boundary(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.snapshots import (
+        content_survival,
+    )
+
+    # a -> NULL is a change; NULL -> NULL is not
+    ds = _caps([("u", 0, "a"), ("u", 1, None), ("u", 2, None)])
+    out = content_survival(ds).set_index("age")
+    assert out.loc[1]["n_changed"] == 1
+    assert out.loc[2]["n_changed"] == 0
+
+
+def test_content_survival_single_captures_empty(ray_session):
+    from ai_service_ocr_grading_handler_ray.stages.snapshots import (
+        content_survival,
+    )
+
+    out = content_survival(_caps([("u", 0, "a"), ("v", 0, "b")]))
+    assert len(out) == 0
