@@ -2405,6 +2405,7 @@ def heaps_fit(
 
     # max doc id: slim per-batch max partials
     def max_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_col]))
         v = t[id_col].to_numpy(zero_copy_only=False)
         if not len(v):
             return pa.table({"m": pa.array([], type=pa.int64())})
@@ -2430,6 +2431,7 @@ def heaps_fit(
 
     def count_below(source, col) -> np.ndarray:
         def part(t: pa.Table, _th=th_arr) -> pa.Table:
+            t = t.filter(pc.is_valid(t[col]))
             v = np.sort(
                 t[col].to_numpy(zero_copy_only=False).astype(np.int64)
             )
@@ -2778,7 +2780,8 @@ def lang_script_audit_sql(
                        "ar": "arabic", "el": "greek"}
     inner = script_mix_sql(table=table, text_col=text_col, id_col=id_col)
     exp_case = "CASE " + " ".join(
-        f"WHEN g.{lang_col} = '{lg}' AND g.dominant_script = '{sc}' "
+        f"WHEN g.{lang_col} = '{lg.replace(chr(39), chr(39) * 2)}' "
+        f"AND g.dominant_script = '{sc.replace(chr(39), chr(39) * 2)}' "
         f"THEN 1"
         for lg, sc in sorted(exp.items())
     ) + " ELSE 0 END"

@@ -1472,6 +1472,8 @@ def kendall_sql(
 ) -> str:
     """DuckDB replay of :func:`kendall_tau_daily` (single-generator):
     identical day bucketing, i < j sign-product sum, tie terms."""
+    type_a = type_a.replace("'", "''")
+    type_b = type_b.replace("'", "''")
     return f"""
         WITH days AS (
             SELECT CAST({ts_col} AS DATE) AS day,

@@ -148,3 +148,21 @@ def test_wilson_zero_and_full(ray_session):
                              success_col="ok").set_index("host")
     assert out.loc["none"]["wilson_lb"] == 0.0
     assert 0.6 < out.loc["all"]["wilson_lb"] < 1.0
+
+
+def test_kendall_sql_escapes_single_quotes():
+    # ADVICE r4: type names with embedded quotes must not break the
+    # generated oracle SQL.
+    from ai_service_ocr_grading_handler_ray.stages.trend import kendall_sql
+
+    sql = kendall_sql(type_a="o'clock", type_b="plain")
+    assert "o''clock" in sql and "o'clock'" not in sql.replace("o''clock", "")
+
+
+def test_lang_script_audit_sql_escapes_quotes():
+    from ai_service_ocr_grading_handler_ray.stages.text_analysis import (
+        lang_script_audit_sql,
+    )
+
+    sql = lang_script_audit_sql(expected={"x'y": "lat'in"})
+    assert "x''y" in sql and "lat''in" in sql

@@ -128,3 +128,34 @@ def test_vocab_coverage_empty(ray_session):
     out = vocab_coverage(ds)
     assert out.iloc[0]["total_tokens"] == 0
     assert out.iloc[0]["k_cover"] == 0
+
+
+def test_heaps_null_doc_ids_dropped_everywhere(ray_session):
+    # ADVICE r4: null ids must be filtered in max_partial and
+    # count_below, matching fd_partial and the SQL replay (which
+    # drops NULL ids) — previously int(np.max) raised on NaN.
+    rows = [(i, f"tok{i}") for i in range(64)]
+    ids = [r[0] for r in rows] + [None, None]
+    txt = [r[1] for r in rows] + ["spurious", "alsonull"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(txt, type=pa.string())})
+    )
+    out = heaps_fit(ds)
+    base = heaps_fit(_docs(rows))
+    assert out.iloc[0]["beta"] == base.iloc[0]["beta"]
+    assert out.iloc[0]["n_points"] == base.iloc[0]["n_points"]
+
+
+def test_ring_balance_integer_exact_weights(ray_session):
+    # ADVICE r4: row counts fold through an integer accumulator, not
+    # float64 bincount weights — per-shard totals must equal the exact
+    # integer sum of per-key row counts.
+    import pyarrow as pa
+
+    keys = pa.array(list(range(100)) * 3, type=pa.int64())
+    ds = rd.from_arrow(pa.table({"k": keys}))
+    out = ring_balance(ds, key_col="k", n_shards=4, vnodes=8)
+    assert out["n_rows"].dtype == np.int64
+    assert int(out["n_rows"].sum()) == 300
+    assert int(out["n_keys"].sum()) == 100
