@@ -111,46 +111,15 @@ def _stage_checkpoint(
     name: str,
     params: dict,
 ) -> rd.Dataset:
-    """Stage-boundary checkpoint for double-consumed intermediates.
+    """Stage-boundary checkpoint for double-consumed intermediates —
+    the shared ``state/checkpoint.py`` protocol (``mode=True`` →
+    in-memory materialize; ``mode="parquet"`` → durable atomic
+    rename-then-manifest checkpoint, making corpus_build resumable like
+    the extract CLI, VERDICT r3 #6).  Callers here always pin
+    (``mode`` is True or "parquet", never None)."""
+    from ..state.checkpoint import stage_checkpoint
 
-    ``mode=True`` → in-memory ``materialize()`` (single-job; object-store
-    resident, lost on driver crash).  ``mode="parquet"`` → DURABLE
-    checkpoint: the stage output is written once to
-    ``ckpt_dir/name/data`` (written to ``data.tmp`` and renamed, then a
-    ``_COMPLETE.json`` manifest with row count + the stage parameters is
-    committed last — the same atomic rename-then-manifest protocol as
-    ``state/manifest.py``).  A rerun that finds a manifest whose params
-    match READS the parquet instead of re-executing every upstream
-    shuffle — corpus_build becomes resumable like the extract CLI
-    (VERDICT r3 #6).  A params mismatch or missing manifest discards the
-    directory and recomputes."""
-    if mode != "parquet":
-        return ds.materialize()
-    import json
-    import os
-    import shutil
-
-    if not ckpt_dir:
-        raise ValueError("checkpoint='parquet' requires checkpoint_dir")
-    d = os.path.join(ckpt_dir, name)
-    data = os.path.join(d, "data")
-    marker = os.path.join(d, "_COMPLETE.json")
-    if os.path.isfile(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-        if meta.get("params") == params:
-            return rd.read_parquet(data)
-    shutil.rmtree(d, ignore_errors=True)
-    tmp = os.path.join(d, "data.tmp")
-    os.makedirs(tmp, exist_ok=True)
-    ds.write_parquet(tmp)
-    os.rename(tmp, data)
-    n = rd.read_parquet(data).count()  # parquet-metadata count, no scan
-    tmp_marker = marker + ".tmp"
-    with open(tmp_marker, "w") as f:
-        json.dump({"rows": n, "params": params}, f)
-    os.replace(tmp_marker, marker)
-    return rd.read_parquet(data)
+    return stage_checkpoint(ds, mode, ckpt_dir, name, params)
 
 
 def corpus_build(
