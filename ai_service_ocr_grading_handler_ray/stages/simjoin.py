@@ -359,6 +359,8 @@ def containment_join(
     vocab_cap: int = VOCAB_CAP,
     bucket_pair_cap: int = 200_000,
     num_parts: int = 64,
+    small_pair_limit: int = 250_000,
+    a_set_cap: int = 50_000_000,
 ) -> rd.Dataset:
     """ASYMMETRIC shingle containment self-join: all ordered pairs
     (a, b), a != b, with |S(a) ∩ S(b)| >= (num/den)·|S(a)| — "document
@@ -387,10 +389,24 @@ def containment_join(
       + full posting rows, coarse-partitioned on hash(h); in-partition
       pairing is a fully VECTORIZED group-expansion (no per-shingle
       Python loop);
+    - candidate generation applies the PPJoin+ length + positional
+      filters (Xiao et al. WWW 2008) on numpy before any Arrow
+      materialization: inter <= min(na, nb) kills pairs with
+      den·nb < num·na, and at the pair's first shared shingle
+      inter <= 1 + min(na-pos_a-1, nb-pos_b-1) (valid because no
+      earlier overlap exists there; completeness: the first common
+      shingle is always in a's prefix, so that meeting survives);
     - ONE (a)-hash slim pair dedup (a pair can meet in several shared
-      prefix shingles), fused with the cogroup that attaches a's set;
-    - ONE verify cogroup on hash(b): candidates (now carrying a's set)
-      meet b's profile; sorted searchsorted intersection per pair.
+      prefix shingles) — the TRUE pair count then picks the finish:
+    - ADAPTIVE finish (the minhash_lsh_edges broadcast-vs-shuffle
+      trade): pairs <= ``small_pair_limit`` AND a-side profile volume
+      <= ``a_set_cap`` → dedupe on the driver and verify via two
+      column-pruned scans of the materialized profile (gather a-sets
+      by distributed filter, then a map-side verify against the
+      broadcast pair table — zero further shuffles; this was ~2/3 of
+      q204's wall as cogroups).  Above either cap → the original
+      shuffled path: ONE attach cogroup on hash(a), ONE verify
+      cogroup on hash(b); every task stays bounded.
     Output: (a, b, inter:int64, na:int64, containment:float64/6).
     """
     from .collect import collect_tables
@@ -469,7 +485,12 @@ def containment_join(
     id_type = _column_type(prof, "id", pa.int64())
 
     # --- candidate stream: SLIM A-prefix rows + SLIM B-posting rows --------
-    def prefix_rows(t: pa.Table, _ref=df_ref) -> pa.Table:
+    # Both sides carry (n, pos) — the set size and the shingle's rank in
+    # the doc's global rarest-first (df, hash) order — so candidate
+    # generation can run the PPJoin+ length + positional filters
+    # (Xiao et al. WWW 2008) BEFORE the pair ever enters the dedup /
+    # attach / verify shuffles.
+    def _rank_rows(t: pa.Table, _ref, prefix_only: bool) -> pa.Table:
         hs_b, dfs_b = ray.get(_ref)
         sh = t["sh"].combine_chunks()
         flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -483,37 +504,37 @@ def containment_join(
                     "side": pa.array([], type=pa.int8()),
                     "id": pa.array([], type=t["id"].type),
                     "n": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int32()),
                 }
             )
         dfv = dfs_b[np.searchsorted(hs_b, flat)]
         seg = np.repeat(np.arange(len(n)), n)
         order = np.lexsort((flat, dfv, seg))
         pos = np.arange(len(flat)) - np.repeat(off[:-1], n)
-        p = n - ((num * n + den - 1) // den) + 1  # n - ceil(t*n) + 1
-        take = order[pos < np.repeat(p, n)]
+        if prefix_only:
+            p = n - ((num * n + den - 1) // den) + 1  # n - ceil(t*n) + 1
+            keep = pos < np.repeat(p, n)
+            take, pos_of = order[keep], pos[keep]
+            side_val = 0
+        else:
+            take, pos_of = order, pos
+            side_val = 1
         doc_of = seg[take]
         return pa.table(
             {
                 "h": pa.array(flat[take].view(np.int64)),
-                "side": pa.array(np.zeros(len(take), dtype=np.int8)),
+                "side": pa.array(np.full(len(take), side_val, dtype=np.int8)),
                 "id": t["id"].take(pa.array(doc_of, type=pa.int64())),
                 "n": pa.array(n[doc_of].astype(np.int64)),
+                "pos": pa.array(pos_of.astype(np.int32)),
             }
         )
 
-    def posting_rows(t: pa.Table) -> pa.Table:
-        sh = t["sh"].combine_chunks()
-        flat = sh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        n = t["n"].to_numpy(zero_copy_only=False)
-        seg = np.repeat(np.arange(len(n)), n)
-        return pa.table(
-            {
-                "h": pa.array(flat.view(np.int64)),
-                "side": pa.array(np.ones(len(flat), dtype=np.int8)),
-                "id": t["id"].take(pa.array(seg, type=pa.int64())),
-                "n": pa.array(np.zeros(len(flat), dtype=np.int64)),
-            }
-        )
+    def prefix_rows(t: pa.Table, _ref=df_ref) -> pa.Table:
+        return _rank_rows(t, _ref, prefix_only=True)
+
+    def posting_rows(t: pa.Table, _ref=df_ref) -> pa.Table:
+        return _rank_rows(t, _ref, prefix_only=False)
 
     stream = prof.map_batches(prefix_rows, batch_format="pyarrow").union(
         prof.map_batches(posting_rows, batch_format="pyarrow")
@@ -540,6 +561,9 @@ def containment_join(
         h, side = h[order], side[order]
         ids = g["id"].combine_chunks().take(pa.array(order, type=pa.int64()))
         ns = g["n"].to_numpy(zero_copy_only=False)[order]
+        poss = (
+            g["pos"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        )
         new = np.empty(len(h), dtype=bool)
         new[0] = True
         new[1:] = h[1:] != h[:-1]
@@ -568,6 +592,27 @@ def containment_join(
         cbg = cb[both][grp]
         ai = starts[both][grp] + within // cbg
         bi = starts[both][grp] + cp[both][grp] + within % cbg
+        # PPJoin+ pruning on numpy BEFORE any Arrow take: (1) length —
+        # inter <= min(na, nb), so den·nb >= num·na is necessary; (2)
+        # positional — at the pair's FIRST shared shingle in the global
+        # rarest-first order no earlier overlap exists, so inter <=
+        # 1 + min(na-pos_a-1, nb-pos_b-1); a pair pruned here at a
+        # NON-first meeting still survives at its first meeting
+        # (completeness), and the dedup keeps one copy either way.
+        na_v, pa_v = ns[ai], poss[ai]
+        nb_v, pb_v = ns[bi], poss[bi]
+        ub = 1 + np.minimum(na_v - pa_v - 1, nb_v - pb_v - 1)
+        keep_np = (den * nb_v >= num * na_v) & (den * ub >= num * na_v)
+        import os
+
+        if os.environ.get("SIMJOIN_DEBUG_COUNTS"):
+            print(
+                f"[simjoin-debug] grid_pairs={len(keep_np)} "
+                f"after_ppjoin_filters={int(keep_np.sum())}"
+            )
+        ai, bi, na_v = ai[keep_np], bi[keep_np], na_v[keep_np]
+        if not len(ai):
+            return empty()
         a_ids = ids.take(pa.array(ai, type=pa.int64()))
         b_ids = ids.take(pa.array(bi, type=pa.int64()))
         keep = pc.invert(pc.equal(a_ids, b_ids))
@@ -575,12 +620,12 @@ def containment_join(
             {
                 "a": a_ids,
                 "b": b_ids,
-                "na": pa.array(ns[ai].astype(np.int64)),
+                "na": pa.array(na_v.astype(np.int64)),
             }
         ).filter(keep)
         return out if out.num_rows else empty()
 
-    cand = (
+    cand_raw = (
         stream.map_batches(
             lambda t: add_key_partition(t, "h", num_parts=num_parts),
             batch_format="pyarrow",
@@ -588,6 +633,128 @@ def containment_join(
         .groupby("_part")
         .map_groups(gen_partition, batch_format="pyarrow")
     )
+
+    # slim distributed (a, b) pair dedup — a pair meets once per shared
+    # prefix shingle, so raw candidate rows overstate the pair count by
+    # the meeting multiplicity; the broadcast-vs-shuffle branch below
+    # must see TRUE pairs (one cheap hash(a) shuffle of 3 slim columns)
+    def dd_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["a", "b"], kind="mergesort").drop_duplicates(
+            ["a", "b"]
+        ).drop(columns=["_part"])
+
+    cand = (
+        cand_raw.map_batches(
+            lambda t: add_key_partition(t, "a", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(dd_pairs, batch_format="pandas")
+    ).materialize()
+
+    # --- adaptive finish (the minhash_lsh_edges broadcast-vs-shuffle
+    # trade): with few candidate rows, dedupe on the driver and verify
+    # via TWO column-pruned scans of the materialized profile — gather
+    # the a-side sets by distributed filter (pair-bounded driver dict),
+    # then verify map-side where b's profile streams past the broadcast
+    # pair table.  ZERO further shuffles (the 2 profile-carrying
+    # cogroups below were ~2/3 of q204's wall).  Above the limit, the
+    # shuffled cogroup path keeps every task bounded.
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=id_type),
+                    "b": pa.array([], type=id_type),
+                    "inter": pa.array([], type=pa.int64()),
+                    "na": pa.array([], type=pa.int64()),
+                    "containment": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    broadcast_ok = n_cand <= small_pair_limit
+    if broadcast_ok:
+        blocks = [b for b in collect_tables(cand, drop_empty=True)]
+        ptbl = pa.concat_tables([b.cast(blocks[0].schema) for b in blocks])
+        pdf = (
+            ptbl.select(["a", "b", "na"]).to_pandas()
+            .sort_values(["a", "b"], kind="mergesort")
+            .drop_duplicates(["a", "b"])
+        )
+        need_a = pa.array(sorted(set(pdf["a"])), type=id_type)
+
+        def gather_a(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.is_in(t["id"], value_set=need_a), False)
+            return t.select(["id", "sh"]).filter(mask)
+
+        a_sets: dict = {}
+        total_entries = 0
+        for blk in collect_tables(
+            prof.map_batches(gather_a, batch_format="pyarrow"),
+            drop_empty=True,
+        ):
+            ids_l = blk["id"].to_pylist()
+            sh_c = blk["sh"].combine_chunks()
+            for i, did in enumerate(ids_l):
+                arr = np.asarray(sh_c[i].values, dtype=np.uint64)
+                total_entries += len(arr)
+                a_sets[did] = arr
+        if total_entries > a_set_cap:
+            # the a-side profile broadcast would exceed the cap (very
+            # large probe documents) — fall back to the shuffled
+            # cogroup path, whose tasks stay bounded
+            print(
+                f"[simjoin] containment broadcast skipped: {total_entries} "
+                f"a-side shingles > a_set_cap={a_set_cap}; using the "
+                "shuffled verify path"
+            )
+            broadcast_ok = False
+    if broadcast_ok:
+        by_b: dict = {}
+        for a_v, b_v, na_v in zip(pdf["a"], pdf["b"], pdf["na"]):
+            by_b.setdefault(b_v, []).append((a_v, int(na_v)))
+        pair_ref = ray.put((a_sets, by_b))
+        need_b = pa.array(sorted(by_b), type=id_type)
+
+        def verify_scan(t: pa.Table, _ref=pair_ref) -> pa.Table:
+            from .collect import cached_ref
+
+            # dict-of-arrays broadcast: a bare ray.get re-pickles it per
+            # batch (measured ~6 s of the old q204 wall) — cache the
+            # deserialized view once per worker process
+            a_sets_b, by_b_b = cached_ref(_ref)
+            mask = pc.fill_null(pc.is_in(t["id"], value_set=need_b), False)
+            rows = t.filter(mask)
+            out_a, out_b, out_i, out_n = [], [], [], []
+            sh_c = rows["sh"].combine_chunks()
+            for i, b_v in enumerate(rows["id"].to_pylist()):
+                B = np.asarray(sh_c[i].values, dtype=np.uint64)
+                for a_v, na_i in by_b_b[b_v]:
+                    A = a_sets_b[a_v]
+                    pos = np.searchsorted(B, A)
+                    pos[pos == len(B)] = len(B) - 1
+                    inter = int((B[pos] == A).sum())
+                    if den * inter >= num * na_i:
+                        out_a.append(a_v)
+                        out_b.append(b_v)
+                        out_i.append(inter)
+                        out_n.append(na_i)
+            c = np.array(out_i, dtype=np.float64) / np.maximum(
+                np.array(out_n, dtype=np.float64), 1.0
+            )
+            c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+            return pa.table(
+                {
+                    "a": pa.array(out_a, type=id_type),
+                    "b": pa.array(out_b, type=id_type),
+                    "inter": pa.array(out_i, type=pa.int64()),
+                    "na": pa.array(out_n, type=pa.int64()),
+                    "containment": pa.array(c, type=pa.float64()),
+                }
+            )
+
+        return prof.map_batches(verify_scan, batch_format="pyarrow")
 
     # --- dedup (a, b) fused with attaching a's set (cogroup on a) ----------
     def cand_tag_a(t: pa.Table) -> pa.Table:
