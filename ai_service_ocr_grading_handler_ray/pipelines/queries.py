@@ -7299,6 +7299,38 @@ QUERIES = {
     "q09_distinct_segments": q09_distinct_segments,
 }
 
+# --- round-5 driver-window rotation (VERDICT r4 #3) ------------------------
+# The driver's CORRECTNESS window samples the FIRST 50 registry keys each
+# round; 106 entries (q112-q217) had never received a driver row after
+# rounds 1-4 (they ARE covered every session by tests/test_oracle_parity.py,
+# which replays all oracles at sf0.001 + sf0.01 — this rotation adds the
+# independent driver check, not new coverage).  Hoist the 50 oldest
+# never-sampled keys to the head; any round-5-new queries are prepended
+# above them as they are added.
+_R5_WINDOW_HEAD = [
+    "q112_url_near_dup", "q113_bigram_logprob", "q114_winsorize",
+    "q115_curriculum_order", "q116_snapshot_dedup", "q117_gopher_quality",
+    "q118_host_pagerank", "q119_bpe_tokenize", "q120_quality_classifier",
+    "q121_phash_image_dedup", "q122_multimodal_features", "q123_url_filter",
+    "q124_link_graph_pagerank", "q125_interval_join", "q126_chunk_documents",
+    "q127_robots_gate", "q128_connected_components", "q129_surt_cdx_dedup",
+    "q130_bm25_rank", "q131_weighted_sample", "q132_host_template_removal",
+    "q133_snapshot_diff", "q134_anchor_text", "q135_unicode_normalize",
+    "q136_sitemap_freshness", "q137_resolve_redirects", "q138_host_hits",
+    "q139_char_entropy", "q140_host_disjoint_split", "q141_inverted_index",
+    "q142_pmi_collocations", "q143_host_components", "q144_compression_ratio",
+    "q145_script_mix", "q146_crawl_frontier", "q147_registrable_domains",
+    "q148_quantize_embeddings", "q149_profile_events", "q150_funnel",
+    "q151_cohort_retention", "q152_triangle_clustering", "q153_resample_ffill",
+    "q154_rolling_window", "q155_similarity_join", "q156_crawl_depth",
+    "q157_user_trend", "q158_naive_bayes", "q159_markov_transitions",
+    "q160_rollup_lang_source", "q161_pareto_skyline",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_WINDOW_HEAD},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_WINDOW_HEAD)},
+}
+
 # The splitmix64-keyed oracles (q106/q107/q109) replay the engine's hash
 # via ONE generator — stages/shuffle.splitmix64_sql, itself
 # equivalence-tested against numpy bit-for-bit — instead of hand-copied
