@@ -170,3 +170,80 @@ def test_resumable_extract_warc_inputs(tmp_path):
     total = pads.dataset(out_dir + "/part=0000", format="parquet").count_rows()
     total += pads.dataset(out_dir + "/part=0001", format="parquet").count_rows()
     assert total == 100
+
+
+def test_worker_kill_midrun_retries_to_identical_output(tmp_path, sf_dir, monkeypatch):
+    """Failure injection (VERDICT r4 #5): a worker process dies MID-TASK
+    during extraction — Ray retries the failed block task and the manifest
+    protocol still commits byte-identical, no-duplicate output."""
+    files = _make_input(tmp_path, sf_dir)
+
+    ref_dir = str(tmp_path / "ref")
+    resumable_extract(files, ref_dir, partition_size=2)
+    ref = _digests(ref_dir)
+
+    # kill-once poison: the first worker to claim the marker dies hard
+    # mid-batch (os._exit skips all cleanup, like an OOM kill); the
+    # retried task finds the marker claimed and proceeds normally
+    marker = str(tmp_path / "kill-once")
+    with open(marker, "w") as f:
+        f.write("armed")
+
+    from ai_service_ocr_grading_handler_ray.stages import extract as extract_mod
+
+    orig = extract_mod.extract_batch_task
+
+    def killing_extract(batch, **kw):
+        try:
+            os.rename(marker, marker + ".claimed")  # atomic claim
+            os._exit(1)
+        except OSError:
+            pass  # already claimed -> normal path
+        return orig(batch, **kw)
+
+    monkeypatch.setattr(extract_mod, "extract_batch_task", killing_extract)
+    out_dir = str(tmp_path / "killed")
+    manifests = resumable_extract(files, out_dir, partition_size=2)
+    monkeypatch.undo()
+
+    assert os.path.exists(marker + ".claimed")  # the kill really fired
+    assert [m["partition_id"] for m in manifests] == [0, 1]
+    assert _digests(out_dir) == ref  # byte-identical, no dup/missing rows
+
+
+def test_actor_kill_midrun_retries_to_identical_output(tmp_path, sf_dir, monkeypatch):
+    """Same injection for the actor-pool path (compute='actors'): an
+    extract actor dies mid-batch; the pool restarts it and the retried
+    batch yields identical output."""
+    files = _make_input(tmp_path, sf_dir, n_files=2)
+
+    ref_dir = str(tmp_path / "ref_a")
+    resumable_extract(
+        files, ref_dir, partition_size=2, compute="actors", concurrency=(1, 2)
+    )
+    ref = _digests(ref_dir)
+
+    marker = str(tmp_path / "kill-once-actor")
+    with open(marker, "w") as f:
+        f.write("armed")
+
+    from ai_service_ocr_grading_handler_ray.pipelines import extract as pipe_mod
+
+    class KillingActor(pipe_mod.ExtractActor):
+        def __call__(self, batch):
+            try:
+                os.rename(marker, marker + ".claimed")
+                os._exit(1)
+            except OSError:
+                pass
+            return super().__call__(batch)
+
+    monkeypatch.setattr(pipe_mod, "ExtractActor", KillingActor)
+    out_dir = str(tmp_path / "killed_a")
+    resumable_extract(
+        files, out_dir, partition_size=2, compute="actors", concurrency=(1, 2)
+    )
+    monkeypatch.undo()
+
+    assert os.path.exists(marker + ".claimed")
+    assert _digests(out_dir) == ref
