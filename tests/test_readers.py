@@ -165,7 +165,7 @@ class TestWarcLite:
                 "html": pa.array([evil], type=pa.binary()),
             }
         )
-        urls, ts, payloads = parse_warc_records(pages_to_warc_bytes(t))
+        urls, ts, payloads, *_ = parse_warc_records(pages_to_warc_bytes(t))
         assert urls == ["https://e.example/x"] and payloads == [evil]
 
     def test_warc_feeds_extraction(self, tmp_path):
@@ -179,5 +179,110 @@ class TestWarcLite:
 
         (tmp_path / "c.warc.gz").write_bytes(pages_to_warc_bytes(self._pages()))
         out = extract_pages(read_warc(str(tmp_path / "c.warc.gz"))).to_pandas()
+        assert len(out) == 40
+        assert (out["status"] == "ok").sum() > 30
+
+
+class TestFullWarcFraming:
+    """Full WARC framing (VERDICT r4 #6): a spec-shaped segment —
+    warcinfo + request + HTTP-wrapped response records, the layout of a
+    real Common-Crawl segment — round-trips into the pages schema and
+    feeds extraction green."""
+
+    def _pages(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ai_service_ocr_grading_handler_ray.synth import docs_to_pages
+
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        return docs_to_pages(docs).slice(0, 40)
+
+    def test_full_segment_roundtrip(self):
+        import pyarrow.compute as pc
+
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            pages_to_full_warc_bytes,
+            parse_warc_records,
+        )
+
+        pages = self._pages()
+        blob = pages_to_full_warc_bytes(pages, chunked_every=3)
+        urls, ts, payloads, rtypes, statuses, mimes = parse_warc_records(blob)
+        # warcinfo + request records skipped; one page per response
+        assert len(urls) == pages.num_rows
+        assert urls == pages["url"].to_pylist()
+        assert all(r == "response" for r in rtypes)
+        assert all(s == 200 for s in statuses)
+        assert all(m == "text/html" for m in mimes)
+        # HTTP envelope stripped and chunked bodies de-chunked:
+        # byte-identical page payloads
+        want = [p or b"" for p in pages["html"].to_pylist()]
+        assert payloads == want
+        want_ts = (
+            pages["warc_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64").tolist()
+        )
+        assert ts == want_ts
+
+    def test_warc11_fractional_date_and_conversion_records(self):
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            parse_warc_records,
+        )
+
+        payload = b"extracted text body"
+        rec = (
+            b"WARC/1.1\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: https://w.example/a\r\n"
+            b"WARC-Date: 2017-10-24T12:00:00.123456Z\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload)
+        ) + payload + b"\r\n\r\n"
+        urls, ts, payloads, rtypes, statuses, mimes = parse_warc_records(rec)
+        assert urls == ["https://w.example/a"]
+        assert payloads == [payload]
+        assert rtypes == ["conversion"] and mimes == ["text/plain"]
+        assert ts[0] % 1_000_000 == 123456
+
+    def test_non_page_records_skipped(self):
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            parse_warc_records,
+        )
+
+        def rec(rtype, payload=b"x"):
+            return (
+                b"WARC/1.0\r\nWARC-Type: " + rtype.encode() + b"\r\n"
+                b"WARC-Target-URI: https://s.example/\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(payload)
+            ) + payload + b"\r\n\r\n"
+
+        blob = b"".join(
+            rec(t) for t in
+            ("warcinfo", "request", "metadata", "revisit", "resource")
+        )
+        urls, ts, payloads, rtypes, *_ = parse_warc_records(blob)
+        assert rtypes == ["resource"]  # only the page-bearing one
+
+    def test_full_segment_feeds_extraction(self, tmp_path, ray_session):
+        from ai_service_ocr_grading_handler_ray.pipelines.extract import (
+            extract_pages,
+        )
+        from ai_service_ocr_grading_handler_ray.sources.warc import (
+            pages_to_full_warc_bytes,
+            read_warc,
+        )
+
+        (tmp_path / "full.warc.gz").write_bytes(
+            pages_to_full_warc_bytes(self._pages(), chunked_every=4)
+        )
+        ds = read_warc(str(tmp_path / "full.warc.gz"), with_meta=True)
+        df = ds.to_pandas()
+        assert set(df["record_type"]) == {"response"}
+        assert (df["http_status"] == 200).all()
+        out = extract_pages(
+            read_warc(str(tmp_path / "full.warc.gz"))
+        ).to_pandas()
         assert len(out) == 40
         assert (out["status"] == "ok").sum() > 30
