@@ -214,6 +214,48 @@ BENCH_QUERIES = [
 ]
 
 
+def _stage_stats(result) -> list[dict]:
+    """Per-operator breakdown from Ray Data's structured stats summary
+    (VERDICT r4 #7): walks the summary DAG (parents first) and returns
+    one row per operator — task-wall-seconds summed across tasks plus
+    output rows — so a round-over-round regression localizes to a stage
+    without rerunning it in isolation.  Empty for non-Dataset results
+    (driver-side DataFrames carry no stage plan)."""
+    import ray.data as rd
+
+    if not isinstance(result, rd.Dataset):
+        return []
+    try:
+        # a written dataset records its executed plan on _write_ds
+        # (Dataset.stats() does the same dance)
+        src = getattr(result, "_write_ds", None) or result
+        summary = src._get_stats_summary()
+    except Exception:
+        return []
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(s) -> None:
+        if id(s) in seen:
+            return
+        seen.add(id(s))
+        for p in getattr(s, "parents", None) or []:
+            walk(p)
+        for op in getattr(s, "operators_stats", None) or []:
+            wall = getattr(op, "wall_time", None) or {}
+            rows = getattr(op, "output_num_rows", None) or {}
+            out.append(
+                {
+                    "operator": op.operator_name,
+                    "task_wall_sum_s": round(float(wall.get("sum", 0.0)), 3),
+                    "rows": int(rows.get("sum", 0)) if rows else 0,
+                }
+            )
+
+    walk(summary)
+    return out
+
+
 def _consume(result) -> int:
     """Force execution; return row count."""
     import pandas as pd
@@ -307,6 +349,7 @@ def run_headline() -> tuple[float, int, dict]:
 
     times: list[float] = []
     n_docs = 0
+    stages: list[dict] = []
     for _ in range(REPS):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -316,13 +359,14 @@ def run_headline() -> tuple[float, int, dict]:
         result = extract_pages(pages, batch_size=128)
         result.write_parquet(out_dir)
         times.append(time.perf_counter() - t0)
+        stages = _stage_stats(result) or stages
 
         import pyarrow.dataset as pads
 
         n_docs = pads.dataset(out_dir, format="parquet").count_rows()
         shutil.rmtree(out_dir, ignore_errors=True)
     spread = {"min": round(min(times), 3), "max": round(max(times), 3),
-              "runs": [round(t, 3) for t in times]}
+              "runs": [round(t, 3) for t in times], "stages": stages}
     return _median(times), n_docs, spread
 
 
@@ -337,14 +381,24 @@ def run_queries() -> tuple[dict[str, float], dict[str, dict]]:
 
     out: dict[str, float] = {}
     spread: dict[str, dict] = {}
+    last_result: dict[str, object] = {}
     for name in BENCH_QUERIES:
         ts: list[float] = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            _consume(QUERIES[name](SF_DIR))
+            res = QUERIES[name](SF_DIR)
+            _consume(res)
             ts.append(time.perf_counter() - t0)
         out[name] = round(_median(ts), 3)
         spread[name] = {"min": round(min(ts), 3), "max": round(max(ts), 3)}
+        last_result[name] = res
+    # per-stage breakdown for the 10 most expensive entries (VERDICT r4
+    # #7) — from the already-executed final rep, no rerun
+    top10 = sorted(out, key=out.get, reverse=True)[:10]
+    for name in top10:
+        st = _stage_stats(last_result[name])
+        if st:
+            spread[name]["stages"] = st
     return out, spread
 
 
