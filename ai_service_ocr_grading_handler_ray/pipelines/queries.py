@@ -10247,3 +10247,109 @@ ORACLE_SQL["q175_rrf_fusion"] = f"""
                        ELSE 0.0 END), 6) AS rrf
     FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
 """
+
+
+# --- round-5 additions (q268-q271) -----------------------------------------
+
+
+def q268_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Pairwise association rules over per-user event-type sets
+    (stages/itemsets.association_rules): support / confidence / lift
+    for every x→y with ≥2 supporting baskets — the market-basket
+    co-occurrence screen ("users who search also purchase").  Exact
+    int64 basket counts; confidence then lift divide in the same order
+    on both engines.  Scale shape: ONE (basket, item) distinct groupby,
+    per-basket pair expansion inside a coarse basket-hash cogroup, ONE
+    item²-bounded support groupby, driver rule fold (loud cap).
+    Oracle: GENERATED by association_rules_sql."""
+    from ..stages.itemsets import association_rules
+
+    return association_rules(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        basket_col="user_id", item_col="event_type", min_support=2,
+    )
+
+
+def q269_fd_audit(sf_dir: str) -> pd.DataFrame:
+    """Approximate-functional-dependency audit source → lang
+    (stages/profile.fd_audit): per-source majority-language fold giving
+    exact-group count and the g3 violation rows (min deletions for the
+    FD to hold) — the "is this column safe as a partition key?" profile
+    check.  Scale shape: per-batch (det, dep) Arrow count partials, ONE
+    tiny grid groupby, coarse det-hash cogroup, one-row driver fold.
+    Oracle: GENERATED by fd_audit_sql."""
+    from ..stages.profile import fd_audit
+
+    return fd_audit(
+        _read(sf_dir, "documents", ["source", "lang"]),
+        det_col="source", dep_col="lang",
+    )
+
+
+def q270_binned_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Mergeable fixed-bin quantile sketch over event values
+    (stages/histogram.binned_quantiles): p50/p90/p99 with value error
+    ≤ one bin width — the one-pass-mergeable scale path next to the
+    exact refinement quantiles (q193), deterministic and SQL-replayable
+    where t-digest/KLL are not.  Scale shape: two shuffle-free scans
+    (min/max partials, then 512 int64 bin counts folded on the
+    driver).  Oracle: GENERATED by binned_quantiles_sql (identical
+    bucket formula and interpolation order)."""
+    from ..stages.histogram import binned_quantiles
+
+    return binned_quantiles(
+        _read(sf_dir, "events", ["value"]),
+        value_col="value", qs=(0.5, 0.9, 0.99), n_bins=512,
+    )
+
+
+def q271_kcenter_coreset(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset over the embeddings table
+    (stages/clustering.kcenter_coreset): 8 maximally-diverse vectors
+    (Gonzalez 2-approximation), deterministic seed = min id, ties to
+    the smaller id — the diversity sample / cluster seeding primitive.
+    Scale shape: k shuffle-free argmax scans with the (k × d) centers
+    matrix broadcast per round; one row per batch reaches the driver.
+    Iterative — no SQL oracle (rows-only driver check); invariants are
+    pytest-verified (tests/test_itemsets_fd_quantiles.py)."""
+    from ..stages.clustering import kcenter_coreset
+
+    out = kcenter_coreset(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        id_col="vec_id", vec_col="embedding", k=8,
+    )
+    out["id"] = out["id"].astype(np.int64)
+    out["radius_before"] = np.round(out["radius_before"], 6)
+    return out
+
+
+QUERIES["q268_assoc_rules"] = q268_assoc_rules
+QUERIES["q269_fd_audit"] = q269_fd_audit
+QUERIES["q270_binned_quantiles"] = q270_binned_quantiles
+QUERIES["q271_kcenter_coreset"] = q271_kcenter_coreset
+
+from ..stages.itemsets import association_rules_sql as _assoc_sql
+from ..stages.profile import fd_audit_sql as _fd_sql
+from ..stages.histogram import binned_quantiles_sql as _bq_sql
+
+ORACLE_SQL["q268_assoc_rules"] = _assoc_sql(
+    table="events", basket_col="user_id", item_col="event_type",
+    min_support=2,
+)
+ORACLE_SQL["q269_fd_audit"] = _fd_sql(
+    table="documents", det_col="source", dep_col="lang"
+)
+ORACLE_SQL["q270_binned_quantiles"] = _bq_sql(
+    table="events", value_col="value", qs=(0.5, 0.9, 0.99), n_bins=512
+)
+
+# round-5-new entries lead the driver window, ahead of the hoisted
+# never-sampled block (VERDICT r4 #3: "interleave ... with new ones")
+_R5_NEW = [
+    "q268_assoc_rules", "q269_fd_audit", "q270_binned_quantiles",
+    "q271_kcenter_coreset",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_NEW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_NEW)},
+}

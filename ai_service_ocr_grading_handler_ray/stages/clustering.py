@@ -32,6 +32,7 @@ order across blocks (pinned by sorting partial rows before the fold).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -240,3 +241,114 @@ def cluster_prune(
         return t.filter(pa.array(keep)).drop_columns(["_d2"])
 
     return slim.map_batches(filt, batch_format="pyarrow")
+
+
+def kcenter_coreset(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> pd.DataFrame:
+    """Greedy k-center coreset (Gonzalez's 2-approximation of the
+    k-center cover): pick the min-id vector, then k−1 times the point
+    FARTHEST from its nearest already-picked center — the
+    maximally-diverse deterministic sample a curation pipeline uses to
+    seed clustering or to spot-check corpus coverage.  The final
+    ``radius`` is the corpus' covering radius under the selection (every
+    point lies within ``radius`` of some center — at most 2× the
+    optimal k-center radius).
+
+    Scale shape: the centers matrix (k × d) lives on the driver and is
+    broadcast per round via ``ray.put``; each of the k rounds is ONE
+    shuffle-free scan of per-batch argmax partials (one row per batch
+    leaves each task).  Euclidean on raw vectors.  Ties (equal max
+    distance) break to the smaller id, so the selection is layout- and
+    cluster-size-independent.  Iterative → no SQL oracle (driver
+    records the rows-only check); invariants are pytest-verified.
+
+    Output: one row per center in pick order — (rank:int64, id,
+    radius_before:f64 — distance of this pick from the previous
+    centers; the NEXT round's covering radius) with radius_before = 0
+    for the seed."""
+    import ray as _ray
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], type=t[id_col].type),
+                             vec_col: t[vec_col].slice(0, 0)})
+        j = int(np.argmin(ids))
+        return t.select([id_col, vec_col]).take(pa.array([j]))
+
+    tbls = collect_tables(
+        ds.map_batches(seed_partial, batch_format="pyarrow"), drop_empty=True
+    )
+    if not tbls:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype=np.int64),
+             "id": pd.Series([], dtype=object),
+             "radius_before": pd.Series([], dtype=np.float64)}
+        )
+    merged = pa.concat_tables([t.cast(tbls[0].schema) for t in tbls])
+    ids0 = merged[id_col].to_numpy(zero_copy_only=False)
+    j0 = int(np.argmin(ids0))
+    centers = [_as_matrix(merged[vec_col])[j0]]
+    picked = [(0, ids0[j0], 0.0)]
+
+    for r in range(1, k):
+        C = np.asarray(centers, dtype=np.float64)
+        ref = _ray.put(C)
+
+        def far_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            from .collect import cached_ref
+
+            Cm = cached_ref(_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            if not len(ids):
+                return pa.table(
+                    {"id": pa.array([], type=t[id_col].type),
+                     "d": pa.array([], type=pa.float64())}
+                )
+            V = _as_matrix(t[vec_col])
+            # ||v-c||^2 via the gram trick, min over centers
+            d2 = (
+                (V * V).sum(axis=1)[:, None]
+                - 2.0 * (V @ Cm.T)
+                + (Cm * Cm).sum(axis=1)[None, :]
+            ).min(axis=1)
+            # farthest point, tie -> smaller id (stable selection)
+            order = np.lexsort((ids, -d2))
+            j = order[0]
+            return pa.table({"id": pa.array([ids[j]], type=t[id_col].type),
+                             "d": pa.array([float(d2[j])])})
+
+        best_id, best_d = None, -1.0
+        for t in collect_tables(
+            ds.map_batches(far_partial, batch_format="pyarrow"),
+            drop_empty=True,
+        ):
+            for i_, d_ in zip(t["id"].to_pylist(), t["d"].to_pylist()):
+                if d_ > best_d or (d_ == best_d and (best_id is None or i_ < best_id)):
+                    best_id, best_d = i_, d_
+        if best_id is None or best_d <= 0.0:
+            break  # fewer distinct points than k
+        row = None
+        # fetch the chosen vector (pair-bounded filter scan)
+        def grab(t: pa.Table, _want=best_id) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.select([id_col, vec_col]).filter(
+                pc.equal(t[id_col], pa.scalar(_want))
+            )
+
+        gt = collect_tables(
+            ds.map_batches(grab, batch_format="pyarrow"), drop_empty=True
+        )
+        vec = _as_matrix(pa.concat_tables(gt)[vec_col])[0]
+        centers.append(vec)
+        picked.append((r, best_id, float(np.sqrt(best_d))))
+
+    out = pd.DataFrame(picked, columns=["rank", "id", "radius_before"])
+    out["rank"] = out["rank"].astype(np.int64)
+    return out

@@ -860,3 +860,126 @@ def independence_sql(
                      END, {round_to}) AS cramers_v
         FROM cells
     """
+
+
+def fd_audit(
+    ds: rd.Dataset,
+    *,
+    det_col: str,
+    dep_col: str,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Approximate-functional-dependency audit det_col → dep_col (the
+    data-profiling FD check, Huhtala et al.'s TANE framing reduced to
+    one candidate): for each determinant value, the dependency holds
+    exactly iff all its rows share ONE dependent value; the g3-style
+    violation count is rows − the majority dependent's count, i.e. the
+    minimum number of rows to delete for the FD to hold.  The
+    "is url→host stable / source→lang clean?" screen run before a
+    column is trusted as a partition or join key.  Null rows in either
+    column drop on both engines.
+
+    Scale shape: per-batch (det, dep) Arrow count partials (grid-sized
+    rows leave each task), ONE (det, dep) groupby, then a coarse
+    det-hash cogroup folds per-determinant majorities — the driver sees
+    ONE row.  Output: (n_groups:int64, exact_groups:int64,
+    n_rows:int64, violation_rows:int64, violation_share:f64 rounded —
+    NaN on empty input).  SQL replay GENERATED by :func:`fd_audit_sql`."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .collect import collect_tables
+    from .dedup import add_key_partition
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"det": t[det_col], "dep": t[dep_col]}).drop_null()
+        return t2.group_by(["det", "dep"]).aggregate([([], "count_all")])
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["det", "dep"])
+        .aggregate(_Sum("count_all", alias_name="n"))
+    )
+
+    def fold_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"groups": pd.Series([], dtype=np.int64),
+                 "exact": pd.Series([], dtype=np.int64),
+                 "rows": pd.Series([], dtype=np.int64),
+                 "viol": pd.Series([], dtype=np.int64)}
+            )
+        agg = g.groupby("det", sort=False)["n"].agg(["sum", "max", "count"])
+        return pd.DataFrame(
+            {
+                "groups": [np.int64(len(agg))],
+                "exact": [np.int64((agg["count"] == 1).sum())],
+                "rows": [np.int64(agg["sum"].sum())],
+                "viol": [np.int64((agg["sum"] - agg["max"]).sum())],
+            }
+        )
+
+    groups = exact = rows = viol = 0
+    for t in collect_tables(
+        grid.map_batches(
+            lambda t: add_key_partition(t, "det", num_parts=32),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(fold_partition, batch_format="pandas"),
+        drop_empty=True,
+    ):
+        for g_, e_, r_, v_ in zip(
+            t["groups"].to_pylist(), t["exact"].to_pylist(),
+            t["rows"].to_pylist(), t["viol"].to_pylist(),
+        ):
+            groups += g_
+            exact += e_
+            rows += r_
+            viol += v_
+    share = (
+        round_half_away(np.array([viol / rows]), round_to)[0]
+        if rows
+        else np.nan
+    )
+    return pd.DataFrame(
+        {
+            "n_groups": pd.Series([groups], dtype=np.int64),
+            "exact_groups": pd.Series([exact], dtype=np.int64),
+            "n_rows": pd.Series([rows], dtype=np.int64),
+            "violation_rows": pd.Series([viol], dtype=np.int64),
+            "violation_share": pd.Series([share], dtype=np.float64),
+        }
+    )
+
+
+def fd_audit_sql(
+    *,
+    table: str,
+    det_col: str,
+    dep_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`fd_audit` (single-generator): identical
+    null handling, majority fold, division order."""
+    return f"""
+        WITH c AS (
+            SELECT {det_col} AS det, {dep_col} AS dep, count(*) AS n
+            FROM {table}
+            WHERE {det_col} IS NOT NULL AND {dep_col} IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT det, sum(n) AS rows, count(*) AS k, max(n) AS maj
+            FROM c GROUP BY det
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(coalesce(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS exact_groups,
+               CAST(coalesce(sum(rows), 0) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(rows - maj), 0) AS BIGINT)
+                   AS violation_rows,
+               round(sum(rows - maj) * 1.0 / sum(rows), {round_to})
+                   AS violation_share
+        FROM g
+    """

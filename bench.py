@@ -211,6 +211,10 @@ BENCH_QUERIES = [
     "q265_centroid_cosines",
     "q266_rendezvous",
     "q267_content_survival",
+    "q268_assoc_rules",
+    "q269_fd_audit",
+    "q270_binned_quantiles",
+    "q271_kcenter_coreset",
 ]
 
 
