@@ -10353,3 +10353,87 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R5_NEW},
     **{k: v for k, v in QUERIES.items() if k not in set(_R5_NEW)},
 }
+
+
+def q272_golden_record(sf_dir: str) -> rd.Dataset:
+    """Survivorship merge per user (sequence.golden_record): one golden
+    row per user_id with each column's most recent non-null value by
+    (ts, event_id) plus n_versions — the MDM field-wise-latest rule a
+    CDC consumer applies when consolidating entity versions.  ONE
+    coarse user-hash cogroup, vectorized segmented ffill inside.
+    Oracle: GENERATED by golden_record_sql (arg_max FILTER per
+    column)."""
+    from ..stages.sequence import golden_record
+
+    return golden_record(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type", "value"]),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_cols=["event_type", "value"],
+    )
+
+
+def q273_dow_seasonality(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonal profile of daily event-value totals
+    (trend.dow_seasonality): seasonal mean + residual RMS per weekday
+    (DuckDB dayofweek convention) — the STL-lite screen run before
+    alerting on a daily series.  Per-batch day partials, ONE day-keyed
+    groupby, ≤7-row driver fold.  Oracle: GENERATED by
+    dow_seasonality_sql."""
+    from ..stages.trend import dow_seasonality
+
+    return dow_seasonality(
+        _read(sf_dir, "events", ["ts", "value"]),
+        ts_col="ts", value_col="value",
+    )
+
+
+def q274_pca_project(sf_dir: str) -> rd.Dataset:
+    """Distributed PCA (linalg.pca_fit + pca_project): population
+    covariance from one moment scan, top-4 eigenvectors
+    (sign-normalized: largest-|coefficient| entry positive — the
+    deterministic convention), then a shuffle-free broadcast projection
+    appending ``pca`` (list<double>, rounded) per vector.  Iterative
+    linear algebra (eigh) → no SQL oracle; orthonormality /
+    reconstruction invariants in tests/test_golden_dow_pca.py."""
+    from ..stages.linalg import pca_fit, pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mu, comps = pca_fit(ds, 4, vec_col="embedding")
+    out = pca_project(ds, mu, comps, vec_col="embedding",
+                      keep_cols=["vec_id"])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        p = t["pca"].combine_chunks()
+        vals = np.round(
+            p.flatten().to_numpy(zero_copy_only=False).astype(np.float64), 6
+        )
+        off = p.offsets
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "pca": pa.ListArray.from_arrays(off, pa.array(vals))}
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["q272_golden_record"] = q272_golden_record
+QUERIES["q273_dow_seasonality"] = q273_dow_seasonality
+QUERIES["q274_pca_project"] = q274_pca_project
+
+from ..stages.sequence import golden_record_sql as _golden_sql
+from ..stages.trend import dow_seasonality_sql as _dow_sql
+
+ORACLE_SQL["q272_golden_record"] = _golden_sql(
+    table="events", key_col="user_id", ts_col="ts", id_col="event_id",
+    value_cols=["event_type", "value"],
+)
+ORACLE_SQL["q273_dow_seasonality"] = _dow_sql(
+    table="events", ts_col="ts", value_col="value"
+)
+
+_R5_NEW_B = ["q272_golden_record", "q273_dow_seasonality", "q274_pca_project"]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_NEW_B},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_NEW_B)},
+}

@@ -1506,3 +1506,120 @@ def kendall_sql(
                      {round_to}) AS tau_b
         FROM nn, cd, t1, t2
     """
+
+
+def dow_seasonality(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Day-of-week seasonal profile of the daily value total — the
+    seasonal component of an STL-lite decomposition (seasonal mean per
+    weekday + residual RMS around it), the "is Sunday traffic really
+    down or just seasonal?" screen before alerting on a daily series.
+
+    dow follows DuckDB's ``dayofweek`` (0 = Sunday … 6 = Saturday;
+    epoch day 0, 1970-01-01, was a Thursday → dow 4).  Null ts/value
+    rows drop on both engines.  mean = Σ/n then RMS =
+    sqrt(Σ(x−mean)²/n) divide in that order on both engines; the
+    cross-day float fold-order drift is absorbed by round-6.
+
+    Scale shape: per-batch (day, Σvalue) Arrow partials, ONE tiny
+    day-keyed groupby (the series' day count bounds it), a ≤7-row
+    driver fold.  Output: (dow:int64, n_days:int64, seasonal_mean:f64,
+    residual_rms:f64), dow-ascending.  SQL replay GENERATED by
+    :func:`dow_seasonality_sql`."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .collect import collect_tables
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"ts": t[ts_col], "v": t[value_col]}).drop_null()
+        if not len(t2):
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        days = (
+            t2["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        v = t2["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        code, uniq = pd.factorize(days, sort=True)
+        s = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(s, code, v)
+        return pa.table({"day": pa.array(uniq), "s": pa.array(s)})
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("s", alias_name="v"))
+    )
+    parts = [t for t in collect_tables(daily, drop_empty=True)]
+    empty = pd.DataFrame(
+        {"dow": pd.Series([], dtype=np.int64),
+         "n_days": pd.Series([], dtype=np.int64),
+         "seasonal_mean": pd.Series([], dtype=np.float64),
+         "residual_rms": pd.Series([], dtype=np.float64)}
+    )
+    if not parts:
+        return empty
+    tbl = pa.concat_tables([p.cast(parts[0].schema) for p in parts])
+    days = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(days, kind="stable")  # deterministic fold order
+    days, v = days[order], v[order]
+    dow = (days + 4) % 7  # epoch day 0 = Thursday = DuckDB dayofweek 4
+    rows = []
+    for d in sorted(set(dow.tolist())):
+        m = dow == d
+        n = int(m.sum())
+        mean = float(v[m].sum()) / n
+        rms = float(np.sqrt(((v[m] - mean) ** 2).sum() / n))
+        rows.append((d, n, mean, rms))
+    out = pd.DataFrame(
+        rows, columns=["dow", "n_days", "seasonal_mean", "residual_rms"]
+    )
+    out["dow"] = out["dow"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out["seasonal_mean"] = round_half_away(
+        out["seasonal_mean"].to_numpy(np.float64), round_to
+    )
+    out["residual_rms"] = round_half_away(
+        out["residual_rms"].to_numpy(np.float64), round_to
+    )
+    return out
+
+
+def dow_seasonality_sql(
+    *,
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`dow_seasonality` (single-generator):
+    identical day bucketing, dow convention, division order."""
+    return f"""
+        WITH daily AS (
+            SELECT CAST({ts_col} AS DATE) AS d, sum({value_col}) AS v
+            FROM {table}
+            WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+            GROUP BY d
+        ),
+        m AS (
+            SELECT dayofweek(d) AS dow, count(*) AS n_days,
+                   sum(v) / count(*) AS mean_v
+            FROM daily GROUP BY 1
+        )
+        SELECT CAST(m.dow AS BIGINT) AS dow,
+               CAST(m.n_days AS BIGINT) AS n_days,
+               round(m.mean_v, {round_to}) AS seasonal_mean,
+               round(sqrt(sum((daily.v - m.mean_v) * (daily.v - m.mean_v))
+                          / m.n_days), {round_to}) AS residual_rms
+        FROM daily
+        JOIN m ON dayofweek(daily.d) = m.dow
+        GROUP BY m.dow, m.n_days, m.mean_v
+        ORDER BY dow
+    """

@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "q269_fd_audit",
     "q270_binned_quantiles",
     "q271_kcenter_coreset",
+    "q272_golden_record",
+    "q273_dow_seasonality",
+    "q274_pca_project",
 ]
 
 
