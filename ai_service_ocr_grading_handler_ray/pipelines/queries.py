@@ -10437,3 +10437,78 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R5_NEW_B},
     **{k: v for k, v in QUERIES.items() if k not in set(_R5_NEW_B)},
 }
+
+
+def q275_ref_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit events.user_id → customer.c_custkey
+    (stages/profile.ref_integrity): orphan rows, distinct missing keys,
+    orphan share — the cross-table data-quality gate before a join key
+    is trusted (the synthetic events deliberately reference users
+    beyond the customer table, so the audit is non-trivial).  Parent
+    keys fold through ONE groupby and broadcast once; one child scan
+    with per-batch orphan partials.  Oracle: GENERATED by
+    ref_integrity_sql (LEFT JOIN orphan count)."""
+    from ..stages.profile import ref_integrity
+
+    return ref_integrity(
+        _read(sf_dir, "events", ["user_id"]),
+        _read(sf_dir, "customer", ["c_custkey"]),
+        fk_col="user_id", pk_col="c_custkey",
+    )
+
+
+def q276_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup audit over document texts
+    (stages/cdc.cdc_chunk_stats): gear-hash CDC cut points (64-byte
+    window, mask 2^-8, 64..1024-byte chunks for these short docs) →
+    chunk-store dedup ratio = 1 − distinct/total bytes — the storage
+    saving a content-addressed chunk store would realize.  Rolling
+    hash → no SQL oracle (rows-only); boundary determinism /
+    shift-resync invariants in tests/test_cdc.py.  Payload bytes never
+    outlive their task; only slim (hash, size) rows shuffle."""
+    from ..stages.cdc import cdc_chunk_stats
+
+    return cdc_chunk_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        payload_col="text", id_col="doc_id",
+        mask_bits=8, min_size=64, max_size=1024,
+    )
+
+
+def q277_stratified_split(sf_dir: str) -> rd.Dataset:
+    """Stratified split with EXACT per-stratum quotas over documents by
+    lang (stages/sampling.stratified_exact_split): within every lang,
+    rank by splitmix64(doc_id) and take exactly ceil(4n/5) for train —
+    the evaluation-design guarantee hash-threshold splits only meet in
+    expectation.  ONE stratum-hash cogroup, vectorized multi-stratum
+    rank inside.  Oracle: GENERATED by stratified_exact_split_sql
+    (row_number over the identical splitmix64 order)."""
+    from ..stages.sampling import stratified_exact_split
+
+    return stratified_exact_split(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        id_col="doc_id", stratum_col="lang", train_frac=(4, 5),
+    )
+
+
+QUERIES["q275_ref_integrity"] = q275_ref_integrity
+QUERIES["q276_cdc_chunks"] = q276_cdc_chunks
+QUERIES["q277_stratified_split"] = q277_stratified_split
+
+from ..stages.profile import ref_integrity_sql as _ri_sql
+from ..stages.sampling import stratified_exact_split_sql as _ses_sql
+
+ORACLE_SQL["q275_ref_integrity"] = _ri_sql(
+    child_table="events", parent_table="customer",
+    fk_col="user_id", pk_col="c_custkey",
+)
+ORACLE_SQL["q277_stratified_split"] = _ses_sql(
+    table="documents", id_col="doc_id", stratum_col="lang",
+    train_frac=(4, 5), columns=("doc_id", "lang"),
+)
+
+_R5_NEW_C = ["q275_ref_integrity", "q276_cdc_chunks", "q277_stratified_split"]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_NEW_C},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_NEW_C)},
+}

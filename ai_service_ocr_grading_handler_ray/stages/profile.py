@@ -983,3 +983,146 @@ def fd_audit_sql(
                    AS violation_share
         FROM g
     """
+
+
+def ref_integrity(
+    child: rd.Dataset,
+    parent: rd.Dataset,
+    *,
+    fk_col: str,
+    pk_col: str,
+    round_to: int = 6,
+    broadcast_cap: int = 50_000_000,
+) -> pd.DataFrame:
+    """Referential-integrity audit child.fk → parent.pk: orphan rows
+    (child rows whose non-null fk has no parent), distinct missing
+    keys, orphan share — the cross-table data-quality gate run before a
+    join key is trusted.  Null fks are NOT orphans (SQL semantics: a
+    null fk matches nothing but is vacuously "not broken"); they are
+    counted separately.
+
+    Scale shape: parent's distinct key set folds through ONE groupby
+    and broadcasts once via ``ray.put`` (loud ``broadcast_cap``; for
+    parents too big to broadcast, run ``sketches.bloom_anti_join`` on
+    the child and aggregate its output instead — same answer, Bloom
+    path).  One scan of child computes per-batch orphan partials; the
+    distinct missing keys fold through a missing-key groupby bounded by
+    the orphan key vocabulary.  Output: ONE row (n_child:int64,
+    n_null_fk:int64, n_orphan_rows:int64, n_missing_keys:int64,
+    orphan_share:f64 — orphans / non-null-fk rows, NaN when none).
+    SQL replay GENERATED by :func:`ref_integrity_sql`."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from .collect import cached_ref, collect_tables
+    from .selection import round_half_away
+
+    pk = parent.select_columns([pk_col]).groupby(pk_col).aggregate(
+        _Count(alias_name="_c")
+    )
+    keys: list = []
+    for t in collect_tables(pk, drop_empty=True):
+        keys.extend(t[pk_col].drop_null().to_pylist())
+        if len(keys) > broadcast_cap:
+            raise ValueError(
+                f"ref_integrity: parent key set exceeds broadcast_cap="
+                f"{broadcast_cap}; use sketches.bloom_anti_join for the "
+                "orphan rows and aggregate its output"
+            )
+    key_arr = pa.array(sorted(keys))
+    ref = _ray.put(key_arr)
+
+    # one scan emitting a tagged union: a counts row + the batch's
+    # distinct missing keys (null-n rows)
+    def scan(t: pa.Table, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = cached_ref(_ref)
+        fk = t[fk_col]
+        n = len(fk)
+        n_null = int(pc.sum(pc.is_null(fk)).as_py() or 0)
+        nn = fk.drop_null().combine_chunks() if isinstance(fk, pa.ChunkedArray) else fk.drop_null()
+        hit = pc.fill_null(pc.is_in(nn, value_set=ks), False)
+        miss = nn.filter(pc.invert(hit))
+        miss_u = pc.unique(miss)
+        counts = pa.table(
+            {
+                "k": pa.nulls(1, type=miss_u.type),
+                "n": pa.array([n], type=pa.int64()),
+                "n_null": pa.array([n_null], type=pa.int64()),
+                "n_orphan": pa.array([len(miss)], type=pa.int64()),
+            }
+        )
+        missing = pa.table(
+            {
+                "k": miss_u,
+                "n": pa.nulls(len(miss_u), type=pa.int64()),
+                "n_null": pa.nulls(len(miss_u), type=pa.int64()),
+                "n_orphan": pa.nulls(len(miss_u), type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([counts, missing])
+
+    folded = child.map_batches(scan, batch_format="pyarrow")
+    n_child = n_null = n_orphan = 0
+    miss_keys: set = set()
+    for t in collect_tables(folded, drop_empty=True):
+        for k_, n_, nl_, no_ in zip(
+            t["k"].to_pylist(), t["n"].to_pylist(),
+            t["n_null"].to_pylist(), t["n_orphan"].to_pylist(),
+        ):
+            if n_ is None:
+                miss_keys.add(k_)
+            else:
+                n_child += n_
+                n_null += nl_
+                n_orphan += no_
+    nn_rows = n_child - n_null
+    share = (
+        round_half_away(np.array([n_orphan / nn_rows]), round_to)[0]
+        if nn_rows
+        else np.nan
+    )
+    return pd.DataFrame(
+        {
+            "n_child": pd.Series([n_child], dtype=np.int64),
+            "n_null_fk": pd.Series([n_null], dtype=np.int64),
+            "n_orphan_rows": pd.Series([n_orphan], dtype=np.int64),
+            "n_missing_keys": pd.Series([len(miss_keys)], dtype=np.int64),
+            "orphan_share": pd.Series([share], dtype=np.float64),
+        }
+    )
+
+
+def ref_integrity_sql(
+    *,
+    child_table: str,
+    parent_table: str,
+    fk_col: str,
+    pk_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`ref_integrity` (single-generator)."""
+    return f"""
+        WITH pk AS (SELECT DISTINCT {pk_col} AS k FROM {parent_table}
+                    WHERE {pk_col} IS NOT NULL),
+        j AS (
+            SELECT c.{fk_col} AS fk, pk.k AS hit
+            FROM {child_table} c LEFT JOIN pk ON c.{fk_col} = pk.k
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_fk,
+               CAST(sum(CASE WHEN fk IS NOT NULL AND hit IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphan_rows,
+               CAST(count(DISTINCT CASE WHEN fk IS NOT NULL AND hit IS NULL
+                                        THEN fk END) AS BIGINT)
+                   AS n_missing_keys,
+               round(sum(CASE WHEN fk IS NOT NULL AND hit IS NULL
+                              THEN 1 ELSE 0 END) * 1.0
+                     / sum(CASE WHEN fk IS NOT NULL THEN 1 ELSE 0 END),
+                     {round_to}) AS orphan_share
+        FROM j
+    """

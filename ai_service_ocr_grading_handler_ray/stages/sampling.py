@@ -725,3 +725,107 @@ def group_sample_sql(
         )
         SELECT {group_col}, {id_col} FROM r WHERE rn <= {k}
     """
+
+
+def stratified_exact_split(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    stratum_col: str,
+    train_frac: tuple[int, int] = (4, 5),
+    num_parts: int = 32,
+    out: str = "split",
+) -> rd.Dataset:
+    """Stratified split with EXACT per-stratum quotas: within every
+    stratum, rank rows by (splitmix64(id), id) and label the first
+    ceil(num·n/den) "train", the rest "eval" — the evaluation-design
+    guarantee hash-threshold splits (``train_eval_split``) cannot give
+    (their per-stratum counts are only binomially close to the
+    fraction).  The ranking hash is a pure function of the id, so the
+    assignment is reproducible across runs and layouts; quotas are
+    exact by construction.  The fraction is a RATIONAL (num, den) and
+    the quota is integer arithmetic — no float boundary.
+
+    Scale shape: ONE coarse stratum-hash shuffle; inside each
+    partition a vectorized (stratum, hash, id) mergesort assigns ranks
+    for all its strata at once.  A single stratum must fit one task
+    (the cogroup convention); at sizes beyond that, compute the
+    per-stratum k-th-smallest hash with the quantile-refinement
+    machinery and label by threshold instead.  Null strata form their
+    own stratum (matching the SQL's GROUP BY null handling).  Output:
+    input columns + ``split``:string.  SQL replay GENERATED by
+    :func:`stratified_exact_split_sql` (row_number over the identical
+    hash order)."""
+    import pandas as pd
+
+    from .dedup import add_key_partition
+    from .hashing import splitmix64
+
+    num, den = train_frac
+    if not (0 <= num <= den and den > 0):
+        raise ValueError("train_frac must be a rational in [0, 1]")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        if not len(g):
+            g[out] = pd.Series([], dtype=object)
+            return g
+        ids = g[id_col].to_numpy()
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.astype(np.int64).view(np.uint64))
+        strata = g[stratum_col].to_numpy()
+        order = np.lexsort((ids, h.astype(np.uint64), strata))
+        sg = g.iloc[order].reset_index(drop=True)
+        ss = sg[stratum_col].to_numpy()
+        new = np.empty(len(ss), dtype=bool)
+        new[0] = True
+        new[1:] = ss[1:] != ss[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(ss)))
+        rank = np.arange(len(ss)) - starts[seg]
+        quota = (num * sizes + den - 1) // den  # ceil(num*n/den)
+        lab = np.where(rank < quota[seg], "train", "eval")
+        sg[out] = lab
+        return sg
+
+    return (
+        ds.map_batches(
+            lambda t: add_key_partition(t, stratum_col, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def stratified_exact_split_sql(
+    *,
+    table: str,
+    id_col: str,
+    stratum_col: str,
+    train_frac: tuple[int, int] = (4, 5),
+    columns: tuple[str, ...] = (),
+) -> str:
+    """DuckDB replay of :func:`stratified_exact_split`
+    (single-generator): identical splitmix64 rank order and integer
+    ceil quota, via the GENERATED ``shuffle.splitmix64_sql``."""
+    from .shuffle import splitmix64_sql
+
+    num, den = train_frac
+    h = splitmix64_sql(f"CAST({id_col} AS BIGINT)")
+    cols = ", ".join(columns) if columns else "*"
+    return f"""
+        WITH ranked AS (
+            SELECT {cols},
+                   row_number() OVER (
+                       PARTITION BY {stratum_col}
+                       ORDER BY {h}, {id_col}) AS rn,
+                   count(*) OVER (PARTITION BY {stratum_col}) AS n
+            FROM {table}
+        )
+        SELECT * EXCLUDE (rn, n),
+               CASE WHEN rn <= ({num} * n + {den} - 1) // {den}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM ranked
+    """

@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     "q272_golden_record",
     "q273_dow_seasonality",
     "q274_pca_project",
+    "q275_ref_integrity",
+    "q276_cdc_chunks",
+    "q277_stratified_split",
 ]
 
 

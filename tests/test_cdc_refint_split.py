@@ -1,0 +1,156 @@
+"""Round-5 additions C: CDC chunking, referential-integrity audit,
+exact stratified split."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_service_ocr_grading_handler_ray.stages.cdc import (
+    cdc_chunk_stats,
+    gear_cut_points,
+)
+from ai_service_ocr_grading_handler_ray.stages.profile import ref_integrity
+from ai_service_ocr_grading_handler_ray.stages.sampling import (
+    stratified_exact_split,
+)
+
+
+class TestGearCutPoints:
+    def test_deterministic_and_covers(self):
+        rng = np.random.default_rng(2)
+        data = rng.integers(0, 256, size=50_000, dtype=np.uint8).tobytes()
+        a = gear_cut_points(data, mask_bits=10, min_size=128, max_size=4096)
+        b = gear_cut_points(data, mask_bits=10, min_size=128, max_size=4096)
+        assert (a == b).all()
+        assert a[-1] == len(data)
+        sizes = np.diff(np.concatenate([[0], a]))
+        assert (sizes[:-1] >= 128).all()  # min clamp (last chunk may be short)
+        assert (sizes <= 4096).all()      # max clamp
+
+    def test_shift_resync(self):
+        # insert bytes at the front: cut points must re-synchronize, so
+        # most chunks (by content) are shared with the original
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, size=40_000, dtype=np.uint8).tobytes()
+        shifted = b"PREFIXBYTES" + data
+
+        def chunk_set(d):
+            cuts = gear_cut_points(d, mask_bits=9, min_size=64, max_size=2048)
+            out, last = set(), 0
+            for c in cuts:
+                out.add(d[last:c])
+                last = int(c)
+            return out
+
+        a, b = chunk_set(data), chunk_set(shifted)
+        shared = len(a & b)
+        assert shared / len(a) > 0.9  # CDC resyncs; fixed blocks would share ~0
+
+    def test_empty_payload(self):
+        assert gear_cut_points(b"").tolist() == [0]
+
+
+class TestCdcChunkStats:
+    def test_duplicate_payloads_dedupe(self, ray_session):
+        rng = np.random.default_rng(4)
+        blob = rng.integers(0, 256, size=20_000, dtype=np.uint8).tobytes()
+        ds = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                 "payload": pa.array([blob, blob, blob], type=pa.binary())}
+            )
+        )
+        out = cdc_chunk_stats(
+            ds, payload_col="payload", id_col="doc_id",
+            mask_bits=9, min_size=64, max_size=2048,
+        ).iloc[0]
+        assert out["n_payloads"] == 3
+        assert out["total_bytes"] == 60_000
+        assert out["distinct_bytes"] == 20_000  # 3 identical copies
+        assert out["dedup_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out["n_chunks"] == 3 * out["n_distinct_chunks"]
+
+    def test_layout_independent(self, ray_session):
+        rng = np.random.default_rng(5)
+        payloads = [
+            rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes()
+            for _ in range(20)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(20), type=pa.int64()),
+             "payload": pa.array(payloads, type=pa.binary())}
+        )
+        a = cdc_chunk_stats(rd.from_arrow(t), payload_col="payload",
+                            id_col="doc_id")
+        b = cdc_chunk_stats(rd.from_arrow(t).repartition(7),
+                            payload_col="payload", id_col="doc_id")
+        assert a.equals(b)
+
+
+class TestRefIntegrity:
+    def test_hand_computed(self, ray_session):
+        child = rd.from_arrow(
+            pa.table({"fk": pa.array([1, 1, 2, 9, 9, 9, None],
+                                     type=pa.int64())})
+        )
+        parent = rd.from_arrow(
+            pa.table({"pk": pa.array([1, 2, 3], type=pa.int64())})
+        )
+        r = ref_integrity(child, parent, fk_col="fk", pk_col="pk").iloc[0]
+        assert r["n_child"] == 7 and r["n_null_fk"] == 1
+        assert r["n_orphan_rows"] == 3 and r["n_missing_keys"] == 1
+        assert r["orphan_share"] == pytest.approx(0.5, abs=1e-9)  # 3/6
+
+    def test_clean_integrity(self, ray_session):
+        child = rd.from_arrow(pa.table({"fk": pa.array([1, 2], type=pa.int64())}))
+        parent = rd.from_arrow(pa.table({"pk": pa.array([1, 2, 3], type=pa.int64())}))
+        r = ref_integrity(child, parent, fk_col="fk", pk_col="pk").iloc[0]
+        assert r["n_orphan_rows"] == 0 and r["orphan_share"] == 0.0
+
+
+class TestStratifiedExactSplit:
+    def test_exact_quotas_and_determinism(self, ray_session):
+        rng = np.random.default_rng(6)
+        langs = rng.choice(["en", "de", "fr"], size=1000, p=[0.6, 0.3, 0.1])
+        t = pa.table(
+            {"doc_id": pa.array(range(1000), type=pa.int64()),
+             "lang": pa.array(langs.tolist(), type=pa.string())}
+        )
+        out = (
+            stratified_exact_split(rd.from_arrow(t), id_col="doc_id",
+                                   stratum_col="lang", train_frac=(4, 5))
+            .to_pandas()
+        )
+        assert len(out) == 1000
+        for lang, grp in out.groupby("lang"):
+            n = len(grp)
+            want = (4 * n + 4) // 5
+            assert (grp["split"] == "train").sum() == want, lang
+        # layout independence
+        out2 = (
+            stratified_exact_split(rd.from_arrow(t).repartition(9),
+                                   id_col="doc_id", stratum_col="lang",
+                                   train_frac=(4, 5))
+            .to_pandas()
+        )
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_frac_edges(self, ray_session):
+        t = pa.table(
+            {"doc_id": pa.array(range(10), type=pa.int64()),
+             "lang": pa.array(["en"] * 10, type=pa.string())}
+        )
+        all_train = stratified_exact_split(
+            rd.from_arrow(t), id_col="doc_id", stratum_col="lang",
+            train_frac=(1, 1),
+        ).to_pandas()
+        assert (all_train["split"] == "train").all()
+        none_train = stratified_exact_split(
+            rd.from_arrow(t), id_col="doc_id", stratum_col="lang",
+            train_frac=(0, 1),
+        ).to_pandas()
+        assert (none_train["split"] == "eval").all()
