@@ -10512,3 +10512,35 @@ QUERIES = {
     **{k: QUERIES[k] for k in _R5_NEW_C},
     **{k: v for k, v in QUERIES.items() if k not in set(_R5_NEW_C)},
 }
+
+
+def q278_truncation_audit(sf_dir: str) -> pd.DataFrame:
+    """Matryoshka truncation-quality audit over embeddings
+    (stages/linalg.truncation_audit): mean |Δcosine| and mean cosine at
+    prefix dims 16/8/4 vs full, over the deterministic (id, id+7) pair
+    probe — the "can we search at d/4?" screen before committing to a
+    truncated index.  ONE id-hash cogroup, vectorized per-dim partials,
+    |dims|-sized driver fold.  Oracle: GENERATED by
+    truncation_audit_sql (list_slice + explicit double arithmetic,
+    identical zero-norm rule)."""
+    from ..stages.linalg import truncation_audit
+
+    return truncation_audit(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        id_col="vec_id", vec_col="embedding", dims=(16, 8, 4), stride=7,
+    )
+
+
+QUERIES["q278_truncation_audit"] = q278_truncation_audit
+
+from ..stages.linalg import truncation_audit_sql as _trunc_sql
+
+ORACLE_SQL["q278_truncation_audit"] = _trunc_sql(
+    table="embeddings", id_col="vec_id", vec_col="embedding",
+    dims=(16, 8, 4), stride=7,
+)
+
+QUERIES = {
+    "q278_truncation_audit": QUERIES["q278_truncation_audit"],
+    **{k: v for k, v in QUERIES.items() if k != "q278_truncation_audit"},
+}

@@ -15,6 +15,7 @@ the (d, k) component matrix once and is a shuffle-free matmul per batch.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -263,4 +264,200 @@ def centroid_cosines_sql(
         JOIN counts cb ON cb.label = p.lb
         JOIN norms na ON na.label = p.la
         JOIN norms nb ON nb.label = p.lb
+    """
+
+
+def truncation_audit(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple = (16, 8, 4),
+    stride: int = 7,
+    num_parts: int = 32,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Matryoshka-style truncation-quality audit: how much does cosine
+    similarity move when vectors are cut to their first ``d``
+    coordinates?  Evaluated over the deterministic pair set
+    (id, id + stride) — a fixed, layout-independent probe sample — per
+    requested prefix dim: mean |cos_full − cos_d| and mean cos_d.  The
+    "can we store/search at d/4?" screen run before committing to a
+    truncated index.
+
+    Scale shape: ONE id-hash cogroup pairs each vector with its
+    id+stride partner (slim (key, side, vec) rows); cosines and the
+    per-dim partials fold vectorized inside each partition; the driver
+    sees |dims|-sized sums.  Zero-norm prefixes contribute cosine 0
+    (both engines).  Output: (dim:int64, n_pairs:int64,
+    mean_abs_delta:f64, mean_cos:f64) dim-descending, full dim first.
+    SQL replay GENERATED by :func:`truncation_audit_sql` (list_slice +
+    explicit double dot/norm arithmetic, identical zero-norm rule)."""
+    from .collect import collect_tables
+    from .selection import round_half_away
+    from .similarity import _as_matrix
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table(
+            {
+                "k": pa.array(np.concatenate([ids, ids - stride])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ids), np.int8), np.ones(len(ids), np.int8)]
+                    )
+                ),
+                "v": pa.concat_arrays(
+                    [t[vec_col].combine_chunks()] * 2
+                ),
+            }
+        )
+        from .dedup import add_key_partition
+
+        return add_key_partition(out, "k", num_parts=num_parts)
+
+    def fold(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        a = g.filter(pa.array(side == 0))
+        b = g.filter(pa.array(side == 1))
+        if not a.num_rows or not b.num_rows:
+            return pa.table(
+                {"dim": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "sum_abs_delta": pa.array([], type=pa.float64()),
+                 "sum_cos": pa.array([], type=pa.float64())}
+            )
+        ka = a["k"].to_numpy(zero_copy_only=False)
+        kb = b["k"].to_numpy(zero_copy_only=False)
+        common, ia, ib = np.intersect1d(ka, kb, return_indices=True)
+        if not len(common):
+            return pa.table(
+                {"dim": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "sum_abs_delta": pa.array([], type=pa.float64()),
+                 "sum_cos": pa.array([], type=pa.float64())}
+            )
+        Va = _as_matrix(a["v"].take(pa.array(ia, type=pa.int64())))
+        Vb = _as_matrix(b["v"].take(pa.array(ib, type=pa.int64())))
+
+        def cos_at(d: int) -> np.ndarray:
+            Pa, Pb = Va[:, :d], Vb[:, :d]
+            dot = (Pa * Pb).sum(axis=1)
+            na = np.sqrt((Pa * Pa).sum(axis=1))
+            nb = np.sqrt((Pb * Pb).sum(axis=1))
+            denom = na * nb
+            out = np.zeros(len(dot), dtype=np.float64)
+            nz = denom > 0
+            out[nz] = dot[nz] / denom[nz]
+            return out
+
+        full = cos_at(Va.shape[1])
+        rows_d, rows_n, rows_sd, rows_sc = [], [], [], []
+        for d in (Va.shape[1],) + tuple(dims):
+            c = cos_at(int(d))
+            rows_d.append(int(d))
+            rows_n.append(len(c))
+            rows_sd.append(float(np.abs(full - c).sum()))
+            rows_sc.append(float(c.sum()))
+        return pa.table(
+            {"dim": pa.array(rows_d, type=pa.int64()),
+             "n": pa.array(rows_n, type=pa.int64()),
+             "sum_abs_delta": pa.array(rows_sd),
+             "sum_cos": pa.array(rows_sc)}
+        )
+
+    folded = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    acc: dict = {}
+    for t in collect_tables(folded, drop_empty=True):
+        for d, n, sd, sc in zip(
+            t["dim"].to_pylist(), t["n"].to_pylist(),
+            t["sum_abs_delta"].to_pylist(), t["sum_cos"].to_pylist(),
+        ):
+            cur = acc.setdefault(d, [0, 0.0, 0.0])
+            cur[0] += n
+            cur[1] += sd
+            cur[2] += sc
+    if not acc:
+        return pd.DataFrame(
+            {"dim": pd.Series([], dtype=np.int64),
+             "n_pairs": pd.Series([], dtype=np.int64),
+             "mean_abs_delta": pd.Series([], dtype=np.float64),
+             "mean_cos": pd.Series([], dtype=np.float64)}
+        )
+    rows = [
+        (d, n, sd / n, sc / n) for d, (n, sd, sc) in sorted(
+            acc.items(), reverse=True
+        )
+    ]
+    out = pd.DataFrame(
+        rows, columns=["dim", "n_pairs", "mean_abs_delta", "mean_cos"]
+    )
+    out["dim"] = out["dim"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["mean_abs_delta"] = round_half_away(
+        out["mean_abs_delta"].to_numpy(np.float64), round_to
+    )
+    out["mean_cos"] = round_half_away(
+        out["mean_cos"].to_numpy(np.float64), round_to
+    )
+    return out
+
+
+def truncation_audit_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple = (16, 8, 4),
+    stride: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`truncation_audit` (single-generator):
+    identical pair set, double arithmetic, zero-norm rule."""
+
+    def cos_expr(d_expr: str) -> str:
+        return f"""(
+            CASE WHEN sqrt(list_sum(list_transform(list_slice(a.v, 1, {d_expr}),
+                                    x -> CAST(x AS DOUBLE) * x)))
+                      * sqrt(list_sum(list_transform(list_slice(b.v, 1, {d_expr}),
+                                    x -> CAST(x AS DOUBLE) * x))) > 0
+                 THEN list_sum(list_transform(
+                          list_zip(list_slice(a.v, 1, {d_expr}),
+                                   list_slice(b.v, 1, {d_expr})),
+                          p -> CAST(p[1] AS DOUBLE) * p[2]))
+                      / (sqrt(list_sum(list_transform(list_slice(a.v, 1, {d_expr}),
+                                    x -> CAST(x AS DOUBLE) * x)))
+                         * sqrt(list_sum(list_transform(list_slice(b.v, 1, {d_expr}),
+                                    x -> CAST(x AS DOUBLE) * x))))
+                 ELSE 0.0 END)"""
+
+    dim_rows = ", ".join(["(len(a.v))"] + [f"({int(d)})" for d in dims])
+    return f"""
+        WITH pairs AS (
+            SELECT a.{vec_col} AS v, b.{vec_col} AS bv
+            FROM {table} a JOIN {table} b
+              ON b.{id_col} = a.{id_col} + {stride}
+        ),
+        expanded AS (
+            SELECT a.v, a.bv, d.dim
+            FROM (SELECT v, bv, len(v) AS full_d FROM pairs) a,
+                 LATERAL (SELECT unnest([a.full_d, {", ".join(str(int(d)) for d in dims)}]) AS dim) d
+        ),
+        scored AS (
+            SELECT dim,
+                   {cos_expr("dim").replace("a.v", "v").replace("b.v", "bv")} AS c,
+                   {cos_expr("len(v)").replace("a.v", "v").replace("b.v", "bv")} AS cf
+            FROM expanded
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum(abs(cf - c)) / count(*), {round_to}) AS mean_abs_delta,
+               round(sum(c) / count(*), {round_to}) AS mean_cos
+        FROM scored
+        GROUP BY dim
+        ORDER BY dim DESC
     """

@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "q275_ref_integrity",
     "q276_cdc_chunks",
     "q277_stratified_split",
+    "q278_truncation_audit",
 ]
 
 
