@@ -249,6 +249,7 @@ def kcenter_coreset(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
+    local_cap: int = 50_000_000,
 ) -> pd.DataFrame:
     """Greedy k-center coreset (Gonzalez's 2-approximation of the
     k-center cover): pick the min-id vector, then k−1 times the point
@@ -270,8 +271,50 @@ def kcenter_coreset(
     Output: one row per center in pick order — (rank:int64, id,
     radius_before:f64 — distance of this pick from the previous
     centers; the NEXT round's covering radius) with radius_before = 0
-    for the seed."""
+    for the seed.
+
+    Adaptive execution (the broadcast-vs-shuffle trade): when the slim
+    (id, vec) matrix fits ``local_cap`` float64 cells, collect it once
+    and run the k greedy rounds driver-local — identical output, and
+    the k per-round Dataset executions (a fixed ~0.4 s scheduling floor
+    each) collapse into one scan.  Above the cap, the distributed
+    per-round path keeps every task bounded."""
     import ray as _ray
+
+    # k rounds each re-scan the source: pin the slim (id, vec)
+    # projection once so rounds read materialized blocks
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
+    first = ds.take_batch(1, batch_format="pyarrow") if ds.count() else None
+    if first is not None:
+        dim = len(first[vec_col][0])
+        if ds.count() * dim <= local_cap:
+            tbls = collect_tables(ds, drop_empty=True)
+            merged = pa.concat_tables([t.cast(tbls[0].schema) for t in tbls])
+            ids = merged[id_col].to_numpy(zero_copy_only=False)
+            V = _as_matrix(merged[vec_col])
+            j = int(np.argmin(ids))
+            picked = [(0, ids[j], 0.0)]
+            # same gram-trick float ops as the distributed path, so
+            # both paths pick identical centers
+            vv = (V * V).sum(axis=1)
+
+            def d2_to(c: np.ndarray) -> np.ndarray:
+                return vv - 2.0 * (V @ c) + (c * c).sum()
+
+            d2 = d2_to(V[j])
+            for r in range(1, k):
+                order = np.lexsort((ids, -d2))
+                jj = order[0]
+                if d2[jj] <= 0.0:
+                    break
+                picked.append((r, ids[jj], float(np.sqrt(d2[jj]))))
+                d2 = np.minimum(d2, d2_to(V[jj]))
+            out = pd.DataFrame(
+                picked, columns=["rank", "id", "radius_before"]
+            )
+            out["rank"] = out["rank"].astype(np.int64)
+            return out
 
     def seed_partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -317,36 +360,33 @@ def kcenter_coreset(
                 - 2.0 * (V @ Cm.T)
                 + (Cm * Cm).sum(axis=1)[None, :]
             ).min(axis=1)
-            # farthest point, tie -> smaller id (stable selection)
+            # farthest point, tie -> smaller id (stable selection);
+            # the winning VECTOR rides along so the round needs no
+            # second fetch scan
             order = np.lexsort((ids, -d2))
             j = order[0]
-            return pa.table({"id": pa.array([ids[j]], type=t[id_col].type),
-                             "d": pa.array([float(d2[j])])})
+            return pa.table(
+                {"id": pa.array([ids[j]], type=t[id_col].type),
+                 "d": pa.array([float(d2[j])]),
+                 "v": t[vec_col].take(pa.array([int(j)], type=pa.int64()))}
+            )
 
-        best_id, best_d = None, -1.0
+        best_id, best_d, best_vec = None, -1.0, None
         for t in collect_tables(
             ds.map_batches(far_partial, batch_format="pyarrow"),
             drop_empty=True,
         ):
-            for i_, d_ in zip(t["id"].to_pylist(), t["d"].to_pylist()):
-                if d_ > best_d or (d_ == best_d and (best_id is None or i_ < best_id)):
-                    best_id, best_d = i_, d_
+            vs = _as_matrix(t["v"])
+            for i_, (i2, d_) in enumerate(
+                zip(t["id"].to_pylist(), t["d"].to_pylist())
+            ):
+                if d_ > best_d or (
+                    d_ == best_d and (best_id is None or i2 < best_id)
+                ):
+                    best_id, best_d, best_vec = i2, d_, vs[i_]
         if best_id is None or best_d <= 0.0:
             break  # fewer distinct points than k
-        row = None
-        # fetch the chosen vector (pair-bounded filter scan)
-        def grab(t: pa.Table, _want=best_id) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return t.select([id_col, vec_col]).filter(
-                pc.equal(t[id_col], pa.scalar(_want))
-            )
-
-        gt = collect_tables(
-            ds.map_batches(grab, batch_format="pyarrow"), drop_empty=True
-        )
-        vec = _as_matrix(pa.concat_tables(gt)[vec_col])[0]
-        centers.append(vec)
+        centers.append(best_vec)
         picked.append((r, best_id, float(np.sqrt(best_d))))
 
     out = pd.DataFrame(picked, columns=["rank", "id", "radius_before"])

@@ -59,38 +59,58 @@ def association_rules(
     ).materialize()
 
     def pairs_partial(g: pd.DataFrame) -> pd.DataFrame:
-        # per basket: item support rows + ordered (x < y) pair rows;
-        # tagging singles with y="" keeps one output schema
-        out_x: list = []
-        out_y: list = []
-        if len(g):
-            sg = g.sort_values(["b", "i"], kind="mergesort")
-            bs = sg["b"].to_numpy()
-            its = sg["i"].to_numpy()
-            new = np.empty(len(bs), dtype=bool)
-            new[0] = True
-            new[1:] = bs[1:] != bs[:-1]
-            starts = np.flatnonzero(new)
-            ends = np.append(starts[1:], len(bs))
-            for s, e in zip(starts, ends):
-                items = its[s:e]
-                if len(items) > 1024:
-                    raise ValueError(
-                        f"association_rules: basket with {len(items)} "
-                        "distinct items — pair expansion is quadratic; "
-                        "bucket the item space first"
-                    )
-                out_x.extend(items)
-                out_y.extend([""] * len(items))
-                for a in range(e - s):
-                    for c in range(a + 1, e - s):
-                        out_x.append(items[a])
-                        out_y.append(items[c])
-        return pd.DataFrame(
-            {"x": pd.Series(out_x, dtype=object),
-             "y": pd.Series(out_y, dtype=object),
-             "n": np.ones(len(out_x), dtype=np.int64)}
+        # per basket: item support rows + ordered (x < y) pair rows via
+        # the fully-vectorized triangular expansion (no per-basket
+        # Python loop); tagging singles with y="" keeps one output
+        # schema, and pre-counting pairs per (x, y) here keeps the
+        # global support shuffle pair-VOCAB-sized, not pair-COUNT-sized
+        if not len(g):
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype=object),
+                 "y": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        sg = g.sort_values(["b", "i"], kind="mergesort")
+        bs = sg["b"].to_numpy()
+        its = sg["i"].to_numpy()
+        new = np.empty(len(bs), dtype=bool)
+        new[0] = True
+        new[1:] = bs[1:] != bs[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(bs)))
+        if sizes.max() > 1024:
+            raise ValueError(
+                f"association_rules: basket with {int(sizes.max())} "
+                "distinct items — pair expansion is quadratic; bucket "
+                "the item space first"
+            )
+        # element e at within-basket position p (basket size s) leads
+        # s-1-p pairs (e, e+1..end-of-basket)
+        pos = np.arange(len(bs)) - starts[seg]
+        lead = sizes[seg] - 1 - pos
+        total = int(lead.sum())
+        run_start = np.cumsum(lead) - lead
+        run_id = np.repeat(np.arange(len(lead)), lead)
+        off = np.arange(total, dtype=np.int64) - run_start[run_id]
+        a_idx = run_id
+        b_idx = run_id + 1 + off
+        pair_df = pd.DataFrame({"x": its[a_idx], "y": its[b_idx]})
+        counted = (
+            pair_df.groupby(["x", "y"], sort=False).size()
+            .reset_index(name="n")
         )
+        singles = pd.DataFrame(
+            {"x": its, "y": np.full(len(its), "", dtype=object),
+             "n": np.ones(len(its), dtype=np.int64)}
+        )
+        scounted = (
+            singles.groupby(["x", "y"], sort=False)["n"].sum()
+            .reset_index()
+        )
+        out = pd.concat([scounted, counted], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     support = (
         distinct.map_batches(

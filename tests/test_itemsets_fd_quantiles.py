@@ -158,3 +158,23 @@ class TestKCenterCoreset:
         out = kcenter_coreset(self._vecs(V), id_col="vec_id",
                               vec_col="embedding", k=5)
         assert len(out) == 2  # only 2 distinct locations
+
+
+def test_kcenter_local_and_distributed_paths_agree(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(size=(150, 6))
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(range(len(V)), type=pa.int64()),
+             "embedding": pa.array([list(map(float, v)) for v in V],
+                                   type=pa.list_(pa.float32()))}
+        )
+    )
+    local = kcenter_coreset(ds, id_col="vec_id", vec_col="embedding", k=5)
+    dist = kcenter_coreset(ds, id_col="vec_id", vec_col="embedding", k=5,
+                           local_cap=0)
+    assert local.equals(dist)
