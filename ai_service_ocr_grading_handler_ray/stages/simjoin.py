@@ -70,11 +70,22 @@ def similarity_join(
     vocab_cap: int = VOCAB_CAP,
     bucket_pair_cap: int = 200_000,
     num_parts: int = 64,
+    checkpoint=True,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """All document pairs (a < b) with shingle-set Jaccard >=
     threshold[0]/threshold[1].  Output: (a, b — id_col's type,
     inter:int64, uni:int64, jaccard:float64 rounded to 6).  See module
-    docstring for semantics and the scale shape."""
+    docstring for semantics and the scale shape.
+
+    The (id, shingle-set, n) profile is consumed by the df shuffle,
+    the prefix stage and the in-bucket verify; ``checkpoint=True``
+    (default) pins it in the object store (it is the corpus' hashed
+    representation — re-sharding the text per consumer costs more
+    CPU), ``"parquet"`` + ``checkpoint_dir`` is the durable 100-TB
+    mode (consumers re-read from disk, object store never holds the
+    corpus, rerun resumes), ``None`` streams (re-profiles per
+    consumer)."""
     from .collect import collect_tables
     from .dedup import batch_shingle_hashes
 
@@ -113,7 +124,14 @@ def similarity_join(
             }
         )
 
-    prof = ds.map_batches(profile, batch_format="pyarrow").materialize()
+    from ..state.checkpoint import stage_checkpoint
+
+    prof = stage_checkpoint(
+        ds.map_batches(profile, batch_format="pyarrow"), checkpoint,
+        checkpoint_dir, "simjoin_prof",
+        {"id_col": id_col, "text_col": text_col, "ngram": ngram,
+         "threshold": list(threshold)},
+    )
 
     # --- document frequency per shingle: one vocab shuffle -----------------
     # (shuffle keys travel as the int64 VIEW of the uint64 hash — Ray's
@@ -361,6 +379,8 @@ def containment_join(
     num_parts: int = 64,
     small_pair_limit: int = 250_000,
     a_set_cap: int = 50_000_000,
+    checkpoint=True,
+    checkpoint_dir: str | None = None,
 ) -> rd.Dataset:
     """ASYMMETRIC shingle containment self-join: all ordered pairs
     (a, b), a != b, with |S(a) ∩ S(b)| >= (num/den)·|S(a)| — "document
@@ -447,7 +467,14 @@ def containment_join(
             }
         )
 
-    prof = ds.map_batches(profile, batch_format="pyarrow").materialize()
+    from ..state.checkpoint import stage_checkpoint
+
+    prof = stage_checkpoint(
+        ds.map_batches(profile, batch_format="pyarrow"), checkpoint,
+        checkpoint_dir, "containment_prof",
+        {"id_col": id_col, "text_col": text_col, "ngram": ngram,
+         "threshold": list(threshold)},
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         flat = (

@@ -154,3 +154,31 @@ class TestStratifiedExactSplit:
             train_frac=(0, 1),
         ).to_pandas()
         assert (none_train["split"] == "eval").all()
+
+
+def test_simjoin_parquet_checkpoint_roundtrip(ray_session, tmp_path):
+    """The (id, shingle-set) profile supports the durable checkpoint
+    protocol: checkpoint='parquet' yields identical pairs and commits a
+    reusable manifest."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ai_service_ocr_grading_handler_ray.stages.simjoin import similarity_join
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "the quick brown fox jumps over the lazy cat today",
+             "completely different text about database engines here now"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    )
+    base = similarity_join(ds, threshold=(1, 3)).to_pandas()
+    ck = str(tmp_path / "ck")
+    out = similarity_join(
+        ds, threshold=(1, 3), checkpoint="parquet", checkpoint_dir=ck
+    ).to_pandas()
+    assert os.path.isfile(os.path.join(ck, "simjoin_prof", "_COMPLETE.json"))
+    sort = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)
+    assert sort(out).equals(sort(base))
