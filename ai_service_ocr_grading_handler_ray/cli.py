@@ -158,11 +158,14 @@ def cmd_dedup(args: argparse.Namespace) -> int:
 
     if _refuse_existing_out(args.out):
         return 2
+    ckpt_dir = getattr(args, "checkpoint_dir", None)
+    ckpt = "parquet" if ckpt_dir else None
     if getattr(args, "emit", "clusters") == "deduped":
         out = near_dedup_keep_one(
             rd.read_parquet(args.input),
             id_col=args.id_col, text_col=args.text_col,
             threshold=args.threshold,
+            checkpoint=ckpt, checkpoint_dir=ckpt_dir,
         )
         out.write_parquet(args.out)
         import pyarrow.dataset as pads
@@ -172,7 +175,9 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         return 0
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     out = minhash_lsh_clusters(
-        ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
+        ds, id_col=args.id_col, text_col=args.text_col,
+        threshold=args.threshold,
+        checkpoint=ckpt, checkpoint_dir=ckpt_dir,
     )
     out.write_parquet(args.out)
     import pyarrow.dataset as pads
@@ -383,6 +388,11 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--text-col", default="text")
     pd_.add_argument("--threshold", type=float, default=0.7)
     pd_.add_argument("--emit", choices=["clusters", "deduped"], default="clusters")
+    pd_.add_argument(
+        "--checkpoint-dir", default=None,
+        help="durable parquet stage checkpoints (atomic rename + manifest); "
+             "a killed run resumes from committed stages",
+    )
     pd_.set_defaults(fn=cmd_dedup)
 
     pp = sub.add_parser("pack", help="documents parquet → training-sequence assignment parquet")
