@@ -159,6 +159,17 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     if _refuse_existing_out(args.out):
         return 2
     ckpt_dir = getattr(args, "checkpoint_dir", None)
+    if ckpt_dir:
+        # key the checkpoint by the input's identity: stage params alone
+        # don't include the source, so reusing one dir across different
+        # --input values would silently serve the previous corpus
+        import hashlib
+        import os as _os
+
+        sig = hashlib.sha256(
+            _os.path.abspath(args.input).encode()
+        ).hexdigest()[:16]
+        ckpt_dir = _os.path.join(ckpt_dir, f"input-{sig}")
     ckpt = "parquet" if ckpt_dir else None
     if getattr(args, "emit", "clusters") == "deduped":
         out = near_dedup_keep_one(

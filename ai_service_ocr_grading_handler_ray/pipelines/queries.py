@@ -10469,8 +10469,8 @@ def q276_cdc_chunks(sf_dir: str) -> pd.DataFrame:
     from ..stages.cdc import cdc_chunk_stats
 
     return cdc_chunk_stats(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        payload_col="text", id_col="doc_id",
+        _read(sf_dir, "documents", ["text"]),
+        payload_col="text",
         mask_bits=8, min_size=64, max_size=1024,
     )
 

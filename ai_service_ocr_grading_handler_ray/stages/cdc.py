@@ -97,7 +97,6 @@ def cdc_chunk_stats(
     ds: rd.Dataset,
     *,
     payload_col: str,
-    id_col: str,
     mask_bits: int = 11,
     min_size: int = 256,
     max_size: int = 8192,

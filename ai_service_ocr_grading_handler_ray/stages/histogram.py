@@ -138,7 +138,13 @@ def binned_quantiles(
     for t in collect_tables(
         ds.map_batches(bin_partial, batch_format="pyarrow"), drop_empty=True
     ):
-        counts[np.asarray(t["b"].to_pylist())] += np.asarray(t["c"].to_pylist())
+        # np.add.at, not buffered fancy '+=': a block carrying the same
+        # bin twice (block coalescing) would silently drop additions
+        np.add.at(
+            counts,
+            np.asarray(t["b"].to_pylist(), dtype=np.int64),
+            np.asarray(t["c"].to_pylist(), dtype=np.int64),
+        )
     n = int(counts.sum())
     cum_incl = np.cumsum(counts)
     cum_excl = cum_incl - counts
@@ -213,5 +219,6 @@ def binned_quantiles_sql(
             WHERE cum_incl >= quel.q * mm.n
             ORDER BY bin LIMIT 1
         ) pick ON true
+        WHERE mm.n > 0
         ORDER BY q
     """

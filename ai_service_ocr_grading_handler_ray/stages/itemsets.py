@@ -95,22 +95,20 @@ def association_rules(
         off = np.arange(total, dtype=np.int64) - run_start[run_id]
         a_idx = run_id
         b_idx = run_id + 1 + off
-        pair_df = pd.DataFrame({"x": its[a_idx], "y": its[b_idx]})
+        # singles ride as self-pairs (x, x): within-basket items are
+        # distinct and sorted, so real pairs always have x < y — the
+        # sentinel stays type-consistent for ANY item dtype (an ""
+        # marker would mix types with integer item columns)
+        pair_df = pd.DataFrame(
+            {"x": np.concatenate([its, its[a_idx]]),
+             "y": np.concatenate([its, its[b_idx]])}
+        )
         counted = (
             pair_df.groupby(["x", "y"], sort=False).size()
             .reset_index(name="n")
         )
-        singles = pd.DataFrame(
-            {"x": its, "y": np.full(len(its), "", dtype=object),
-             "n": np.ones(len(its), dtype=np.int64)}
-        )
-        scounted = (
-            singles.groupby(["x", "y"], sort=False)["n"].sum()
-            .reset_index()
-        )
-        out = pd.concat([scounted, counted], ignore_index=True)
-        out["n"] = out["n"].astype(np.int64)
-        return out
+        counted["n"] = counted["n"].astype(np.int64)
+        return counted
 
     support = (
         distinct.map_batches(
@@ -144,8 +142,9 @@ def association_rules(
             "the cap"
         )
     df = tbl.to_pandas()
-    singles = df[df["y"] == ""].set_index("x")["supp"]
-    pairs = df[df["y"] != ""]
+    is_single = df["x"] == df["y"]  # singles ride as self-pairs
+    singles = df[is_single].set_index("x")["supp"]
+    pairs = df[~is_single]
     # exact basket count: distinct is already deduped on (b, i), so the
     # number of distinct b = rows of one groupby(b) count (never
     # collected — .count() folds Dataset metadata)
@@ -154,27 +153,36 @@ def association_rules(
     n_baskets = distinct.groupby("b").aggregate(_Count(alias_name="_c")).count()
     if n_baskets == 0:
         return empty
-    rows = []
-    for _, r in pairs.iterrows():
-        if int(r["supp"]) < min_support:
-            continue
-        for ant, con in ((r["x"], r["y"]), (r["y"], r["x"])):
-            sx = int(singles[ant])
-            sy = int(singles[con])
-            conf = int(r["supp"]) / sx
-            lift = conf / (sy / n_baskets)
-            rows.append((ant, con, int(r["supp"]), conf, lift))
-    if not rows:
+    # vectorized rule fold (an iterrows loop here is minutes at the
+    # ITEM_PAIR_CAP): keep pairs over min_support, emit both directions,
+    # map per-item supports, then confidence / lift in the documented
+    # division order
+    kept = pairs[pairs["supp"] >= min_support]
+    if not len(kept):
         return empty
     out = pd.DataFrame(
-        rows, columns=["antecedent", "consequent", "support", "confidence", "lift"]
-    ).sort_values(["antecedent", "consequent"], kind="mergesort").reset_index(drop=True)
-    out["support"] = out["support"].astype(np.int64)
-    out["confidence"] = round_half_away(
-        out["confidence"].to_numpy(dtype=np.float64), round_to
+        {
+            "antecedent": np.concatenate(
+                [kept["x"].to_numpy(), kept["y"].to_numpy()]
+            ),
+            "consequent": np.concatenate(
+                [kept["y"].to_numpy(), kept["x"].to_numpy()]
+            ),
+            "support": np.concatenate(
+                [kept["supp"].to_numpy(), kept["supp"].to_numpy()]
+            ).astype(np.int64),
+        }
     )
-    out["lift"] = round_half_away(out["lift"].to_numpy(dtype=np.float64), round_to)
-    return out
+    sx = out["antecedent"].map(singles).to_numpy(dtype=np.float64)
+    sy = out["consequent"].map(singles).to_numpy(dtype=np.float64)
+    conf = out["support"].to_numpy(dtype=np.int64) / sx
+    lift = conf / (sy / n_baskets)
+    out["confidence"] = round_half_away(conf, round_to)
+    out["lift"] = round_half_away(lift, round_to)
+    return (
+        out.sort_values(["antecedent", "consequent"], kind="mergesort")
+        .reset_index(drop=True)
+    )
 
 
 def association_rules_sql(

@@ -353,7 +353,12 @@ def truncation_audit(
 
         full = cos_at(Va.shape[1])
         rows_d, rows_n, rows_sd, rows_sc = [], [], [], []
-        for d in (Va.shape[1],) + tuple(dims):
+        # dedupe: a requested dim equal to the full dimensionality must
+        # not emit twice (n_pairs would double); SQL uses list_distinct
+        use_dims = (Va.shape[1],) + tuple(
+            int(d) for d in dims if int(d) != Va.shape[1]
+        )
+        for d in use_dims:
             c = cos_at(int(d))
             rows_d.append(int(d))
             rows_n.append(len(c))
@@ -445,7 +450,7 @@ def truncation_audit_sql(
         expanded AS (
             SELECT a.v, a.bv, d.dim
             FROM (SELECT v, bv, len(v) AS full_d FROM pairs) a,
-                 LATERAL (SELECT unnest([a.full_d, {", ".join(str(int(d)) for d in dims)}]) AS dim) d
+                 LATERAL (SELECT unnest(list_distinct([a.full_d, {", ".join(str(int(d)) for d in dims)}])) AS dim) d
         ),
         scored AS (
             SELECT dim,

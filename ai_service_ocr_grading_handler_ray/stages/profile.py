@@ -1043,6 +1043,12 @@ def ref_integrity(
         n = len(fk)
         n_null = int(pc.sum(pc.is_null(fk)).as_py() or 0)
         nn = fk.drop_null().combine_chunks() if isinstance(fk, pa.ChunkedArray) else fk.drop_null()
+        # empty parent key set has Arrow type null, and an int32 parent
+        # vs int64 child makes is_in raise — align to the child's type
+        # (every non-null fk is then an orphan for the empty set, the
+        # LEFT JOIN semantics)
+        if len(ks) == 0 or not ks.type.equals(nn.type):
+            ks = ks.cast(nn.type)
         hit = pc.fill_null(pc.is_in(nn, value_set=ks), False)
         miss = nn.filter(pc.invert(hit))
         miss_u = pc.unique(miss)

@@ -773,10 +773,16 @@ def stratified_exact_split(
         ids = g[id_col].to_numpy()
         with np.errstate(over="ignore"):
             h = splitmix64(ids.astype(np.int64).view(np.uint64))
-        strata = g[stratum_col].to_numpy()
+        # factorize (None -> -1) instead of sorting raw values: a null
+        # stratum is its OWN stratum (matching SQL PARTITION BY), and
+        # lexsort on a mixed str/None object array raises TypeError.
+        # The stratum key only needs to make equal strata contiguous —
+        # per-stratum ranking uses (h, id) alone, so first-appearance
+        # codes keep the output layout-independent.
+        strata, _ = pd.factorize(g[stratum_col], use_na_sentinel=True)
         order = np.lexsort((ids, h.astype(np.uint64), strata))
         sg = g.iloc[order].reset_index(drop=True)
-        ss = sg[stratum_col].to_numpy()
+        ss = strata[order]  # codes, not raw values: NaN != NaN is True
         new = np.empty(len(ss), dtype=bool)
         new[0] = True
         new[1:] = ss[1:] != ss[:-1]

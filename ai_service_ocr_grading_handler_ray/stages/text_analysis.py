@@ -2446,8 +2446,12 @@ def heaps_fit(
             source.map_batches(part, batch_format="pyarrow"),
             drop_empty=True,
         ):
-            acc[np.asarray(t["j"].to_pylist())] += np.asarray(
-                t["c"].to_pylist()
+            # np.add.at, not buffered fancy '+=': a coalesced block
+            # carrying the same threshold index twice would drop counts
+            np.add.at(
+                acc,
+                np.asarray(t["j"].to_pylist(), dtype=np.int64),
+                np.asarray(t["c"].to_pylist(), dtype=np.int64),
             )
         return acc
 

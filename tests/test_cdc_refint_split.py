@@ -63,7 +63,7 @@ class TestCdcChunkStats:
             )
         )
         out = cdc_chunk_stats(
-            ds, payload_col="payload", id_col="doc_id",
+            ds, payload_col="payload",
             mask_bits=9, min_size=64, max_size=2048,
         ).iloc[0]
         assert out["n_payloads"] == 3
@@ -82,10 +82,9 @@ class TestCdcChunkStats:
             {"doc_id": pa.array(range(20), type=pa.int64()),
              "payload": pa.array(payloads, type=pa.binary())}
         )
-        a = cdc_chunk_stats(rd.from_arrow(t), payload_col="payload",
-                            id_col="doc_id")
+        a = cdc_chunk_stats(rd.from_arrow(t), payload_col="payload")
         b = cdc_chunk_stats(rd.from_arrow(t).repartition(7),
-                            payload_col="payload", id_col="doc_id")
+                            payload_col="payload")
         assert a.equals(b)
 
 
@@ -182,3 +181,45 @@ def test_simjoin_parquet_checkpoint_roundtrip(ray_session, tmp_path):
     assert os.path.isfile(os.path.join(ck, "simjoin_prof", "_COMPLETE.json"))
     sort = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)
     assert sort(out).equals(sort(base))
+
+
+def test_stratified_split_null_strata_form_own_stratum(ray_session):
+    """Code-review r5: null strata must form one stratum (SQL PARTITION
+    BY semantics), not crash lexsort."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {"doc_id": pa.array(range(20), type=pa.int64()),
+         "lang": pa.array((["en"] * 10) + ([None] * 10), type=pa.string())}
+    )
+    out = stratified_exact_split(
+        rd.from_arrow(t), id_col="doc_id", stratum_col="lang",
+        train_frac=(1, 2),
+    ).to_pandas()
+    assert len(out) == 20
+    nulls = out[out["lang"].isna()]
+    assert (nulls["split"] == "train").sum() == 5  # ceil(10/2) exactly
+
+
+def test_ref_integrity_empty_and_mismatched_parent(ray_session):
+    """Code-review r5: an empty parent key set (Arrow type null) and an
+    int32 parent vs int64 child must not crash is_in — all non-null fks
+    are orphans / the type aligns to the child."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    child = rd.from_arrow(
+        pa.table({"fk": pa.array([1, 2, None], type=pa.int64())})
+    )
+    empty_parent = rd.from_arrow(
+        pa.table({"pk": pa.array([], type=pa.int64())})
+    )
+    r = ref_integrity(child, empty_parent, fk_col="fk", pk_col="pk").iloc[0]
+    assert r["n_orphan_rows"] == 2 and r["n_missing_keys"] == 2
+
+    parent32 = rd.from_arrow(
+        pa.table({"pk": pa.array([1], type=pa.int32())})
+    )
+    r2 = ref_integrity(child, parent32, fk_col="fk", pk_col="pk").iloc[0]
+    assert r2["n_orphan_rows"] == 1 and r2["n_missing_keys"] == 1

@@ -178,3 +178,40 @@ def test_kcenter_local_and_distributed_paths_agree(ray_session):
     dist = kcenter_coreset(ds, id_col="vec_id", vec_col="embedding", k=5,
                            local_cap=0)
     assert local.equals(dist)
+
+
+def test_association_rules_integer_items(ray_session):
+    """Code-review r5: integer item columns must work (the old ''
+    sentinel mixed str/int and broke Arrow conversion)."""
+    ds = rd.from_arrow(
+        pa.table(
+            {"user_id": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+             "event_type": pa.array([10, 20, 10, 20, 10], type=pa.int64())}
+        )
+    )
+    out = association_rules(ds, min_support=2)
+    assert len(out) == 2
+    r = out[(out["antecedent"] == 10) & (out["consequent"] == 20)].iloc[0]
+    assert r["support"] == 2
+    assert r["confidence"] == pytest.approx(round(2 / 3, 6), abs=1e-9)
+
+
+def test_truncation_audit_full_dim_requested_once(ray_session):
+    """Code-review r5: a requested dim equal to the full dimensionality
+    must not double-count n_pairs."""
+    from ai_service_ocr_grading_handler_ray.stages.linalg import truncation_audit
+
+    rng = np.random.default_rng(21)
+    V = rng.normal(size=(60, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(range(60), type=pa.int64()),
+             "embedding": pa.array([list(map(float, v)) for v in V],
+                                   type=pa.list_(pa.float32()))}
+        )
+    )
+    out = truncation_audit(ds, id_col="vec_id", vec_col="embedding",
+                           dims=(8, 4), stride=1)
+    full = out[out["dim"] == 8].iloc[0]
+    assert full["n_pairs"] == 59  # NOT doubled
+    assert full["mean_abs_delta"] == 0.0
