@@ -10464,7 +10464,7 @@ def q276_cdc_chunks(sf_dir: str) -> pd.DataFrame:
     chunk-store dedup ratio = 1 − distinct/total bytes — the storage
     saving a content-addressed chunk store would realize.  Rolling
     hash → no SQL oracle (rows-only); boundary determinism /
-    shift-resync invariants in tests/test_cdc.py.  Payload bytes never
+    shift-resync invariants in tests/test_cdc_refint_split.py.  Payload bytes never
     outlive their task; only slim (hash, size) rows shuffle."""
     from ..stages.cdc import cdc_chunk_stats
 

@@ -19,7 +19,7 @@ chunk bytes' polynomial hash (64-bit; cross-chunk collisions ~n²/2^64).
 
 Rolling hashes are not SQL-expressible → rows-only driver check;
 determinism, shift-resync, and clamp invariants are pytest-verified
-(tests/test_cdc.py).
+(tests/test_cdc_refint_split.py).
 """
 
 from __future__ import annotations
