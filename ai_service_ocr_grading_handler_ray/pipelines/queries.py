@@ -10544,3 +10544,70 @@ QUERIES = {
     "q278_truncation_audit": QUERIES["q278_truncation_audit"],
     **{k: v for k, v in QUERIES.items() if k != "q278_truncation_audit"},
 }
+
+
+def q279_winnow_overlap(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprint overlap (stages/winnow.py — Schleimer et
+    al.'s MOSS selection): documents plus derived QUOTE docs (the q204
+    fixture derivation) → all pairs sharing ≥ 2 robust-winnowing
+    fingerprints — the sub-quadratic shared-passage detector whose
+    guarantee (any common run of window+ngram−1 = 6 words yields a
+    shared fingerprint) the full-postings containment join buys with
+    far more shuffle volume.  Shuffle-free fingerprint scan, ONE slim
+    fp-hash cogroup with vectorized pair expansion (loud cap), ONE
+    (a, b) pair-count groupby.  Oracle: GENERATED by
+    winnow_overlap_sql — exact polyhash64+splitmix64 replay including
+    the rightmost-min picks."""
+    from ..stages.winnow import winnow_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(ids, texts):
+            out_id.append(i)
+            out_tx.append(tx)
+            if i % 11 == 0:
+                words = (tx or "").split()
+                keep = max(1, (3 * len(words) + 4) // 5)
+                out_id.append(i + 1_000_000)
+                out_tx.append(" ".join(words[:keep]))
+        return pa.table(
+            {"doc_id": pa.array(out_id, type=pa.int64()),
+             "text": pa.array(out_tx, type=pa.string())}
+        )
+
+    return winnow_overlap(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        id_col="doc_id", text_col="text", ngram=3, window=4, min_shared=2,
+    )
+
+
+QUERIES["q279_winnow_overlap"] = q279_winnow_overlap
+
+from ..stages.winnow import winnow_overlap_sql as _winnow_sql
+
+ORACLE_SQL["q279_winnow_overlap"] = f"""
+    WITH RECURSIVE __derived AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> ''),
+                   1, greatest(1, (3 * len(list_filter(
+                       string_split_regex(text, '\\s+'), x -> x <> '')) + 4)
+                       // 5)), ' ') AS text
+        FROM documents WHERE doc_id % 11 = 0
+    )
+    {_winnow_sql(table="__derived", id_col="doc_id", text_col="text",
+                 ngram=3, window=4, min_shared=2)
+     .replace("WITH RECURSIVE", ",", 1)}
+"""
+
+QUERIES = {
+    "q279_winnow_overlap": QUERIES["q279_winnow_overlap"],
+    **{k: v for k, v in QUERIES.items() if k != "q279_winnow_overlap"},
+}

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q276_cdc_chunks",
     "q277_stratified_split",
     "q278_truncation_audit",
+    "q279_winnow_overlap",
 ]
 
 
