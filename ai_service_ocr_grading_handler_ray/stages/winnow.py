@@ -34,11 +34,30 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ray.data.aggregate import Sum
-
 # a fingerprint shared by this many docs is template noise for the
 # pair expansion (quadratic); fail loudly like the simjoin caps
 BUCKET_DOC_CAP = 2_000
+
+
+def _winnow_hashes(h: np.ndarray, window: int) -> np.ndarray:
+    """Fingerprint values (unique) from one doc's gram-hash sequence:
+    rightmost-min per sliding window, consecutive-pick dedupe."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= window:
+        # single window over everything: rightmost min
+        m = h.min()
+        pos = np.flatnonzero(h == m)[-1]
+        return np.unique(h[pos : pos + 1])
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    idx = window - 1 - rev_arg  # rightmost min per window
+    pos = np.arange(len(win)) + idx
+    keep = np.empty(len(pos), dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]  # winnowing dedupe: same pick once
+    return np.unique(h[pos[keep]])
 
 
 def winnow_doc(words: list, *, ngram: int, window: int) -> np.ndarray:
@@ -57,20 +76,7 @@ def winnow_doc(words: list, *, ngram: int, window: int) -> np.ndarray:
         ]
     with np.errstate(over="ignore"):
         h = splitmix64(polyhash64(pa.array(grams, type=pa.string())))
-    n = len(h)
-    if n <= window:
-        # single window over everything: rightmost min
-        m = h.min()
-        pos = np.flatnonzero(h == m)[-1]
-        return np.unique(h[pos : pos + 1])
-    win = np.lib.stride_tricks.sliding_window_view(h, window)
-    rev_arg = np.argmin(win[:, ::-1], axis=1)
-    idx = window - 1 - rev_arg  # rightmost min per window
-    pos = np.arange(len(win)) + idx
-    keep = np.empty(len(pos), dtype=bool)
-    keep[0] = True
-    keep[1:] = pos[1:] != pos[:-1]  # winnowing dedupe: same pick once
-    return np.unique(h[pos[keep]])
+    return _winnow_hashes(h, window)
 
 
 def add_winnow_fingerprints(
@@ -82,16 +88,48 @@ def add_winnow_fingerprints(
     window: int = 4,
 ) -> pa.Table:
     """(id, fp:int64) exploded fingerprint rows for a batch — the slim
-    representation the overlap join shuffles.  Empty texts drop."""
-    ids_out: list = []
-    fps_out: list = []
+    representation the overlap join shuffles.  Empty texts drop.
+
+    All the batch's gram strings hash in ONE polyhash64/splitmix64 call
+    (a per-doc hash call was 10× the whole pipeline's cost); only the
+    per-doc sliding-window pick runs per segment."""
+    from .hashing import polyhash64, splitmix64
+
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
-    for i, t in zip(ids, texts):
+    all_grams: list = []
+    counts = np.zeros(len(ids), dtype=np.int64)
+    for di, t in enumerate(texts):
         words = (t or "").lower().split()
-        fps = winnow_doc(words, ngram=ngram, window=window)
+        if not words:
+            continue
+        if len(words) < ngram:
+            all_grams.append(" ".join(words))
+            counts[di] = 1
+        else:
+            c = len(words) - ngram + 1
+            all_grams.extend(
+                " ".join(words[i : i + ngram]) for i in range(c)
+            )
+            counts[di] = c
+    if not all_grams:
+        return pa.table(
+            {"id": pa.array([], type=batch[id_col].type),
+             "fp": pa.array([], type=pa.int64())}
+        )
+    with np.errstate(over="ignore"):
+        h_all = splitmix64(
+            polyhash64(pa.array(all_grams, type=pa.string()))
+        )
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    ids_out: list = []
+    fps_out: list = []
+    for di in range(len(ids)):
+        if not counts[di]:
+            continue
+        fps = _winnow_hashes(h_all[offs[di] : offs[di + 1]], window)
         if len(fps):
-            ids_out.extend([i] * len(fps))
+            ids_out.extend([ids[di]] * len(fps))
             fps_out.extend(fps.view(np.int64).tolist())
     return pa.table(
         {
@@ -171,6 +209,20 @@ def winnow_overlap(
         out["n"] = out["n"].astype(np.int64)
         return out
 
+    # the (a, b) count-fold uses the salted-partition pattern, NOT a
+    # two-column Ray groupby (dedupe_pairs measured that sort-aggregate
+    # ~30× slower at 500k pair rows): all copies of a pair share ``a``,
+    # so one hash(a) shuffle co-locates them and a vectorized pandas
+    # groupby-sum finishes in-partition
+    def fold_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+            .rename(columns={"n": "shared"})
+        )
+        out = out[out["shared"] >= min_shared]
+        out["shared"] = out["shared"].astype(np.int64)
+        return out.drop(columns=["_part"], errors="ignore")
+
     pair_counts = (
         fp_rows.map_batches(
             lambda t: add_key_partition(t, "fp", num_parts=num_parts),
@@ -178,20 +230,20 @@ def winnow_overlap(
         )
         .groupby("_part")
         .map_groups(pairs_partition, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("n", alias_name="shared"))
+        .map_batches(
+            lambda t: add_key_partition(t, "a", num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(fold_pairs, batch_format="pandas")
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.greater_equal(t["shared"], pa.scalar(min_shared))
-        out = t.filter(keep)
         return pa.table(
             {
-                "a": out["a"].cast(id_type),
-                "b": out["b"].cast(id_type),
-                "shared": out["shared"].cast(pa.int64()),
+                "a": t["a"].cast(id_type),
+                "b": t["b"].cast(id_type),
+                "shared": t["shared"].cast(pa.int64()),
             }
         )
 
