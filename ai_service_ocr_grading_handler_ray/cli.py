@@ -160,16 +160,24 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         return 2
     ckpt_dir = getattr(args, "checkpoint_dir", None)
     if ckpt_dir:
-        # key the checkpoint by the input's identity: stage params alone
+        # key the checkpoint by the input's identity AND content
+        # fingerprint (path + per-file size/mtime): stage params alone
         # don't include the source, so reusing one dir across different
-        # --input values would silently serve the previous corpus
+        # or re-generated --input values would silently serve the
+        # previous corpus
+        import glob as _glob
         import hashlib
         import os as _os
 
-        sig = hashlib.sha256(
-            _os.path.abspath(args.input).encode()
-        ).hexdigest()[:16]
-        ckpt_dir = _os.path.join(ckpt_dir, f"input-{sig}")
+        h = hashlib.sha256(_os.path.abspath(args.input).encode())
+        files = sorted(_glob.glob(args.input)) or [args.input]
+        for f in files:
+            try:
+                st = _os.stat(f)
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
+        ckpt_dir = _os.path.join(ckpt_dir, f"input-{h.hexdigest()[:16]}")
     ckpt = "parquet" if ckpt_dir else None
     if getattr(args, "emit", "clusters") == "deduped":
         out = near_dedup_keep_one(

@@ -61,9 +61,10 @@ def association_rules(
     def pairs_partial(g: pd.DataFrame) -> pd.DataFrame:
         # per basket: item support rows + ordered (x < y) pair rows via
         # the fully-vectorized triangular expansion (no per-basket
-        # Python loop); tagging singles with y="" keeps one output
-        # schema, and pre-counting pairs per (x, y) here keeps the
-        # global support shuffle pair-VOCAB-sized, not pair-COUNT-sized
+        # Python loop); singles ride as type-consistent (x, x)
+        # SELF-pairs (see below), and pre-counting per (x, y) here
+        # keeps the global support shuffle pair-VOCAB-sized, not
+        # pair-COUNT-sized
         if not len(g):
             return pd.DataFrame(
                 {"x": pd.Series([], dtype=object),

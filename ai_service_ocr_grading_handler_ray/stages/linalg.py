@@ -353,10 +353,10 @@ def truncation_audit(
 
         full = cos_at(Va.shape[1])
         rows_d, rows_n, rows_sd, rows_sc = [], [], [], []
-        # dedupe: a requested dim equal to the full dimensionality must
-        # not emit twice (n_pairs would double); SQL uses list_distinct
-        use_dims = (Va.shape[1],) + tuple(
-            int(d) for d in dims if int(d) != Va.shape[1]
+        # dedupe the WHOLE dim tuple (full dim included): any repeated
+        # value would double-emit rows; SQL uses list_distinct
+        use_dims = tuple(
+            dict.fromkeys((Va.shape[1],) + tuple(int(d) for d in dims))
         )
         for d in use_dims:
             c = cos_at(int(d))

@@ -1044,11 +1044,20 @@ def ref_integrity(
         n_null = int(pc.sum(pc.is_null(fk)).as_py() or 0)
         nn = fk.drop_null().combine_chunks() if isinstance(fk, pa.ChunkedArray) else fk.drop_null()
         # empty parent key set has Arrow type null, and an int32 parent
-        # vs int64 child makes is_in raise — align to the child's type
-        # (every non-null fk is then an orphan for the empty set, the
-        # LEFT JOIN semantics)
-        if len(ks) == 0 or not ks.type.equals(nn.type):
-            ks = ks.cast(nn.type)
+        # vs int64 child makes is_in raise — align to the child's type.
+        # Parent keys NOT representable in the child type can never
+        # match (SQL join coercion semantics), so they are dropped via
+        # a round-trip check rather than letting a narrowing cast raise
+        # (or, worse, wrap onto a spuriously-matching value).
+        if len(ks) == 0:
+            ks = pa.array([], type=nn.type)
+        elif not ks.type.equals(nn.type):
+            try:
+                down = pc.cast(ks, nn.type, safe=False)
+                back = pc.cast(down, ks.type, safe=False)
+                ks = down.filter(pc.fill_null(pc.equal(back, ks), False))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                ks = pa.array([], type=nn.type)  # nothing representable
         hit = pc.fill_null(pc.is_in(nn, value_set=ks), False)
         miss = nn.filter(pc.invert(hit))
         miss_u = pc.unique(miss)

@@ -129,8 +129,9 @@ def similarity_join(
     prof = stage_checkpoint(
         ds.map_batches(profile, batch_format="pyarrow"), checkpoint,
         checkpoint_dir, "simjoin_prof",
-        {"id_col": id_col, "text_col": text_col, "ngram": ngram,
-         "threshold": list(threshold)},
+        # the profile depends only on these — a threshold-only rerun
+        # must REUSE the committed checkpoint, not discard it
+        {"id_col": id_col, "text_col": text_col, "ngram": ngram},
     )
 
     # --- document frequency per shingle: one vocab shuffle -----------------
@@ -472,8 +473,9 @@ def containment_join(
     prof = stage_checkpoint(
         ds.map_batches(profile, batch_format="pyarrow"), checkpoint,
         checkpoint_dir, "containment_prof",
-        {"id_col": id_col, "text_col": text_col, "ngram": ngram,
-         "threshold": list(threshold)},
+        # the profile depends only on these — a threshold-only rerun
+        # must REUSE the committed checkpoint, not discard it
+        {"id_col": id_col, "text_col": text_col, "ngram": ngram},
     )
 
     def explode(t: pa.Table) -> pa.Table:

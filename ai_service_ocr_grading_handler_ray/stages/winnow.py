@@ -172,7 +172,14 @@ def winnow_overlap(
                  "b": pd.Series([], dtype=g["id"].dtype),
                  "n": pd.Series([], dtype=np.int64)}
             )
-        sg = g.sort_values(["fp", "id"], kind="mergesort")
+        # dedupe (fp, id): duplicate doc ids in the input (or the same
+        # id re-emitting a fingerprint) would otherwise produce a == b
+        # self-pairs and double counts, diverging from the oracle's
+        # DISTINCT picks + a < b join
+        sg = (
+            g.sort_values(["fp", "id"], kind="mergesort")
+            .drop_duplicates(["fp", "id"])
+        )
         fps = sg["fp"].to_numpy()
         ids = sg["id"].to_numpy()
         new = np.empty(len(fps), dtype=bool)
@@ -269,7 +276,7 @@ def winnow_overlap_sql(
         f"wl[i+{j}]" if j else "wl[i]" for j in range(ngram)
     )
     ph_cte = polyhash64_sql("g", "gram", out_rel="__ph", out_col="ph")
-    sm = splitmix64_sql("__phh.h")
+    sm = splitmix64_sql("__ph.ph")
     return f"""
         WITH RECURSIVE
         w AS (
@@ -291,7 +298,7 @@ def winnow_overlap_sql(
         {ph_cte},
         gh AS (
           SELECT g.id, g.pos, {sm} AS h
-          FROM g JOIN __phh ON __phh.s = g.gram
+          FROM g JOIN __ph ON __ph.gram = g.gram
         ),
         n AS (SELECT id, count(*) AS ng FROM gh GROUP BY id),
         win AS (

@@ -223,3 +223,21 @@ def test_ref_integrity_empty_and_mismatched_parent(ray_session):
     )
     r2 = ref_integrity(child, parent32, fk_col="fk", pk_col="pk").iloc[0]
     assert r2["n_orphan_rows"] == 1 and r2["n_missing_keys"] == 1
+
+
+def test_ref_integrity_narrowing_parent_keys(ray_session):
+    """Code-review r5b: an int64 parent key not representable in the
+    int32 child type can never match — dropped, not crashed or
+    wrapped onto a spurious match."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    child = rd.from_arrow(
+        pa.table({"fk": pa.array([1, 2], type=pa.int32())})
+    )
+    parent = rd.from_arrow(
+        pa.table({"pk": pa.array([1, 5_000_000_000 + 2], type=pa.int64())})
+    )
+    # 5e9+2 wraps to some int32 value; must NOT spuriously match 2
+    r = ref_integrity(child, parent, fk_col="fk", pk_col="pk").iloc[0]
+    assert r["n_orphan_rows"] == 1 and r["n_missing_keys"] == 1

@@ -215,3 +215,21 @@ def test_truncation_audit_full_dim_requested_once(ray_session):
     full = out[out["dim"] == 8].iloc[0]
     assert full["n_pairs"] == 59  # NOT doubled
     assert full["mean_abs_delta"] == 0.0
+
+
+def test_truncation_audit_duplicate_dims(ray_session):
+    """Code-review r5b: duplicate values inside dims emit once."""
+    from ai_service_ocr_grading_handler_ray.stages.linalg import truncation_audit
+
+    rng = np.random.default_rng(23)
+    V = rng.normal(size=(40, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(range(40), type=pa.int64()),
+             "embedding": pa.array([list(map(float, v)) for v in V],
+                                   type=pa.list_(pa.float32()))}
+        )
+    )
+    out = truncation_audit(ds, id_col="vec_id", vec_col="embedding",
+                           dims=(4, 4), stride=1)
+    assert out["dim"].tolist() == [8, 4]  # each once

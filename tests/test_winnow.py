@@ -93,3 +93,19 @@ def test_winnow_overlap_layout_independent(ray_session):
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_winnow_duplicate_doc_ids_no_self_pairs(ray_session):
+    """Code-review r5b: duplicate doc ids must not yield a == b
+    self-pairs or double counts (matches the oracle's DISTINCT picks)."""
+    passage = " ".join(f"dup{i}" for i in range(12))
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([7, 7, 8], type=pa.int64()),
+             "text": pa.array([passage, passage, passage], type=pa.string())}
+        )
+    )
+    out = winnow_overlap(ds, min_shared=1).to_pandas()
+    assert (out["a"] != out["b"]).all()
+    pair = out[(out["a"] == 7) & (out["b"] == 8)]
+    assert len(pair) == 1
