@@ -122,15 +122,61 @@ def cdc_chunk_stats(
         sizes: list = []
         n_payloads = 0
         payloads = t[payload_col].to_pylist()
+        datas = []
         for p in payloads:
             if p is None:
                 continue
             n_payloads += 1
-            data = p if isinstance(p, bytes) else str(p).encode("utf-8")
-            cuts = gear_cut_points(
-                data, mask_bits=mask_bits, min_size=min_size,
-                max_size=max_size,
+            datas.append(
+                p if isinstance(p, bytes) else str(p).encode("utf-8")
             )
+        # Batched gear hash: one 64-pass sweep over the batch's
+        # CONCATENATED byte tape instead of 64 numpy ops per (tiny)
+        # payload — a ~10× kernel cut on short docs.  Valid whenever
+        # min_size >= 64: a doc's first 63 positions carry window
+        # contributions from the previous doc on the tape, but every
+        # candidate they could produce sits below the min-size clamp
+        # and is skipped identically in both forms (equivalence-tested
+        # against the per-doc reference).
+        batched = min_size >= 64 and datas
+        if batched:
+            tape = b"".join(datas)
+            arr = np.frombuffer(tape, dtype=np.uint8)
+            gt = _GEAR[arr]
+            hh = np.zeros(len(arr), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(min(64, len(arr))):
+                    hh[k:] += gt[: len(arr) - k] << np.uint64(k)
+            mask = np.uint64((1 << mask_bits) - 1)
+            cond = (hh & mask) == 0
+            offs = np.concatenate(
+                [[0], np.cumsum([len(d) for d in datas])]
+            ).astype(np.int64)
+        for di, data in enumerate(datas):
+            if batched:
+                n_d = len(data)
+                cand = (
+                    np.flatnonzero(cond[offs[di] : offs[di] + n_d]) + 1
+                )
+                cuts_l = []
+                last = 0
+                while last < n_d:
+                    hard = last + max_size
+                    ci = int(
+                        np.searchsorted(cand, last + min_size, side="left")
+                    )
+                    if ci < len(cand) and cand[ci] <= hard and cand[ci] < n_d:
+                        cut = int(cand[ci])
+                    else:
+                        cut = min(hard, n_d)
+                    cuts_l.append(cut)
+                    last = cut
+                cuts = np.array(cuts_l or [0], dtype=np.int64)
+            else:
+                cuts = gear_cut_points(
+                    data, mask_bits=mask_bits, min_size=min_size,
+                    max_size=max_size,
+                )
             hs = _chunk_hashes(data, cuts)
             sz = np.diff(np.concatenate([[0], cuts]))
             hashes.extend(hs.view(np.int64).tolist())

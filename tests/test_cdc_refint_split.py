@@ -241,3 +241,45 @@ def test_ref_integrity_narrowing_parent_keys(ray_session):
     # 5e9+2 wraps to some int32 value; must NOT spuriously match 2
     r = ref_integrity(child, parent, fk_col="fk", pk_col="pk").iloc[0]
     assert r["n_orphan_rows"] == 1 and r["n_missing_keys"] == 1
+
+
+def test_cdc_batched_tape_equals_per_doc_reference(ray_session):
+    """The batched concatenated-tape gear hash must chunk identically
+    to the per-doc reference whenever min_size >= 64 (doc-start window
+    contamination sits below the min-size clamp)."""
+    rng = np.random.default_rng(31)
+    payloads = [
+        rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+        for s in rng.integers(0, 3000, size=30)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(payloads)), type=pa.int64()),
+         "payload": pa.array(payloads, type=pa.binary())}
+    )
+    batched = cdc_chunk_stats(
+        rd.from_arrow(t), payload_col="payload",
+        mask_bits=9, min_size=64, max_size=2048,
+    )
+    # per-doc reference: single-row batches force the fallback shape
+    # only when min_size < 64; instead compute reference driver-side
+    from ai_service_ocr_grading_handler_ray.stages.cdc import (
+        _chunk_hashes,
+        gear_cut_points,
+    )
+
+    n_chunks = 0
+    total = 0
+    seen = {}
+    for p in payloads:
+        cuts = gear_cut_points(p, mask_bits=9, min_size=64, max_size=2048)
+        hs = _chunk_hashes(p, cuts)
+        sz = np.diff(np.concatenate([[0], cuts]))
+        n_chunks += len(cuts)
+        total += int(sz.sum())
+        for h, s in zip(hs.tolist(), sz.tolist()):
+            seen.setdefault(h, int(s))
+    r = batched.iloc[0]
+    assert r["n_chunks"] == n_chunks
+    assert r["total_bytes"] == total
+    assert r["n_distinct_chunks"] == len(seen)
+    assert r["distinct_bytes"] == sum(seen.values())
