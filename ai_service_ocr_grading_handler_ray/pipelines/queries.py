@@ -10611,3 +10611,29 @@ QUERIES = {
     "q279_winnow_overlap": QUERIES["q279_winnow_overlap"],
     **{k: v for k, v in QUERIES.items() if k != "q279_winnow_overlap"},
 }
+
+
+def q280_changepoints(sf_dir: str) -> pd.DataFrame:
+    """Changepoint locator over the daily event-count series
+    (trend.changepoint_detect): binary segmentation on the CUSUM
+    statistic, depth 2 — the day the series' level shifted, then the
+    strongest shift inside each half.  The argmax is INTEGER-exact
+    (n·S_k is an integer for count series), so the located days cannot
+    flip on float fold order.  Per-batch day partials, ONE tiny
+    day groupby, series-length driver fold.  Oracle: GENERATED by
+    changepoint_sql (identical HUGEINT window argmax)."""
+    from ..stages.trend import changepoint_detect
+
+    return changepoint_detect(_read(sf_dir, "events", ["ts"]), ts_col="ts")
+
+
+QUERIES["q280_changepoints"] = q280_changepoints
+
+from ..stages.trend import changepoint_sql as _cp_sql
+
+ORACLE_SQL["q280_changepoints"] = _cp_sql(table="events", ts_col="ts")
+
+QUERIES = {
+    "q280_changepoints": QUERIES["q280_changepoints"],
+    **{k: v for k, v in QUERIES.items() if k != "q280_changepoints"},
+}

@@ -1623,3 +1623,160 @@ def dow_seasonality_sql(
         GROUP BY m.dow, m.n_days, m.mean_v
         ORDER BY dow
     """
+
+
+def changepoint_detect(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Changepoint LOCATOR for a daily count series — binary
+    segmentation over the CUSUM statistic (Page's test statistic;
+    Scott & Knott's splitting scheme, depth 2): the day maximizing
+    |Σ_{i<=k}(c_i − mean)| over the whole series, then the maximizing
+    day inside each resulting half — the "WHEN did the crawl change?"
+    companion to the one-number drift detectors (q214 CUSUM flags THAT
+    it changed).
+
+    The argmax is INTEGER-exact: with daily counts c_i, n days and
+    total T, n·S_k = n·Σ_{i<=k} c_i − k·T is an integer, so the
+    maximizing day (ties → earliest) cannot flip on float fold order;
+    only the reported statistic max|S_k|/n divides (rounded).
+    Segments need ≥ 2 days to emit; a left/right segment is
+    [start, cp] / (cp, end] — the cp day closes its left segment.
+
+    Scale shape: per-batch (day, count) Arrow partials → ONE tiny
+    day-keyed groupby (day count bounds it) → day-sorted driver fold
+    (≤ series length).  Output: (segment:int64 — 0 full / 1 left /
+    2 right, cp_day:date32, stat:f64 rounded), segment-ascending.
+    SQL replay GENERATED by :func:`changepoint_sql` (identical integer
+    argmax via HUGEINT window arithmetic)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .collect import collect_tables
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].drop_null()
+        if not len(ts):
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        days = (
+            ts.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        code, uniq = pd.factorize(days, sort=True)
+        cnt = np.bincount(code, minlength=len(uniq))
+        return pa.table({"day": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+    parts = [t for t in collect_tables(daily, drop_empty=True)]
+    empty = pd.DataFrame(
+        {"segment": pd.Series([], dtype=np.int64),
+         "cp_day": pd.Series([], dtype="datetime64[ns]"),
+         "stat": pd.Series([], dtype=np.float64)}
+    )
+    if not parts:
+        return empty
+    tbl = pa.concat_tables([p.cast(parts[0].schema) for p in parts])
+    days = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days, kind="stable")
+    days, cnts = days[order], cnts[order]
+
+    def seg_cp(lo: int, hi: int):
+        """argmax over k in [lo, hi) of |n·cum_k − (k−lo+1)·T| with the
+        segment's own n and T; None when the segment has < 2 days."""
+        n = hi - lo
+        if n < 2:
+            return None
+        c = cnts[lo:hi]
+        cum = np.cumsum(c, dtype=np.int64)
+        k = np.arange(1, n + 1, dtype=np.int64)
+        score = np.abs(n * cum - k * int(c.sum()))
+        j = int(np.argmax(score))  # first max = earliest day
+        return lo + j, float(score[j]) / n
+
+    out_rows = []
+    full = seg_cp(0, len(days))
+    if full is not None:
+        cp0, stat0 = full
+        out_rows.append((0, days[cp0], stat0))
+        left = seg_cp(0, cp0 + 1)
+        if left is not None:
+            out_rows.append((1, days[left[0]], left[1]))
+        right = seg_cp(cp0 + 1, len(days))
+        if right is not None:
+            out_rows.append((2, days[right[0]], right[1]))
+    if not out_rows:
+        return empty
+    out = pd.DataFrame(out_rows, columns=["segment", "cp_day", "stat"])
+    out["segment"] = out["segment"].astype(np.int64)
+    out["cp_day"] = pd.to_datetime(
+        out["cp_day"].to_numpy(dtype=np.int64).astype("datetime64[D]")
+    )
+    out["stat"] = round_half_away(out["stat"].to_numpy(np.float64), round_to)
+    return out
+
+
+def changepoint_sql(
+    *,
+    table: str = "events",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`changepoint_detect` (single-generator):
+    identical integer argmax (HUGEINT window arithmetic), boundary
+    convention, tie rule."""
+
+    def seg(name: str, where: str) -> str:
+        return f"""
+        {name}_d AS (
+            SELECT d, c,
+                   row_number() OVER (ORDER BY d) AS k,
+                   sum(c) OVER (ORDER BY d) AS cum,
+                   count(*) OVER () AS n,
+                   sum(c) OVER () AS tot
+            FROM daily {where}
+        ),
+        {name}_pick AS (
+            SELECT d, n,
+                   abs(CAST(n AS HUGEINT) * cum
+                       - CAST(k AS HUGEINT) * tot) AS score
+            FROM {name}_d
+            WHERE n >= 2
+            ORDER BY score DESC, d ASC
+            LIMIT 1
+        )"""
+
+    return f"""
+        WITH daily AS (
+            SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+            FROM {table}
+            WHERE {ts_col} IS NOT NULL
+            GROUP BY d
+        ),
+        {seg("full", "")},
+        {seg("lseg", "WHERE d <= (SELECT d FROM full_pick)")},
+        {seg("rseg", "WHERE d > (SELECT d FROM full_pick)")}
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS segment, d AS cp_day,
+                   round(score * 1.0 / n, {round_to}) AS stat
+            FROM full_pick
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), d,
+                   round(score * 1.0 / n, {round_to})
+            FROM lseg_pick
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), d,
+                   round(score * 1.0 / n, {round_to})
+            FROM rseg_pick
+        )
+        ORDER BY segment
+    """

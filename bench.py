@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "q277_stratified_split",
     "q278_truncation_audit",
     "q279_winnow_overlap",
+    "q280_changepoints",
 ]
 
 

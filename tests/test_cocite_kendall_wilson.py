@@ -166,3 +166,64 @@ def test_lang_script_audit_sql_escapes_quotes():
 
     sql = lang_script_audit_sql(expected={"x'y": "lat'in"})
     assert "x''y" in sql and "lat''in" in sql
+
+
+class TestChangepoints:
+    def test_hand_computed_level_shift(self, ray_session):
+        """10 days at 2 events/day then 10 days at 10/day: the full-range
+        changepoint is the last low day."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_service_ocr_grading_handler_ray.stages.trend import (
+            changepoint_detect,
+        )
+
+        day = 86_400_000_000
+        ts = []
+        for d in range(20):
+            per = 2 if d < 10 else 10
+            ts.extend([d * day + i for i in range(per)])
+        ds = rd.from_arrow(
+            pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+        )
+        out = changepoint_detect(ds)
+        full = out[out["segment"] == 0].iloc[0]
+        import pandas as pd
+
+        assert full["cp_day"] == pd.Timestamp("1970-01-10")  # day index 9
+        assert len(out) == 3  # both halves emit too
+
+    def test_constant_series_picks_earliest(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_service_ocr_grading_handler_ray.stages.trend import (
+            changepoint_detect,
+        )
+
+        day = 86_400_000_000
+        ds = rd.from_arrow(
+            pa.table({"ts": pa.array([d * day for d in range(5)],
+                                     type=pa.timestamp("us"))})
+        )
+        out = changepoint_detect(ds)
+        import pandas as pd
+
+        full = out[out["segment"] == 0].iloc[0]
+        assert full["stat"] == 0.0
+        assert full["cp_day"] == pd.Timestamp("1970-01-01")  # earliest tie
+
+    def test_short_series_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_service_ocr_grading_handler_ray.stages.trend import (
+            changepoint_detect,
+        )
+
+        ds = rd.from_arrow(
+            pa.table({"ts": pa.array([0], type=pa.timestamp("us"))})
+        )
+        assert len(changepoint_detect(ds)) == 0
