@@ -41,6 +41,65 @@ def _gear_table() -> np.ndarray:
 _GEAR = _gear_table()
 
 
+def _gear_hash_mask(arr: np.ndarray, mask_bits: int) -> np.ndarray:
+    n = len(arr)
+    g = _GEAR[arr]
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(min(64, n)):
+            # gear[b_{i-k}] << k, aligned to position i
+            h[k:] += g[: n - k] << np.uint64(k)
+    mask = np.uint64((1 << mask_bits) - 1)
+    return (h & mask) == 0
+
+
+def _gear_candidates(
+    arr: np.ndarray, mask_bits: int, slab: int = 1 << 23
+) -> np.ndarray:
+    """Boolean candidate mask over a byte array: position i is a cut
+    candidate when the gear hash of its trailing 64-byte window has the
+    low ``mask_bits`` bits zero.  Shared by the per-doc and batched-tape
+    paths (single source of the hash invariant).
+
+    Large arrays sweep in ``slab``-sized pieces with a 63-byte overlap
+    (the hash window), so the 16-bytes-per-position transient (gear
+    lookups + hash accumulator) is bounded by the slab, not the whole
+    batch tape."""
+    n = len(arr)
+    if n <= slab:
+        return _gear_hash_mask(arr, mask_bits)
+    cond = np.empty(n, dtype=bool)
+    for s in range(0, n, slab):
+        e = min(n, s + slab)
+        lo = max(0, s - 63)
+        sub = _gear_hash_mask(arr[lo:e], mask_bits)
+        cond[s:e] = sub[s - lo :]
+    return cond
+
+
+def _clamp_walk(
+    cand: np.ndarray, n: int, min_size: int, max_size: int
+) -> np.ndarray:
+    """Greedy min/max-size clamp over the sparse candidate cut list —
+    the single source of the cut-selection invariant.  Always ends with
+    ``n`` (and returns [0] for an empty payload)."""
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    cuts = []
+    last = 0
+    while last < n:
+        hard = last + max_size
+        # first candidate >= last + min_size
+        ci = int(np.searchsorted(cand, last + min_size, side="left"))
+        if ci < len(cand) and cand[ci] <= hard and cand[ci] < n:
+            cut = int(cand[ci])
+        else:
+            cut = min(hard, n)
+        cuts.append(cut)
+        last = cut
+    return np.array(cuts, dtype=np.int64)
+
+
 def gear_cut_points(
     data: bytes,
     *,
@@ -54,29 +113,9 @@ def gear_cut_points(
     n = len(data)
     if n == 0:
         return np.array([0], dtype=np.int64)
-    b = np.frombuffer(data, dtype=np.uint8)
-    g = _GEAR[b]
-    h = np.zeros(n, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for k in range(min(64, n)):
-            # gear[b_{i-k}] << k, aligned to position i
-            h[k:] += g[: n - k] << np.uint64(k)
-    mask = np.uint64((1 << mask_bits) - 1)
-    cand = np.flatnonzero((h & mask) == 0) + 1  # cut AFTER position i
-    cuts = []
-    last = 0
-    ci = 0
-    while last < n:
-        hard = last + max_size
-        # first candidate >= last + min_size
-        ci = int(np.searchsorted(cand, last + min_size, side="left"))
-        if ci < len(cand) and cand[ci] <= hard and cand[ci] < n:
-            cut = int(cand[ci])
-        else:
-            cut = min(hard, n)
-        cuts.append(cut)
-        last = cut
-    return np.array(cuts, dtype=np.int64)
+    cond = _gear_candidates(np.frombuffer(data, dtype=np.uint8), mask_bits)
+    cand = np.flatnonzero(cond) + 1  # cut AFTER position i
+    return _clamp_walk(cand, n, min_size, max_size)
 
 
 def _chunk_hashes(data: bytes, cuts: np.ndarray) -> np.ndarray:
@@ -141,14 +180,10 @@ def cdc_chunk_stats(
         batched = min_size >= 64 and datas
         if batched:
             tape = b"".join(datas)
-            arr = np.frombuffer(tape, dtype=np.uint8)
-            gt = _GEAR[arr]
-            hh = np.zeros(len(arr), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for k in range(min(64, len(arr))):
-                    hh[k:] += gt[: len(arr) - k] << np.uint64(k)
-            mask = np.uint64((1 << mask_bits) - 1)
-            cond = (hh & mask) == 0
+            cond = _gear_candidates(
+                np.frombuffer(tape, dtype=np.uint8), mask_bits
+            )
+            del tape  # keep only the 1-byte/position candidate mask
             offs = np.concatenate(
                 [[0], np.cumsum([len(d) for d in datas])]
             ).astype(np.int64)
@@ -158,20 +193,7 @@ def cdc_chunk_stats(
                 cand = (
                     np.flatnonzero(cond[offs[di] : offs[di] + n_d]) + 1
                 )
-                cuts_l = []
-                last = 0
-                while last < n_d:
-                    hard = last + max_size
-                    ci = int(
-                        np.searchsorted(cand, last + min_size, side="left")
-                    )
-                    if ci < len(cand) and cand[ci] <= hard and cand[ci] < n_d:
-                        cut = int(cand[ci])
-                    else:
-                        cut = min(hard, n_d)
-                    cuts_l.append(cut)
-                    last = cut
-                cuts = np.array(cuts_l or [0], dtype=np.int64)
+                cuts = _clamp_walk(cand, n_d, min_size, max_size)
             else:
                 cuts = gear_cut_points(
                     data, mask_bits=mask_bits, min_size=min_size,

@@ -1676,19 +1676,28 @@ def changepoint_detect(
         .groupby("day")
         .aggregate(_Sum("c", alias_name="c"))
     )
-    parts = [t for t in collect_tables(daily, drop_empty=True)]
+    from .collect import collect_table
+
+    tbl = collect_table(daily)
     empty = pd.DataFrame(
         {"segment": pd.Series([], dtype=np.int64),
          "cp_day": pd.Series([], dtype="datetime64[ns]"),
          "stat": pd.Series([], dtype=np.float64)}
     )
-    if not parts:
+    if not tbl.num_rows:
         return empty
-    tbl = pa.concat_tables([p.cast(parts[0].schema) for p in parts])
     days = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
     cnts = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(days, kind="stable")
     days, cnts = days[order], cnts[order]
+    # the integer-exact argmax works in int64: n·cum ≤ n_days·total must
+    # stay below 2^63 (the HUGEINT oracle has no such bound) — loud
+    # guard rather than a silent numpy wraparound
+    if len(days) * int(cnts.sum()) >= (1 << 62):
+        raise ValueError(
+            "changepoint_detect: n_days * total_count >= 2^62 — the "
+            "int64 argmax would wrap; pre-aggregate to coarser buckets"
+        )
 
     def seg_cp(lo: int, hi: int):
         """argmax over k in [lo, hi) of |n·cum_k − (k−lo+1)·T| with the
