@@ -10637,3 +10637,37 @@ QUERIES = {
     "q280_changepoints": QUERIES["q280_changepoints"],
     **{k: v for k, v in QUERIES.items() if k != "q280_changepoints"},
 }
+
+
+def q281_sprt(sf_dir: str) -> pd.DataFrame:
+    """Wald SPRT over the event stream (abtest.sprt_bernoulli): each
+    event ordered by (ts, id) is a Bernoulli trial (success =
+    purchase); the log-likelihood walk stops at the FIRST crossing of
+    the Wald thresholds — the minimal-sample sequential test the
+    fixed-horizon z-test (q230) cannot match.  Scale shape: day-count
+    partials → tiny day groupby → driver day-boundary envelope walk →
+    ONE pruned scan of only the crossing day's events (no global
+    sort).  The llr expression and crossing order replay exactly in
+    SQL.  Oracle: GENERATED by sprt_sql."""
+    from ..stages.abtest import sprt_bernoulli
+
+    return sprt_bernoulli(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"]),
+        ts_col="ts", id_col="event_id", type_col="event_type",
+        success_type="purchase", p0=0.18, p1=0.22,
+    )
+
+
+QUERIES["q281_sprt"] = q281_sprt
+
+from ..stages.abtest import sprt_sql as _sprt_sql
+
+ORACLE_SQL["q281_sprt"] = _sprt_sql(
+    table="events", ts_col="ts", id_col="event_id",
+    type_col="event_type", success_type="purchase", p0=0.18, p1=0.22,
+)
+
+QUERIES = {
+    "q281_sprt": QUERIES["q281_sprt"],
+    **{k: v for k, v in QUERIES.items() if k != "q281_sprt"},
+}

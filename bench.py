@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "q278_truncation_audit",
     "q279_winnow_overlap",
     "q280_changepoints",
+    "q281_sprt",
 ]
 
 

@@ -229,3 +229,98 @@ def test_mwu_requires_two_variants(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"g": ["A", "A"], "v": [1.0, 2.0]}))
     with pytest.raises(ValueError, match="exactly 2"):
         mann_whitney_u(ds, variant_col="g", value_col="v")
+
+
+class TestSprt:
+    def _events(self, outcomes):
+        """outcomes: list of bool, one event per microsecond."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(outcomes)), type=pa.int64()),
+                    "ts": pa.array(list(range(len(outcomes))),
+                                   type=pa.timestamp("us")),
+                    "event_type": pa.array(
+                        ["purchase" if o else "view" for o in outcomes],
+                        type=pa.string(),
+                    ),
+                }
+            )
+        )
+
+    def test_accepts_h1_on_high_rate(self, ray_session):
+        from ai_service_ocr_grading_handler_ray.stages.abtest import sprt_bernoulli
+
+        # 40% success stream: must accept H1 (p1=0.22) quickly
+        out = sprt_bernoulli(
+            self._events([i % 5 < 2 for i in range(2000)]),
+            p0=0.18, p1=0.22,
+        ).iloc[0]
+        assert out["decision"] == "accept_h1"
+        assert out["n_seen"] < 2000  # stopped early
+
+    def test_accepts_h0_on_low_rate(self, ray_session):
+        from ai_service_ocr_grading_handler_ray.stages.abtest import sprt_bernoulli
+
+        out = sprt_bernoulli(
+            self._events([i % 20 == 0 for i in range(3000)]),  # 5%
+            p0=0.18, p1=0.22,
+        ).iloc[0]
+        assert out["decision"] == "accept_h0"
+        assert out["n_seen"] < 3000
+
+    def test_continue_when_no_crossing(self, ray_session):
+        from ai_service_ocr_grading_handler_ray.stages.abtest import sprt_bernoulli
+
+        # exactly between the hypotheses, tiny sample: no decision
+        out = sprt_bernoulli(
+            self._events([i % 5 == 0 for i in range(20)]),  # 20%
+            p0=0.18, p1=0.22,
+        ).iloc[0]
+        assert out["decision"] == "continue"
+        assert out["n_seen"] == 20
+
+    def test_multi_day_crossing_matches_single_scan(self, ray_session):
+        """The day-bracket + pruned-scan path must find the same event a
+        brute-force walk finds when the stream spans many days."""
+        import math
+
+        import numpy as np
+
+        from ai_service_ocr_grading_handler_ray.stages.abtest import sprt_bernoulli
+
+        day = 86_400_000_000
+        rng = np.random.default_rng(3)
+        outcomes = (rng.random(600) < 0.4).tolist()
+        import pyarrow as pa
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(600), type=pa.int64()),
+                    "ts": pa.array([i // 10 * day + (i % 10) for i in range(600)],
+                                   type=pa.timestamp("us")),
+                    "event_type": pa.array(
+                        ["purchase" if o else "view" for o in outcomes],
+                        type=pa.string(),
+                    ),
+                }
+            )
+        )
+        out = sprt_bernoulli(ds, p0=0.18, p1=0.22).iloc[0]
+        # brute force
+        c1 = math.log(0.22 / 0.18)
+        c2 = math.log(0.78 / 0.82)
+        upper = math.log(0.95 / 0.05)
+        s = k = 0
+        for o in outcomes:
+            k += 1
+            s += int(o)
+            if s * c1 + (k - s) * c2 >= upper:
+                break
+        assert out["decision"] == "accept_h1"
+        assert out["n_seen"] == k and out["k_success"] == s
