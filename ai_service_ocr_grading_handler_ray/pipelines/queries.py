@@ -10671,3 +10671,29 @@ QUERIES = {
     "q281_sprt": QUERIES["q281_sprt"],
     **{k: v for k, v in QUERIES.items() if k != "q281_sprt"},
 }
+
+
+def q282_runs_test(sf_dir: str) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test on the daily event-count series
+    (trend.runs_test_daily): clustering vs alternation of
+    above/below-median days — the "is the series i.i.d. enough to
+    alert on?" pre-check before the drift detectors.  Lower-median
+    threshold at 1-indexed position ceil(n/2) (exact, ties drop), run
+    count over day order, closed-form z.  Per-batch day partials, ONE
+    tiny day groupby, series-length driver fold.  Oracle: GENERATED by
+    runs_test_sql."""
+    from ..stages.trend import runs_test_daily
+
+    return runs_test_daily(_read(sf_dir, "events", ["ts"]), ts_col="ts")
+
+
+QUERIES["q282_runs_test"] = q282_runs_test
+
+from ..stages.trend import runs_test_sql as _runs_sql
+
+ORACLE_SQL["q282_runs_test"] = _runs_sql(table="events", ts_col="ts")
+
+QUERIES = {
+    "q282_runs_test": QUERIES["q282_runs_test"],
+    **{k: v for k, v in QUERIES.items() if k != "q282_runs_test"},
+}

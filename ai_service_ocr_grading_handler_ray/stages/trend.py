@@ -1789,3 +1789,146 @@ def changepoint_sql(
         )
         ORDER BY segment
     """
+
+
+def runs_test_daily(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test on the daily event-count series: is the
+    sequence of above/below-median days RANDOM, or does it cluster
+    (trend/regime) or alternate (over-correction)?  The
+    "is this series even i.i.d. enough to alert on?" pre-check run
+    before the drift detectors (q214/q219/q280).
+
+    Convention (exact, integer-friendly on both engines): the threshold
+    is the LOWER MEDIAN — the value at 1-indexed position ceil(n/2) of
+    the day-count sort (ties by day) — and days EQUAL to it drop (the
+    standard runs-test tie rule).  R = number of runs over the
+    remaining ± sequence (day order); with n1 above / n2 below,
+    z = (R − μ) / σ, μ = 2·n1·n2/(n1+n2) + 1,
+    σ² = (μ−1)(μ−2)/(n1+n2−1) — NaN when σ = 0 or a side is empty.
+
+    Scale shape: per-batch (day, count) partials → ONE tiny day
+    groupby → series-length driver fold.  Output: ONE row
+    (n_days:int64, n_above:int64, n_below:int64, runs:int64, z:f64
+    rounded).  SQL replay GENERATED by :func:`runs_test_sql`."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .collect import collect_table
+    from .selection import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].drop_null()
+        if not len(ts):
+            return pa.table({"day": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        days = (
+            ts.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        code, uniq = pd.factorize(days, sort=True)
+        cnt = np.bincount(code, minlength=len(uniq))
+        return pa.table({"day": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+    tbl = collect_table(daily)
+    empty = pd.DataFrame(
+        {"n_days": pd.Series([], dtype=np.int64),
+         "n_above": pd.Series([], dtype=np.int64),
+         "n_below": pd.Series([], dtype=np.int64),
+         "runs": pd.Series([], dtype=np.int64),
+         "z": pd.Series([], dtype=np.float64)}
+    )
+    if not tbl.num_rows:
+        return empty
+    days = tbl["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = tbl["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days, kind="stable")
+    days, cnts = days[order], cnts[order]
+    n = len(days)
+    # lower median: 1-indexed position ceil(n/2) of the (count, day) sort
+    m_order = np.lexsort((days, cnts))
+    med = int(cnts[m_order[(n + 1) // 2 - 1]])
+    sign = cnts[cnts != med] > med
+    n1 = int(sign.sum())
+    n2 = int(len(sign) - n1)
+    if len(sign):
+        runs = int(1 + (sign[1:] != sign[:-1]).sum())
+    else:
+        runs = 0
+    if n1 == 0 or n2 == 0:
+        z = np.nan
+    else:
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        var = (mu - 1.0) * (mu - 2.0) / (n1 + n2 - 1.0)
+        z = (runs - mu) / np.sqrt(var) if var > 0 else np.nan
+    return pd.DataFrame(
+        {"n_days": pd.Series([n], dtype=np.int64),
+         "n_above": pd.Series([n1], dtype=np.int64),
+         "n_below": pd.Series([n2], dtype=np.int64),
+         "runs": pd.Series([runs], dtype=np.int64),
+         "z": pd.Series(round_half_away(np.array([z]), round_to))}
+    )
+
+
+def runs_test_sql(
+    *,
+    table: str = "events",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`runs_test_daily` (single-generator):
+    identical lower-median convention, tie drop, run counting and
+    z arithmetic."""
+    return f"""
+        WITH daily AS (
+            SELECT CAST({ts_col} AS DATE) AS d, count(*) AS c
+            FROM {table}
+            WHERE {ts_col} IS NOT NULL
+            GROUP BY d
+        ),
+        med AS (
+            SELECT c AS m FROM (
+                SELECT c, row_number() OVER (ORDER BY c, d) AS r,
+                       count(*) OVER () AS n
+                FROM daily
+            ) WHERE r = (n + 1) // 2
+        ),
+        seq AS (
+            SELECT d, (c > (SELECT m FROM med)) AS above,
+                   lag(c > (SELECT m FROM med))
+                       OVER (ORDER BY d) AS prev
+            FROM daily
+            WHERE c <> (SELECT m FROM med)
+        ),
+        agg AS (
+            SELECT count(*) AS n_kept,
+                   sum(CASE WHEN above THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN above THEN 0 ELSE 1 END) AS n2,
+                   sum(CASE WHEN prev IS NULL OR above <> prev
+                            THEN 1 ELSE 0 END) AS runs
+            FROM seq
+        )
+        SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(coalesce(n1, 0) AS BIGINT) AS n_above,
+               CAST(coalesce(n2, 0) AS BIGINT) AS n_below,
+               CAST(coalesce(runs, 0) AS BIGINT) AS runs,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                          AND (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
+                              * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
+                              / (n1 + n2 - 1.0) > 0
+                     THEN (runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                          / sqrt((2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
+                                 * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
+                                 / (n1 + n2 - 1.0))
+                     END, {round_to}) AS z
+        FROM agg
+    """

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q279_winnow_overlap",
     "q280_changepoints",
     "q281_sprt",
+    "q282_runs_test",
 ]
 
 

@@ -227,3 +227,53 @@ class TestChangepoints:
             pa.table({"ts": pa.array([0], type=pa.timestamp("us"))})
         )
         assert len(changepoint_detect(ds)) == 0
+
+
+class TestRunsTest:
+    def _days(self, counts):
+        import pyarrow as pa
+        import ray.data as rd
+
+        day = 86_400_000_000
+        ts = []
+        for d, c in enumerate(counts):
+            ts.extend([d * day + i for i in range(c)])
+        return rd.from_arrow(
+            pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))})
+        )
+
+    def test_alternating_series_many_runs(self, ray_session):
+        from ai_service_ocr_grading_handler_ray.stages.trend import runs_test_daily
+
+        out = runs_test_daily(self._days([1, 9] * 10)).iloc[0]
+        # lower median = 1 -> days equal to it DROP; only the 9s remain,
+        # all one side -> z is NaN but counts are exact
+        assert out["n_days"] == 20
+        assert out["n_above"] == 10 and out["n_below"] == 0
+
+    def test_clustered_vs_alternating_sign(self, ray_session):
+        from ai_service_ocr_grading_handler_ray.stages.trend import runs_test_daily
+
+        # clustered: distinct ascending counts (low block then high
+        # block; only the single median day drops) -> 2 runs -> very
+        # negative z
+        clustered = runs_test_daily(self._days(list(range(1, 21)))).iloc[0]
+        # alternating high/low -> max runs -> positive z
+        import numpy as np
+
+        alt = runs_test_daily(self._days([2, 9, 3, 8, 2, 9, 3, 8, 2, 9,
+                                          3, 8, 2, 9, 3, 8])).iloc[0]
+        assert clustered["runs"] == 2 and clustered["z"] < -3
+        # alternation beats clustering: more runs, opposite z sign
+        assert alt["runs"] > clustered["runs"] and alt["z"] > 0
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ai_service_ocr_grading_handler_ray.stages.trend import runs_test_daily
+
+        ds = rd.from_arrow(
+            pa.table({"ts": pa.array([], type=pa.timestamp("us"))})
+        )
+        assert len(runs_test_daily(ds)) == 0
